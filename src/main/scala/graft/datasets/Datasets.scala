@@ -1,0 +1,138 @@
+package graft.datasets
+
+import graft.core.GlmData
+import graft.families.Family
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Seeded synthetic generators mirroring the reference's semantics
+  * (datasets.py:8-162, utils.py:165-169): X ~ N(0,1) row-chunked, a random
+  * informative column subset with β = (U(0,1)−1)·scale, and family-specific
+  * label rules. RNG streams differ from numpy (documented capability-level
+  * parity, not bit parity); same seed ⇒ bit-identical output here.
+  *
+  * Distribution: rows are generated partition-parallel with per-partition
+  * counters (`spark.range` + seeded `randn`/`rand`), never on the driver —
+  * the pattern scales to arbitrary n.
+  */
+object Datasets {
+
+  private def baseX(
+      spark: SparkSession,
+      nSamples: Long,
+      nFeatures: Int,
+      chunksize: Int,
+      seed: Long): DataFrame = {
+    val nParts = math.max(1, math.ceil(nSamples.toDouble / chunksize).toInt)
+    val cols = (0 until nFeatures).map(j => randn(seed + j).as(s"x$j"))
+    spark.range(0, nSamples, 1, nParts).select(col("id") +: cols: _*)
+  }
+
+  private def informativeBeta(
+      nFeatures: Int,
+      nInformative: Int,
+      scale: Double,
+      seed: Long): (Array[Int], Array[Double]) = {
+    val rng = new scala.util.Random(seed)
+    // np.random.choice with replacement (datasets.py:52)
+    val idx = Array.fill(nInformative)(rng.nextInt(nFeatures))
+    val beta = Array.fill(nFeatures)((rng.nextDouble() - 1.0) * scale)
+    (idx, beta)
+  }
+
+  private def z0Col(idx: Array[Int], beta: Array[Double]) =
+    idx.map(j => col(s"x$j") * lit(beta(j))).reduceOption(_ + _).getOrElse(lit(0.0))
+
+  /** Classification: y = U(0,1) < σ(X_inf·β_inf) (datasets.py:8-57). */
+  def makeClassification(
+      spark: SparkSession,
+      nSamples: Long = 1000,
+      nFeatures: Int = 100,
+      nInformative: Int = 2,
+      scale: Double = 1.0,
+      chunksize: Int = 100,
+      seed: Long = 42): DataFrame = {
+    val x = baseX(spark, nSamples, nFeatures, chunksize, seed)
+    val (idx, beta) = informativeBeta(nFeatures, nInformative, scale, seed)
+    val z0 = z0Col(idx, beta)
+    x.withColumn("label",
+        (rand(seed + 7919) < lit(1.0) / (lit(1.0) + exp(-z0))).cast("double"))
+      .withColumn("features", array((0 until nFeatures).map(j => col(s"x$j")): _*))
+      .select("id", "features", "label")
+  }
+
+  /** Regression: y = U(0,1) — deliberately trivial noise (datasets.py:60-109). */
+  def makeRegression(
+      spark: SparkSession,
+      nSamples: Long = 1000,
+      nFeatures: Int = 100,
+      nInformative: Int = 2,
+      scale: Double = 1.0,
+      chunksize: Int = 100,
+      seed: Long = 42): DataFrame = {
+    val x = baseX(spark, nSamples, nFeatures, chunksize, seed)
+    x.withColumn("label", rand(seed + 7919))
+      .withColumn("features", array((0 until nFeatures).map(j => col(s"x$j")): _*))
+      .select("id", "features", "label")
+  }
+
+  /** Poisson: rate = exp(z0); y ~ Poisson(rate) via per-row inversion
+    * sampling (datasets.py:112-162; the reference's `size=1` quirk is not
+    * reproduced — its own docstring documents shape (n,)). */
+  def makePoisson(
+      spark: SparkSession,
+      nSamples: Long = 1000,
+      nFeatures: Int = 100,
+      nInformative: Int = 2,
+      scale: Double = 1.0,
+      chunksize: Int = 100,
+      seed: Long = 42): DataFrame = {
+    val x = baseX(spark, nSamples, nFeatures, chunksize, seed)
+    val (idx, beta) = informativeBeta(nFeatures, nInformative, scale, seed)
+    val z0 = z0Col(idx, beta)
+    // Knuth-style Poisson sampler driven by a seeded uniform per row:
+    // deterministic given (seed, id); rates here are O(1) so the loop is
+    // short. Codegen-unfriendly UDF acceptable for a test-data generator.
+    val poissonUdf = udf { (rate: Double, u: Double) =>
+      var k = 0
+      var cdf = math.exp(-rate)
+      var p = cdf
+      while (u > cdf && k < 10000) {
+        k += 1
+        p = p * rate / k
+        cdf += p
+      }
+      k.toDouble
+    }
+    x.withColumn("label", poissonUdf(exp(z0), rand(seed + 7919)))
+      .withColumn("features", array((0 until nFeatures).map(j => col(s"x$j")): _*))
+      .select("id", "features", "label")
+  }
+
+  /** `make_y` test helper: y = U(0,1) < σ(X·β), default β=[1.5,−3]
+    * (utils.py:165-169). */
+  def makeY(df: DataFrame, beta: Array[Double] = Array(1.5, -3.0), seed: Long = 42): DataFrame = {
+    val z0 = aggregate(
+      zip_with(col("features"), typedLit(beta.toSeq), (a, b) => a * b),
+      lit(0.0), (acc, v) => acc + v)
+    df.withColumn("label",
+      (rand(seed + 104729) < lit(1.0) / (lit(1.0) + exp(-z0))).cast("double"))
+  }
+
+  /** `make_intercept_data` (test_algos_families.py:21-37): X ~ U(0,1),
+    * columns divided by their sums, last column = 1; y = make_y(X, β~U(0,1)). */
+  def makeInterceptData(spark: SparkSession, n: Int, p: Int, seed: Long = 20009): GlmData = {
+    val nParts = 5 // reference chunks (N/5, p+1)
+    val cols = (0 to p).map(j => rand(seed + j).as(s"x$j"))
+    var df = spark.range(0, n, 1, nParts).select(col("id") +: cols: _*)
+    df = df.withColumn(s"x$p", lit(1.0))
+    val sums = df.select((0 to p).map(j => sum(col(s"x$j")).as(s"s$j")): _*).head()
+    val scaled = (0 to p).map(j => (col(s"x$j") / lit(sums.getDouble(j))).as(s"x$j"))
+    df = df.select(col("id") +: scaled: _*).withColumn(s"x$p", lit(1.0))
+    val rng = new scala.util.Random(seed)
+    val beta = Array.fill(p + 1)(rng.nextDouble())
+    val withFeat = df
+      .withColumn("features", array((0 to p).map(j => col(s"x$j")): _*))
+    GlmData.fromDF(makeY(withFeat, beta, seed), numFeatures = p + 1)
+  }
+}

@@ -1,0 +1,124 @@
+package graft.estimators
+
+import breeze.linalg.DenseVector
+import graft.core.GlmData
+import graft.families.{Family, Logistic => LogisticFam, Normal => NormalFam, Poisson => PoissonFam}
+import graft.regularizers.Regularizer
+import graft.solvers.Solvers
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** sklearn-shaped hyperparameters with the reference's names and defaults
+  * (estimators.py:39-77). Per-solver kwarg routing happens inside the
+  * solver registry — newton/gd ignore regularizer, admm ignores tol. */
+final case class GlmParams(
+    fitIntercept: Boolean = true,
+    solver: String = "admm",
+    regularizer: String = "l2",
+    maxIter: Int = 100,
+    tol: Double = 1e-4,
+    lamduh: Double = 1.0,
+    rho: Double = 1.0,
+    overRelax: Double = 1.0,
+    abstol: Double = 1e-4,
+    reltol: Double = 1e-2,
+    normalize: Boolean = true,
+    featuresCol: String = "features",
+    labelCol: String = "label")
+
+/** Base GLM estimator (estimators.py:19-98): DataFrame in, fitted
+  * coefficients out. The intercept is the LAST coefficient when
+  * `fitIntercept` (estimators.py:87-89). Lazy `transform` semantics mirror
+  * the reference's lazy predict graphs (§3.2 of SURVEY.md). */
+abstract class GLM(val params: GlmParams) extends Serializable {
+  def family: Family
+
+  /** Full coefficient vector, intercept last (reference `_coef`). */
+  var rawCoef: DenseVector[Double] = _
+
+  def coef: DenseVector[Double] =
+    if (params.fitIntercept) rawCoef(0 until rawCoef.length - 1).copy else rawCoef
+  def intercept: Double = if (params.fitIntercept) rawCoef(rawCoef.length - 1) else 0.0
+
+  def fit(df: DataFrame): this.type = {
+    val base = GlmData.fromDF(df, params.featuresCol, params.labelCol)
+    val data = (if (params.fitIntercept) base.addIntercept else base).persist()
+    try {
+      rawCoef = Solvers.solve(
+        params.solver, data, family,
+        maxIter = params.maxIter, tol = params.tol,
+        regularizer = Regularizer.get(params.regularizer),
+        lamduh = params.lamduh, rho = params.rho,
+        overRelax = params.overRelax, abstol = params.abstol,
+        reltol = params.reltol, normalize = params.normalize)
+    } finally data.unpersist()
+    this
+  }
+
+  /** Linear margin X_·coef as a pure-Catalyst column (zip_with + aggregate
+    * higher-order functions — codegen'd, no UDF). */
+  def marginCol(features: Column): Column = {
+    val c = coef.toArray.toSeq
+    val dotProd = aggregate(
+      zip_with(features.cast("array<double>"), typedLit(c), (a, b) => a * b),
+      lit(0.0),
+      (acc, v) => acc + v)
+    if (params.fitIntercept) dotProd + lit(intercept) else dotProd
+  }
+
+  def transform(df: DataFrame): DataFrame
+}
+
+object GLM {
+  private[estimators] def sigmoidCol(c: Column): Column =
+    lit(1.0) / (lit(1.0) + exp(-c))
+}
+
+/** Logistic regression (estimators.py:101-153). */
+class LogisticRegression(params: GlmParams = GlmParams()) extends GLM(params) {
+  def family: Family = LogisticFam
+
+  def predictProbaCol(features: Column): Column = GLM.sigmoidCol(marginCol(features))
+  /** Boolean threshold at 0.5 (estimators.py:145-146). */
+  def predictCol(features: Column): Column = predictProbaCol(features) > 0.5
+
+  def transform(df: DataFrame): DataFrame = df
+    .withColumn("probability", predictProbaCol(col(params.featuresCol)))
+    .withColumn("prediction", col("probability") > 0.5)
+
+  /** Accuracy (utils.py:176-177). */
+  def score(df: DataFrame): Double = transform(df)
+    .select(avg((col(params.labelCol).cast("boolean") === col("prediction")).cast("double")))
+    .head().getDouble(0)
+}
+
+/** OLS linear regression; `score` is MSE, NOT R² (estimators.py:203-204). */
+class LinearRegression(params: GlmParams = GlmParams()) extends GLM(params) {
+  def family: Family = NormalFam
+
+  def predictCol(features: Column): Column = marginCol(features)
+
+  def transform(df: DataFrame): DataFrame =
+    df.withColumn("prediction", predictCol(col(params.featuresCol)))
+
+  def score(df: DataFrame): Double = transform(df)
+    .select(avg(pow(col(params.labelCol) - col("prediction"), 2)))
+    .head().getDouble(0)
+}
+
+/** Poisson regression; deviance uses the reference's `log1p` form
+  * (utils.py:180-181 — not the textbook log). */
+class PoissonRegression(params: GlmParams = GlmParams()) extends GLM(params) {
+  def family: Family = PoissonFam
+
+  def predictCol(features: Column): Column = exp(marginCol(features))
+
+  def transform(df: DataFrame): DataFrame =
+    df.withColumn("prediction", predictCol(col(params.featuresCol)))
+
+  def getDeviance(df: DataFrame): Double = transform(df)
+    .select(sum(
+      (col(params.labelCol) * log1p(col(params.labelCol) / col("prediction"))
+        - (col(params.labelCol) - col("prediction"))) * 2.0))
+    .head().getDouble(0)
+}

@@ -1,0 +1,207 @@
+package graft.linalg
+
+import breeze.linalg.{DenseMatrix, DenseVector}
+import graft.core.GlmData
+import graft.families.Family
+
+/** The engine's entire distributed surface: five single-pass kernels over
+  * the row-partitioned design matrix. Everything else (β updates, line
+  * search control, prox, convergence) is O(p)/O(p²) driver math.
+  *
+  * Design notes (100 TB discipline):
+  *  - every kernel is ONE scan, no shuffle: per-partition partials of size
+  *    O(p) / O(p²) are combined on the driver;
+  *  - partials are combined in partition-index order so results are
+  *    bit-deterministic run-to-run (the reference's determinism contract,
+  *    test_algos_families.py:141-160 — dask's tree reductions are
+  *    order-fixed by graph structure; Spark's treeAggregate is not, so we
+  *    fix the order ourselves);
+  *  - β ships to executors via closure capture of a small primitive array
+  *    (≙ scatter/broadcast, utils.py:208-215). At p ≤ a few thousand this
+  *    is well under task-serialization limits.
+  */
+object Kernels {
+
+  /** Deterministic aggregate: per-partition seqOp, driver-side combine in
+    * partition order. U must be O(p²) small. */
+  def partitionAggregate[U: scala.reflect.ClassTag](
+      data: GlmData)(zero: () => U)(
+      seqOp: (U, Array[Double], Double) => U,
+      combOp: (U, U) => U): U = {
+    val partials = data.rows
+      .mapPartitionsWithIndex { (idx, it) =>
+        var acc = zero()
+        while (it.hasNext) {
+          val (x, y) = it.next()
+          acc = seqOp(acc, x, y)
+        }
+        Iterator.single((idx, acc))
+      }
+      .collect()
+    if (partials.isEmpty) zero()
+    else partials.sortBy(_._1).map(_._2).reduceLeft(combOp)
+  }
+
+  @inline private def dot(x: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < b.length) { s += x(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Fused loss + gradient in one pass (the reference's shared-graph
+    * `compute(loss_fn, gradient_fn)`, algorithms.py:405). */
+  def lossGrad(data: GlmData, beta: DenseVector[Double], family: Family)
+      : (Double, DenseVector[Double]) = {
+    val b = beta.toArray
+    val p = data.numFeatures
+    val fam = family
+    val (loss, g) = partitionAggregate(data)(() => (0.0, new Array[Double](p)))(
+      { case ((l, g), x, y) =>
+        val xb = dot(x, b)
+        val w = fam.dLoss(xb, y)
+        var i = 0
+        while (i < p) { g(i) += w * x(i); i += 1 }
+        (l + fam.loss(xb, y), g)
+      },
+      { case ((l1, g1), (l2, g2)) =>
+        var i = 0
+        while (i < p) { g1(i) += g2(i); i += 1 }
+        (l1 + l2, g1)
+      })
+    (loss, DenseVector(g))
+  }
+
+  /** Gradient only (families.py:41-45 — A2 kernel). */
+  def grad(data: GlmData, beta: DenseVector[Double], family: Family): DenseVector[Double] =
+    lossGrad(data, beta, family)._2
+
+  /** Loss only. */
+  def loss(data: GlmData, beta: DenseVector[Double], family: Family): Double =
+    lossLadder(data, beta, DenseVector.zeros[Double](beta.length), Array(0.0), family)(0)
+
+  /** Fused Hessian + gradient in one pass (the reference's
+    * `da.compute(hess, grad)` shared traversal, algorithms.py:205).
+    * H = Xᵀ diag(d2Loss) X via per-row rank-1 updates (upper triangle). */
+  def gradHess(data: GlmData, beta: DenseVector[Double], family: Family)
+      : (DenseVector[Double], DenseMatrix[Double]) = {
+    val b = beta.toArray
+    val p = data.numFeatures
+    val fam = family
+    val (g, h) = partitionAggregate(data)(
+      () => (new Array[Double](p), new Array[Double](p * p)))(
+      { case ((g, h), x, y) =>
+        val xb = dot(x, b)
+        val w1 = fam.dLoss(xb, y)
+        val w2 = fam.d2Loss(xb, y)
+        var i = 0
+        while (i < p) {
+          g(i) += w1 * x(i)
+          val wxi = w2 * x(i)
+          var j = i
+          while (j < p) { h(i * p + j) += wxi * x(j); j += 1 }
+          i += 1
+        }
+        (g, h)
+      },
+      { case ((g1, h1), (g2, h2)) =>
+        var i = 0
+        while (i < p) { g1(i) += g2(i); i += 1 }
+        var k = 0
+        while (k < p * p) { h1(k) += h2(k); k += 1 }
+        (g1, h1)
+      })
+    // mirror upper triangle
+    val H = new DenseMatrix[Double](p, p)
+    var i = 0
+    while (i < p) {
+      var j = i
+      while (j < p) { H(i, j) = h(i * p + j); H(j, i) = h(i * p + j); j += 1 }
+      i += 1
+    }
+    (DenseVector(g), H)
+  }
+
+  /** Line-search ladder: losses at β − s_k·dir for every candidate step in
+    * ONE pass (per row: t = x·β and u = x·dir once, then K cheap updates).
+    * Strictly fewer jobs than the reference's sequential probes
+    * (algorithms.py:63-86) while visiting the identical candidate ladder. */
+  def lossLadder(
+      data: GlmData,
+      beta: DenseVector[Double],
+      dir: DenseVector[Double],
+      steps: Array[Double],
+      family: Family): Array[Double] = {
+    val b = beta.toArray
+    val d = dir.toArray
+    val ss = steps
+    val fam = family
+    partitionAggregate(data)(() => new Array[Double](ss.length))(
+      { (acc, x, y) =>
+        val t = dot(x, b)
+        val u = dot(x, d)
+        var k = 0
+        while (k < ss.length) { acc(k) += fam.loss(t - ss(k) * u, y); k += 1 }
+        acc
+      },
+      { (a1, a2) =>
+        var k = 0
+        while (k < a1.length) { a1(k) += a2(k); k += 1 }
+        a1
+      })
+  }
+
+  /** Losses at arbitrary candidate βs in ONE pass (proximal-grad probes,
+    * where each candidate is a nonlinear prox image of β). */
+  def lossMulti(
+      data: GlmData,
+      betas: Array[DenseVector[Double]],
+      family: Family): Array[Double] = {
+    val bs = betas.map(_.toArray)
+    val fam = family
+    partitionAggregate(data)(() => new Array[Double](bs.length))(
+      { (acc, x, y) =>
+        var k = 0
+        while (k < bs.length) { acc(k) += fam.loss(dot(x, bs(k)), y); k += 1 }
+        acc
+      },
+      { (a1, a2) =>
+        var k = 0
+        while (k < a1.length) { a1(k) += a2(k); k += 1 }
+        a1
+      })
+  }
+
+  /** Column mean/std in one pass: (count, Σx, Σx²) per column — the A4
+    * stats kernel behind `@normalize` (utils.py:19). Population std
+    * (ddof=0) to match `np.std`. */
+  def colStats(data: GlmData): (DenseVector[Double], DenseVector[Double]) = {
+    val p = data.numFeatures
+    val (n, s1, s2) = partitionAggregate(data)(
+      () => (0L, new Array[Double](p), new Array[Double](p)))(
+      { case ((n, s1, s2), x, _) =>
+        var i = 0
+        while (i < p) { s1(i) += x(i); s2(i) += x(i) * x(i); i += 1 }
+        (n + 1, s1, s2)
+      },
+      { case ((n1, a1, b1), (n2, a2, b2)) =>
+        var i = 0
+        while (i < p) { a1(i) += a2(i); b1(i) += b2(i); i += 1 }
+        (n1 + n2, a1, b1)
+      })
+    val mean = new Array[Double](p)
+    val std = new Array[Double](p)
+    var i = 0
+    while (i < p) {
+      mean(i) = s1(i) / n
+      val v = s2(i) / n - mean(i) * mean(i)
+      std(i) = if (v > 0) math.sqrt(v) else 0.0
+      i += 1
+    }
+    (DenseVector(mean), DenseVector(std))
+  }
+
+  /** Sum of labels (used by the moment-condition oracle + metrics). */
+  def labelSum(data: GlmData): Double =
+    partitionAggregate(data)(() => 0.0)((a, _, y) => a + y, _ + _)
+}

@@ -1,0 +1,394 @@
+package graft.solvers
+
+import breeze.linalg.{pinv, DenseMatrix, DenseVector}
+import breeze.optimize.{DiffFunction, FirstOrderException, LBFGS}
+import graft.core.GlmData
+import graft.families.{Family, Logistic}
+import graft.linalg.Kernels
+import graft.regularizers.Regularizer
+
+/** The five reference solvers (algorithms.py:89-514) as driver-orchestrated
+  * loops over single-pass kernels. Control flow is a faithful port of the
+  * reference's loop structure; the distributed plan per iteration is the
+  * same or strictly fewer jobs (line-search probes are batched into one
+  * ladder pass instead of one job per probe).
+  */
+object Solvers {
+
+  /** Breeze LBFGS that tolerates line-search failures by returning the last
+    * completed iterate (scipy's fmin_l_bfgs_b similarly returns its best-
+    * so-far instead of raising). */
+  private[graft] def safeLbfgs(
+      f: DiffFunction[DenseVector[Double]],
+      init: DenseVector[Double],
+      maxIter: Int,
+      m: Int = 10,
+      tol: Double = 1e-5): DenseVector[Double] = {
+    val opt = new LBFGS[DenseVector[Double]](maxIter = maxIter, m = m, tolerance = tol)
+    var last = init
+    try {
+      val it = opt.iterations(f, init)
+      while (it.hasNext) last = it.next().x
+    } catch { case _: FirstOrderException => () }
+    last
+  }
+
+  // ---------------------------------------------------------------- GD
+
+  /** Full-batch gradient descent with Armijo backtracking line search
+    * (algorithms.py:27-167). The candidate step ladder
+    * s_i = stepSize·backtrackMult^i is evaluated in batched single-pass
+    * chunks; acceptance order is identical to the sequential reference. */
+  def gradientDescent(
+      data: GlmData,
+      maxIter: Int = 100,
+      tol: Double = 1e-14,
+      family: Family = Logistic,
+      normalize: Boolean = true): DenseVector[Double] =
+    Normalize(data, normalize) { d =>
+      val p = d.numFeatures
+      val armijoMult = 0.1
+      val stepGrowth = 1.25
+      var backtrackMult = 0.1 // firstBacktrackMult; 0.5 after iter 0
+      var stepSize = 1.0
+      var beta = DenseVector.zeros[Double](p)
+      var func = 0.0
+      var haveFunc = false
+
+      var k = 0
+      var done = false
+      while (k < maxIter && !done) {
+        // fused loss+grad pass; the loss refreshes func on recalc iterations
+        val (freshFunc, grad) = Kernels.lossGrad(d, beta, family)
+        if (k % 10 == 0 || !haveFunc) { func = freshFunc; haveFunc = true }
+
+        val lf = func
+        val steplen = grad dot grad
+        val obeta = beta
+
+        // --- backtracking ladder (batched; same candidates as reference)
+        var accepted = false
+        var ii = 0
+        var zeroStep = false
+        var lastFunc = func
+        while (ii < 100 && !accepted && !zeroStep) {
+          val chunk = math.min(10, 100 - ii)
+          val steps = Array.tabulate(chunk)(j => stepSize * math.pow(backtrackMult, j))
+          // the reference stops with stepSize=0 when the candidate no longer
+          // moves beta (underflow), checked before evaluating its loss
+          var stop = -1
+          var j = 0
+          while (j < chunk && stop < 0) {
+            val idx = ii + j
+            if (idx > 0) {
+              val moved = (0 until p).exists(i => obeta(i) - steps(j) * grad(i) != obeta(i))
+              if (!moved) stop = j
+            }
+            j += 1
+          }
+          val evalN = if (stop >= 0) stop else chunk
+          if (evalN > 0) {
+            val losses = Kernels.lossLadder(d, obeta, grad, steps.take(evalN), family)
+            var jj = 0
+            while (jj < evalN && !accepted) {
+              lastFunc = losses(jj)
+              val s = steps(jj)
+              val df = lf - losses(jj)
+              if (df >= armijoMult * s * steplen) {
+                accepted = true
+                stepSize = s
+                func = losses(jj)
+              }
+              jj += 1
+            }
+          }
+          if (stop >= 0 && !accepted) { stepSize = 0.0; zeroStep = true; func = lastFunc }
+          if (!accepted && !zeroStep) stepSize *= math.pow(backtrackMult, chunk)
+          ii += chunk
+        }
+        if (!accepted && !zeroStep) func = lastFunc
+
+        beta = obeta - grad * stepSize
+        if (stepSize == 0.0) done = true
+        else {
+          val df = (lf - func) / math.max(func, lf)
+          if (df < tol) done = true
+          else {
+            stepSize *= stepGrowth
+            backtrackMult = 0.5
+          }
+        }
+        k += 1
+      }
+      beta
+    }
+
+  // ------------------------------------------------------------ Newton
+
+  /** Newton–Raphson (algorithms.py:170-221): ONE fused grad+Hessian pass
+    * per iteration; driver solve via SVD pseudo-inverse to match
+    * `np.linalg.lstsq`'s minimum-norm behavior on singular H. */
+  def newton(
+      data: GlmData,
+      maxIter: Int = 50,
+      tol: Double = 1e-8,
+      family: Family = Logistic,
+      normalize: Boolean = true): DenseVector[Double] =
+    Normalize(data, normalize) { d =>
+      val p = d.numFeatures
+      var beta = DenseVector.zeros[Double](p)
+      var iterCount = 0
+      var converged = false
+      while (!converged) {
+        val betaOld = beta
+        val (grad, hess) = Kernels.gradHess(d, beta, family)
+        val step = lstsq(hess, grad)
+        beta = betaOld - step
+        iterCount += 1
+        val maxChange = breeze.linalg.max(breeze.numerics.abs(betaOld - beta))
+        converged = (maxChange <= tol) || (iterCount > maxIter)
+      }
+      beta
+    }
+
+  /** Minimum-norm least-squares solve (np.linalg.lstsq semantics). */
+  private[graft] def lstsq(
+      a: DenseMatrix[Double],
+      b: DenseVector[Double]): DenseVector[Double] =
+    pinv(a) * b
+
+  // ------------------------------------------------------------- LBFGS
+
+  /** Global L-BFGS (algorithms.py:351-419): Breeze LBFGS on the driver,
+    * each objective evaluation = ONE fused loss+grad pass with β shipped
+    * via closure (≙ scatter, utils.py:208-215). Regularizer wrapping uses
+    * the reference's penalized loss/gradient closures (add_reg_f/grad) —
+    * including L1's raise-at-zero derivative semantics. */
+  def lbfgs(
+      data: GlmData,
+      regularizer: Regularizer = null,
+      lamduh: Double = 1.0,
+      maxIter: Int = 100,
+      tol: Double = 1e-4,
+      family: Family = Logistic,
+      normalize: Boolean = true): DenseVector[Double] =
+    Normalize(data, normalize) { d =>
+      val p = d.numFeatures
+      val diff = new DiffFunction[DenseVector[Double]] {
+        def calculate(beta: DenseVector[Double]): (Double, DenseVector[Double]) = {
+          val (l, g) = Kernels.lossGrad(d, beta, family)
+          if (regularizer == null) (l, g)
+          else
+            (l + lamduh * regularizer.f(beta),
+             g + regularizer.gradient(beta) * lamduh)
+        }
+      }
+      safeLbfgs(diff, DenseVector.zeros[Double](p), maxIter = maxIter, tol = tol)
+    }
+
+  // ----------------------------------------------------- proximal grad
+
+  /** ISTA with backtracking (algorithms.py:422-505). Each probe's candidate
+    * β is a prox image, so probes ship candidate βs and evaluate their
+    * losses in batched single passes (lossMulti). */
+  def proximalGrad(
+      data: GlmData,
+      regularizer: Regularizer = Regularizer.get("l1"),
+      lamduh: Double = 0.1,
+      family: Family = Logistic,
+      maxIter: Int = 100,
+      tol: Double = 1e-8,
+      normalize: Boolean = true): DenseVector[Double] =
+    Normalize(data, normalize) { d =>
+      val p = d.numFeatures
+      val stepGrowth = 1.25
+      var backtrackMult = 0.1
+      var stepSize = 1.0
+      var beta = DenseVector.zeros[Double](p)
+      var func = 0.0
+      var haveFunc = false
+
+      var k = 0
+      var done = false
+      while (k < maxIter && !done) {
+        val (freshFunc, gradient) = Kernels.lossGrad(d, beta, family)
+        if (k % 10 == 0 || !haveFunc) { func = freshFunc; haveFunc = true }
+
+        val obeta = beta
+        val lf = func
+        var df = 0.0
+        var accepted = false
+        var ii = 0
+        while (ii < 100 && !accepted) {
+          val chunk = math.min(10, 100 - ii)
+          val steps = Array.tabulate(chunk)(j => stepSize * math.pow(backtrackMult, j))
+          val candidates = steps.map(s =>
+            regularizer.proximalOperator(obeta - gradient * s, s * lamduh))
+          val losses = Kernels.lossMulti(d, candidates, family)
+          var j = 0
+          while (j < chunk && !accepted) {
+            beta = candidates(j)
+            func = losses(j)
+            df = lf - func
+            if (df > 0) { accepted = true; stepSize = steps(j) }
+            j += 1
+          }
+          if (!accepted) stepSize *= math.pow(backtrackMult, chunk)
+          ii += chunk
+        }
+        if (stepSize == 0.0) done = true
+        else {
+          df /= math.max(func, lf)
+          if (df < tol) done = true
+          else {
+            stepSize *= stepGrowth
+            backtrackMult = 0.5
+          }
+        }
+        k += 1
+      }
+      beta
+    }
+
+  // --------------------------------------------------------------- ADMM
+
+  /** Consensus ADMM (algorithms.py:224-348): per iteration ONE
+    * mapPartitionsWithIndex job — partition i runs a local Breeze L-BFGS on
+    * its rows (≙ scipy fmin_l_bfgs_b in a worker, algorithms.py:339-348) —
+    * then O(k·p) driver math for the z/u/residual updates. The unit of
+    * parallelism is the Spark partition (≙ dask chunk, algorithms.py:288).
+    */
+  def admm(
+      data: GlmData,
+      regularizer: Regularizer = Regularizer.get("l1"),
+      lamduh: Double = 0.1,
+      rho: Double = 1.0,
+      overRelax: Double = 1.0,
+      maxIter: Int = 250,
+      abstol: Double = 1e-4,
+      reltol: Double = 1e-2,
+      family: Family = Logistic,
+      normalize: Boolean = true): DenseVector[Double] =
+    Normalize(data, normalize) { d =>
+      val p = d.numFeatures
+      val nchunks = math.max(d.numPartitions, 1)
+      var z = DenseVector.zeros[Double](p)
+      val u = Array.fill(nchunks)(DenseVector.zeros[Double](p))
+      // NOTE: the reference never reassigns `betas` inside its loop
+      // (algorithms.py:302-312) — every x-update warm-starts from the
+      // initial all-ones vector. Reproduced as-is for parity.
+      val betas = Array.fill(nchunks)(DenseVector.ones[Double](p))
+
+      var k = 0
+      var done = false
+      while (k < maxIter && !done) {
+        val newBetas = localSolves(d, betas, z, u, rho, family)
+
+        val betaHat = newBetas.map(b => b * overRelax + z * (1.0 - overRelax))
+
+        val zold = z.copy
+        val ztilde = {
+          val acc = DenseVector.zeros[Double](p)
+          var i = 0
+          while (i < nchunks) { acc += betaHat(i) + u(i); i += 1 }
+          acc / nchunks.toDouble
+        }
+        z = regularizer.proximalOperator(ztilde, lamduh / (rho * nchunks))
+
+        var i = 0
+        while (i < nchunks) { u(i) += betaHat(i) - z; i += 1 }
+
+        val primalRes = math.sqrt(newBetas.map(b => sq(b - z)).sum)
+        val dualRes = math.sqrt(sq((z - zold) * rho))
+        val epsPri = math.sqrt(p.toDouble * nchunks) * abstol +
+          reltol * math.max(
+            math.sqrt(newBetas.map(sq).sum),
+            math.sqrt(nchunks.toDouble) * math.sqrt(sq(z)))
+        val epsDual = math.sqrt(p.toDouble * nchunks) * abstol +
+          reltol * math.sqrt(u.map(ui => sq(ui * rho)).sum)
+
+        if (primalRes < epsPri && dualRes < epsDual) done = true
+        k += 1
+      }
+      z
+    }
+
+  @inline private def sq(v: DenseVector[Double]): Double = v dot v
+
+  /** ADMM x-update: one job, one local L-BFGS per partition with warm-start
+    * β_i and broadcast (z, u_i, ρ). Objective = local pointwise loss +
+    * (ρ/2)‖β − z + u_i‖² (algorithms.py:246-270,339-348). */
+  private def localSolves(
+      d: GlmData,
+      betas: Array[DenseVector[Double]],
+      z: DenseVector[Double],
+      u: Array[DenseVector[Double]],
+      rho: Double,
+      family: Family): Array[DenseVector[Double]] = {
+    val p = d.numFeatures
+    val betasArr = betas.map(_.toArray)
+    val uArr = u.map(_.toArray)
+    val zArr = z.toArray
+    val fam = family
+    d.rows
+      .mapPartitionsWithIndex { (idx, it) =>
+        val rows = it.toArray
+        val zL = DenseVector(zArr)
+        val uL = DenseVector(uArr(idx))
+        val init = DenseVector(betasArr(idx).clone())
+        val diff = new DiffFunction[DenseVector[Double]] {
+          def calculate(beta: DenseVector[Double]): (Double, DenseVector[Double]) = {
+            val b = beta.toArray
+            var loss = 0.0
+            val g = new Array[Double](p)
+            var r = 0
+            while (r < rows.length) {
+              val (x, y) = rows(r)
+              var xb = 0.0
+              var i = 0
+              while (i < p) { xb += x(i) * b(i); i += 1 }
+              loss += fam.loss(xb, y)
+              val w = fam.dLoss(xb, y)
+              i = 0
+              while (i < p) { g(i) += w * x(i); i += 1 }
+              r += 1
+            }
+            val diffV = beta - zL + uL
+            val l = loss + (rho / 2.0) * (diffV dot diffV)
+            (l, DenseVector(g) + diffV * rho)
+          }
+        }
+        Iterator.single((idx, safeLbfgs(diff, init, maxIter = 200).toArray))
+      }
+      .collect()
+      .sortBy(_._1)
+      .map { case (_, b) => DenseVector(b) }
+  }
+
+  /** Name → solver registry (algorithms.py:508-514), estimator-kwarg style. */
+  def solve(
+      name: String,
+      data: GlmData,
+      family: Family,
+      maxIter: Int,
+      tol: Double,
+      regularizer: Regularizer,
+      lamduh: Double,
+      rho: Double,
+      overRelax: Double,
+      abstol: Double,
+      reltol: Double,
+      normalize: Boolean): DenseVector[Double] = name match {
+    case "gradient_descent" =>
+      gradientDescent(data, maxIter, tol, family, normalize)
+    case "newton" => newton(data, maxIter, tol, family, normalize)
+    case "lbfgs" =>
+      lbfgs(data, regularizer, lamduh, maxIter, tol, family, normalize)
+    case "proximal_grad" =>
+      proximalGrad(data, regularizer, lamduh, family, maxIter, tol, normalize)
+    case "admm" =>
+      admm(data, regularizer, lamduh, rho, overRelax, maxIter, abstol, reltol,
+        family, normalize)
+    case other => throw new IllegalArgumentException(s"Unknown solver: $other")
+  }
+}

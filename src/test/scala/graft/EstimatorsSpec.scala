@@ -1,0 +1,79 @@
+package graft
+
+import graft.estimators._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** API/integration smoke over the driver testdata (test_estimators.py
+  * analog + FIXTURES.md §3 canonical fixture). */
+class EstimatorsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def lineitemGlm = {
+    val li = spark.read.parquet(s"${TestSpark.sf0001}/lineitem.parquet")
+    li.select(
+      array(col("l_quantity"), col("l_extendedprice"), col("l_discount")).as("features"),
+      (col("l_returnflag") === "R").cast("double").as("label"))
+  }
+
+  test("logistic gd fit/predict/score on lineitem sf0.001") {
+    val df = lineitemGlm.cache()
+    val m = new LogisticRegression(GlmParams(solver = "gradient_descent", maxIter = 50))
+    m.fit(df)
+    assert(m.rawCoef.length == 4) // 3 features + intercept (last)
+    val acc = m.score(df)
+    val base = df.select(avg(col("label"))).head().getDouble(0)
+    assert(acc >= math.max(base, 1 - base) - 0.05, s"acc=$acc base=$base")
+    val out = m.transform(df)
+    assert(out.columns.contains("probability") && out.columns.contains("prediction"))
+    df.unpersist()
+  }
+
+  test("logistic admm (default solver) fits") {
+    val df = lineitemGlm
+    val m = new LogisticRegression(GlmParams(maxIter = 20))
+    m.fit(df)
+    val acc = m.score(df)
+    assert(acc > 0.5)
+  }
+
+  test("linear regression score is MSE (not R2)") {
+    val li = spark.read.parquet(s"${TestSpark.sf0001}/lineitem.parquet")
+    val df = li.select(
+      array(col("l_quantity"), col("l_discount")).as("features"),
+      col("l_extendedprice").as("label"))
+    val m = new LinearRegression(GlmParams(solver = "newton", maxIter = 50))
+    m.fit(df)
+    val mse = m.score(df)
+    val varLabel = df.select(variance(col("label"))).head().getDouble(0)
+    assert(mse >= 0 && mse < varLabel) // better than predicting nothing
+  }
+
+  test("poisson regression predict is exp(margin); deviance finite") {
+    val li = spark.read.parquet(s"${TestSpark.sf0001}/lineitem.parquet")
+    val df = li.select(
+      array(col("l_discount"), col("l_tax")).as("features"),
+      col("l_quantity").as("label"))
+    val m = new PoissonRegression(GlmParams(solver = "newton", maxIter = 20))
+    m.fit(df)
+    val dev = m.getDeviance(df)
+    assert(!dev.isNaN && dev >= 0)
+    assert(m.transform(df).select(min(col("prediction"))).head().getDouble(0) > 0)
+  }
+
+  test("intercept split convention: coef excludes last, intercept is last") {
+    val df = lineitemGlm
+    val m = new LogisticRegression(GlmParams(solver = "lbfgs", maxIter = 30))
+    m.fit(df)
+    assert(m.coef.length == 3)
+    assert(m.intercept == m.rawCoef(3))
+  }
+
+  test("fit_intercept=false leaves coef full-length") {
+    val df = lineitemGlm
+    val m = new LogisticRegression(
+      GlmParams(solver = "lbfgs", maxIter = 30, fitIntercept = false))
+    m.fit(df)
+    assert(m.coef.length == 3 && m.intercept == 0.0)
+  }
+}
