@@ -1,24 +1,57 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs the headline (bench-flagged) queries against
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line. A GLM fit benchmark is
+  * included as `glm_fit` — the reference's headline number (BASELINE.md:
+  * 57.7 s admm logistic fit at ~6×10⁵ rows) maps to the same row count
+  * at sf0.1. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def time(f: => Unit): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try f catch { case e: Throwable => System.err.println(s"[bench] ${e.getMessage}") }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val headline = graft.queries.Queries.all.filter(_.bench)
+    // warm the JVM + parquet footer caches with one cheap action
+    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    headline.foreach { q =>
+      results(q.name) = time { q.spark(spark, sfDir).write.format("noop").mode("overwrite").save() }
+    }
+
+    // GLM fit benchmark: the baseline-comparable fit (admm logistic,
+    // ~6×10⁵ rows at sf0.1, 5 features + intercept)
+    results("glm_fit") = time {
+      import graft.estimators.{GlmParams, LogisticRegression}
+      import org.apache.spark.sql.functions._
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val df = li.select(
+        array(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+          col("l_tax"), col("l_linenumber").cast("double")).as("features"),
+        (col("l_returnflag") === "R").cast("double").as("label"))
+      new LogisticRegression(GlmParams(solver = "admm", maxIter = 20)).fit(df)
+    }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

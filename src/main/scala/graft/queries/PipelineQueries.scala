@@ -1,0 +1,164 @@
+package graft.queries
+
+import graft.ops.Multimodal
+import graft.streaming.EventStream
+import org.apache.spark.sql.functions._
+import Queries._
+
+/** MinHash-LSH dedup, multimodal plumbing, and the streaming batch-twin
+  * queries. MinHash signatures are built from md5-derived integer shingle
+  * hashes with affine re-hashes h_i(x) = (a_i·x + b_i) mod p — pure
+  * integer math, so the DuckDB oracle is exact. At 100 TB the pattern is:
+  * one projection pass to signatures (no shuffle), band-bucket join for
+  * candidates (shuffle on band values only — tiny vs the corpus).
+  */
+object PipelineQueries {
+
+  private val P = 2147483647L // 2^31 − 1
+  private val NH = 8 // hashes per signature
+  private def aCoef(i: Int): Long = 2L * i + 1
+  private def bCoef(i: Int): Long = 1L * i * i + 7
+
+  // 3-token shingle md5-hash array per document (Spark side)
+  private def shingleHashes = {
+    val toks = split(col("text"), " +")
+    val n = size(toks)
+    val shingles = when(n >= 3,
+      array_distinct(transform(sequence(lit(0), n - 3),
+        i => concat_ws(" ",
+          element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3)))))
+      .otherwise(array().cast("array<string>"))
+    transform(shingles, sh => conv(substring(md5(sh), 1, 8), 16, 10).cast("long"))
+  }
+
+  private val shingleHashesSql =
+    """LIST_TRANSFORM(
+         LIST_DISTINCT(CASE WHEN LEN(toks) >= 3 THEN
+           LIST_TRANSFORM(RANGE(1, LEN(toks) - 1),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+           ELSE [] END),
+         sh -> ('0x' || SUBSTRING(MD5(sh), 1, 8))::BIGINT)"""
+
+  val qs: Seq[Q] = Seq(
+    // ---- MinHash signatures (north star dedup #2): signature as a
+    // comma-joined string column for schema-stable comparison
+    Q("q44_minhash",
+      (s, dir) => {
+        val hashes = shingleHashes
+        val sig = (0 until NH).map { i =>
+          aggregate(hashes, lit(Long.MaxValue),
+            (acc, h) => least(acc, pmod(h * aCoef(i) + bCoef(i), lit(P))))
+        }
+        tbl(s, dir, "documents")
+          .select(col("doc_id"), concat_ws(",", sig.map(_.cast("string")): _*).as("sig"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH h AS (
+          SELECT doc_id, $shingleHashesSql AS hashes
+          FROM (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(text, ' +') AS toks FROM documents))
+        SELECT doc_id,
+          LIST_AGGREGATE(LIST_TRANSFORM(RANGE(0, $NH), i ->
+            CAST(LIST_MIN(LIST_TRANSFORM(hashes,
+              x -> (x * (2 * i + 1) + (i * i + 7)) % $P)) AS VARCHAR)), 'string_agg', ',') AS sig
+        FROM h ORDER BY doc_id"""),
+      bench = true),
+
+    // ---- MinHash-LSH candidate pairs: 4 bands × 2 rows; pairs sharing
+    // any band bucket (the scale path that avoids the O(n²) join)
+    Q("q45_minhash_lsh_pairs",
+      (s, dir) => {
+        val hashes = shingleHashes
+        val sig = (0 until NH).map { i =>
+          aggregate(hashes, lit(Long.MaxValue),
+            (acc, h) => least(acc, pmod(h * aCoef(i) + bCoef(i), lit(P))))
+        }
+        val docs = tbl(s, dir, "documents").filter(col("doc_id") < 200)
+          .select(col("doc_id") +: sig.zipWithIndex.map { case (c, i) => c.as(s"h$i") }: _*)
+        val bands = (0 until NH / 2).map { band =>
+          docs.select(col("doc_id"), lit(band).as("band"),
+            concat_ws(":", col(s"h${2 * band}").cast("string"),
+              col(s"h${2 * band + 1}").cast("string")).as("bucket"))
+        }.reduce(_ union _)
+        val a = bands.as("a"); val b2 = bands.as("b")
+        a.join(b2, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
+            && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .distinct()
+          .orderBy("d1", "d2")
+      },
+      Some(s"""WITH h AS (
+          SELECT doc_id, $shingleHashesSql AS hashes
+          FROM (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(text, ' +') AS toks
+                FROM documents WHERE doc_id < 200)),
+        sig AS (
+          SELECT doc_id, LIST_TRANSFORM(RANGE(0, $NH), i ->
+            LIST_MIN(LIST_TRANSFORM(hashes,
+              x -> (x * (2 * i + 1) + (i * i + 7)) % $P))) AS s
+          FROM h),
+        bands AS (
+          SELECT doc_id, band,
+            CAST(s[2 * band + 1] AS VARCHAR) || ':' || CAST(s[2 * band + 2] AS VARCHAR) AS bucket
+          FROM sig, UNNEST(RANGE(0, ${NH / 2})) AS t(band))
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        ORDER BY d1, d2""")),
+
+    // ---- multimodal plumbing: binary payloads + metadata; oracle checks
+    // the schema-visible parts (byte length, md5 of payload)
+    Q("q50_multimodal",
+      (s, dir) => {
+        val media = Multimodal.mediaFromDocuments(tbl(s, dir, "documents"))
+        media
+          .withColumn("feat", Multimodal.extractFeatures(col("payload")))
+          .select(
+            col("media_id"),
+            col("meta.mime").as("mime"),
+            length(col("payload")).as("n_bytes"),
+            md5(col("payload")).as("payload_md5"),
+            element_at(col("feat"), 1).as("feat_len"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id, 'text/plain' AS mime,
+          CAST(OCTET_LENGTH(ENCODE(text)) AS INTEGER) AS n_bytes,
+          MD5(text) AS payload_md5,
+          CAST(OCTET_LENGTH(ENCODE(text)) AS DOUBLE) AS feat_len
+        FROM documents ORDER BY media_id""")),
+
+    // ---- streaming batch-twin: 5-minute tumbling windows over events
+    Q("q60_tumbling_window",
+      (s, dir) =>
+        EventStream.tumblingCounts(eventsTbl(s, dir))
+          .select(unix_micros(col("win_start")).as("win_us"),
+            col("event_type"), col("n"), col("total"))
+          .orderBy("win_us", "event_type"),
+      Some(s"""SELECT EPOCH_US(TIME_BUCKET(INTERVAL 5 MINUTES, ts)) AS win_us,
+          event_type, COUNT(*) AS n,
+          ${dsumSql("value")} AS total
+        FROM events GROUP BY 1, 2 ORDER BY win_us, event_type"""),
+      bench = true),
+
+    // ---- sessionization (gap-and-island batch twin of the stateful path)
+    Q("q61_sessionize",
+      (s, dir) =>
+        EventStream.sessionizeBatch(eventsTbl(s, dir), gapMinutes = 30)
+          .filter(col("user_id") <= 50)
+          .orderBy("user_id", "session_seq"),
+      Some("""WITH g AS (
+          SELECT user_id, event_id, EPOCH_US(ts) AS us,
+            CASE WHEN LAG(EPOCH_US(ts), 1) OVER w IS NULL
+              OR EPOCH_US(ts) - LAG(EPOCH_US(ts), 1) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        s AS (
+          SELECT user_id, us,
+            CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+          FROM g)
+        SELECT user_id, session_seq, COUNT(*) AS n_events,
+          MIN(us) AS start_us, MAX(us) AS end_us
+        FROM s WHERE user_id <= 50
+        GROUP BY user_id, session_seq ORDER BY user_id, session_seq"""))
+  )
+}

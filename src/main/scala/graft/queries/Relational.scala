@@ -1,0 +1,334 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import Queries._
+
+/** The relational data-processing surface (SURVEY §2.G + §2.7): scans,
+  * projection/filter, joins (broadcast + shuffled), aggregation, windows,
+  * top-k, set ops, semi/anti joins, rollup, string/date functions,
+  * summary stats. Each query is the idiomatic declarative plan — Catalyst
+  * handles pushdown/pruning; small dimensions are explicitly broadcast. */
+object Relational {
+
+  val qs: Seq[Q] = Seq(
+    // ---- TPC-H Q1-style pricing summary: partial-agg friendly groupBy
+    Q("q01_pricing_summary",
+      (s, dir) => {
+        tbl(s, dir, "lineitem")
+          .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_base_price"),
+            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus,
+          ${dsumSql("l_quantity")} AS sum_qty,
+          ${dsumSql("l_extendedprice")} AS sum_base_price,
+          ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+          COUNT(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus"""),
+      bench = true),
+
+    // ---- projection + filter, pushed to the parquet scan
+    Q("q02_filter_project",
+      (s, dir) => {
+        tbl(s, dir, "lineitem")
+          .filter(col("l_quantity") < 5 && col("l_discount") > 0.05)
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+          l_extendedprice * (1.0 - l_discount) AS revenue
+        FROM lineitem WHERE l_quantity < 5 AND l_discount > 0.05
+        ORDER BY l_orderkey, l_linenumber""")),
+
+    // ---- 3-way join: fact × broadcast(orders? no - orders is big) —
+    // lineitem⋈orders shuffled equi-join, customer broadcast
+    Q("q03_join_agg",
+      (s, dir) => {
+        val li = tbl(s, dir, "lineitem")
+        val o = tbl(s, dir, "orders")
+        val c = tbl(s, dir, "customer")
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(
+            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy("c_mktsegment")
+      },
+      Some(s"""SELECT c_mktsegment,
+          ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+          COUNT(*) AS n_items
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
+      bench = true),
+
+    // ---- top-k with deterministic tiebreak
+    Q("q04_topk",
+      (s, dir) =>
+        tbl(s, dir, "orders")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .limit(20),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""")),
+
+    // ---- window functions: rank within customer + gap to prior order
+    Q("q05_window",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        tbl(s, dir, "orders")
+          .withColumn("rn", row_number().over(w))
+          .withColumn("prev_key", lag(col("o_orderkey"), 1).over(w))
+          .filter(col("rn") <= 3)
+          .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("prev_key"))
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""SELECT o_custkey, rn, o_orderkey, prev_key FROM (
+          SELECT o_custkey,
+            CAST(ROW_NUMBER() OVER w AS INTEGER) AS rn,
+            o_orderkey,
+            LAG(o_orderkey, 1) OVER w AS prev_key
+          FROM orders
+          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+        ) WHERE rn <= 3 ORDER BY o_custkey, rn"""),
+      bench = true),
+
+    // ---- running (cumulative) decimal-exact sum per supplier
+    Q("q05b_running_sum",
+      (s, dir) => {
+        val w = Window.partitionBy(col("l_suppkey"))
+          .orderBy(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        tbl(s, dir, "lineitem")
+          .filter(col("l_suppkey") <= 10)
+          .withColumn("run_qty",
+            sum(col("l_quantity").cast("decimal(18,4)")).over(w).cast("double"))
+          .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("run_qty"))
+          .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER (
+            PARTITION BY l_suppkey
+            ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_qty
+        FROM lineitem WHERE l_suppkey <= 10
+        ORDER BY l_suppkey, l_orderkey, l_linenumber""")),
+
+    // ---- set ops: UNION / EXCEPT / INTERSECT over key sets
+    Q("q06_setops",
+      (s, dir) => {
+        val cust = tbl(s, dir, "customer").select(col("c_nationkey").as("nk"))
+        val supp = tbl(s, dir, "supplier").select(col("s_nationkey").as("nk"))
+        cust.intersect(supp).union(cust.except(supp)).distinct().orderBy("nk")
+      },
+      Some("""SELECT nk FROM (
+          SELECT nk FROM (SELECT c_nationkey AS nk FROM customer INTERSECT SELECT s_nationkey FROM supplier)
+          UNION
+          SELECT nk FROM (SELECT c_nationkey AS nk FROM customer EXCEPT SELECT s_nationkey FROM supplier)
+        ) ORDER BY nk""")),
+
+    // ---- semi/anti joins (EXISTS / NOT EXISTS)
+    Q("q07_semi_anti",
+      (s, dir) => {
+        val c = tbl(s, dir, "customer")
+        val o = tbl(s, dir, "orders")
+        val withOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .select(col("c_custkey"), lit(1).as("has_orders"))
+        val without = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select(col("c_custkey"), lit(0).as("has_orders"))
+        withOrders.union(without).orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, CAST(CASE WHEN EXISTS
+            (SELECT 1 FROM orders WHERE o_custkey = c_custkey) THEN 1 ELSE 0 END AS INTEGER) AS has_orders
+        FROM customer ORDER BY c_custkey""")),
+
+    // ---- string functions
+    Q("q08_string_funcs",
+      (s, dir) =>
+        tbl(s, dir, "part")
+          .select(
+            col("p_partkey"),
+            upper(col("p_brand")).as("brand_up"),
+            length(col("p_name")).as("name_len"),
+            substring(col("p_type"), 1, 5).as("type_pre"),
+            regexp_replace(col("p_name"), " ", "_").as("name_us"),
+            col("p_name").like("%a%").cast("int").as("has_a"))
+          .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, UPPER(p_brand) AS brand_up,
+          CAST(LENGTH(p_name) AS INTEGER) AS name_len,
+          SUBSTRING(p_type, 1, 5) AS type_pre,
+          REPLACE(p_name, ' ', '_') AS name_us,
+          CAST(CASE WHEN p_name LIKE '%a%' THEN 1 ELSE 0 END AS INTEGER) AS has_a
+        FROM part ORDER BY p_partkey""")),
+
+    // ---- date/time functions (string-typed output for parity)
+    Q("q09_date_funcs",
+      (s, dir) =>
+        tbl(s, dir, "orders")
+          .groupBy(
+            year(col("o_orderdate")).as("yr"),
+            month(col("o_orderdate")).as("mo"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy("yr", "mo"),
+      Some(s"""SELECT CAST(YEAR(o_orderdate) AS INTEGER) AS yr,
+          CAST(MONTH(o_orderdate) AS INTEGER) AS mo,
+          COUNT(*) AS n, ${dsumSql("o_totalprice")} AS total
+        FROM orders GROUP BY 1, 2 ORDER BY yr, mo""")),
+
+    // ---- rollup (grouping sets)
+    Q("q10_rollup",
+      (s, dir) =>
+        tbl(s, dir, "orders")
+          .rollup(col("o_orderpriority"), col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .select(
+            coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+            coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+            col("n"), col("total"))
+          .orderBy("prio", "status"),
+      Some(s"""SELECT COALESCE(o_orderpriority, 'ALL') AS prio,
+          COALESCE(o_orderstatus, 'ALL') AS status,
+          COUNT(*) AS n, ${dsumSql("o_totalprice")} AS total
+        FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+        ORDER BY prio, status"""),
+      bench = true),
+
+    // ---- events: lag over time per user (epoch-second gaps, integer)
+    Q("q11_events_lag",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        eventsTbl(s, dir)
+          .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+          .withColumn("gap_us",
+            (unix_micros(col("ts")) - unix_micros(col("prev_ts"))).cast("long"))
+          .filter(col("user_id") <= 50)
+          .select(col("user_id"), col("event_id"), col("gap_us"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id,
+          CAST(EPOCH_US(ts) - EPOCH_US(LAG(ts, 1) OVER (
+            PARTITION BY user_id ORDER BY ts ASC, event_id ASC)) AS BIGINT) AS gap_us
+        FROM events WHERE user_id <= 50
+        ORDER BY user_id, event_id""")),
+
+    // ---- json-ish extraction from props (portable regex form)
+    Q("q12_props_extract",
+      (s, dir) =>
+        eventsTbl(s, dir)
+          .withColumn("k", regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("int"))
+          .groupBy(floor(col("k") / 10).cast("int").as("k_band"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("k_band"),
+      Some("""SELECT CAST(FLOOR(CAST(REGEXP_EXTRACT(props, '"k":\s*(\d+)', 1) AS INTEGER) / 10) AS INTEGER) AS k_band,
+          COUNT(*) AS n
+        FROM events GROUP BY 1 ORDER BY k_band""")),
+
+    // ---- summary stats (describe-style) via exact sums
+    Q("q13_describe",
+      (s, dir) => {
+        val li = tbl(s, dir, "lineitem")
+        li.agg(
+            count(lit(1)).as("n"),
+            dsum(col("l_quantity")).as("sum_qty"),
+            min(col("l_quantity")).as("min_qty"),
+            max(col("l_quantity")).as("max_qty"),
+            dsum(col("l_discount")).as("sum_disc"),
+            dsum(col("l_discount") * col("l_discount"), 30, 12).as("sumsq_disc"))
+          .withColumn("mean_qty", col("sum_qty") / col("n"))
+          .withColumn("mean_disc", col("sum_disc") / col("n"))
+          .withColumn("var_disc",
+            col("sumsq_disc") / col("n") - col("mean_disc") * col("mean_disc"))
+          .select("n", "mean_qty", "min_qty", "max_qty", "mean_disc", "var_disc")
+      },
+      Some(s"""SELECT n, sum_qty / n AS mean_qty, min_qty, max_qty,
+          sum_disc / n AS mean_disc,
+          sumsq_disc / n - (sum_disc / n) * (sum_disc / n) AS var_disc
+        FROM (SELECT COUNT(*) AS n,
+          ${dsumSql("l_quantity")} AS sum_qty,
+          MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+          ${dsumSql("l_discount")} AS sum_disc,
+          ${dsumSql("l_discount * l_discount", 30, 12)} AS sumsq_disc
+        FROM lineitem)""")),
+
+    // ---- scalar subquery predicate (above-average filter)
+    Q("q14_above_avg",
+      (s, dir) => {
+        val o = tbl(s, dir, "orders")
+        val stats = o.agg(dsum(col("o_totalprice")).as("st"), count(lit(1)).as("n"))
+          .select((col("st") / col("n")).as("avg_price"))
+        o.crossJoin(broadcast(stats))
+          .filter(col("o_totalprice") > col("avg_price"))
+          .agg(count(lit(1)).as("n_above"))
+      },
+      Some(s"""SELECT COUNT(*) AS n_above FROM orders
+        WHERE o_totalprice > (SELECT ${dsumSql("o_totalprice")} / COUNT(*) FROM orders)""")),
+
+    // ---- group-by + having
+    Q("q15_having",
+      (s, dir) =>
+        tbl(s, dir, "lineitem")
+          .groupBy(col("l_suppkey"))
+          .agg(dsum(col("l_quantity")).as("qty"), count(lit(1)).as("n"))
+          .filter(col("n") > 50)
+          .orderBy("l_suppkey"),
+      Some(s"""SELECT l_suppkey, ${dsumSql("l_quantity")} AS qty, COUNT(*) AS n
+        FROM lineitem GROUP BY l_suppkey HAVING COUNT(*) > 50 ORDER BY l_suppkey""")),
+
+    // ---- multi-way star join through region→nation→supplier
+    Q("q16_star_join",
+      (s, dir) => {
+        val r = tbl(s, dir, "region")
+        val n = tbl(s, dir, "nation")
+        val sup = tbl(s, dir, "supplier")
+        sup.join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(count(lit(1)).as("n_supp"), dsum(col("s_acctbal")).as("bal"))
+          .orderBy("r_name", "n_name")
+      },
+      Some(s"""SELECT r_name, n_name, COUNT(*) AS n_supp,
+          ${dsumSql("s_acctbal")} AS bal
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name ORDER BY r_name, n_name""")),
+
+    // ---- distinct + countDistinct
+    Q("q17_distinct",
+      (s, dir) =>
+        tbl(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            countDistinct(col("l_suppkey")).as("n_supp"),
+            countDistinct(col("l_partkey")).as("n_part"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_supp,
+          COUNT(DISTINCT l_partkey) AS n_part
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- case expressions + conditional aggregation
+    Q("q18_case_agg",
+      (s, dir) =>
+        tbl(s, dir, "orders")
+          .agg(
+            sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_f"),
+            sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("n_o"),
+            sum(when(col("o_orderstatus") === "P", 1).otherwise(0)).as("n_p")),
+      Some("""SELECT CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+          CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+          CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+        FROM orders"""))
+  )
+}

@@ -1,0 +1,143 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import Queries._
+
+/** Similarity search over the `embeddings` table (north star #2):
+  * brute-force cosine top-k as the exactness baseline, plus the scale
+  * paths (random-hyperplane LSH bucketing, SimHash over text) that keep
+  * the 100 TB case away from the O(n²) cross join.
+  *
+  * Cross-engine caution: dot products are left-fold sums of doubles;
+  * Spark's `aggregate` and DuckDB's `list_` reductions both fold
+  * sequentially, but we still ROUND cosines to 6 dp before ranking and
+  * use doc-id tiebreaks so a last-ulp wobble cannot flip the output.
+  */
+object SimilarityQueries {
+
+  private def dotCol(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  val qs: Seq[Q] = Seq(
+    // ---- brute-force cosine top-k: queries = vec_id < 5, corpus = rest.
+    // Plan shape: broadcast the tiny query side against the corpus scan,
+    // window-rank per query — ONE pass over the corpus, no shuffle of it.
+    Q("q40_knn_cosine",
+      (s, dir) => {
+        val e = tbl(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val queries = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        val corpus = e.filter(col("vec_id") >= 5)
+        val scored = corpus.crossJoin(broadcast(queries))
+          .select(col("q_id"), col("vec_id"),
+            round(
+              dotCol(col("qv"), col("v")) /
+                (sqrt(dotCol(col("qv"), col("qv"))) * sqrt(dotCol(col("v"), col("v")))),
+              6).as("cos"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("vec_id").asc)
+        scored.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5)
+          .select("q_id", "rk", "vec_id", "cos")
+          .orderBy("q_id", "rk")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+          c AS (SELECT * FROM e WHERE vec_id >= 5),
+          scored AS (
+            SELECT q_id, vec_id,
+              ROUND(LIST_DOT_PRODUCT(qv, v) /
+                (SQRT(LIST_DOT_PRODUCT(qv, qv)) * SQRT(LIST_DOT_PRODUCT(v, v))), 6) AS cos
+            FROM c, q),
+          ranked AS (
+            SELECT q_id, CAST(ROW_NUMBER() OVER (
+              PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rk,
+              vec_id, cos
+            FROM scored)
+        SELECT q_id, rk, vec_id, cos FROM ranked WHERE rk <= 5
+        ORDER BY q_id, rk"""),
+      bench = true),
+
+    // ---- embedding norms + per-label centroid distance: one-pass aggs
+    Q("q41_norms",
+      (s, dir) =>
+        tbl(s, dir, "embeddings")
+          .select(col("vec_id"),
+            round(sqrt(dotCol(col("embedding").cast("array<double>"),
+              col("embedding").cast("array<double>"))), 6).as("l2_norm"))
+          .orderBy("vec_id"),
+      Some("""SELECT vec_id,
+          ROUND(SQRT(LIST_DOT_PRODUCT(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS l2_norm
+        FROM embeddings ORDER BY vec_id""")),
+
+    // ---- LSH bucketing via deterministic random hyperplanes: the scale
+    // path for ANN. Hyperplane h_j(i) = sin(i·131 + j·523) is a fixed
+    // pseudo-random projection both engines compute identically from
+    // integer inputs... sin() ulps could differ, so bucket ids only
+    // (integers) are compared after ROUND of the projection.
+    Q("q42_lsh_buckets",
+      (s, dir) => {
+        val e = tbl(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val planes = (0 until 8).map { j =>
+          val proj = aggregate(
+            zip_with(col("v"),
+              transform(sequence(lit(0), lit(63)),
+                i => sin(i * lit(131.0) + lit(j * 523.0))),
+              (x, h) => x * h),
+            lit(0.0), (acc, x) => acc + x)
+          (round(proj, 6) > 0).cast("int").as(s"b$j")
+        }
+        e.select(col("vec_id") +: planes: _*)
+          .select(col("vec_id"),
+            (0 until 8).map(j => (col(s"b$j") * lit(1 << j))).reduce(_ + _).as("bucket"))
+          .groupBy("bucket").agg(count(lit(1)).as("n"))
+          .orderBy("bucket")
+      },
+      Some("""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        proj AS (
+          SELECT vec_id, j,
+            ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(0, 64),
+              i -> v[i+1] * SIN(i * 131.0 + j * 523.0))), 6) AS p
+          FROM v, UNNEST(RANGE(0, 8)) AS tj(j)),
+        buckets AS (
+          SELECT vec_id,
+            CAST(SUM(CASE WHEN p > 0 THEN CAST(POWER(2, j) AS BIGINT) ELSE 0 END) AS INTEGER) AS bucket
+          FROM proj GROUP BY vec_id)
+        SELECT bucket, COUNT(*) AS n FROM buckets GROUP BY bucket ORDER BY bucket""")),
+
+    // ---- SimHash (16-bit here) document fingerprint for near-dup
+    // detection: per-token md5-derived integer hash, per-bit ±1 majority
+    // vote — pure integer math, exact oracle. At scale this is one
+    // narrow projection pass + no shuffle.
+    Q("q43_simhash",
+      (s, dir) => {
+        val toks = split(col("text"), " +")
+        val tokHash = transform(toks, t =>
+          conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
+        val bits = (0 until 16).map { b =>
+          val vote = aggregate(tokHash, lit(0L),
+            (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+          (vote > 0).cast("long").as(s"bit$b")
+        }
+        tbl(s, dir, "documents")
+          .select(col("doc_id") +: bits: _*)
+          .select(col("doc_id"),
+            (0 until 16).map(b => col(s"bit$b") * lit(1L << b)).reduce(_ + _).as("simhash"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH th AS (
+          SELECT doc_id,
+            LIST_TRANSFORM(REGEXP_SPLIT_TO_ARRAY(text, ' +'), t ->
+              ('0x' || SUBSTRING(MD5(t), 1, 8))::BIGINT) AS hashes
+          FROM documents)
+        SELECT doc_id,
+          CAST(LIST_SUM(LIST_TRANSFORM(RANGE(0, 16), b ->
+            CAST(LIST_SUM(LIST_TRANSFORM(hashes, h ->
+              CASE WHEN (h // CAST(POWER(2, b) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END)) > 0
+              AS BIGINT) * CAST(POWER(2, b) AS BIGINT))) AS BIGINT) AS simhash
+        FROM th ORDER BY doc_id"""))
+  )
+}

