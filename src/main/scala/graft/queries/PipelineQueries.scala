@@ -31,6 +31,16 @@ object PipelineQueries {
     transform(shingles, sh => conv(substring(md5(sh), 1, 8), 16, 10).cast("long"))
   }
 
+  /** All NH minima in ONE fold over the hash array, so each shingle is
+    * md5-hashed exactly once (an 8× re-evaluation here was the first
+    * BENCH bottleneck: 117 s → ~2 s at sf0.1). Returns array<long>. */
+  private def minhashSigArr = {
+    val zero = array((0 until NH).map(_ => lit(Long.MaxValue)): _*)
+    aggregate(shingleHashes, zero,
+      (acc, h) => array((0 until NH).map(i =>
+        least(element_at(acc, i + 1), pmod(h * aCoef(i) + bCoef(i), lit(P)))): _*))
+  }
+
   private val shingleHashesSql =
     """LIST_TRANSFORM(
          LIST_DISTINCT(CASE WHEN LEN(toks) >= 3 THEN
@@ -44,13 +54,10 @@ object PipelineQueries {
     // comma-joined string column for schema-stable comparison
     Q("q44_minhash",
       (s, dir) => {
-        val hashes = shingleHashes
-        val sig = (0 until NH).map { i =>
-          aggregate(hashes, lit(Long.MaxValue),
-            (acc, h) => least(acc, pmod(h * aCoef(i) + bCoef(i), lit(P))))
-        }
+        graft.functions.TextHashFunctions.register(s)
         tbl(s, dir, "documents")
-          .select(col("doc_id"), concat_ws(",", sig.map(_.cast("string")): _*).as("sig"))
+          .select(col("doc_id"),
+            concat_ws(",", transform(expr("minhash_sig(text)"), h => h.cast("string"))).as("sig"))
           .orderBy("doc_id")
       },
       Some(s"""WITH h AS (
@@ -67,13 +74,11 @@ object PipelineQueries {
     // any band bucket (the scale path that avoids the O(n²) join)
     Q("q45_minhash_lsh_pairs",
       (s, dir) => {
-        val hashes = shingleHashes
-        val sig = (0 until NH).map { i =>
-          aggregate(hashes, lit(Long.MaxValue),
-            (acc, h) => least(acc, pmod(h * aCoef(i) + bCoef(i), lit(P))))
-        }
+        graft.functions.TextHashFunctions.register(s)
         val docs = tbl(s, dir, "documents").filter(col("doc_id") < 200)
-          .select(col("doc_id") +: sig.zipWithIndex.map { case (c, i) => c.as(s"h$i") }: _*)
+          .select(col("doc_id"), expr("minhash_sig(text)").as("sigarr"))
+          .select(col("doc_id") +:
+            (0 until NH).map(i => element_at(col("sigarr"), i + 1).as(s"h$i")): _*)
         val bands = (0 until NH / 2).map { band =>
           docs.select(col("doc_id"), lit(band).as("band"),
             concat_ws(":", col(s"h${2 * band}").cast("string"),

@@ -1,0 +1,102 @@
+package graft
+
+import graft.functions.{MinHashSig, TextHashFunctions}
+import graft.ops.Multimodal
+import graft.streaming.EventStream
+import graft.queries.Queries
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Multimodal plumbing, streaming, and native-expression specs. */
+class PipelineOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("minhash_sig native expression ≡ composed higher-order form") {
+    import spark.implicits._
+    TextHashFunctions.register(spark)
+    val df = Seq(
+      (1L, "a b c d e f g"),
+      (2L, "a b c d e f g"), // identical → identical signature
+      (3L, "x y z w v u t s r q"),
+      (4L, "ab"), // < 3 tokens → MaxValue signature
+      (5L, "one two three")).toDF("id", "text")
+    val native = df.selectExpr("id", "minhash_sig(text) as sig").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // composed Catalyst form (the q44 original)
+    val toks = split(col("text"), " +")
+    val shingles = when(size(toks) >= 3,
+      array_distinct(transform(sequence(lit(0), size(toks) - 3),
+        i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2),
+          element_at(toks, i + 3))))).otherwise(array().cast("array<string>"))
+    val hashes = transform(shingles, sh => conv(substring(md5(sh), 1, 8), 16, 10).cast("long"))
+    val sig = aggregate(hashes,
+      array((0 until 8).map(_ => lit(Long.MaxValue)): _*),
+      (acc, h) => array((0 until 8).map(i =>
+        least(element_at(acc, i + 1),
+          pmod(h * (2L * i + 1) + (1L * i * i + 7), lit(2147483647L)))): _*))
+    val composed = df.select(col("id"), sig.as("sig")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(native == composed)
+    assert(native(1L) == native(2L))
+    assert(native(1L) != native(3L))
+    assert(native(4L).forall(_ == Long.MaxValue))
+  }
+
+  test("multimodal: schema, feature extraction batch shape, frame sampling") {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val media = Multimodal.mediaFromDocuments(docs)
+    assert(media.schema.fieldNames.toSeq == Seq("media_id", "payload", "meta"))
+    val feats = media.withColumn("feat", Multimodal.extractFeatures(col("payload")))
+      .select("media_id", "feat").limit(10).collect()
+    assert(feats.forall(_.getSeq[Double](1).length == 4))
+    val frames = media
+      .withColumn("frames", Multimodal.sampleFrames(col("payload"), 3))
+      .select(size(col("frames"))).limit(5).collect()
+    assert(frames.forall(_.getInt(0) <= 3))
+  }
+
+  test("streaming tumbling counts match the batch twin (memory sink)") {
+    val dir = TestSpark.sf0001
+    val batch = EventStream.tumblingCounts(Queries.eventsTbl(spark, dir))
+      .orderBy("win_start", "event_type").collect()
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.types._
+    val rawSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // the file-stream source wants a directory; stage the parquet into one
+    val tmp = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      tmp.resolve("events.parquet"))
+    val stream = spark.readStream.schema(rawSchema)
+      .parquet(tmp.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = EventStream.tumblingCountsStreaming(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("tumbling_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("tumbling_out")
+        .orderBy("win_start", "event_type").collect()
+      assert(streamed.length == batch.length)
+      assert(streamed.map(_.toString).sameElements(batch.map(_.toString)))
+    } finally q.stop()
+  }
+
+  test("sessionize: gap > 30min starts a new session") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, java.sql.Timestamp.valueOf("2020-01-01 00:00:00"), 7L, "c", 1.0, "{}"),
+      (2L, java.sql.Timestamp.valueOf("2020-01-01 00:10:00"), 7L, "c", 1.0, "{}"),
+      (3L, java.sql.Timestamp.valueOf("2020-01-01 01:00:00"), 7L, "c", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val sessions = EventStream.sessionizeBatch(events, gapMinutes = 30)
+      .orderBy("session_seq").collect()
+    assert(sessions.length == 2)
+    assert(sessions(0).getLong(2) == 2) // first session has 2 events
+    assert(sessions(1).getLong(2) == 1)
+  }
+}
