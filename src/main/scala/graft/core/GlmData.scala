@@ -1,5 +1,6 @@
 package graft.core
 
+import org.apache.spark.ml.linalg.{DenseVector => MlDense, SparseVector => MlSparse, Vector => MlVector, Vectors}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -9,13 +10,21 @@ import org.apache.spark.storage.StorageLevel
   * data abstraction: one Spark partition ≙ one dask chunk of the reference
   * (datasets.py:48-56 chunks rows, never columns).
   *
-  * Public surface is DataFrame-first (`features: array<double>`,
-  * `label: double` — FIXTURES.md schema); kernels run on the extracted
-  * RDD so each pass is a single whole-stage scan with zero shuffles.
+  * Rows are MLlib vectors, so dense AND sparse backends share one kernel
+  * path without densifying (the reference's numpy/sparse.COO dispatch,
+  * utils.py:54-146) — sparse rows accumulate via `foreachActive`, exactly
+  * MLlib's own GLM kernel idiom.
+  *
+  * Public surface is DataFrame-first (`features: array<double>` or
+  * `VectorUDT`, `label: double` — FIXTURES.md schema); kernels run on the
+  * extracted RDD so each pass is a single whole-stage scan, no shuffles.
   */
 final class GlmData(
-    val rows: RDD[(Array[Double], Double)],
-    val numFeatures: Int)
+    val rows: RDD[(MlVector, Double)],
+    val numFeatures: Int,
+    /** true when any row is a SparseVector (disables normalization in the
+      * estimator path, estimators.py:82-84) */
+    val isSparse: Boolean)
     extends Serializable {
 
   def persist(): this.type = {
@@ -25,35 +34,56 @@ final class GlmData(
   def unpersist(): this.type = { rows.unpersist(false); this }
   def numPartitions: Int = rows.getNumPartitions
   def repartition(n: Int): GlmData =
-    new GlmData(rows.repartition(n), numFeatures)
+    new GlmData(rows.repartition(n), numFeatures, isSparse)
 
-  /** Appended-ones intercept, faithful to utils.py:139-162. */
-  def addIntercept: GlmData =
+  /** Appended-ones intercept, faithful to utils.py:139-162 (sparse stays
+    * sparse — the reference concatenates a sparse ones column). */
+  def addIntercept: GlmData = {
+    val p = numFeatures
     new GlmData(rows.map { case (x, y) =>
-      val out = java.util.Arrays.copyOf(x, x.length + 1)
-      out(x.length) = 1.0
-      (out, y)
-    }, numFeatures + 1)
+      val appended: MlVector = x match {
+        case d: MlDense =>
+          val out = java.util.Arrays.copyOf(d.values, p + 1)
+          out(p) = 1.0
+          new MlDense(out)
+        case s: MlSparse =>
+          val idx = java.util.Arrays.copyOf(s.indices, s.indices.length + 1)
+          val vs = java.util.Arrays.copyOf(s.values, s.values.length + 1)
+          idx(s.indices.length) = p
+          vs(s.values.length) = 1.0
+          new MlSparse(p + 1, idx, vs)
+      }
+      (appended, y)
+    }, p + 1, isSparse)
+  }
 }
 
 object GlmData {
 
-  /** From a DataFrame already in `(features: array<double>, label: double)`
-    * shape. `numFeatures` avoids a driver job when known. */
+  /** From a DataFrame with `(features, label)` where features is either
+    * `array<double>` or an MLlib `VectorUDT` column. */
   def fromDF(
       df: DataFrame,
       featuresCol: String = "features",
       labelCol: String = "label",
       numFeatures: Int = -1): GlmData = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val ds = df
-      .select(
-        col(featuresCol).cast("array<double>").as("features"),
-        col(labelCol).cast("double").as("label"))
-      .as[(Array[Double], Double)]
-    val p = if (numFeatures > 0) numFeatures else ds.head()._1.length
-    new GlmData(ds.rdd, p)
+    val isVectorUdt = df.schema(featuresCol).dataType.typeName == "vector"
+    val selected = df.select(col(featuresCol), col(labelCol).cast("double"))
+    val rdd: RDD[(MlVector, Double)] =
+      if (isVectorUdt)
+        selected.rdd.map(r => (r.getAs[MlVector](0), r.getDouble(1)))
+      else
+        selected
+          .select(col(featuresCol).cast("array<double>"), col(labelCol))
+          .rdd.map(r => (Vectors.dense(r.getSeq[Double](0).toArray), r.getDouble(1)))
+    val (p, sparse) =
+      if (numFeatures > 0 && !isVectorUdt) (numFeatures, false)
+      else {
+        val first = rdd.first()._1
+        (if (numFeatures > 0) numFeatures else first.size,
+         first.isInstanceOf[MlSparse])
+      }
+    new GlmData(rdd, p, sparse)
   }
 
   /** Table→matrix bridge: assemble numeric columns into the features

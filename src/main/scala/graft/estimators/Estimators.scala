@@ -43,6 +43,9 @@ abstract class GLM(val params: GlmParams) extends Serializable {
   def fit(df: DataFrame): this.type = {
     val base = GlmData.fromDF(df, params.featuresCol, params.labelCol)
     val data = (if (params.fitIntercept) base.addIntercept else base).persist()
+    // sparse input disables normalization (estimators.py:82-84 — centering
+    // would densify)
+    val normalize = params.normalize && !base.isSparse
     try {
       rawCoef = Solvers.solve(
         params.solver, data, family,
@@ -50,10 +53,17 @@ abstract class GLM(val params: GlmParams) extends Serializable {
         regularizer = Regularizer.get(params.regularizer),
         lamduh = params.lamduh, rho = params.rho,
         overRelax = params.overRelax, abstol = params.abstol,
-        reltol = params.reltol, normalize = params.normalize)
+        reltol = params.reltol, normalize = normalize)
     } finally data.unpersist()
     this
   }
+
+  /** Features column as array<double>, whatever the storage type
+    * (array<double> or MLlib VectorUDT). */
+  protected def featureExpr(df: DataFrame): Column =
+    if (df.schema(params.featuresCol).dataType.typeName == "vector")
+      org.apache.spark.ml.functions.vector_to_array(col(params.featuresCol))
+    else col(params.featuresCol)
 
   /** Linear margin X_·coef as a pure-Catalyst column (zip_with + aggregate
     * higher-order functions — codegen'd, no UDF). */
@@ -83,7 +93,7 @@ class LogisticRegression(params: GlmParams = GlmParams()) extends GLM(params) {
   def predictCol(features: Column): Column = predictProbaCol(features) > 0.5
 
   def transform(df: DataFrame): DataFrame = df
-    .withColumn("probability", predictProbaCol(col(params.featuresCol)))
+    .withColumn("probability", predictProbaCol(featureExpr(df)))
     .withColumn("prediction", col("probability") > 0.5)
 
   /** Accuracy (utils.py:176-177). */
@@ -99,7 +109,7 @@ class LinearRegression(params: GlmParams = GlmParams()) extends GLM(params) {
   def predictCol(features: Column): Column = marginCol(features)
 
   def transform(df: DataFrame): DataFrame =
-    df.withColumn("prediction", predictCol(col(params.featuresCol)))
+    df.withColumn("prediction", predictCol(featureExpr(df)))
 
   def score(df: DataFrame): Double = transform(df)
     .select(avg(pow(col(params.labelCol) - col("prediction"), 2)))
@@ -114,7 +124,7 @@ class PoissonRegression(params: GlmParams = GlmParams()) extends GLM(params) {
   def predictCol(features: Column): Column = exp(marginCol(features))
 
   def transform(df: DataFrame): DataFrame =
-    df.withColumn("prediction", predictCol(col(params.featuresCol)))
+    df.withColumn("prediction", predictCol(featureExpr(df)))
 
   def getDeviance(df: DataFrame): Double = transform(df)
     .select(sum(

@@ -1,0 +1,42 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The reference's dispatched scalar math surface (utils.py:42-162, §2.B)
+  * as named Column helpers — every one composes Spark built-ins, so all
+  * stay inside whole-stage codegen (no UDFs).
+  */
+object MathFunctions {
+
+  /** σ(x) = 1/(1+e^{-x}) (utils.py:49-51). */
+  def sigmoid(c: Column): Column = lit(1.0) / (lit(1.0) + exp(-c))
+
+  /** Numerically stable log(1+e^{x}) = max(x,0) + log1p(e^{-|x|})
+    * (the loglike building block; SURVEY §7.3.4). */
+  def log1pexp(c: Column): Column =
+    greatest(c, lit(0.0)) + log1p(exp(-abs(c)))
+
+  /** exp / log1p / absolute / sign — direct built-ins, named to mirror
+    * utils.py's dispatch table. */
+  def exp_(c: Column): Column = exp(c)
+  def log1p_(c: Column): Column = log1p(c)
+  def absolute(c: Column): Column = abs(c)
+  def sign(c: Column): Column = signum(c)
+
+  /** Elementwise dot product of two array<double> columns (A1 kernel in
+    * pure SQL — higher-order functions, codegen'd). */
+  def arrayDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** x·β for a constant coefficient vector. */
+  def dotConst(features: Column, beta: Seq[Double]): Column =
+    arrayDot(features.cast("array<double>"), typedLit(beta))
+
+  /** L2 norm of an array<double> column. */
+  def arrayNorm(a: Column): Column = sqrt(arrayDot(a, a))
+
+  /** Cosine similarity of two array<double> columns. */
+  def cosineSim(a: Column, b: Column): Column =
+    arrayDot(a, b) / (arrayNorm(a) * arrayNorm(b))
+}

@@ -3,6 +3,7 @@ package graft.linalg
 import breeze.linalg.{DenseMatrix, DenseVector}
 import graft.core.GlmData
 import graft.families.Family
+import org.apache.spark.ml.linalg.{DenseVector => MlDense, SparseVector => MlSparse, Vector => MlVector}
 
 /** The engine's entire distributed surface: five single-pass kernels over
   * the row-partitioned design matrix. Everything else (β updates, line
@@ -17,8 +18,9 @@ import graft.families.Family
   *    order-fixed by graph structure; Spark's treeAggregate is not, so we
   *    fix the order ourselves);
   *  - β ships to executors via closure capture of a small primitive array
-  *    (≙ scatter/broadcast, utils.py:208-215). At p ≤ a few thousand this
-  *    is well under task-serialization limits.
+  *    (≙ scatter/broadcast, utils.py:208-215);
+  *  - sparse rows never densify: accumulation walks active entries only
+  *    (utils.py sparse dispatch; MLlib's own kernel idiom).
   */
 object Kernels {
 
@@ -26,7 +28,7 @@ object Kernels {
     * partition order. U must be O(p²) small. */
   def partitionAggregate[U: scala.reflect.ClassTag](
       data: GlmData)(zero: () => U)(
-      seqOp: (U, Array[Double], Double) => U,
+      seqOp: (U, MlVector, Double) => U,
       combOp: (U, U) => U): U = {
     val partials = data.rows
       .mapPartitionsWithIndex { (idx, it) =>
@@ -42,12 +44,36 @@ object Kernels {
     else partials.sortBy(_._1).map(_._2).reduceLeft(combOp)
   }
 
-  @inline private def dot(x: Array[Double], b: Array[Double]): Double = {
-    var s = 0.0
-    var i = 0
-    while (i < b.length) { s += x(i) * b(i); i += 1 }
-    s
+  /** x·b for dense or sparse rows (no densify). */
+  @inline private[graft] def dot(x: MlVector, b: Array[Double]): Double = x match {
+    case d: MlDense =>
+      val v = d.values
+      var s = 0.0
+      var i = 0
+      while (i < v.length) { s += v(i) * b(i); i += 1 }
+      s
+    case s: MlSparse =>
+      val idx = s.indices
+      val vs = s.values
+      var acc = 0.0
+      var i = 0
+      while (i < idx.length) { acc += vs(i) * b(idx(i)); i += 1 }
+      acc
   }
+
+  /** g += w·x for dense or sparse rows. */
+  @inline private[graft] def axpy(w: Double, x: MlVector, g: Array[Double]): Unit =
+    x match {
+      case d: MlDense =>
+        val v = d.values
+        var i = 0
+        while (i < v.length) { g(i) += w * v(i); i += 1 }
+      case s: MlSparse =>
+        val idx = s.indices
+        val vs = s.values
+        var i = 0
+        while (i < idx.length) { g(idx(i)) += w * vs(i); i += 1 }
+    }
 
   /** Fused loss + gradient in one pass (the reference's shared-graph
     * `compute(loss_fn, gradient_fn)`, algorithms.py:405). */
@@ -59,9 +85,7 @@ object Kernels {
     val (loss, g) = partitionAggregate(data)(() => (0.0, new Array[Double](p)))(
       { case ((l, g), x, y) =>
         val xb = dot(x, b)
-        val w = fam.dLoss(xb, y)
-        var i = 0
-        while (i < p) { g(i) += w * x(i); i += 1 }
+        axpy(fam.dLoss(xb, y), x, g)
         (l + fam.loss(xb, y), g)
       },
       { case ((l1, g1), (l2, g2)) =>
@@ -78,11 +102,12 @@ object Kernels {
 
   /** Loss only. */
   def loss(data: GlmData, beta: DenseVector[Double], family: Family): Double =
-    lossLadder(data, beta, DenseVector.zeros[Double](beta.length), Array(0.0), family)(0)
+    lossMulti(data, Array(beta), family)(0)
 
   /** Fused Hessian + gradient in one pass (the reference's
     * `da.compute(hess, grad)` shared traversal, algorithms.py:205).
-    * H = Xᵀ diag(d2Loss) X via per-row rank-1 updates (upper triangle). */
+    * H = Xᵀ diag(d2Loss) X via per-row rank-1 updates — active entries
+    * only for sparse rows. */
   def gradHess(data: GlmData, beta: DenseVector[Double], family: Family)
       : (DenseVector[Double], DenseMatrix[Double]) = {
     val b = beta.toArray
@@ -94,13 +119,31 @@ object Kernels {
         val xb = dot(x, b)
         val w1 = fam.dLoss(xb, y)
         val w2 = fam.d2Loss(xb, y)
-        var i = 0
-        while (i < p) {
-          g(i) += w1 * x(i)
-          val wxi = w2 * x(i)
-          var j = i
-          while (j < p) { h(i * p + j) += wxi * x(j); j += 1 }
-          i += 1
+        axpy(w1, x, g)
+        x match {
+          case dv: MlDense =>
+            val v = dv.values
+            var i = 0
+            while (i < p) {
+              val wxi = w2 * v(i)
+              var j = i
+              while (j < p) { h(i * p + j) += wxi * v(j); j += 1 }
+              i += 1
+            }
+          case sv: MlSparse =>
+            val idx = sv.indices
+            val vs = sv.values
+            var a = 0
+            while (a < idx.length) {
+              val wxi = w2 * vs(a)
+              var c = 0
+              while (c < idx.length) {
+                val i = idx(a); val j = idx(c)
+                if (j >= i) h(i * p + j) += wxi * vs(c)
+                c += 1
+              }
+              a += 1
+            }
         }
         (g, h)
       },
@@ -111,7 +154,6 @@ object Kernels {
         while (k < p * p) { h1(k) += h2(k); k += 1 }
         (g1, h1)
       })
-    // mirror upper triangle
     val H = new DenseMatrix[Double](p, p)
     var i = 0
     while (i < p) {
@@ -174,14 +216,14 @@ object Kernels {
 
   /** Column mean/std in one pass: (count, Σx, Σx²) per column — the A4
     * stats kernel behind `@normalize` (utils.py:19). Population std
-    * (ddof=0) to match `np.std`. */
+    * (ddof=0) to match `np.std`. Sparse rows contribute zeros implicitly
+    * (only active entries touch the sums). */
   def colStats(data: GlmData): (DenseVector[Double], DenseVector[Double]) = {
     val p = data.numFeatures
     val (n, s1, s2) = partitionAggregate(data)(
       () => (0L, new Array[Double](p), new Array[Double](p)))(
       { case ((n, s1, s2), x, _) =>
-        var i = 0
-        while (i < p) { s1(i) += x(i); s2(i) += x(i) * x(i); i += 1 }
+        x.foreachActive { (i, v) => s1(i) += v; s2(i) += v * v }
         (n + 1, s1, s2)
       },
       { case ((n1, a1, b1), (n2, a2, b2)) =>

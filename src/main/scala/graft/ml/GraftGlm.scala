@@ -1,0 +1,95 @@
+package graft.ml
+
+import graft.estimators.{GLM, GlmParams, LinearRegression, LogisticRegression, PoissonRegression}
+import org.apache.spark.ml.{Estimator, Model}
+import org.apache.spark.ml.param._
+import org.apache.spark.ml.param.shared.{HasFeaturesCol, HasLabelCol, HasMaxIter, HasTol}
+import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.types.{BooleanType, DoubleType, StructType}
+
+/** `spark.ml.Pipeline`-compatible wrapper around the graft estimators —
+  * the engine's analog of the reference's sklearn BaseEstimator
+  * compatibility (estimators.py:4,19; pipeline/grid-search tests
+  * test_estimators.py:138-155). Composes with VectorAssembler etc. since
+  * the inner estimators accept both VectorUDT and array<double> features,
+  * and with CrossValidator via the Params machinery.
+  */
+class GraftGlm(override val uid: String)
+    extends Estimator[GraftGlmModel]
+    with HasFeaturesCol with HasLabelCol with HasMaxIter with HasTol {
+
+  def this() = this(Identifiable.randomUID("graftGlm"))
+
+  final val family: Param[String] = new Param(this, "family",
+    "GLM family: logistic | normal | poisson",
+    ParamValidators.inArray(Array("logistic", "normal", "poisson")))
+  final val solver: Param[String] = new Param(this, "solver",
+    "admm | gradient_descent | newton | lbfgs | proximal_grad")
+  final val regularizer: Param[String] = new Param(this, "regularizer",
+    "l1 | l2 | elastic_net")
+  final val lamduh: DoubleParam = new DoubleParam(this, "lamduh", "regularization strength")
+  final val fitIntercept: BooleanParam = new BooleanParam(this, "fitIntercept", "")
+
+  setDefault(family -> "logistic", solver -> "admm", regularizer -> "l2",
+    lamduh -> 1.0, fitIntercept -> true, maxIter -> 100, tol -> 1e-4,
+    featuresCol -> "features", labelCol -> "label")
+
+  def setFamily(v: String): this.type = set(family, v)
+  def setSolver(v: String): this.type = set(solver, v)
+  def setRegularizer(v: String): this.type = set(regularizer, v)
+  def setLamduh(v: Double): this.type = set(lamduh, v)
+  def setFitIntercept(v: Boolean): this.type = set(fitIntercept, v)
+  def setMaxIter(v: Int): this.type = set(maxIter, v)
+  def setTol(v: Double): this.type = set(tol, v)
+  def setFeaturesCol(v: String): this.type = set(featuresCol, v)
+  def setLabelCol(v: String): this.type = set(labelCol, v)
+
+  private def innerParams = GlmParams(
+    fitIntercept = $(fitIntercept), solver = $(solver),
+    regularizer = $(regularizer), maxIter = $(maxIter), tol = $(tol),
+    lamduh = $(lamduh), featuresCol = $(featuresCol), labelCol = $(labelCol))
+
+  override def fit(dataset: Dataset[_]): GraftGlmModel = {
+    val inner: GLM = $(family) match {
+      case "logistic" => new LogisticRegression(innerParams)
+      case "normal" => new LinearRegression(innerParams)
+      case "poisson" => new PoissonRegression(innerParams)
+    }
+    inner.fit(dataset.toDF())
+    val model = new GraftGlmModel(uid, inner, $(family))
+    copyValues(model).setParent(this)
+  }
+
+  override def copy(extra: ParamMap): GraftGlm = defaultCopy(extra)
+
+  override def transformSchema(schema: StructType): StructType = {
+    val withPred = schema.add("prediction",
+      if ($(family) == "logistic") BooleanType else DoubleType)
+    if ($(family) == "logistic") withPred.add("probability", DoubleType)
+    else withPred
+  }
+}
+
+class GraftGlmModel(
+    override val uid: String,
+    val inner: GLM,
+    val familyName: String)
+    extends Model[GraftGlmModel] {
+
+  override def transform(dataset: Dataset[_]): DataFrame =
+    inner.transform(dataset.toDF())
+
+  override def copy(extra: ParamMap): GraftGlmModel =
+    copyValues(new GraftGlmModel(uid, inner, familyName)).setParent(parent)
+
+  override def transformSchema(schema: StructType): StructType = {
+    val withPred = schema.add("prediction",
+      if (familyName == "logistic") BooleanType else DoubleType)
+    if (familyName == "logistic") withPred.add("probability", DoubleType)
+    else withPred
+  }
+
+  def coefficients: Array[Double] = inner.coef.toArray
+  def intercept: Double = inner.intercept
+}

@@ -34,14 +34,18 @@ object Normalize {
 
     val mArr = mean.toArray
     val sArr = std.toArray
+    // standardization densifies by construction (x − mean is dense unless
+    // mean is 0) — the reason the estimator disables normalize for sparse
+    // input (estimators.py:82-84)
     val xn = new GlmData(
       data.rows.map { case (x, y) =>
-        val out = new Array[Double](x.length)
+        val xa = x.toArray
+        val out = new Array[Double](xa.length)
         var i = 0
-        while (i < x.length) { out(i) = (x(i) - mArr(i)) / sArr(i); i += 1 }
-        (out, y)
+        while (i < xa.length) { out(i) = (xa(i) - mArr(i)) / sArr(i); i += 1 }
+        (org.apache.spark.ml.linalg.Vectors.dense(out), y)
       },
-      p).persist()
+      p, isSparse = false).persist()
     try {
       val out = solve(xn).copy
       // un-transform: out[i] -= Σ(out·mean/std) at the intercept slot; out /= std

@@ -318,7 +318,7 @@ object Solvers {
   /** ADMM x-update: one job, one local L-BFGS per partition with warm-start
     * β_i and broadcast (z, u_i, ρ). Objective = local pointwise loss +
     * (ρ/2)‖β − z + u_i‖² (algorithms.py:246-270,339-348). */
-  private def localSolves(
+  private[graft] def localSolves(
       d: GlmData,
       betas: Array[DenseVector[Double]],
       z: DenseVector[Double],
@@ -344,13 +344,9 @@ object Solvers {
             var r = 0
             while (r < rows.length) {
               val (x, y) = rows(r)
-              var xb = 0.0
-              var i = 0
-              while (i < p) { xb += x(i) * b(i); i += 1 }
+              val xb = graft.linalg.Kernels.dot(x, b)
               loss += fam.loss(xb, y)
-              val w = fam.dLoss(xb, y)
-              i = 0
-              while (i < p) { g(i) += w * x(i); i += 1 }
+              graft.linalg.Kernels.axpy(fam.dLoss(xb, y), x, g)
               r += 1
             }
             val diffV = beta - zL + uL

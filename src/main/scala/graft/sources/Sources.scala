@@ -1,0 +1,50 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink surface (SURVEY §2.7 scans/sources/sinks): the reference's
+  * docs exercise CSV scans (`dd.read_csv`, basic_api.ipynb); the driver
+  * harness is parquet; predictions need a writable sink. All are thin,
+  * schema-explicit wrappers over Spark's DataSource V2 readers so
+  * predicate pushdown / column pruning / partition pruning apply
+  * unchanged.
+  */
+object Sources {
+
+  /** CSV scan with explicit schema (never infer at 100 TB — schema
+    * inference is a full extra pass). */
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = true, delimiter: String = ","): DataFrame =
+    spark.read
+      .option("header", header.toString)
+      .option("delimiter", delimiter)
+      .schema(schema)
+      .csv(path)
+
+  /** CSV scan with inference for small/interactive use. */
+  def readCsvInferred(spark: SparkSession, path: String, header: Boolean = true): DataFrame =
+    spark.read.option("header", header.toString).option("inferSchema", "true").csv(path)
+
+  def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Parquet sink (snappy, the scale default). `partitionByCols` drives
+    * partition pruning for downstream readers. */
+  def writeParquet(df: DataFrame, path: String, partitionByCols: Seq[String] = Nil,
+      mode: String = "overwrite"): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionByCols.nonEmpty) w.partitionBy(partitionByCols: _*) else w)
+      .parquet(path)
+  }
+
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true,
+      mode: String = "overwrite"): Unit =
+    df.write.mode(mode).option("header", header.toString).csv(path)
+
+  def writeJson(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
+    df.write.mode(mode).json(path)
+}

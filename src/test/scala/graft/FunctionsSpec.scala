@@ -1,0 +1,44 @@
+package graft
+
+import graft.estimators.Metrics
+import graft.functions.MathFunctions._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class FunctionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("sigmoid / log1pexp values and stability") {
+    val df = Seq(-800.0, -10.0, 0.0, 10.0, 800.0).toDF("x")
+    val rows = df.select(col("x"), sigmoid(col("x")).as("s"), log1pexp(col("x")).as("l"))
+      .orderBy("x").collect()
+    assert(rows.map(_.getDouble(1)).forall(v => v >= 0 && v <= 1))
+    assert(rows(0).getDouble(2) == 0.0) // log1pexp(-800) finite, not NaN
+    assert(math.abs(rows(2).getDouble(1) - 0.5) < 1e-15)
+    assert(math.abs(rows(2).getDouble(2) - math.log(2)) < 1e-15)
+    assert(rows(4).getDouble(2) == 800.0) // large-x asymptote
+  }
+
+  test("arrayDot / norm / cosine") {
+    val df = Seq((Array(1.0, 2.0, 2.0), Array(2.0, 0.0, 1.0))).toDF("a", "b")
+    val r = df.select(
+      arrayDot(col("a"), col("b")).as("d"),
+      arrayNorm(col("a")).as("na"),
+      cosineSim(col("a"), col("a")).as("cs")).head()
+    assert(r.getDouble(0) == 4.0)
+    assert(r.getDouble(1) == 3.0)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
+  }
+
+  test("metrics: accuracy, mse, poisson deviance (log1p form)") {
+    val df = Seq((1.0, 1.0), (0.0, 1.0), (1.0, 1.0), (0.0, 0.0))
+      .toDF("y", "p")
+    assert(Metrics.accuracyScore(df, col("y"), col("p")) == 0.75)
+    assert(Metrics.meanSquaredError(df, col("y"), col("p")) == 0.25)
+    val dev = Seq((2.0, 1.0)).toDF("y", "p")
+    // 2*(2*log1p(2/1) - (2-1)) = 4*ln(3) - 2
+    assert(math.abs(Metrics.poissonDeviance(dev, col("y"), col("p"))
+      - (4 * math.log(3.0) - 2)) < 1e-12)
+  }
+}

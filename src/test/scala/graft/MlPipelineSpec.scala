@@ -1,0 +1,76 @@
+package graft
+
+import graft.ml.GraftGlm
+import org.apache.spark.ml.Pipeline
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** spark.ml integration — the analog of the reference's sklearn
+  * Pipeline/GridSearchCV compatibility tests (test_estimators.py:138-155)
+  * — plus sparse-vector input coverage (estimators.py:82-84 semantics). */
+class MlPipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("VectorAssembler -> GraftGlm inside an org.apache.spark.ml.Pipeline") {
+    val li = spark.read.parquet(s"${TestSpark.sf0001}/lineitem.parquet")
+      .select(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+        (col("l_returnflag") === "R").cast("double").as("label"))
+    val assembler = new VectorAssembler()
+      .setInputCols(Array("l_quantity", "l_extendedprice", "l_discount"))
+      .setOutputCol("features")
+    val glm = new GraftGlm().setSolver("lbfgs").setMaxIter(30)
+    val pipeline = new Pipeline().setStages(Array(assembler, glm))
+    val model = pipeline.fit(li)
+    val out = model.transform(li)
+    assert(out.columns.contains("prediction") && out.columns.contains("probability"))
+    assert(out.count() == li.count())
+    val acc = out.select(avg((col("label").cast("boolean") === col("prediction")).cast("double")))
+      .head().getDouble(0)
+    assert(acc > 0.5)
+  }
+
+  test("ParamMap copy works (CrossValidator prerequisite)") {
+    val glm = new GraftGlm().setSolver("newton").setMaxIter(7)
+    val copied = glm.copy(org.apache.spark.ml.param.ParamMap.empty)
+    assert(copied.getOrDefault(copied.maxIter) == 7)
+  }
+
+  test("sparse vector input: fits without densifying, normalize disabled") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val rows = (0 until 400).map { i =>
+      val idx = Array(0, 1 + rng.nextInt(8)).distinct.sorted
+      val vals = idx.map(_ => rng.nextGaussian())
+      val v = Vectors.sparse(10, idx, vals)
+      val label = if (1.0 / (1.0 + math.exp(-v(0) * 2.0)) > rng.nextDouble()) 1.0 else 0.0
+      (v, label)
+    }
+    val df = rows.toDF("features", "label")
+    val data = graft.core.GlmData.fromDF(df)
+    assert(data.isSparse)
+    val m = new graft.estimators.LogisticRegression(
+      graft.estimators.GlmParams(solver = "lbfgs", maxIter = 50)).fit(df)
+    assert(m.rawCoef.toArray.forall(v => !v.isNaN && !v.isInfinity))
+    val acc = m.score(df)
+    assert(acc > 0.5, s"acc=$acc")
+  }
+
+  test("sparse and dense input give the same unnormalized fit") {
+    import spark.implicits._
+    val rng = new scala.util.Random(5)
+    val rows = (0 until 200).map { i =>
+      val dense = Array.tabulate(4)(j => if (rng.nextBoolean()) rng.nextGaussian() else 0.0)
+      val label = if (rng.nextDouble() < 0.5) 1.0 else 0.0
+      (dense, label)
+    }
+    val denseDf = rows.map { case (a, l) => (Vectors.dense(a), l) }.toDF("features", "label")
+    val sparseDf = rows.map { case (a, l) => (Vectors.dense(a).toSparse: org.apache.spark.ml.linalg.Vector, l) }
+      .toDF("features", "label")
+    val p = graft.estimators.GlmParams(solver = "newton", maxIter = 20, normalize = false)
+    val a = new graft.estimators.LogisticRegression(p).fit(denseDf).rawCoef
+    val b = new graft.estimators.LogisticRegression(p).fit(sparseDf).rawCoef
+    assert(breeze.linalg.max(breeze.numerics.abs(a - b)) < 1e-10)
+  }
+}

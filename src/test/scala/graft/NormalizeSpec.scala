@@ -9,7 +9,10 @@ import org.scalatest.funsuite.AnyFunSuite
 class NormalizeSpec extends AnyFunSuite {
   private def data(rows: Array[Double]*): GlmData = {
     val sc = TestSpark.spark.sparkContext
-    new GlmData(sc.parallelize(rows.map(r => (r, 0.0)), 1), rows.head.length)
+    new GlmData(
+      sc.parallelize(rows.map(r =>
+        (org.apache.spark.ml.linalg.Vectors.dense(r): org.apache.spark.ml.linalg.Vector, 0.0)), 1),
+      rows.head.length, isSparse = false)
   }
   private val doNothing: GlmData => DenseVector[Double] =
     _ => DenseVector(0.0, 1.0, 2.0)
@@ -38,6 +41,6 @@ class NormalizeSpec extends AnyFunSuite {
   test("add_intercept appends a ones column (utils.py:139-162)") {
     val d = data(Array(0.0, 0, 0), Array(0.0, 0, 0)).addIntercept
     assert(d.numFeatures == 4)
-    assert(d.rows.collect().forall { case (x, _) => x.length == 4 && x(3) == 1.0 })
+    assert(d.rows.collect().forall { case (x, _) => x.size == 4 && x(3) == 1.0 })
   }
 }

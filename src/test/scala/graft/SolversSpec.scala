@@ -18,9 +18,7 @@ class SolversSpec extends AnyFunSuite {
     val b = beta.toArray
     val (pSum, ySum) = Kernels.partitionAggregate(data)(() => (0.0, 0.0))(
       { case ((ps, ys), x, y) =>
-        var xb = 0.0
-        var i = 0
-        while (i < x.length) { xb += x(i) * b(i); i += 1 }
+        val xb = Kernels.dot(x, b)
         (ps + 1.0 / (1.0 + math.exp(-xb)), ys + y)
       },
       { case ((a1, b1), (a2, b2)) => (a1 + a2, b1 + b2) })
