@@ -1,0 +1,148 @@
+package graft.ops
+
+import graft.functions.MathFunctions.{arrayNorm, cosineSim}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (north star #2).
+  *
+  * Three tiers, by corpus size:
+  *  1. `bruteForceTopK` — exact: broadcast the (small) query set against
+  *     one corpus scan. O(|Q|·n), zero corpus shuffle. The baseline.
+  *  2. `lshTopK` — approximate: random-hyperplane buckets on both sides,
+  *     candidates share a bucket; rerank exactly within buckets. One
+  *     narrow shuffle of (bucket, id) keys.
+  *  3. `ivfTopK` — approximate: k-means coarse quantizer (nprobe cells
+  *     per query); the 100 TB shape where bucket skew matters.
+  */
+object Similarity {
+
+  /** Exact top-k: queries broadcast against a single corpus scan. */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("c_id"), col(vecCol).cast("array<double>").as("cv"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).cast("array<double>").as("qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .select(col("q_id"), col("c_id"), cosineSim(col("qv"), col("cv")).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** Deterministic random-hyperplane bucket id (nBits-bit signature).
+    * Hyperplane j component i = sin(i·131 + j·523) — seedless, both
+    * portable and cheap; replace with seeded gaussians via
+    * `Datasets`-style rand for production use. */
+  def lshBucket(vecCol: Column, dim: Int, nBits: Int = 8): Column = {
+    val v = vecCol.cast("array<double>")
+    (0 until nBits).map { j =>
+      val proj = aggregate(
+        zip_with(v, transform(sequence(lit(0), lit(dim - 1)),
+          i => sin(i * lit(131.0) + lit(j * 523.0))), (x, h) => x * h),
+        lit(0.0), (acc, x) => acc + x)
+      // round before the sign test so an engine-dependent last-ulp wobble
+      // cannot flip a bucket bit (cross-engine oracle exactness)
+      (round(proj, 6) > 0).cast("int") * lit(1 << j)
+    }.reduce(_ + _)
+  }
+
+  /** Approximate top-k via shared LSH buckets + exact rerank. */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      dim: Int, k: Int, nBits: Int = 8): DataFrame = {
+    val bucket = lshBucket(col(vecCol), dim, nBits)
+    val c = corpus.select(col(idCol).as("c_id"),
+      col(vecCol).cast("array<double>").as("cv"), bucket.as("bk"))
+    val q = queries.select(col(idCol).as("q_id"),
+      col(vecCol).cast("array<double>").as("qv"), bucket.as("bk"))
+    val scored = c.join(broadcast(q), "bk")
+      .select(col("q_id"), col("c_id"), cosineSim(col("qv"), col("cv")).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** IVF: Lloyd k-means coarse quantizer trained distributed (seeded
+    * deterministic init from the first partition), then assign each
+    * corpus vector to its nearest centroid cell; queries probe `nprobe`
+    * cells. Centroids are O(k·d) driver state. */
+  def trainIvfCentroids(
+      corpus: DataFrame, vecCol: String, kCells: Int, iters: Int = 5)
+      : Array[Array[Double]] = {
+    val rdd = corpus.select(col(vecCol).cast("array<double>")).rdd
+      .map(_.getSeq[Double](0).toArray)
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var centroids = rdd.mapPartitionsWithIndex { (i, it) =>
+      if (i == 0) it.take(kCells) else Iterator.empty
+    }.collect()
+    require(centroids.nonEmpty, "empty corpus")
+    var iter = 0
+    while (iter < iters) {
+      val bc = rdd.sparkContext.broadcast(centroids)
+      val updated = rdd.mapPartitions { it =>
+        val cs = bc.value
+        val d = cs(0).length
+        val sums = Array.fill(cs.length)(new Array[Double](d))
+        val counts = new Array[Long](cs.length)
+        it.foreach { v =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < cs.length) {
+            var dist = 0.0; var i = 0
+            while (i < d) { val t = v(i) - cs(c)(i); dist += t * t; i += 1 }
+            if (dist < bestD) { bestD = dist; best = c }
+            c += 1
+          }
+          var i = 0
+          while (i < d) { sums(best)(i) += v(i); i += 1 }
+          counts(best) += 1
+        }
+        Iterator.single((sums, counts))
+      }.reduce { case ((s1, c1), (s2, c2)) =>
+        var c = 0
+        while (c < c1.length) {
+          var i = 0
+          while (i < s1(c).length) { s1(c)(i) += s2(c)(i); i += 1 }
+          c1(c) += c2(c); c += 1
+        }
+        (s1, c1)
+      }
+      centroids = centroids.indices.map { c =>
+        if (updated._2(c) == 0) centroids(c)
+        else updated._1(c).map(_ / updated._2(c))
+      }.toArray
+      bc.destroy()
+      iter += 1
+    }
+    rdd.unpersist(false)
+    centroids
+  }
+
+  /** Nearest-centroid cell id for a vector column (codegen-friendly:
+    * the centroid table ships as a literal array of arrays). */
+  def ivfCell(vecCol: Column, centroids: Array[Array[Double]]): Column = {
+    val v = vecCol.cast("array<double>")
+    val dists = centroids.zipWithIndex.map { case (cArr, i) =>
+      struct(
+        aggregate(zip_with(v, typedLit(cArr.toSeq), (x, c) => (x - c) * (x - c)),
+          lit(0.0), (a, b) => a + b).as("d"),
+        lit(i).as("cell"))
+    }
+    least(dists: _*).getField("cell")
+  }
+
+  /** IVF approximate top-k: probe the query's nearest cell(s). */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], k: Int): DataFrame = {
+    val cell = ivfCell(col(vecCol), centroids)
+    val c = corpus.select(col(idCol).as("c_id"),
+      col(vecCol).cast("array<double>").as("cv"), cell.as("cell"))
+    val q = queries.select(col(idCol).as("q_id"),
+      col(vecCol).cast("array<double>").as("qv"), cell.as("cell"))
+    val scored = c.join(broadcast(q), "cell")
+      .select(col("q_id"), col("c_id"), cosineSim(col("qv"), col("cv")).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+}

@@ -108,6 +108,58 @@ object SimilarityQueries {
           FROM proj GROUP BY vec_id)
         SELECT bucket, COUNT(*) AS n FROM buckets GROUP BY bucket ORDER BY bucket""")),
 
+    // ---- LSH-bucketed ANN end-to-end (the scale path): queries probe
+    // only their own hyperplane bucket, exact cosine rerank inside it
+    Q("q46_lsh_ann",
+      (s, dir) => {
+        val bucket = graft.ops.Similarity.lshBucket(col("embedding"), dim = 64, nBits = 4)
+        val e = tbl(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+            bucket.as("bk"))
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bk"))
+        val c = e.filter(col("vec_id") >= 10)
+        val scored = c.join(broadcast(q), "bk")
+          .select(col("q_id"), col("vec_id"),
+            round(dotCol(col("qv"), col("v")) /
+              (sqrt(dotCol(col("qv"), col("qv"))) * sqrt(dotCol(col("v"), col("v")))),
+              6).as("cos"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("vec_id").asc)
+        scored.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select("q_id", "rk", "vec_id", "cos")
+          .orderBy("q_id", "rk")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        proj AS (
+          SELECT vec_id, j,
+            ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(0, 64),
+              i -> v[i+1] * SIN(i * 131.0 + j * 523.0))), 6) AS p
+          FROM e, UNNEST(RANGE(0, 4)) AS tj(j)),
+        bk AS (
+          SELECT vec_id,
+            SUM(CASE WHEN p > 0 THEN CAST(POWER(2, j) AS BIGINT) ELSE 0 END) AS bk
+          FROM proj GROUP BY vec_id),
+        ev AS (SELECT e.vec_id, v, bk FROM e JOIN bk ON e.vec_id = bk.vec_id),
+        q AS (SELECT vec_id AS q_id, v AS qv, bk FROM ev WHERE vec_id < 10),
+        c AS (SELECT * FROM ev WHERE vec_id >= 10),
+        scored AS (
+          SELECT q_id, c.vec_id,
+            ROUND(LIST_DOT_PRODUCT(qv, v) /
+              (SQRT(LIST_DOT_PRODUCT(qv, qv)) * SQRT(LIST_DOT_PRODUCT(v, v))), 6) AS cos
+          FROM c JOIN q ON c.bk = q.bk),
+        ranked AS (
+          SELECT q_id, CAST(ROW_NUMBER() OVER (
+            PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rk,
+            vec_id, cos
+          FROM scored)
+        SELECT q_id, rk, vec_id, cos FROM ranked WHERE rk <= 3
+        ORDER BY q_id, rk""")),
+
+    // ---- note: the q42 bucket expression differs from q46's only in the
+    // rounding point; both check the hyperplane-LSH plumbing
+
     // ---- SimHash (16-bit here) document fingerprint for near-dup
     // detection: per-token md5-derived integer hash, per-bit ±1 majority
     // vote — pure integer math, exact oracle. At scale this is one
