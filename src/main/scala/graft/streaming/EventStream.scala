@@ -12,6 +12,13 @@ import org.apache.spark.sql.types._
   * streaming (`streamingTumblingCounts`) — the batch form is what the
   * DuckDB oracle checks.
   */
+/** Typed event row for the stateful path (tsUs mirrors `ts` in µs so the
+  * state logic is pure integer math). */
+case class Event(event_id: Long, ts: java.sql.Timestamp, tsUs: Long,
+    user_id: Long, event_type: String, value: Double)
+case class SessionState(n: Long, startUs: Long, endUs: Long)
+case class SessionOut(user_id: Long, n_events: Long, start_us: Long, end_us: Long)
+
 object EventStream {
 
   val eventSchema: StructType = StructType(Seq(
@@ -41,6 +48,55 @@ object EventStream {
         sum(col("value").cast("decimal(30,6)")).cast("double").as("total"))
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("total"))
+
+  /** Streaming stateful sessionization via flatMapGroupsWithState: one
+    * state object per user (open-session bounds + count); a session is
+    * emitted when the gap to the next event exceeds `gapMinutes` or the
+    * state times out past the watermark. */
+  def sessionizeStreaming(
+      events: org.apache.spark.sql.Dataset[Event],
+      gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+
+    def fn(userId: Long, it: Iterator[Event], state: GroupState[SessionState])
+        : Iterator[SessionOut] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        return Iterator.single(SessionOut(userId, s.n, s.startUs, s.endUs))
+      }
+      val sorted = it.toArray.sortBy(e => (e.tsUs, e.event_id))
+      var out = List.empty[SessionOut]
+      var cur = state.getOption
+      sorted.foreach { e =>
+        cur match {
+          case Some(s) if e.tsUs - s.endUs <= gapUs =>
+            cur = Some(SessionState(s.n + e0(e), s.startUs, e.tsUs))
+          case Some(s) =>
+            out ::= SessionOut(userId, s.n, s.startUs, s.endUs)
+            cur = Some(SessionState(1L, e.tsUs, e.tsUs))
+          case None =>
+            cur = Some(SessionState(1L, e.tsUs, e.tsUs))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        state.setTimeoutTimestamp(s.endUs / 1000L, s"$gapMinutes minutes")
+      }
+      out.reverseIterator
+    }
+    def e0(e: Event): Long = 1L
+
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+      .toDF()
+  }
 
   /** Stateful sessionization: events within `gapMinutes` of each other on
     * the same user belong to one session (flatMapGroupsWithState in the

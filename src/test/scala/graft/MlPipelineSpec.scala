@@ -37,6 +37,30 @@ class MlPipelineSpec extends AnyFunSuite {
     assert(copied.getOrDefault(copied.maxIter) == 7)
   }
 
+  test("CrossValidator grid search over lamduh (GridSearchCV analog)") {
+    import org.apache.spark.ml.evaluation.RegressionEvaluator
+    import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
+    val li = spark.read.parquet(s"${TestSpark.sf0001}/lineitem.parquet")
+      .select(
+        org.apache.spark.sql.functions.array(col("l_quantity"), col("l_discount")).as("features"),
+        col("l_extendedprice").as("label"))
+      .limit(2000)
+    val glm = new GraftGlm().setFamily("normal").setSolver("proximal_grad")
+      .setRegularizer("l2").setMaxIter(15)
+    val grid = new ParamGridBuilder()
+      .addGrid(glm.lamduh, Array(0.01, 1.0))
+      .build()
+    val cv = new CrossValidator()
+      .setEstimator(glm)
+      .setEvaluator(new RegressionEvaluator().setMetricName("rmse"))
+      .setEstimatorParamMaps(grid)
+      .setNumFolds(2)
+      .setSeed(7)
+    val model = cv.fit(li)
+    assert(model.avgMetrics.length == 2)
+    assert(model.avgMetrics.forall(m => !m.isNaN && m > 0))
+  }
+
   test("sparse vector input: fits without densifying, normalize disabled") {
     import spark.implicits._
     val rng = new scala.util.Random(11)

@@ -86,6 +86,43 @@ class PipelineOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful streaming sessionize emits sessions matching the batch twin") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = TestSpark.sf0001
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val tmp = java.nio.file.Files.createTempDirectory("events_sess")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      tmp.resolve("events.parquet"))
+    val stream = spark.readStream.schema(rawSchema).parquet(tmp.toString)
+      .withColumn("tsUs", expr("ts div 1000"))
+      .withColumn("ts", timestamp_micros(col("tsUs")))
+      .select("event_id", "ts", "tsUs", "user_id", "event_type", "value")
+      .as[graft.streaming.Event]
+    val q = graft.streaming.EventStream.sessionizeStreaming(stream, gapMinutes = 30)
+      .writeStream.outputMode("append").format("memory").queryName("sess_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sess_out")
+        .select("user_id", "n_events", "start_us", "end_us")
+        .collect().map(_.toString).toSet
+      val batch = graft.streaming.EventStream
+        .sessionizeBatch(graft.queries.Queries.eventsTbl(spark, dir), gapMinutes = 30)
+        .select(col("user_id"), col("n_events"), col("start_us"), col("end_us"))
+        .collect().map(_.toString).toSet
+      // append mode only emits sessions closed by the watermark; all of
+      // them must agree with the batch gap-and-island result
+      assert(streamed.nonEmpty)
+      assert(streamed.subsetOf(batch),
+        s"streamed-only sessions: ${streamed.diff(batch).take(3)}")
+    } finally q.stop()
+  }
+
   test("sessionize: gap > 30min starts a new session") {
     import spark.implicits._
     val events = Seq(
