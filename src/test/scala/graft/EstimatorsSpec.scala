@@ -69,6 +69,32 @@ class EstimatorsSpec extends AnyFunSuite {
     assert(m.intercept == m.rawCoef(3))
   }
 
+  test("solver x regularizer constructor grid all fit (test_estimators.py:39-44)") {
+    val df = lineitemGlm.limit(300).cache()
+    for {
+      solver <- Seq("admm", "gradient_descent", "newton", "lbfgs", "proximal_grad")
+      reg <- Seq("l1", "l2", "elastic_net")
+      // lbfgs with an L1 component faithfully raises (L1 gradient is
+      // undefined at beta=0, regularizers.py:179-183) — the reference's
+      // grids only pair regularizers with admm/proximal_grad
+      if !(solver == "lbfgs" && (reg == "l1" || reg == "elastic_net"))
+    } {
+      val m = new LogisticRegression(
+        GlmParams(solver = solver, regularizer = reg, maxIter = 2))
+      m.fit(df)
+      assert(m.rawCoef.toArray.forall(v => !v.isNaN), s"$solver/$reg")
+    }
+    df.unpersist()
+  }
+
+  test("SQL-visible minhash_sig via GraftExtensions-style registration") {
+    graft.functions.TextHashFunctions.register(spark)
+    val n = spark.sql(
+      s"SELECT minhash_sig(text) AS s FROM parquet.`${TestSpark.sf0001}/documents.parquet`")
+      .count()
+    assert(n > 0)
+  }
+
   test("fit_intercept=false leaves coef full-length") {
     val df = lineitemGlm
     val m = new LogisticRegression(
