@@ -162,8 +162,12 @@ object Solvers {
   /** Global L-BFGS (algorithms.py:351-419): Breeze LBFGS on the driver,
     * each objective evaluation = ONE fused loss+grad pass with β shipped
     * via closure (≙ scatter, utils.py:208-215). Regularizer wrapping uses
-    * the reference's penalized loss/gradient closures (add_reg_f/grad) —
-    * including L1's raise-at-zero derivative semantics. */
+    * the reference's penalized loss/gradient closures (add_reg_f/grad).
+    *
+    * Deviation from the reference (SURVEY §7.1.8): a pure-L1 regularizer
+    * routes to Breeze OWLQN (orthant-wise L-BFGS) — the reference's
+    * penalized-gradient form is undefined at β=0 and raises on its own
+    * default start. Elastic net keeps the reference's raise semantics. */
   def lbfgs(
       data: GlmData,
       regularizer: Regularizer = null,
@@ -174,16 +178,28 @@ object Solvers {
       normalize: Boolean = true): DenseVector[Double] =
     Normalize(data, normalize) { d =>
       val p = d.numFeatures
+      val pureL1 = regularizer != null && regularizer.isInstanceOf[graft.regularizers.L1] &&
+        !regularizer.isInstanceOf[graft.regularizers.ElasticNet]
       val diff = new DiffFunction[DenseVector[Double]] {
         def calculate(beta: DenseVector[Double]): (Double, DenseVector[Double]) = {
           val (l, g) = Kernels.lossGrad(d, beta, family)
-          if (regularizer == null) (l, g)
+          if (regularizer == null || pureL1) (l, g) // OWLQN owns the L1 term
           else
             (l + lamduh * regularizer.f(beta),
              g + regularizer.gradient(beta) * lamduh)
         }
       }
-      safeLbfgs(diff, DenseVector.zeros[Double](p), maxIter = maxIter, tol = tol)
+      if (pureL1) {
+        val opt = new breeze.optimize.OWLQN[Int, DenseVector[Double]](
+          maxIter, 10, lamduh, tol)
+        var last = DenseVector.zeros[Double](p)
+        try {
+          val it = opt.iterations(diff, last)
+          while (it.hasNext) last = it.next().x
+        } catch { case _: FirstOrderException => () }
+        last
+      } else
+        safeLbfgs(diff, DenseVector.zeros[Double](p), maxIter = maxIter, tol = tol)
     }
 
   // ----------------------------------------------------- proximal grad

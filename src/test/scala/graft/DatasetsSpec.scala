@@ -1,0 +1,58 @@
+package graft
+
+import graft.datasets.Datasets
+import graft.estimators.{GlmParams, LogisticRegression, PoissonRegression}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Generator semantics (datasets.py:8-162): shapes, determinism,
+  * informative-feature signal, Poisson label distribution. */
+class DatasetsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("make_classification: shape, chunking, boolean-as-double labels") {
+    val df = Datasets.makeClassification(spark, nSamples = 500, nFeatures = 10,
+      chunksize = 100, seed = 9)
+    assert(df.count() == 500)
+    assert(df.rdd.getNumPartitions == 5) // ceil(500/100) chunks
+    val labels = df.select(collect_set(col("label"))).head().getSeq[Double](0).toSet
+    assert(labels.subsetOf(Set(0.0, 1.0)))
+    assert(df.select(size(col("features"))).head().getInt(0) == 10)
+  }
+
+  test("same seed => bit-identical dataset; different seed differs") {
+    def sig(seed: Long) = Datasets.makeClassification(spark, 200, 4, seed = seed)
+      .select(md5(concat_ws(",", col("id"),
+        concat_ws(",", transform(col("features"), _.cast("string"))), col("label"))))
+      .collect().map(_.getString(0)).sorted.mkString
+    assert(sig(42) == sig(42))
+    assert(sig(42) != sig(43))
+  }
+
+  test("informative features carry signal: fit recovers accuracy > majority") {
+    val df = Datasets.makeClassification(spark, nSamples = 2000, nFeatures = 5,
+      nInformative = 3, scale = 3.0, chunksize = 500, seed = 1234).cache()
+    val m = new LogisticRegression(GlmParams(solver = "lbfgs", maxIter = 50)).fit(df)
+    val acc = m.score(df)
+    val base = df.select(avg(col("label"))).head().getDouble(0)
+    assert(acc > math.max(base, 1 - base) + 0.02, s"acc=$acc base=$base")
+    df.unpersist()
+  }
+
+  test("make_poisson: non-negative integer labels, mean tracks rate") {
+    val df = Datasets.makePoisson(spark, nSamples = 1000, nFeatures = 3,
+      chunksize = 250, seed = 5)
+    val stats = df.select(min(col("label")), avg(col("label"))).head()
+    assert(stats.getDouble(0) >= 0.0)
+    assert(df.select(sum((col("label") % 1 =!= 0).cast("int"))).head().getLong(0) == 0)
+    val m = new PoissonRegression(GlmParams(solver = "newton", maxIter = 20)).fit(df)
+    assert(m.getDeviance(df) >= 0)
+  }
+
+  test("make_regression labels are U(0,1) noise (reference quirk)") {
+    val df = Datasets.makeRegression(spark, nSamples = 1000, nFeatures = 3, seed = 6)
+    val r = df.select(min(col("label")), max(col("label")), avg(col("label"))).head()
+    assert(r.getDouble(0) >= 0.0 && r.getDouble(1) <= 1.0)
+    assert(math.abs(r.getDouble(2) - 0.5) < 0.05)
+  }
+}

@@ -74,10 +74,9 @@ class EstimatorsSpec extends AnyFunSuite {
     for {
       solver <- Seq("admm", "gradient_descent", "newton", "lbfgs", "proximal_grad")
       reg <- Seq("l1", "l2", "elastic_net")
-      // lbfgs with an L1 component faithfully raises (L1 gradient is
-      // undefined at beta=0, regularizers.py:179-183) — the reference's
-      // grids only pair regularizers with admm/proximal_grad
-      if !(solver == "lbfgs" && (reg == "l1" || reg == "elastic_net"))
+      // lbfgs+elastic_net faithfully raises (L1-part gradient undefined
+      // at beta=0, regularizers.py:179-183); lbfgs+l1 routes to OWLQN
+      if !(solver == "lbfgs" && reg == "elastic_net")
     } {
       val m = new LogisticRegression(
         GlmParams(solver = solver, regularizer = reg, maxIter = 2))

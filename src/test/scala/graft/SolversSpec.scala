@@ -92,6 +92,22 @@ class SolversSpec extends AnyFunSuite {
     }
   }
 
+  test("lbfgs+l1 routes to OWLQN: sparse solution beats a random vector") {
+    val df = Datasets.makeClassification(spark, nSamples = 1000, nFeatures = 4,
+      chunksize = 250, seed = 31337)
+    val data = GlmData.fromDF(df, numFeatures = 4).persist()
+    val reg = Regularizer.get("l1")
+    val lam = 0.5
+    val beta = Solvers.lbfgs(data, regularizer = reg, lamduh = lam, maxIter = 100,
+      tol = 1e-6)
+    val rng = new scala.util.Random(77)
+    val testVec = DenseVector.fill(4)(rng.nextGaussian())
+    val fLoss = Kernels.loss(data, beta, Logistic) + lam * reg.f(beta)
+    val rLoss = Kernels.loss(data, testVec, Logistic) + lam * reg.f(testVec)
+    data.unpersist()
+    assert(fLoss < rLoss)
+  }
+
   test("admm with huge lambda shrinks beta to zero (test_admm.py:50-66)") {
     val df = Datasets.makeClassification(spark, nSamples = 1000, nFeatures = 5,
       chunksize = 200, seed = 2)
