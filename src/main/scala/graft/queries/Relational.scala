@@ -318,6 +318,69 @@ object Relational {
           COUNT(DISTINCT l_partkey) AS n_part
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // ---- cube (all grouping-set combinations)
+    Q("q10b_cube",
+      (s, dir) =>
+        tbl(s, dir, "orders")
+          .cube(col("o_orderpriority"), col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"))
+          .select(
+            coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+            coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+            col("n"))
+          .orderBy("prio", "status"),
+      Some("""SELECT COALESCE(o_orderpriority, 'ALL') AS prio,
+          COALESCE(o_orderstatus, 'ALL') AS status, COUNT(*) AS n
+        FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
+        ORDER BY prio, status""")),
+
+    // ---- pivot (statuses to columns; portable CASE-sum oracle)
+    Q("q19_pivot",
+      (s, dir) =>
+        tbl(s, dir, "orders")
+          .groupBy(col("o_orderpriority"))
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .select(col("o_orderpriority"),
+            col("F").as("n_f"), col("O").as("n_o"), col("P").as("n_p"))
+          .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+          CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+          CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+          CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ---- native JSON extraction from props
+    Q("q12b_json",
+      (s, dir) =>
+        eventsTbl(s, dir)
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("k")).cast("long").as("k_sum"),
+            min(col("k")).as("k_min"), max(col("k")).as("k_max")),
+      Some("""SELECT COUNT(*) AS n,
+          CAST(SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum,
+          CAST(MIN(CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER)) AS INTEGER) AS k_min,
+          CAST(MAX(CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER)) AS INTEGER) AS k_max
+        FROM events""")),
+
+    // ---- exact interpolated percentiles per group
+    Q("q37_percentiles",
+      (s, dir) =>
+        tbl(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            expr("percentile(l_quantity, 0.25)").as("p25"),
+            expr("percentile(l_quantity, 0.5)").as("p50"),
+            expr("percentile(l_quantity, 0.95)").as("p95"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+          QUANTILE_CONT(l_quantity, 0.25) AS p25,
+          QUANTILE_CONT(l_quantity, 0.5) AS p50,
+          QUANTILE_CONT(l_quantity, 0.95) AS p95
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // ---- case expressions + conditional aggregation
     Q("q18_case_agg",
       (s, dir) =>

@@ -149,6 +149,43 @@ object TextQueries {
         WHERE CAST(common AS DOUBLE) / (s1.n_sh + s2.n_sh - common) >= 0.05
         ORDER BY d1, d2""")),
 
+    // ---- corpus term frequencies: explode → group → top terms
+    Q("q38_term_freq",
+      (s, dir) =>
+        tbl(s, dir, "documents")
+          .select(explode(toksCol).as("term"))
+          .groupBy("term")
+          .agg(count(lit(1)).as("tf"))
+          .orderBy(col("tf").desc, col("term").asc)
+          .limit(20),
+      Some("""SELECT term, COUNT(*) AS tf
+        FROM (SELECT UNNEST(REGEXP_SPLIT_TO_ARRAY(text, ' +')) AS term FROM documents)
+        GROUP BY term ORDER BY tf DESC, term ASC LIMIT 20""")),
+
+    // ---- TF-IDF weights: tf · ln(N/df), rounded to absorb ln() ulps
+    Q("q39_tfidf",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val terms = docs.select(col("doc_id"), explode(toksCol).as("term"))
+        val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val df_ = terms.select("doc_id", "term").distinct()
+          .groupBy("term").agg(count(lit(1)).as("df"))
+        val n = docs.select(count(lit(1)).as("n_docs"))
+        tf.join(df_, "term").crossJoin(broadcast(n))
+          .filter(col("doc_id") < 50)
+          .select(col("doc_id"), col("term"),
+            round(col("tf") * log(col("n_docs") / col("df")), 6).as("tfidf"))
+          .orderBy("doc_id", "term")
+      },
+      Some("""WITH terms AS (
+          SELECT doc_id, UNNEST(REGEXP_SPLIT_TO_ARRAY(text, ' +')) AS term FROM documents),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+        dfc AS (SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY 1),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        SELECT doc_id, tf.term AS term, ROUND(tf * LN(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+        FROM tf JOIN dfc ON tf.term = dfc.term, n
+        WHERE doc_id < 50 ORDER BY doc_id, term""")),
+
     // ---- per-source corpus stats (group agg over the doc table)
     Q("q36_source_stats",
       (s, dir) =>
