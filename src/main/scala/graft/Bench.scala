@@ -53,7 +53,8 @@ object Bench {
         array(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
           col("l_tax"), col("l_linenumber").cast("double")).as("features"),
         (col("l_returnflag") === "R").cast("double").as("label"))
-      new LogisticRegression(GlmParams(solver = "admm", maxIter = 20)).fit(df)
+      new LogisticRegression(GlmParams(solver = "admm", maxIter = 20,
+        nPartitions = cpus.toInt)).fit(df)
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

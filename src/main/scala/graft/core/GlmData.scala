@@ -79,7 +79,13 @@ object GlmData {
     val (p, sparse) =
       if (numFeatures > 0 && !isVectorUdt) (numFeatures, false)
       else {
-        val first = rdd.first()._1
+        val first =
+          try rdd.first()._1
+          catch {
+            case _: UnsupportedOperationException | _: NoSuchElementException =>
+              throw new IllegalArgumentException(
+                "empty dataset: GlmData requires at least one row to infer numFeatures")
+          }
         (if (numFeatures > 0) numFeatures else first.size,
          first.isInstanceOf[MlSparse])
       }

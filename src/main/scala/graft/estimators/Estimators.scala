@@ -24,7 +24,12 @@ final case class GlmParams(
     reltol: Double = 1e-2,
     normalize: Boolean = true,
     featuresCol: String = "features",
-    labelCol: String = "label")
+    labelCol: String = "label",
+    /** repartition the assembled rows before solving; controls ADMM's
+      * chunk count and kernel parallelism (≙ dask chunksize; -1 keeps the
+      * scan's natural partitioning, which for a single dense parquet file
+      * can be 1 — far below the executor-thread count) */
+    nPartitions: Int = -1)
 
 /** Base GLM estimator (estimators.py:19-98): DataFrame in, fitted
   * coefficients out. The intercept is the LAST coefficient when
@@ -41,7 +46,8 @@ abstract class GLM(val params: GlmParams) extends Serializable {
   def intercept: Double = if (params.fitIntercept) rawCoef(rawCoef.length - 1) else 0.0
 
   def fit(df: DataFrame): this.type = {
-    val base = GlmData.fromDF(df, params.featuresCol, params.labelCol)
+    val base0 = GlmData.fromDF(df, params.featuresCol, params.labelCol)
+    val base = if (params.nPartitions > 0) base0.repartition(params.nPartitions) else base0
     val data = (if (params.fitIntercept) base.addIntercept else base).persist()
     // sparse input disables normalization (estimators.py:82-84 — centering
     // would densify)

@@ -1,0 +1,79 @@
+package graft
+
+import graft.core.GlmData
+import graft.datasets.Datasets
+import graft.families.Logistic
+import graft.linalg.Kernels
+import graft.solvers.Solvers
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The physical-execution contract from SURVEY §4: jobs per solver
+  * iteration must match (or beat) the reference's `compute` count —
+  * Newton = 1 fused pass/iter, ADMM = 1 mapPartitions pass/iter, kernels
+  * are single jobs. Counted with a SparkListener. */
+class JobCountSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def countJobs(body: => Unit): Int = {
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        counter.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      body
+      Thread.sleep(300) // let listener events drain
+    } finally spark.sparkContext.removeSparkListener(listener)
+    counter.get()
+  }
+
+  test("each kernel is exactly ONE Spark job") {
+    val data = Datasets.makeInterceptData(spark, 500, 3).persist()
+    data.rows.count() // materialize cache outside the counted region
+    val b = breeze.linalg.DenseVector.zeros[Double](4)
+    assert(countJobs(Kernels.lossGrad(data, b, Logistic)) == 1)
+    assert(countJobs(Kernels.gradHess(data, b, Logistic)) == 1)
+    assert(countJobs(Kernels.colStats(data)) == 1)
+    assert(countJobs(
+      Kernels.lossLadder(data, b, b, Array(1.0, 0.5, 0.1), Logistic)) == 1)
+    data.unpersist()
+  }
+
+  test("newton: 1 fused job per iteration (+1 stats, +2 normalize overhead)") {
+    val data = Datasets.makeInterceptData(spark, 500, 3).persist()
+    data.rows.count()
+    val iters = 5
+    val jobs = countJobs {
+      Solvers.newton(data, maxIter = iters, tol = 0.0) // tol=0 forces maxIter
+    }
+    // normalize: 1 colStats + persist-materialization job(s); then 1
+    // gradHess per iteration. maxIter+1 iterations run (reference's
+    // `iter_count > max_iter` loop bound) + generous overhead allowance.
+    assert(jobs <= iters + 1 + 4, s"jobs=$jobs")
+    data.unpersist()
+  }
+
+  test("admm: 1 local-solve job per iteration (+ normalize overhead)") {
+    val data = Datasets.makeInterceptData(spark, 500, 3).persist()
+    data.rows.count()
+    val iters = 4
+    val jobs = countJobs {
+      Solvers.admm(data, maxIter = iters, lamduh = 0.1)
+    }
+    assert(jobs <= iters + 4, s"jobs=$jobs")
+    data.unpersist()
+  }
+
+  test("empty input raises a clear error") {
+    import org.apache.spark.sql.types._
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("features", ArrayType(DoubleType)),
+        StructField("label", DoubleType))))
+    val e = intercept[IllegalArgumentException](GlmData.fromDF(empty))
+    assert(e.getMessage.contains("empty dataset"))
+  }
+}
