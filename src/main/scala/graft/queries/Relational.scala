@@ -381,6 +381,35 @@ object Relational {
           QUANTILE_CONT(l_quantity, 0.95) AS p95
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // ---- sketch aggregations (the 100 TB path for distinct/quantile):
+    // engine-specific estimators → rows-only check by design; exact
+    // counterparts are q17/q37
+    Q("q47_hll_distinct",
+      (s, dir) =>
+        tbl(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
+            countDistinct(col("l_partkey")).as("exact_parts"))
+          .withColumn("rel_err",
+            abs(col("approx_parts") - col("exact_parts")).cast("double") / col("exact_parts"))
+          .filter(col("rel_err") < 0.05) // sketch sanity gate baked into the query
+          .orderBy("l_returnflag"),
+      None),
+    Q("q48_approx_quantiles",
+      (s, dir) =>
+        tbl(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)").as("approx"),
+            expr("percentile(l_extendedprice, 0.5)").as("exact_p50"))
+          .withColumn("p50_rel_err",
+            abs(element_at(col("approx"), 1) - col("exact_p50")) / col("exact_p50"))
+          .filter(col("p50_rel_err") < 0.05)
+          .select("l_returnflag", "exact_p50", "p50_rel_err")
+          .orderBy("l_returnflag"),
+      None),
+
     // ---- case expressions + conditional aggregation
     Q("q18_case_agg",
       (s, dir) =>

@@ -24,8 +24,10 @@ class QueriesSpec extends AnyFunSuite {
   }
 
   test("every query name has oracle SQL or documented rows-only status") {
-    val noOracle = Queries.all.filter(_.oracle.isEmpty).map(_.name)
-    assert(noOracle == Seq("q28_random_split"), s"unexpected rows-only: $noOracle")
+    // rows-only by design: engine-specific RNG / sketch estimators
+    val allowed = Set("q28_random_split", "q47_hll_distinct", "q48_approx_quantiles")
+    val noOracle = Queries.all.filter(_.oracle.isEmpty).map(_.name).toSet
+    assert(noOracle == allowed, s"unexpected rows-only: $noOracle")
   }
 
   test("oracle SQL references only harness table names") {
