@@ -54,7 +54,7 @@ object Bench {
           col("l_tax"), col("l_linenumber").cast("double")).as("features"),
         (col("l_returnflag") === "R").cast("double").as("label"))
       new LogisticRegression(GlmParams(solver = "admm", maxIter = 20,
-        nPartitions = cpus.toInt)).fit(df)
+        nPartitions = cpus.toInt, admmWarmStart = true)).fit(df)
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

@@ -29,7 +29,11 @@ final case class GlmParams(
       * chunk count and kernel parallelism (≙ dask chunksize; -1 keeps the
       * scan's natural partitioning, which for a single dense parquet file
       * can be 1 — far below the executor-thread count) */
-    nPartitions: Int = -1)
+    nPartitions: Int = -1,
+    /** warm-start ADMM local solves from the previous iterate (the
+      * reference restarts from ones every iteration — a quirk; warm
+      * start is the fast path, default off for parity) */
+    admmWarmStart: Boolean = false)
 
 /** Base GLM estimator (estimators.py:19-98): DataFrame in, fitted
   * coefficients out. The intercept is the LAST coefficient when
@@ -59,7 +63,8 @@ abstract class GLM(val params: GlmParams) extends Serializable {
         regularizer = Regularizer.get(params.regularizer),
         lamduh = params.lamduh, rho = params.rho,
         overRelax = params.overRelax, abstol = params.abstol,
-        reltol = params.reltol, normalize = normalize)
+        reltol = params.reltol, normalize = normalize,
+        admmWarmStart = params.admmWarmStart)
     } finally data.unpersist()
     this
   }

@@ -36,7 +36,11 @@ object Normalize {
     val sArr = std.toArray
     // standardization densifies by construction (x − mean is dense unless
     // mean is 0) — the reason the estimator disables normalize for sparse
-    // input (estimators.py:82-84)
+    // input (estimators.py:82-84). The standardized rows derive LAZILY
+    // from the (cached) parent on every kernel pass instead of persisting
+    // a second copy of the dataset — at 100 TB a materialized Xn doubles
+    // the cache footprint for what is two flops per value (SURVEY A5:
+    // fold scaling into the kernels).
     val xn = new GlmData(
       data.rows.map { case (x, y) =>
         val xa = x.toArray
@@ -45,17 +49,15 @@ object Normalize {
         while (i < xa.length) { out(i) = (xa(i) - mArr(i)) / sArr(i); i += 1 }
         (org.apache.spark.ml.linalg.Vectors.dense(out), y)
       },
-      p, isSparse = false).persist()
-    try {
-      val out = solve(xn).copy
-      // un-transform: out[i] -= Σ(out·mean/std) at the intercept slot; out /= std
-      var iAdj = 0.0
-      var i = 0
-      while (i < p) { iAdj += out(i) * mArr(i) / sArr(i); i += 1 }
-      interceptIdx.foreach(i => out(i) -= iAdj)
-      i = 0
-      while (i < p) { out(i) /= sArr(i); i += 1 }
-      out
-    } finally xn.unpersist()
+      p, isSparse = false)
+    val out = solve(xn).copy
+    // un-transform: out[i] -= Σ(out·mean/std) at the intercept slot; out /= std
+    var iAdj = 0.0
+    var i = 0
+    while (i < p) { iAdj += out(i) * mArr(i) / sArr(i); i += 1 }
+    interceptIdx.foreach(i => out(i) -= iAdj)
+    i = 0
+    while (i < p) { out(i) /= sArr(i); i += 1 }
+    out
   }
 }

@@ -284,21 +284,25 @@ object Solvers {
       abstol: Double = 1e-4,
       reltol: Double = 1e-2,
       family: Family = Logistic,
-      normalize: Boolean = true): DenseVector[Double] =
+      normalize: Boolean = true,
+      warmStart: Boolean = false): DenseVector[Double] =
     Normalize(data, normalize) { d =>
       val p = d.numFeatures
       val nchunks = math.max(d.numPartitions, 1)
       var z = DenseVector.zeros[Double](p)
       val u = Array.fill(nchunks)(DenseVector.zeros[Double](p))
       // NOTE: the reference never reassigns `betas` inside its loop
-      // (algorithms.py:302-312) — every x-update warm-starts from the
-      // initial all-ones vector. Reproduced as-is for parity.
-      val betas = Array.fill(nchunks)(DenseVector.ones[Double](p))
+      // (algorithms.py:302-312) — every x-update restarts from the
+      // initial all-ones vector. Reproduced as the default for parity;
+      // `warmStart = true` reuses each chunk's previous solution, which
+      // cuts the local L-BFGS work sharply once the consensus stabilizes.
+      var betas = Array.fill(nchunks)(DenseVector.ones[Double](p))
 
       var k = 0
       var done = false
       while (k < maxIter && !done) {
         val newBetas = localSolves(d, betas, z, u, rho, family)
+        if (warmStart) betas = newBetas
 
         val betaHat = newBetas.map(b => b * overRelax + z * (1.0 - overRelax))
 
@@ -390,7 +394,8 @@ object Solvers {
       overRelax: Double,
       abstol: Double,
       reltol: Double,
-      normalize: Boolean): DenseVector[Double] = name match {
+      normalize: Boolean,
+      admmWarmStart: Boolean = false): DenseVector[Double] = name match {
     case "gradient_descent" =>
       gradientDescent(data, maxIter, tol, family, normalize)
     case "newton" => newton(data, maxIter, tol, family, normalize)
@@ -400,7 +405,7 @@ object Solvers {
       proximalGrad(data, regularizer, lamduh, family, maxIter, tol, normalize)
     case "admm" =>
       admm(data, regularizer, lamduh, rho, overRelax, maxIter, abstol, reltol,
-        family, normalize)
+        family, normalize, admmWarmStart)
     case other => throw new IllegalArgumentException(s"Unknown solver: $other")
   }
 }
