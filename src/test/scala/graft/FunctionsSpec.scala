@@ -31,6 +31,26 @@ class FunctionsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
   }
 
+  test("GlmLossGradAggregator (UDAF facade) equals the RDD kernel") {
+    import graft.functions.{GlmLossGradAggregator, GlmRow}
+    import graft.families.Logistic
+    val li = spark.read.parquet(s"${TestSpark.sf0001}/lineitem.parquet")
+    val df = li.select(
+      array(col("l_quantity"), col("l_discount")).as("features"),
+      (col("l_returnflag") === "R").cast("double").as("label"))
+    val beta = Array(0.02, -1.3)
+    val ds = df.as[GlmRow]
+    val agg = new GlmLossGradAggregator(Logistic, beta)
+    val viaUdaf = ds.select(agg.toColumn).head()
+    val data = graft.core.GlmData.fromDF(df, numFeatures = 2)
+    val (loss, grad) = graft.linalg.Kernels.lossGrad(
+      data, breeze.linalg.DenseVector(beta), Logistic)
+    assert(math.abs(viaUdaf.loss - loss) < 1e-9 * math.abs(loss))
+    viaUdaf.grad.zip(grad.toArray).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9 * math.max(1.0, math.abs(b)))
+    }
+  }
+
   test("metrics: accuracy, mse, poisson deviance (log1p form)") {
     val df = Seq((1.0, 1.0), (0.0, 1.0), (1.0, 1.0), (0.0, 0.0))
       .toDF("y", "p")

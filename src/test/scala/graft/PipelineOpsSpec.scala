@@ -123,6 +123,41 @@ class PipelineOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermark drops events later than the threshold (late-data path)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val agg = events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("late_out").start()
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2020-01-01 10:$m%02d:00")
+    try {
+      input.addData((ts(0), "a", 1.0), (ts(1), "a", 1.0))
+      q.processAllAvailable()
+      // advance event time far past the first window + watermark → closes it
+      input.addData((ts(30), "a", 1.0))
+      q.processAllAvailable()
+      val afterClose = spark.table("late_out").count()
+      assert(afterClose >= 1) // [10:00,10:05) window emitted with n=2
+      val closed = spark.table("late_out")
+        .filter(col("event_type") === "a").agg(sum(col("n"))).head().getLong(0)
+      assert(closed == 2)
+      // a straggler inside the long-closed window must be DROPPED
+      input.addData((ts(2), "a", 99.0))
+      q.processAllAvailable()
+      input.addData((ts(55), "a", 1.0)) // close everything else
+      q.processAllAvailable()
+      val total = spark.table("late_out").agg(sum(col("n"))).head().getLong(0)
+      assert(total == 3, s"late event was not dropped (total=$total)") // 2 + 1(ts30), late 99 dropped, ts55 still open
+    } finally q.stop()
+  }
+
   test("sessionize: gap > 30min starts a new session") {
     import spark.implicits._
     val events = Seq(
