@@ -37,11 +37,13 @@ class SolversSpec extends AnyFunSuite {
     data.unpersist()
   }
 
-  test("moment condition holds at (N=95,p=6) too") {
-    val data = Datasets.makeInterceptData(spark, 95, 6, seed = 70605).persist()
-    val beta = Solvers.newton(data)
-    assert(momentGap(data, beta) <= 1e-1)
-    data.unpersist()
+  test("moment condition holds at (N=95,p=6) and (N=250,p=12) too") {
+    for ((n, p, seed) <- Seq((95, 6, 70605L), (250, 12, 90210L))) {
+      val data = Datasets.makeInterceptData(spark, n, p, seed = seed).persist()
+      val beta = Solvers.newton(data)
+      assert(momentGap(data, beta) <= 1e-1, s"N=$n p=$p")
+      data.unpersist()
+    }
   }
 
   private def fitBeatsRandom(solver: String, familyName: String, regName: String,
