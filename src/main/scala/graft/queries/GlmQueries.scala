@@ -62,9 +62,9 @@ object GlmQueries {
         li.agg(
             count(lit(1)).as("n"),
             dsum(col("l_quantity")).as("s_q"),
-            dsum(col("l_quantity") * col("l_quantity"), 30, 8).as("ss_q"),
+            dsum(col("l_quantity") * col("l_quantity"), 30, 4).as("ss_q"),
             dsum(col("l_discount")).as("s_d"),
-            dsum(col("l_discount") * col("l_discount"), 30, 12).as("ss_d"))
+            dsum(col("l_discount") * col("l_discount"), 30, 8).as("ss_d"))
           .select(
             col("n"),
             (col("s_q") / col("n")).as("mean_qty"),
@@ -78,9 +78,9 @@ object GlmQueries {
           ss_d / n - (s_d / n) * (s_d / n) AS var_disc
         FROM (SELECT COUNT(*) AS n,
           ${dsumSql("l_quantity")} AS s_q,
-          ${dsumSql("l_quantity * l_quantity", 30, 8)} AS ss_q,
+          ${dsumSql("l_quantity * l_quantity", 30, 4)} AS ss_q,
           ${dsumSql("l_discount")} AS s_d,
-          ${dsumSql("l_discount * l_discount", 30, 12)} AS ss_d
+          ${dsumSql("l_discount * l_discount", 30, 8)} AS ss_d
         FROM lineitem)""")),
 
     // ---- A2 for the Normal family: gradient 2·Xᵀ(Xβ−y) at fixed β,
@@ -89,26 +89,32 @@ object GlmQueries {
       (s, dir) => {
         val li = tbl(s, dir, "lineitem")
         val resid = marginCol - labelCol
+        // outputs stay DECIMAL: a double conversion of a wide exact sum
+        // rounds differently across engines (Java BigDecimal.doubleValue
+        // is correctly rounded; DuckDB divides the int128 by 10^scale)
+        def dsumDec(c: org.apache.spark.sql.Column) =
+          sum(c.cast(org.apache.spark.sql.types.DecimalType(28, 10)))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 10))
         li.agg(
-          dsum(lit(2.0) * col("l_quantity") * resid, 38, 10).as("g_qty"),
-          dsum(lit(2.0) * (col("l_extendedprice") / lit(100000.0)) * resid, 38, 10).as("g_price"),
-          dsum(lit(2.0) * col("l_discount") * resid, 38, 10).as("g_disc"),
-          dsum(lit(2.0) * resid, 38, 10).as("g_intercept"))
+          dsumDec(lit(2.0) * col("l_quantity") * resid).as("g_qty"),
+          dsumDec(lit(2.0) * (col("l_extendedprice") / lit(100000.0)) * resid).as("g_price"),
+          dsumDec(lit(2.0) * col("l_discount") * resid).as("g_disc"),
+          dsumDec(lit(2.0) * resid).as("g_intercept"))
       },
       Some(s"""SELECT
-          ${dsumSql(s"2.0 * l_quantity * (($marginSql) - $labelSql)", 38, 10)} AS g_qty,
-          ${dsumSql(s"2.0 * (l_extendedprice / 100000.0) * (($marginSql) - $labelSql)", 38, 10)} AS g_price,
-          ${dsumSql(s"2.0 * l_discount * (($marginSql) - $labelSql)", 38, 10)} AS g_disc,
-          ${dsumSql(s"2.0 * (($marginSql) - $labelSql)", 38, 10)} AS g_intercept
+          CAST(SUM(CAST(2.0 * l_quantity * (($marginSql) - $labelSql) AS DECIMAL(28,10))) AS DECIMAL(38,10)) AS g_qty,
+          CAST(SUM(CAST(2.0 * (l_extendedprice / 100000.0) * (($marginSql) - $labelSql) AS DECIMAL(28,10))) AS DECIMAL(38,10)) AS g_price,
+          CAST(SUM(CAST(2.0 * l_discount * (($marginSql) - $labelSql) AS DECIMAL(28,10))) AS DECIMAL(38,10)) AS g_disc,
+          CAST(SUM(CAST(2.0 * (($marginSql) - $labelSql) AS DECIMAL(28,10))) AS DECIMAL(38,10)) AS g_intercept
         FROM lineitem""")),
 
     // ---- Normal loss (SSE, the reference's unscaled form) at fixed β
     Q("q24_sse_loss",
       (s, dir) => {
         val r = labelCol - marginCol
-        tbl(s, dir, "lineitem").agg(dsum(r * r, 38, 12).as("sse"))
+        tbl(s, dir, "lineitem").agg(dsum(r * r, 38, 6).as("sse"))
       },
-      Some(s"""SELECT ${dsumSql(s"($labelSql - ($marginSql)) * ($labelSql - ($marginSql))", 38, 12)} AS sse
+      Some(s"""SELECT ${dsumSql(s"($labelSql - ($marginSql)) * ($labelSql - ($marginSql))", 38, 6)} AS sse
         FROM lineitem""")),
 
     // ---- Gram matrix XᵀX upper triangle at fixed features (A3 kernel,
@@ -119,21 +125,24 @@ object GlmQueries {
         val q = col("l_quantity")
         val pr = col("l_extendedprice") / lit(100000.0)
         val d = col("l_discount")
+        def dsumDec(c: org.apache.spark.sql.Column, sc: Int) =
+          sum(c.cast(org.apache.spark.sql.types.DecimalType(28, sc)))
+            .cast(org.apache.spark.sql.types.DecimalType(38, sc))
         li.agg(
-          dsum(q * q, 38, 8).as("g_qq"),
-          dsum(q * pr, 38, 10).as("g_qp"),
-          dsum(q * d, 38, 10).as("g_qd"),
-          dsum(pr * pr, 38, 12).as("g_pp"),
-          dsum(pr * d, 38, 12).as("g_pd"),
-          dsum(d * d, 38, 12).as("g_dd"))
+          dsumDec(q * q, 8).as("g_qq"),
+          dsumDec(q * pr, 10).as("g_qp"),
+          dsumDec(q * d, 10).as("g_qd"),
+          dsumDec(pr * pr, 12).as("g_pp"),
+          dsumDec(pr * d, 12).as("g_pd"),
+          dsumDec(d * d, 12).as("g_dd"))
       },
       Some(s"""SELECT
-          ${dsumSql("l_quantity * l_quantity", 38, 8)} AS g_qq,
-          ${dsumSql("l_quantity * (l_extendedprice / 100000.0)", 38, 10)} AS g_qp,
-          ${dsumSql("l_quantity * l_discount", 38, 10)} AS g_qd,
-          ${dsumSql("(l_extendedprice / 100000.0) * (l_extendedprice / 100000.0)", 38, 12)} AS g_pp,
-          ${dsumSql("(l_extendedprice / 100000.0) * l_discount", 38, 12)} AS g_pd,
-          ${dsumSql("l_discount * l_discount", 38, 12)} AS g_dd
+          CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,8))) AS DECIMAL(38,8)) AS g_qq,
+          CAST(SUM(CAST(l_quantity * (l_extendedprice / 100000.0) AS DECIMAL(28,10))) AS DECIMAL(38,10)) AS g_qp,
+          CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(28,10))) AS DECIMAL(38,10)) AS g_qd,
+          CAST(SUM(CAST((l_extendedprice / 100000.0) * (l_extendedprice / 100000.0) AS DECIMAL(28,12))) AS DECIMAL(38,12)) AS g_pp,
+          CAST(SUM(CAST((l_extendedprice / 100000.0) * l_discount AS DECIMAL(28,12))) AS DECIMAL(38,12)) AS g_pd,
+          CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(28,12))) AS DECIMAL(38,12)) AS g_dd
         FROM lineitem""")),
 
     // ---- logistic probability per row, rounded to absorb libm exp ulps

@@ -38,12 +38,16 @@ object Queries {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
-  /** Exact decimal sum of a double column, surfaced as double. */
-  def dsum(c: Column, precision: Int = 30, scale: Int = 6): Column =
+  /** Exact decimal sum of a double column, surfaced as double. Scale is
+    * chosen so the sum's UNSCALED value stays below 2^53: then both
+    * engines' decimal→double conversions are the unique correctly-rounded
+    * result (wider decimals convert with engine-dependent last-ulp
+    * rounding — Java BigDecimal vs DuckDB int128/10^scale division). */
+  def dsum(c: Column, precision: Int = 30, scale: Int = 4): Column =
     sum(c.cast(DecimalType(precision, scale))).cast("double")
 
   /** DuckDB side of [[dsum]]. */
-  def dsumSql(expr: String, precision: Int = 30, scale: Int = 6): String =
+  def dsumSql(expr: String, precision: Int = 30, scale: Int = 4): String =
     s"CAST(SUM(CAST($expr AS DECIMAL($precision,$scale))) AS DOUBLE)"
 
   val all: Seq[Q] =

@@ -246,7 +246,7 @@ object Relational {
             min(col("l_quantity")).as("min_qty"),
             max(col("l_quantity")).as("max_qty"),
             dsum(col("l_discount")).as("sum_disc"),
-            dsum(col("l_discount") * col("l_discount"), 30, 12).as("sumsq_disc"))
+            dsum(col("l_discount") * col("l_discount"), 30, 8).as("sumsq_disc"))
           .withColumn("mean_qty", col("sum_qty") / col("n"))
           .withColumn("mean_disc", col("sum_disc") / col("n"))
           .withColumn("var_disc",
@@ -260,7 +260,7 @@ object Relational {
           ${dsumSql("l_quantity")} AS sum_qty,
           MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
           ${dsumSql("l_discount")} AS sum_disc,
-          ${dsumSql("l_discount * l_discount", 30, 12)} AS sumsq_disc
+          ${dsumSql("l_discount * l_discount", 30, 8)} AS sumsq_disc
         FROM lineitem)""")),
 
     // ---- scalar subquery predicate (above-average filter)
