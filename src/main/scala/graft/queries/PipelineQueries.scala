@@ -143,6 +143,32 @@ object PipelineQueries {
         FROM events GROUP BY 1, 2 ORDER BY win_us, event_type"""),
       bench = true),
 
+    // ---- as-of join: each event ↔ the user's most recent order at or
+    // before the event time (composed union+window operator; oracle is
+    // DuckDB's native ASOF JOIN). Right side deduped per (key, time) for
+    // deterministic tie behavior.
+    Q("q62_asof_join",
+      (s, dir) => {
+        val ev = eventsTbl(s, dir).filter(col("user_id") <= 100)
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val ord = tbl(s, dir, "orders")
+          .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+          .groupBy(col("o_custkey"), col("o_orderdate"))
+          .agg(max(col("o_orderkey")).as("o_orderkey"))
+        graft.ops.AsOfJoin.asOf(ev, ord, "user_id", "o_custkey", "ts", "o_orderdate",
+            Seq("o_orderkey", "o_orderdate"))
+          .select(col("event_id"), col("user_id"), col("o_orderkey"),
+            unix_micros(col("o_orderdate")).as("ord_us"))
+          .orderBy("event_id")
+      },
+      Some("""WITH ord AS (
+          SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+          FROM orders GROUP BY 1, 2)
+        SELECT event_id, user_id, o_orderkey, EPOCH_US(o_orderdate) AS ord_us
+        FROM (SELECT event_id, user_id, ts FROM events WHERE user_id <= 100) e
+        ASOF JOIN ord ON e.user_id = ord.o_custkey AND e.ts >= ord.o_orderdate
+        ORDER BY event_id""")),
+
     // ---- sessionization (gap-and-island batch twin of the stateful path)
     Q("q61_sessionize",
       (s, dir) =>

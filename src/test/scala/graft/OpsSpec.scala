@@ -73,6 +73,29 @@ class OpsSpec extends AnyFunSuite {
     assert(out.count() > 0)
   }
 
+  test("as-of join: inclusive at equal time, latest prior match, unmatched dropped") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val trades = Seq(
+      (1L, 10L, ts("2020-01-01 10:00:05")),
+      (2L, 10L, ts("2020-01-01 10:00:10")), // exactly at quote q2 time
+      (3L, 10L, ts("2020-01-01 09:00:00")), // before any quote → dropped
+      (4L, 20L, ts("2020-01-01 10:00:07")))
+      .toDF("trade_id", "sym", "t")
+    val quotes = Seq(
+      (10L, ts("2020-01-01 10:00:00"), 100.0),
+      (10L, ts("2020-01-01 10:00:10"), 101.0),
+      (20L, ts("2020-01-01 10:00:06"), 55.0))
+      .toDF("qsym", "qt", "price")
+    val out = graft.ops.AsOfJoin.asOf(trades, quotes, "sym", "qsym", "t", "qt",
+        Seq("price"))
+      .orderBy("trade_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L))
+    assert(out(0).getDouble(3) == 100.0) // trade 1 → 10:00:00 quote
+    assert(out(1).getDouble(3) == 101.0) // trade 2 → inclusive 10:00:10 quote
+    assert(out(2).getDouble(3) == 55.0)
+  }
+
   test("cosine near-dups within LSH buckets") {
     val e = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
     val bucket = Similarity.lshBucket(col("embedding"), dim = 64, nBits = 2)
