@@ -169,6 +169,30 @@ object PipelineQueries {
         ASOF JOIN ord ON e.user_id = ord.o_custkey AND e.ts >= ord.o_orderdate
         ORDER BY event_id""")),
 
+    // ---- range join: events.value into derived [lo, hi) buckets — the
+    // small range table broadcasts, so the fact side is one scan with a
+    // conditional broadcast join (the scale shape for interval joins;
+    // for range-vs-range at scale, bucket both sides first)
+    Q("q63_range_join",
+      (s, dir) => {
+        val ranges = tbl(s, dir, "nation")
+          .select(col("n_nationkey").as("bkt"),
+            (col("n_nationkey") * 4.0).as("lo"),
+            (col("n_nationkey") * 4.0 + 4.0).as("hi"))
+        val ev = eventsTbl(s, dir).select(col("event_id"), col("value"))
+        ev.join(broadcast(ranges),
+            col("value") >= col("lo") && col("value") < col("hi"))
+          .groupBy(col("bkt"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+          .orderBy("bkt")
+      },
+      Some(s"""SELECT bkt, COUNT(*) AS n, ${dsumSql("value")} AS total
+        FROM events JOIN (
+          SELECT n_nationkey AS bkt, n_nationkey * 4.0 AS lo,
+                 n_nationkey * 4.0 + 4.0 AS hi FROM nation) r
+          ON value >= lo AND value < hi
+        GROUP BY bkt ORDER BY bkt""")),
+
     // ---- sessionization (gap-and-island batch twin of the stateful path)
     Q("q61_sessionize",
       (s, dir) =>
