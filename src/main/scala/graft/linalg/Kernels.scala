@@ -24,8 +24,24 @@ import org.apache.spark.ml.linalg.{DenseVector => MlDense, SparseVector => MlSpa
   */
 object Kernels {
 
-  /** Deterministic aggregate: per-partition seqOp, driver-side combine in
-    * partition order. U must be O(p²) small. */
+  /** Partition counts above this use the tree combine; below it, a direct
+    * driver-side fold (cheaper: no extra stage) — both bit-deterministic. */
+  private[graft] val TreeCombineThreshold = 128
+
+  /** Deterministic aggregate: per-partition seqOp, then partials combined
+    * in partition-index order. U must be O(p²) small.
+    *
+    * Scale shape: a flat collect of n partials is O(n·p²) through the
+    * driver — fine at local partition counts, a scale-killer at the 10⁵–10⁶
+    * partitions a 100 TB input produces. Above [[TreeCombineThreshold]] we
+    * insert one tree level: partials are grouped by contiguous runs of
+    * ⌈√n⌉ partition ids, each group left-folded in id order inside a single
+    * reducer, and the ≤√n group results left-folded on the driver (ordered
+    * analog of MLlib's treeAggregate(depth=2)). The combine tree is a pure
+    * function of the partition count, so results stay bit-identical
+    * run-to-run (the reference's determinism contract,
+    * test_algos_families.py:141-160) while driver traffic drops from
+    * O(n·p²) to O(√n·p²). */
   def partitionAggregate[U: scala.reflect.ClassTag](
       data: GlmData)(zero: () => U)(
       seqOp: (U, MlVector, Double) => U,
@@ -39,9 +55,23 @@ object Kernels {
         }
         Iterator.single((idx, acc))
       }
-      .collect()
-    if (partials.isEmpty) zero()
-    else partials.sortBy(_._1).map(_._2).reduceLeft(combOp)
+    val n = data.rows.getNumPartitions
+    if (n <= TreeCombineThreshold) {
+      val arr = partials.collect()
+      if (arr.isEmpty) zero()
+      else arr.sortBy(_._1).map(_._2).reduceLeft(combOp)
+    } else {
+      val groupSize = math.ceil(math.sqrt(n.toDouble)).toInt
+      val numGroups = (n + groupSize - 1) / groupSize
+      val groupFolds = partials
+        .map { case (idx, u) => (idx / groupSize, (idx, u)) }
+        .groupByKey(new org.apache.spark.HashPartitioner(numGroups))
+        .map { case (g, us) =>
+          (g, us.toArray.sortBy(_._1).map(_._2).reduceLeft(combOp))
+        }
+        .collect()
+      groupFolds.sortBy(_._1).map(_._2).reduceLeft(combOp)
+    }
   }
 
   /** x·b for dense or sparse rows (no densify). */

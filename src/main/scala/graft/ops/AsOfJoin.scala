@@ -20,8 +20,13 @@ object AsOfJoin {
     * `rightTime <= leftTime` for the same key (inner semantics: left rows
     * with no prior right row are dropped).
     *
-    * `rightPayload` columns are carried; ties on (key, rightTime) must be
-    * pre-deduplicated by the caller for deterministic output.
+    * `rightPayload` columns are carried as ONE struct with a single
+    * last(ignoreNulls) — so every output field comes from the same matched
+    * right row, and a genuinely-NULL payload field inside that row
+    * survives (per-column carries would skip it and splice in an older
+    * row's value, diverging from native ASOF semantics). Ties on
+    * (key, rightTime) must be pre-deduplicated by the caller for
+    * deterministic output.
     */
   def asOf(
       left: DataFrame, right: DataFrame,
@@ -29,29 +34,28 @@ object AsOfJoin {
       leftTime: String, rightTime: String,
       rightPayload: Seq[String]): DataFrame = {
     val lCols = left.columns.toSeq
+    val payloadType = org.apache.spark.sql.types.StructType(
+      rightPayload.map(c => right.schema(c).copy(name = c)))
     val lSel: Seq[org.apache.spark.sql.Column] =
       Seq(col(leftKey).as("__k"), col(leftTime).as("__t"),
-        lit(1).as("__isLeft"), lit(null).cast("int").as("__m")) ++
-        lCols.map(c => col(c).as(s"l_$c")) ++
-        rightPayload.map(c => lit(null).cast(right.schema(c).dataType).as(s"r_$c"))
+        lit(1).as("__isLeft"), lit(null).cast(payloadType).as("__rp")) ++
+        lCols.map(c => col(c).as(s"l_$c"))
     val l = left.select(lSel: _*)
     val rSel: Seq[org.apache.spark.sql.Column] =
       Seq(col(rightKey).as("__k"), col(rightTime).as("__t"),
-        lit(0).as("__isLeft"), lit(1).as("__m")) ++
-        lCols.map(c => lit(null).cast(left.schema(c).dataType).as(s"l_$c")) ++
-        rightPayload.map(c => col(c).as(s"r_$c"))
+        lit(0).as("__isLeft"),
+        struct(rightPayload.map(c => col(c).as(c)): _*).cast(payloadType).as("__rp")) ++
+        lCols.map(c => lit(null).cast(left.schema(c).dataType).as(s"l_$c"))
     val r = right.select(rSel: _*)
     // right rows sort BEFORE left rows at equal time (asof is inclusive)
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__t").asc, col("__isLeft").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = (rightPayload.map(c => s"r_$c") :+ "__m")
-      .foldLeft(l.unionByName(r)) { (df, c) =>
-        df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-      }
+    val carried = l.unionByName(r)
+      .withColumn("__rp", last(col("__rp"), ignoreNulls = true).over(w))
     carried
-      .filter(col("__isLeft") === 1 && col("__m").isNotNull)
+      .filter(col("__isLeft") === 1 && col("__rp").isNotNull)
       .select(lCols.map(c => col(s"l_$c").as(c)) ++
-        rightPayload.map(c => col(s"r_$c").as(c)): _*)
+        rightPayload.map(c => col("__rp").getField(c).as(c)): _*)
   }
 }

@@ -1,5 +1,9 @@
 package graft.ops
 
+import java.io.ByteArrayInputStream
+
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -7,10 +11,13 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing (north star #3): image/audio/video travel as
   * opaque `binary` columns with a typed metadata struct. The Spark-side
   * plumbing — schema, batching, partition-parallel transforms, stable
-  * output shape — is real and tested; the actual codec step is STUBBED
-  * with a deterministic fake (this container has no image/audio libs).
-  * Swap `fakeDecode` for a real codec (e.g. javax.imageio / JNI ffmpeg)
-  * without touching any plumbing.
+  * output shape — is real and tested.
+  *
+  * Codec status: IMAGE decode is real (JDK-built-in javax.imageio —
+  * PNG/BMP/JPEG/GIF width/height/pixel-stats, no external libs needed);
+  * audio/video remain STUBBED with deterministic fakes (this container
+  * ships no audio/video codecs). Swap `fakeDecode`/`sampleFrames` for a
+  * real codec (e.g. JNI ffmpeg) without touching any plumbing.
   */
 object Multimodal {
 
@@ -23,12 +30,56 @@ object Multimodal {
       StructField("height", IntegerType, nullable = true),
       StructField("duration_ms", LongType, nullable = true))), nullable = false)))
 
-  /** STUB decode: deterministic per-byte statistics standing in for a real
-    * pixel/sample decode. Keeps the exact UDF signature / batch shape a
-    * real decoder would have (binary → fixed-length float feature vector).
-    */
+  /** Decoded image metadata + channel statistics. */
+  case class ImageInfo(width: Int, height: Int,
+      mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** Real image decode (javax.imageio): bytes → (width, height, per-channel
+    * means). Returns null for payloads no registered reader accepts (text,
+    * audio, video, corrupt data) — callers get a nullable struct column.
+    * Pixel stats sample at a stride that caps work at ~256×256 probes per
+    * image so a single 100-megapixel row cannot stall its partition. */
+  private[graft] def decodeImage(bytes: Array[Byte]): ImageInfo = {
+    if (bytes == null || bytes.isEmpty) return null
+    try {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      if (img == null) null
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val sx = math.max(1, w / 256)
+        val sy = math.max(1, h / 256)
+        var r = 0L; var g = 0L; var b = 0L; var n = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val px = img.getRGB(x, y)
+            r += (px >> 16) & 0xff
+            g += (px >> 8) & 0xff
+            b += px & 0xff
+            n += 1
+            x += sx
+          }
+          y += sy
+        }
+        ImageInfo(w, h, r.toDouble / n, g.toDouble / n, b.toDouble / n)
+      }
+    } catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  private val imageMetaUdf = udf(decodeImage _)
+
+  /** Binary → nullable struct(width, height, mean_r, mean_g, mean_b);
+    * null when the payload is not a decodable image. Partition-parallel,
+    * no shuffle. */
+  def imageMeta(payload: Column): Column = imageMetaUdf(payload)
+
+  /** STUB decode (audio/video): deterministic per-byte statistics standing
+    * in for a real sample decode. Keeps the exact UDF signature / batch
+    * shape a real decoder would have (binary → fixed-length feature
+    * vector). */
   private val fakeDecode: Array[Byte] => Array[Double] = { bytes =>
-    // ??? real codec goes here; deterministic fake below
     if (bytes == null || bytes.isEmpty) Array.fill(4)(0.0)
     else {
       var sum = 0L; var min = 255; var max = 0
@@ -48,9 +99,11 @@ object Multimodal {
   def extractFeatures(payload: Column): Column = decodeUdf(payload)
 
   /** STUB resize: real impl would re-encode pixels; the fake truncates the
-    * payload deterministically, preserving the binary-in/binary-out shape. */
+    * payload deterministically, preserving the binary-in/binary-out shape.
+    * Column-API substring so ANY payload expression works (a string-
+    * interpolated `payload.toString` breaks on non-trivial expressions). */
   def resize(payload: Column, maxBytes: Int): Column =
-    expr(s"substring(${payload.toString}, 1, $maxBytes)").cast(BinaryType)
+    substring(payload, 1, maxBytes)
 
   /** Frame sampling stub: pick every k-th byte window as a "frame". Real
     * impl: demux + decode keyframes. Returns array<binary>. */

@@ -63,18 +63,17 @@ object Similarity {
   }
 
   /** IVF: Lloyd k-means coarse quantizer trained distributed (seeded
-    * deterministic init from the first partition), then assign each
-    * corpus vector to its nearest centroid cell; queries probe `nprobe`
-    * cells. Centroids are O(k·d) driver state. */
+    * uniform-sample init — unbiased on sorted/clustered input, unlike a
+    * first-partition prefix — and deterministic for a fixed seed), then
+    * assign each corpus vector to its nearest centroid cell; queries
+    * probe `nprobe` cells. Centroids are O(k·d) driver state. */
   def trainIvfCentroids(
-      corpus: DataFrame, vecCol: String, kCells: Int, iters: Int = 5)
-      : Array[Array[Double]] = {
+      corpus: DataFrame, vecCol: String, kCells: Int, iters: Int = 5,
+      seed: Long = 42L): Array[Array[Double]] = {
     val rdd = corpus.select(col(vecCol).cast("array<double>")).rdd
       .map(_.getSeq[Double](0).toArray)
     rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var centroids = rdd.mapPartitionsWithIndex { (i, it) =>
-      if (i == 0) it.take(kCells) else Iterator.empty
-    }.collect()
+    var centroids = rdd.takeSample(withReplacement = false, kCells, seed)
     require(centroids.nonEmpty, "empty corpus")
     var iter = 0
     while (iter < iters) {
@@ -119,14 +118,18 @@ object Similarity {
   }
 
   /** Nearest-centroid cell id for a vector column (codegen-friendly:
-    * the centroid table ships as a literal array of arrays). */
-  def ivfCell(vecCol: Column, centroids: Array[Array[Double]]): Column = {
+    * the centroid table ships as a literal array of arrays). When
+    * `roundDp >= 0` the squared distance is rounded before the argmin so
+    * a last-ulp fold wobble cannot flip a cell assignment (cross-engine
+    * oracle exactness — same rule as lshBucket). Ties break to the
+    * lowest cell id on both engines (struct (d, cell) lexicographic). */
+  def ivfCell(vecCol: Column, centroids: Array[Array[Double]],
+      roundDp: Int = -1): Column = {
     val v = vecCol.cast("array<double>")
     val dists = centroids.zipWithIndex.map { case (cArr, i) =>
-      struct(
-        aggregate(zip_with(v, typedLit(cArr.toSeq), (x, c) => (x - c) * (x - c)),
-          lit(0.0), (a, b) => a + b).as("d"),
-        lit(i).as("cell"))
+      val d = aggregate(zip_with(v, typedLit(cArr.toSeq), (x, c) => (x - c) * (x - c)),
+        lit(0.0), (a, b) => a + b)
+      struct((if (roundDp >= 0) round(d, roundDp) else d).as("d"), lit(i).as("cell"))
     }
     least(dists: _*).getField("cell")
   }
@@ -134,14 +137,16 @@ object Similarity {
   /** IVF approximate top-k: probe the query's nearest cell(s). */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      centroids: Array[Array[Double]], k: Int): DataFrame = {
-    val cell = ivfCell(col(vecCol), centroids)
+      centroids: Array[Array[Double]], k: Int, roundDp: Int = -1): DataFrame = {
+    val cell = ivfCell(col(vecCol), centroids, roundDp)
     val c = corpus.select(col(idCol).as("c_id"),
       col(vecCol).cast("array<double>").as("cv"), cell.as("cell"))
     val q = queries.select(col(idCol).as("q_id"),
       col(vecCol).cast("array<double>").as("qv"), cell.as("cell"))
+    val rawCos = cosineSim(col("qv"), col("cv"))
     val scored = c.join(broadcast(q), "cell")
-      .select(col("q_id"), col("c_id"), cosineSim(col("qv"), col("cv")).as("cos"))
+      .select(col("q_id"), col("c_id"),
+        (if (roundDp >= 0) round(rawCos, roundDp) else rawCos).as("cos"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }

@@ -83,30 +83,60 @@ object GlmQueries {
           ${dsumSql("l_discount * l_discount", 30, 8)} AS ss_d
         FROM lineitem)""")),
 
-    // ---- A2 for the Normal family: gradient 2·Xᵀ(Xβ−y) at fixed β,
-    // exact via per-row decimal cast (pure *,+ per row → bit-identical)
+    // ---- A2 for the Normal family: gradient 2·Xᵀ(Xβ−y) at fixed β.
+    // Cross-engine exactness strategy (round-1 q23/q25 failure root cause:
+    // casting a MESSY double term to decimal rounds differently per engine
+    // — Spark rounds the shortest-repr string HALF_UP, DuckDB rounds the
+    // scaled binary value; with terms carrying price/1e5's long expansion
+    // the engines disagree in ~1e-8 of rows, which a 60k-row sum exposes):
+    //  1. cast ONLY the clean base columns to decimal (quantity/price/
+    //     discount carry ≤2 decimals → both engines land on the same
+    //     decimal, guaranteed: the true value sits ~ulp from a grid point,
+    //     never near a rounding boundary);
+    //  2. do ALL arithmetic in decimal — exact on both engines, with every
+    //     intermediate precision ≤ 38 so neither engine rescales;
+    //     β·(price/1e5) terms fold the 1e-5 into the decimal constant;
+    //  3. ROUND the exact sum to scale 6 — explicitly, NOT via a decimal
+    //     cast: DuckDB's decimal→decimal downscale TRUNCATES while Spark's
+    //     rounds HALF_UP; ROUND is half-away-from-zero on both engines —
+    //     then cast to DOUBLE with unscaled < 2^53 (correctly rounded on
+    //     both engines — the dsum rule).
     Q("q23_normal_gradient",
       (s, dir) => {
         val li = tbl(s, dir, "lineitem")
-        val resid = marginCol - labelCol
-        // outputs stay DECIMAL: a double conversion of a wide exact sum
-        // rounds differently across engines (Java BigDecimal.doubleValue
-        // is correctly rounded; DuckDB divides the int128 by 10^scale)
-        def dsumDec(c: org.apache.spark.sql.Column) =
-          sum(c.cast(org.apache.spark.sql.types.DecimalType(28, 10)))
-            .cast(org.apache.spark.sql.types.DecimalType(38, 10))
+        def dec(v: String) = lit(new java.math.BigDecimal(v))
+        val qd = col("l_quantity").cast("decimal(4,2)")
+        val pd = col("l_extendedprice").cast("decimal(9,2)")
+        val dd = col("l_discount").cast("decimal(3,2)")
+        val ld = (col("l_returnflag") === "R").cast("int").cast("decimal(1,0)")
+        // margin = 0.8q − 1.3(price/1e5) + 2.1d + 0.25, exact decimal
+        val resid = dec("0.8") * qd - pd * dec("0.000013") +
+          dec("2.1") * dd + dec("0.25") - ld
+        def out(c: org.apache.spark.sql.Column) =
+          round(sum(c), 6).cast("double")
         li.agg(
-          dsumDec(lit(2.0) * col("l_quantity") * resid).as("g_qty"),
-          dsumDec(lit(2.0) * (col("l_extendedprice") / lit(100000.0)) * resid).as("g_price"),
-          dsumDec(lit(2.0) * col("l_discount") * resid).as("g_disc"),
-          dsumDec(lit(2.0) * resid).as("g_intercept"))
+          out((qd + qd) * resid).as("g_qty"),
+          out(pd * resid * dec("0.00002")).as("g_price"),
+          out((dd + dd) * resid).as("g_disc"),
+          out(resid + resid).as("g_intercept"))
       },
-      Some(s"""SELECT
-          CAST(SUM(CAST(2.0 * l_quantity * (($marginSql) - $labelSql) AS DECIMAL(28,10))) AS DECIMAL(38,10)) AS g_qty,
-          CAST(SUM(CAST(2.0 * (l_extendedprice / 100000.0) * (($marginSql) - $labelSql) AS DECIMAL(28,10))) AS DECIMAL(38,10)) AS g_price,
-          CAST(SUM(CAST(2.0 * l_discount * (($marginSql) - $labelSql) AS DECIMAL(28,10))) AS DECIMAL(38,10)) AS g_disc,
-          CAST(SUM(CAST(2.0 * (($marginSql) - $labelSql) AS DECIMAL(28,10))) AS DECIMAL(38,10)) AS g_intercept
-        FROM lineitem""")),
+      Some("""WITH t AS (
+          SELECT CAST(l_quantity AS DECIMAL(4,2)) AS qd,
+            CAST(l_extendedprice AS DECIMAL(9,2)) AS pd,
+            CAST(l_discount AS DECIMAL(3,2)) AS dd,
+            CAST(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS DECIMAL(1,0)) AS ld
+          FROM lineitem),
+        r AS (
+          SELECT qd, pd, dd,
+            CAST(0.8 AS DECIMAL(2,1)) * qd - pd * CAST(0.000013 AS DECIMAL(6,6))
+              + CAST(2.1 AS DECIMAL(2,1)) * dd + CAST(0.25 AS DECIMAL(3,2)) - ld AS resid
+          FROM t)
+        SELECT
+          CAST(ROUND(SUM((qd + qd) * resid), 6) AS DOUBLE) AS g_qty,
+          CAST(ROUND(SUM(pd * resid * CAST(0.00002 AS DECIMAL(6,5))), 6) AS DOUBLE) AS g_price,
+          CAST(ROUND(SUM((dd + dd) * resid), 6) AS DOUBLE) AS g_disc,
+          CAST(ROUND(SUM(resid + resid), 6) AS DOUBLE) AS g_intercept
+        FROM r""")),
 
     // ---- Normal loss (SSE, the reference's unscaled form) at fixed β
     Q("q24_sse_loss",
@@ -118,32 +148,42 @@ object GlmQueries {
         FROM lineitem""")),
 
     // ---- Gram matrix XᵀX upper triangle at fixed features (A3 kernel,
-    // β-independent — the Normal-family Hessian / 2)
+    // β-independent — the Normal-family Hessian / 2). Same exact-decimal
+    // strategy as q23: clean base-column casts, exact decimal products
+    // (price/1e5 factors folded into decimal constants, intermediates
+    // ≤ 38 digits on both engines), exact sum → explicit ROUND(.,6)
+    // (half-away-from-zero on both engines; a decimal CAST would truncate
+    // on DuckDB but round on Spark) → DOUBLE.
     Q("q25_gram",
       (s, dir) => {
         val li = tbl(s, dir, "lineitem")
-        val q = col("l_quantity")
-        val pr = col("l_extendedprice") / lit(100000.0)
-        val d = col("l_discount")
-        def dsumDec(c: org.apache.spark.sql.Column, sc: Int) =
-          sum(c.cast(org.apache.spark.sql.types.DecimalType(28, sc)))
-            .cast(org.apache.spark.sql.types.DecimalType(38, sc))
+        def dec(v: String) = lit(new java.math.BigDecimal(v))
+        val qd = col("l_quantity").cast("decimal(4,2)")
+        val pd = col("l_extendedprice").cast("decimal(9,2)")
+        val dd = col("l_discount").cast("decimal(3,2)")
+        def out(c: org.apache.spark.sql.Column) =
+          round(sum(c), 6).cast("double")
         li.agg(
-          dsumDec(q * q, 8).as("g_qq"),
-          dsumDec(q * pr, 10).as("g_qp"),
-          dsumDec(q * d, 10).as("g_qd"),
-          dsumDec(pr * pr, 12).as("g_pp"),
-          dsumDec(pr * d, 12).as("g_pd"),
-          dsumDec(d * d, 12).as("g_dd"))
+          out(qd * qd).as("g_qq"),
+          out(qd * pd * dec("0.00001")).as("g_qp"),
+          out(qd * dd).as("g_qd"),
+          out(pd * pd * dec("0.0000000001")).as("g_pp"),
+          out(pd * dd * dec("0.00001")).as("g_pd"),
+          out(dd * dd).as("g_dd"))
       },
-      Some(s"""SELECT
-          CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,8))) AS DECIMAL(38,8)) AS g_qq,
-          CAST(SUM(CAST(l_quantity * (l_extendedprice / 100000.0) AS DECIMAL(28,10))) AS DECIMAL(38,10)) AS g_qp,
-          CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(28,10))) AS DECIMAL(38,10)) AS g_qd,
-          CAST(SUM(CAST((l_extendedprice / 100000.0) * (l_extendedprice / 100000.0) AS DECIMAL(28,12))) AS DECIMAL(38,12)) AS g_pp,
-          CAST(SUM(CAST((l_extendedprice / 100000.0) * l_discount AS DECIMAL(28,12))) AS DECIMAL(38,12)) AS g_pd,
-          CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(28,12))) AS DECIMAL(38,12)) AS g_dd
-        FROM lineitem""")),
+      Some("""WITH t AS (
+          SELECT CAST(l_quantity AS DECIMAL(4,2)) AS qd,
+            CAST(l_extendedprice AS DECIMAL(9,2)) AS pd,
+            CAST(l_discount AS DECIMAL(3,2)) AS dd
+          FROM lineitem)
+        SELECT
+          CAST(ROUND(SUM(qd * qd), 6) AS DOUBLE) AS g_qq,
+          CAST(ROUND(SUM(qd * pd * CAST(0.00001 AS DECIMAL(5,5))), 6) AS DOUBLE) AS g_qp,
+          CAST(ROUND(SUM(qd * dd), 6) AS DOUBLE) AS g_qd,
+          CAST(ROUND(SUM(pd * pd * CAST(0.0000000001 AS DECIMAL(10,10))), 6) AS DOUBLE) AS g_pp,
+          CAST(ROUND(SUM(pd * dd * CAST(0.00001 AS DECIMAL(5,5))), 6) AS DOUBLE) AS g_pd,
+          CAST(ROUND(SUM(dd * dd), 6) AS DOUBLE) AS g_dd
+        FROM t""")),
 
     // ---- logistic probability per row, rounded to absorb libm exp ulps
     Q("q26_proba",

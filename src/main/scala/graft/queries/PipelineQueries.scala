@@ -55,9 +55,13 @@ object PipelineQueries {
     Q("q44_minhash",
       (s, dir) => {
         graft.functions.TextHashFunctions.register(s)
+        // array<long> → array<string> via Cast (codegen'd), NOT transform:
+        // higher-order functions are CodegenFallback and would drag the
+        // whole projection — including the native MinHashSig — out of
+        // whole-stage codegen
         tbl(s, dir, "documents")
           .select(col("doc_id"),
-            concat_ws(",", transform(expr("minhash_sig(text)"), h => h.cast("string"))).as("sig"))
+            concat_ws(",", expr("minhash_sig(text)").cast("array<string>")).as("sig"))
           .orderBy("doc_id")
       },
       Some(s"""WITH h AS (
@@ -110,7 +114,11 @@ object PipelineQueries {
         ORDER BY d1, d2""")),
 
     // ---- multimodal plumbing: binary payloads + metadata; oracle checks
-    // the schema-visible parts (byte length, md5 of payload)
+    // the schema-visible parts (byte length, md5 of payload). The real
+    // image decoder (javax.imageio) runs over every payload and yields
+    // NULL width for non-image bytes — the oracle asserts exactly that
+    // (text payloads are not decodable images), proving the decode path
+    // executes distributed without a Spark-side crutch.
     Q("q50_multimodal",
       (s, dir) => {
         val media = Multimodal.mediaFromDocuments(tbl(s, dir, "documents"))
@@ -121,13 +129,15 @@ object PipelineQueries {
             col("meta.mime").as("mime"),
             length(col("payload")).as("n_bytes"),
             md5(col("payload")).as("payload_md5"),
-            element_at(col("feat"), 1).as("feat_len"))
+            element_at(col("feat"), 1).as("feat_len"),
+            Multimodal.imageMeta(col("payload")).getField("width").as("img_w"))
           .orderBy("media_id")
       },
       Some("""SELECT doc_id AS media_id, 'text/plain' AS mime,
           CAST(OCTET_LENGTH(ENCODE(text)) AS INTEGER) AS n_bytes,
           MD5(text) AS payload_md5,
-          CAST(OCTET_LENGTH(ENCODE(text)) AS DOUBLE) AS feat_len
+          CAST(OCTET_LENGTH(ENCODE(text)) AS DOUBLE) AS feat_len,
+          CAST(NULL AS INTEGER) AS img_w
         FROM documents ORDER BY media_id""")),
 
     // ---- streaming batch-twin: 5-minute tumbling windows over events
@@ -192,6 +202,21 @@ object PipelineQueries {
                  n_nationkey * 4.0 + 4.0 AS hi FROM nation) r
           ON value >= lo AND value < hi
         GROUP BY bkt ORDER BY bkt""")),
+
+    // ---- salted two-phase aggregation (Skew.saltedAgg): hot-key-safe
+    // group-agg whose result is EXACTLY the plain groupBy (the oracle) —
+    // sums stay in decimal through both phases, so the two-step
+    // partial/final composition is order-independent and cross-engine
+    // exact; cast to double only at the end (dsum contract)
+    Q("q64_salted_agg",
+      (s, dir) =>
+        graft.ops.Skew.saltedAgg(tbl(s, dir, "lineitem"),
+            col("l_returnflag"), col("l_quantity").cast("decimal(30,4)"), nSalts = 16)
+          .select(col("key"), col("n"), col("total").cast("double").as("total"))
+          .orderBy("key"),
+      Some("""SELECT l_returnflag AS key, COUNT(*) AS n,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS total
+        FROM lineitem GROUP BY 1 ORDER BY key""")),
 
     // ---- sessionization (gap-and-island batch twin of the stateful path)
     Q("q61_sessionize",

@@ -19,6 +19,34 @@ object SimilarityQueries {
   private def dotCol(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
+  /** Fixed IVF centroids for the q66 oracle: 4 deterministic 64-dim
+    * vectors with exact-decimal components at the embeddings' scale
+    * (unit-norm vectors, components ≲ 0.3). Literals ship verbatim to
+    * both engines (Scala Double.toString round-trips in DuckDB). */
+  private[graft] val ivfCentroids: Array[Array[Double]] =
+    Array.tabulate(4, 64)((c, i) => (((i * 7 + c * 13) % 10) - 4.5) / 30.0)
+
+  private def centroidSqlValues: String =
+    ivfCentroids.zipWithIndex
+      .map { case (cv, c) => s"($c, ${cv.mkString("[", ", ", "]")}::DOUBLE[])" }
+      .mkString(", ")
+
+  // shared DuckDB CTE: 4-bit random-hyperplane bucket per vector (the
+  // same sin-projection as Similarity.lshBucket, rounded before the sign
+  // test so a last-ulp wobble cannot flip a bucket bit)
+  private val bucketed4Sql =
+    """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        proj AS (
+          SELECT vec_id, j,
+            ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(0, 64),
+              i -> v[i+1] * SIN(i * 131.0 + j * 523.0))), 6) AS p
+          FROM e, UNNEST(RANGE(0, 4)) AS tj(j)),
+        bk AS (
+          SELECT vec_id,
+            SUM(CASE WHEN p > 0 THEN CAST(POWER(2, j) AS BIGINT) ELSE 0 END) AS bk
+          FROM proj GROUP BY vec_id),
+        ev AS (SELECT e.vec_id, v, bk FROM e JOIN bk ON e.vec_id = bk.vec_id)"""
+
   val qs: Seq[Q] = Seq(
     // ---- brute-force cosine top-k: queries = vec_id < 5, corpus = rest.
     // Plan shape: broadcast the tiny query side against the corpus scan,
@@ -190,6 +218,66 @@ object SimilarityQueries {
             CAST(LIST_SUM(LIST_TRANSFORM(hashes, h ->
               CASE WHEN (h // CAST(POWER(2, b) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END)) > 0
               AS BIGINT) * CAST(POWER(2, b) AS BIGINT))) AS BIGINT) AS simhash
-        FROM th ORDER BY doc_id"""))
+        FROM th ORDER BY doc_id""")),
+
+    // ---- embedding-cosine near-dup pairs (Dedup.cosineNearDups): LSH
+    // buckets bound the pairwise work; cosine rounded BEFORE the
+    // threshold test so the boundary cannot flip on a fold ulp
+    Q("q65_cosine_neardup",
+      (s, dir) => {
+        val bucket = graft.ops.Similarity.lshBucket(col("embedding"), dim = 64, nBits = 4)
+        graft.ops.Dedup.cosineNearDups(
+            tbl(s, dir, "embeddings"), "vec_id", "embedding",
+            threshold = 0.3, bucketCol = bucket, roundDp = 6)
+          .orderBy("id1", "id2")
+      },
+      Some(s"""WITH $bucketed4Sql,
+        pairs AS (
+          SELECT a.vec_id AS id1, b.vec_id AS id2,
+            ROUND(LIST_DOT_PRODUCT(a.v, b.v) /
+              (SQRT(LIST_DOT_PRODUCT(a.v, a.v)) * SQRT(LIST_DOT_PRODUCT(b.v, b.v))), 6) AS cos
+          FROM ev a JOIN ev b ON a.bk = b.bk AND a.vec_id < b.vec_id)
+        SELECT id1, id2, cos FROM pairs WHERE cos >= 0.3 ORDER BY id1, id2""")),
+
+    // ---- IVF ANN end-to-end (Similarity.ivfTopK) at FIXED centroids so
+    // cell assignment is deterministic: nearest-cell probe + exact rerank.
+    // Squared distances and cosines rounded to 6 dp before argmin/rank
+    // (cross-engine exactness); ties break to the lower cell / vec_id.
+    Q("q66_ivf_ann",
+      (s, dir) => {
+        val e = tbl(s, dir, "embeddings")
+        graft.ops.Similarity.ivfTopK(
+            e.filter(col("vec_id") >= 5), e.filter(col("vec_id") < 5),
+            "vec_id", "embedding", ivfCentroids, k = 3, roundDp = 6)
+          .select("q_id", "rk", "c_id", "cos")
+          .orderBy("q_id", "rk")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cents AS (SELECT * FROM (VALUES $centroidSqlValues) t(cell, cv)),
+        dist AS (
+          SELECT vec_id, cell,
+            ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(0, 64),
+              i -> (v[i+1] - cv[i+1]) * (v[i+1] - cv[i+1]))), 6) AS d
+          FROM e, cents),
+        cellass AS (
+          SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn
+            FROM dist) WHERE rn = 1),
+        ev AS (SELECT e.vec_id, v, cell FROM e JOIN cellass ON e.vec_id = cellass.vec_id),
+        q AS (SELECT vec_id AS q_id, v AS qv, cell FROM ev WHERE vec_id < 5),
+        c AS (SELECT * FROM ev WHERE vec_id >= 5),
+        scored AS (
+          SELECT q_id, c.vec_id AS c_id,
+            ROUND(LIST_DOT_PRODUCT(qv, v) /
+              (SQRT(LIST_DOT_PRODUCT(qv, qv)) * SQRT(LIST_DOT_PRODUCT(v, v))), 6) AS cos
+          FROM c JOIN q ON c.cell = q.cell),
+        ranked AS (
+          SELECT q_id, CAST(ROW_NUMBER() OVER (
+            PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS INTEGER) AS rk,
+            c_id, cos
+          FROM scored)
+        SELECT q_id, rk, c_id, cos FROM ranked WHERE rk <= 3
+        ORDER BY q_id, rk"""))
   )
 }

@@ -99,11 +99,16 @@ object TextQueries {
 
     // ---- n-gram Jaccard near-dup: 2-token shingles, shingle-bucket join
     // (distinct shingles → pair counts → |A∩B| / (|A|+|B|−|A∩B|)),
-    // capped to doc_id<100 pairs for the oracle run
+    // restricted to doc_id<100 for the oracle run. Shingles with document
+    // frequency > 20 are dropped BEFORE the self-join (Dedup.capHotKeys):
+    // a stop-phrase shingle shared by 1% of a 100 TB corpus otherwise
+    // produces a quadratic pair blow-up in one bucket — standard LSH
+    // practice; the MinHash-LSH path (q45) is the blessed scale path.
+    // Sizes are computed from the capped set so jaccard stays consistent.
     Q("q35_ngram_jaccard",
       (s, dir) => {
         val docs = tbl(s, dir, "documents").filter(col("doc_id") < 100)
-        val sh = docs.select(col("doc_id"), toksCol.as("toks"))
+        val shRaw = docs.select(col("doc_id"), toksCol.as("toks"))
           .select(col("doc_id"),
             explode(array_distinct(
               when(size(col("toks")) >= 2,
@@ -112,6 +117,7 @@ object TextQueries {
                     element_at(col("toks"), i + 1),
                     element_at(col("toks"), i + 2))))
                 .otherwise(array().cast("array<string>")))).as("shingle"))
+        val sh = graft.ops.Dedup.capHotKeys(shRaw, "shingle", maxDf = 20)
         val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
         val a = sh.as("a"); val b = sh.as("b")
         val pairs = a.join(b, col("a.shingle") === col("b.shingle")
@@ -127,13 +133,16 @@ object TextQueries {
           .filter(col("jaccard") >= 0.05)
           .orderBy("d1", "d2")
       },
-      Some("""WITH sh AS (
+      Some("""WITH sh_raw AS (
           SELECT DISTINCT doc_id, shingle FROM (
             SELECT doc_id,
               toks[i] || ' ' || toks[i+1] AS shingle
             FROM (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(text, ' +') AS toks
                   FROM documents WHERE doc_id < 100),
             UNNEST(RANGE(1, LEN(toks))) AS t(i))
+        ), sh AS (
+          SELECT doc_id, shingle FROM sh_raw
+          WHERE shingle IN (SELECT shingle FROM sh_raw GROUP BY shingle HAVING COUNT(*) <= 20)
         ), sizes AS (
           SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
         ), pairs AS (

@@ -26,14 +26,19 @@ object EventStream {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
+  /** Exact decimal sum of `value`, surfaced as double — the SAME
+    * precision/scale as the shared dsum/dsumSql contract (Queries.scala),
+    * so the q60 DuckDB oracle and this aggregation round identically. */
+  private def valueTotal =
+    sum(col("value").cast("decimal(30,4)")).cast("double").as("total")
+
   /** Batch tumbling window: 5-minute buckets keyed by event_type. */
   def tumblingCounts(events: DataFrame): DataFrame =
     events
       .groupBy(
         window(col("ts"), "5 minutes").getField("start").as("win_start"),
         col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(30,6)")).cast("double").as("total"))
+      .agg(count(lit(1)).as("n"), valueTotal)
 
   /** Streaming twin of [[tumblingCounts]] with a 10-minute watermark. */
   def streamingTumblingCounts(spark: SparkSession, path: String): DataFrame =
@@ -44,8 +49,7 @@ object EventStream {
     events
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(30,6)")).cast("double").as("total"))
+      .agg(count(lit(1)).as("n"), valueTotal)
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("total"))
 

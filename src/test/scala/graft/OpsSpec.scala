@@ -106,4 +106,88 @@ class OpsSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
     assert(rows.forall(_.getDouble(2) >= 0.5))
   }
+
+  test("exact dedup: NULL placement is part of the key") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("a"), None: Option[String]),
+      (2L, None: Option[String], Some("a")),
+      (3L, Some("a"), None: Option[String]), // true dup of row 1
+      (4L, Some("a"), Some("")))             // empty string ≠ NULL
+      .toDF("id", "c1", "c2")
+    val out = Dedup.exact(df, "id", Seq("c1", "c2")).orderBy("id")
+    // (a,NULL) dedups with (a,NULL) only; (NULL,a) and (a,"") survive
+    assert(out.select("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L))
+  }
+
+  test("minhash candidates reject band counts that do not tile the signature") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d")).toDF("id", "text")
+    intercept[IllegalArgumentException](Dedup.minhashCandidates(df, "id", "text", bands = 3))
+    intercept[IllegalArgumentException](Dedup.minhashCandidates(df, "id", "text", bands = 16))
+  }
+
+  test("capHotKeys drops high-df shingles before any self-join") {
+    import spark.implicits._
+    // 'stop phrase' appears in every doc; 'rare pair' in two
+    val exploded = Seq(
+      (1L, "stop phrase"), (2L, "stop phrase"), (3L, "stop phrase"),
+      (1L, "rare pair"), (2L, "rare pair"), (3L, "only here"))
+      .toDF("doc_id", "shingle")
+    val capped = Dedup.capHotKeys(exploded, "shingle", maxDf = 2)
+      .collect().map(_.getString(0)).toSet
+    assert(capped == Set("rare pair", "only here"))
+  }
+
+  test("as-of join: NULL payload field in the matched row survives (struct carry)") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val trades = Seq((1L, 10L, ts("2020-01-01 10:00:20")))
+      .toDF("trade_id", "sym", "t")
+    // matched (latest prior) quote has price=NULL and venue='B'; the older
+    // quote has price=100, venue='A'. Per-column carries would splice
+    // price=100 (from A) with venue='B' — a row that never existed.
+    val quotes = Seq(
+      (10L, ts("2020-01-01 10:00:00"), Some(100.0), "A"),
+      (10L, ts("2020-01-01 10:00:10"), None: Option[Double], "B"))
+      .toDF("qsym", "qt", "price", "venue")
+    val out = graft.ops.AsOfJoin.asOf(trades, quotes, "sym", "qsym", "t", "qt",
+      Seq("price", "venue")).collect()
+    assert(out.length == 1)
+    assert(out(0).isNullAt(out(0).fieldIndex("price")), out(0).toString)
+    assert(out(0).getString(out(0).fieldIndex("venue")) == "B")
+  }
+
+  test("imageMeta decodes a real PNG (javax.imageio) and rejects non-images") {
+    import spark.implicits._
+    // render a deterministic 20×10 image: left half red, right half blue
+    val img = new java.awt.image.BufferedImage(20, 10,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 10; x <- 0 until 20)
+      img.setRGB(x, y, if (x < 10) 0xff0000 else 0x0000ff)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+    val df = Seq((1L, png), (2L, "not an image".getBytes("UTF-8")))
+      .toDF("id", "payload")
+    val out = df.select(col("id"),
+        graft.ops.Multimodal.imageMeta(col("payload")).as("m"))
+      .orderBy("id").collect()
+    val m = out(0).getStruct(1)
+    assert(m.getInt(0) == 20 && m.getInt(1) == 10) // width, height
+    assert(math.abs(m.getDouble(2) - 127.5) < 1.0) // mean_r: half 255, half 0
+    assert(math.abs(m.getDouble(4) - 127.5) < 1.0) // mean_b
+    assert(out(1).isNullAt(1)) // text payload → null struct
+  }
+
+  test("resize accepts a non-trivial payload expression (Column API)") {
+    import spark.implicits._
+    val df = Seq((1L, "hello world payload")).toDF("id", "text")
+    // expression-valued payload (encode(...)): the old string-interpolated
+    // form broke on exactly this
+    val out = df.select(
+      graft.ops.Multimodal.resize(encode(col("text"), "UTF-8"), 5).as("p"))
+      .head().getAs[Array[Byte]](0)
+    assert(new String(out, "UTF-8") == "hello")
+  }
 }

@@ -18,6 +18,17 @@ class PlanSpec extends AnyFunSuite {
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
   }
 
+  /** Exchanges in an executed plan, traversing AQE query-stage wrappers
+    * (a materialized shuffle hides behind QueryStageExec.plan, not
+    * .children). */
+  private def countShuffles(p: SparkPlan): Int = p match {
+    case a: AdaptiveSparkPlanExec => countShuffles(a.executedPlan)
+    case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      countShuffles(qs.plan)
+    case s: ShuffleExchangeExec => 1 + s.children.map(countShuffles).sum
+    case other => other.children.map(countShuffles).sum
+  }
+
   test("q02 filter is pushed to the parquet scan") {
     val plan = formatted("q02_filter_project")
     assert(plan.contains("PushedFilters: ["), plan)
@@ -63,6 +74,30 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("WholeStageCodegen") || plan.contains("*("), plan)
   }
 
+  test("as-of join plan has exactly ONE exchange (union+window idiom)") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq((1L, 10L, ts("2020-01-01 10:00:05")))
+      .toDF("trade_id", "sym", "t")
+    val right = Seq((10L, ts("2020-01-01 10:00:00"), 100.0))
+      .toDF("qsym", "qt", "price")
+    val df = graft.ops.AsOfJoin.asOf(left, right, "sym", "qsym", "t", "qt", Seq("price"))
+    df.collect()
+    assert(countShuffles(df.queryExecution.executedPlan) == 1,
+      df.queryExecution.executedPlan.toString)
+  }
+
+  test("q44 minhash_sig stays inside whole-stage codegen (no fallback)") {
+    graft.functions.TextHashFunctions.register(spark)
+    val df = Queries.byName("q44_minhash").spark(spark, TestSpark.sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val sigLines = plan.linesIterator.filter(_.contains("minhash_sig")).toSeq
+    assert(sigLines.nonEmpty, plan)
+    // codegen'd operators print with the "*(n)" stage marker
+    assert(sigLines.exists(_.contains("*(")), plan)
+  }
+
   test("GLM kernel pass plan has zero exchanges (no shuffle in solvers)") {
     import graft.core.GlmData
     import org.apache.spark.sql.functions._
@@ -72,11 +107,6 @@ class PlanSpec extends AnyFunSuite {
       (col("l_returnflag") === "R").cast("double").as("label"))
     // the kernel consumes df's RDD directly: assert the *DataFrame* plan
     // (scan+project) has no exchange, i.e. kernels add none
-    def countShuffles(p: SparkPlan): Int = p match {
-      case a: AdaptiveSparkPlanExec => countShuffles(a.executedPlan)
-      case s: ShuffleExchangeExec => 1 + s.children.map(countShuffles).sum
-      case other => other.children.map(countShuffles).sum
-    }
     assert(countShuffles(df.queryExecution.executedPlan) == 0)
     val data = GlmData.fromDF(df, numFeatures = 2)
     // one kernel call → driver gets O(p) result; no shuffle dependency in lineage
