@@ -203,6 +203,33 @@ object PipelineQueries {
           ON value >= lo AND value < hi
         GROUP BY bkt ORDER BY bkt""")),
 
+    // ---- range-vs-range overlap join (RangeJoin.overlapBucketed): the
+    // scale path q63's broadcast shape can't cover — both interval sides
+    // bucket on ⌊bound/width⌋, the exact overlap predicate runs within
+    // buckets only, and each pair is emitted in exactly ONE bucket (first-
+    // overlap guard) so no dedup shuffle follows. Oracle: the plain theta
+    // join — identical double comparisons on both engines.
+    Q("q67_range_overlap",
+      (s, dir) => {
+        val ev = eventsTbl(s, dir).select(col("event_id"), col("value"),
+          col("value").as("lo"), (col("value") + lit(5.0)).as("hi"))
+        val ranges = tbl(s, dir, "nation").select(col("n_nationkey").as("bkt"),
+          (col("n_nationkey") * lit(12.0)).as("rlo"),
+          (col("n_nationkey") * lit(12.0) + lit(20.0)).as("rhi"))
+        graft.ops.RangeJoin.overlapBucketed(ev, ranges, "lo", "hi", "rlo", "rhi",
+            bucketWidth = 16.0)
+          .groupBy(col("r_bkt"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_value")).as("total"))
+          .select(col("r_bkt").as("bkt"), col("n"), col("total"))
+          .orderBy("bkt")
+      },
+      Some(s"""SELECT r.bkt, COUNT(*) AS n, ${dsumSql("e.value")} AS total
+        FROM events e JOIN (
+          SELECT n_nationkey AS bkt, n_nationkey * 12.0 AS rlo,
+                 n_nationkey * 12.0 + 20.0 AS rhi FROM nation) r
+          ON e.value < r.rhi AND r.rlo < e.value + 5.0
+        GROUP BY r.bkt ORDER BY bkt""")),
+
     // ---- salted two-phase aggregation (Skew.saltedAgg): hot-key-safe
     // group-agg whose result is EXACTLY the plain groupBy (the oracle) —
     // sums stay in decimal through both phases, so the two-step

@@ -220,6 +220,61 @@ object SimilarityQueries {
               AS BIGINT) * CAST(POWER(2, b) AS BIGINT))) AS BIGINT) AS simhash
         FROM th ORDER BY doc_id""")),
 
+    // ---- SimHash near-dup pairs via hamming BANDS: split the 16-bit
+    // fingerprint into two 8-bit bands; docs sharing either band are
+    // candidates (guarantees recall for hamming ≤ 1, catches most ≤ 3),
+    // then the exact popcount(xor) filter keeps hamming ≤ 3. Pure integer
+    // math end-to-end — exact oracle. At 100 TB: two narrow (band, key)
+    // shuffles of fingerprints, never text; pairwise only within buckets.
+    Q("q69_simhash_neardup",
+      (s, dir) => {
+        val toks = split(col("text"), " +")
+        val tokHash = transform(toks, t =>
+          conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
+        val bits = (0 until 16).map { b =>
+          val vote = aggregate(tokHash, lit(0L),
+            (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+          (vote > 0).cast("long") * lit(1L << b)
+        }
+        val sim = tbl(s, dir, "documents").filter(col("doc_id") < 300)
+          .select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
+        val bands = sim.select(col("doc_id"), col("simhash"),
+            lit(0).as("band"), col("simhash").bitwiseAND(lit(255L)).as("key"))
+          .union(sim.select(col("doc_id"), col("simhash"),
+            lit(1).as("band"), shiftright(col("simhash"), 8).as("key")))
+        val a = bands.as("a"); val b2 = bands.as("b")
+        a.join(b2, col("a.band") === col("b.band") && col("a.key") === col("b.key")
+            && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+            expr("bit_count(a.simhash ^ b.simhash)").cast("int").as("hamming"))
+          .filter(col("hamming") <= 3)
+          .distinct()
+          .orderBy("d1", "d2")
+      },
+      Some("""WITH th AS (
+          SELECT doc_id,
+            LIST_TRANSFORM(REGEXP_SPLIT_TO_ARRAY(text, ' +'), t ->
+              ('0x' || SUBSTRING(MD5(t), 1, 8))::BIGINT) AS hashes
+          FROM documents WHERE doc_id < 300),
+        sim AS (
+          SELECT doc_id,
+            CAST(LIST_SUM(LIST_TRANSFORM(RANGE(0, 16), b ->
+              CAST(LIST_SUM(LIST_TRANSFORM(hashes, h ->
+                CASE WHEN (h // CAST(POWER(2, b) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END)) > 0
+                AS BIGINT) * CAST(POWER(2, b) AS BIGINT))) AS BIGINT) AS simhash
+          FROM th),
+        bands AS (
+          SELECT doc_id, simhash, 0 AS band, simhash & 255 AS key FROM sim
+          UNION ALL
+          SELECT doc_id, simhash, 1 AS band, simhash >> 8 AS key FROM sim),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+            CAST(BIT_COUNT(XOR(a.simhash, b.simhash)) AS INTEGER) AS hamming
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+        SELECT d1, d2, hamming FROM cand WHERE hamming <= 3
+        ORDER BY d1, d2""")),
+
     // ---- embedding-cosine near-dup pairs (Dedup.cosineNearDups): LSH
     // buckets bound the pairwise work; cosine rounded BEFORE the
     // threshold test so the boundary cannot flip on a fold ulp

@@ -195,6 +195,26 @@ object TextQueries {
         FROM tf JOIN dfc ON tf.term = dfc.term, n
         WHERE doc_id < 50 ORDER BY doc_id, term""")),
 
+    // ---- regex tokenization (BPE-ish): alpha-run word tokens plus a
+    // greedy ≤4-char subword segmentation — the crude-BPE shape a
+    // training-data pipeline uses for token accounting. Plain character
+    // classes + greedy quantifiers behave identically in Java regex
+    // (Spark) and RE2 (DuckDB).
+    Q("q68_regex_tokens",
+      (s, dir) =>
+        tbl(s, dir, "documents").select(
+            col("doc_id"),
+            size(expr("regexp_extract_all(text, '[a-z]+', 0)")).as("n_words"),
+            size(array_distinct(expr("regexp_extract_all(text, '[a-z]+', 0)")))
+              .as("n_uniq_words"),
+            size(expr("regexp_extract_all(text, '[a-z]{1,4}', 0)")).as("n_subtokens"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+          CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+')) AS INTEGER) AS n_words,
+          CAST(LEN(LIST_DISTINCT(REGEXP_EXTRACT_ALL(text, '[a-z]+'))) AS INTEGER) AS n_uniq_words,
+          CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-z]{1,4}')) AS INTEGER) AS n_subtokens
+        FROM documents ORDER BY doc_id""")),
+
     // ---- per-source corpus stats (group agg over the doc table)
     Q("q36_source_stats",
       (s, dir) =>

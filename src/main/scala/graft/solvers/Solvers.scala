@@ -272,7 +272,12 @@ object Solvers {
     * mapPartitionsWithIndex job — partition i runs a local Breeze L-BFGS on
     * its rows (≙ scipy fmin_l_bfgs_b in a worker, algorithms.py:339-348) —
     * then O(k·p) driver math for the z/u/residual updates. The unit of
-    * parallelism is the Spark partition (≙ dask chunk, algorithms.py:288).
+    * parallelism is the Spark partition (≙ dask chunk, algorithms.py:288):
+    * `nchunks = data.numPartitions`, so the consensus split — and hence
+    * the iterate sequence — is a deterministic function of the input's
+    * partitioning, exactly as the reference's depends on its chunking.
+    * Control it with `GlmData.repartition(n)` (≙ `X.rechunk`,
+    * algorithms.py:294-298) before calling.
     */
   def admm(
       data: GlmData,
