@@ -4,8 +4,9 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** The reference's dispatched scalar math surface (utils.py:42-162, §2.B)
-  * as named Column helpers — every one composes Spark built-ins, so all
-  * stay inside whole-stage codegen (no UDFs).
+  * as named Column helpers — scalar ops compose Spark built-ins and the
+  * array reductions use the native fused expressions (ArrayMath), so
+  * everything stays inside whole-stage codegen (no UDFs).
   */
 object MathFunctions {
 
@@ -25,9 +26,11 @@ object MathFunctions {
   def sign(c: Column): Column = signum(c)
 
   /** Elementwise dot product of two array<double> columns (A1 kernel in
-    * pure SQL — higher-order functions, codegen'd). */
-  def arrayDot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    * SQL): native fused-loop expression with real codegen — the same
+    * sequential left fold as `aggregate(zip_with(a, b, *), 0, +)`
+    * (bit-identical values), minus the HOF interpretation overhead that
+    * would drag the projection out of whole-stage codegen. */
+  def arrayDot(a: Column, b: Column): Column = ArrayMath.dot(a, b)
 
   /** x·β for a constant coefficient vector. */
   def dotConst(features: Column, beta: Seq[Double]): Column =

@@ -33,14 +33,17 @@ object Similarity {
   /** Deterministic random-hyperplane bucket id (nBits-bit signature).
     * Hyperplane j component i = sin(i·131 + j·523) — seedless, both
     * portable and cheap; replace with seeded gaussians via
-    * `Datasets`-style rand for production use. */
+    * `Datasets`-style rand for production use.
+    *
+    * The hyperplanes are materialized as LITERAL arrays (java.lang.Math
+    * .sin — the exact function Spark's own Sin folds to) and projected
+    * with the native ArrayDot, so the per-row work is nBits fused loops
+    * inside codegen instead of interpreted HOF chains. */
   def lshBucket(vecCol: Column, dim: Int, nBits: Int = 8): Column = {
     val v = vecCol.cast("array<double>")
     (0 until nBits).map { j =>
-      val proj = aggregate(
-        zip_with(v, transform(sequence(lit(0), lit(dim - 1)),
-          i => sin(i * lit(131.0) + lit(j * 523.0))), (x, h) => x * h),
-        lit(0.0), (acc, x) => acc + x)
+      val plane = (0 until dim).map(i => math.sin(i * 131.0 + j * 523.0))
+      val proj = graft.functions.ArrayMath.dot(v, typedLit(plane))
       // round before the sign test so an engine-dependent last-ulp wobble
       // cannot flip a bucket bit (cross-engine oracle exactness)
       (round(proj, 6) > 0).cast("int") * lit(1 << j)
@@ -127,8 +130,7 @@ object Similarity {
       roundDp: Int = -1): Column = {
     val v = vecCol.cast("array<double>")
     val dists = centroids.zipWithIndex.map { case (cArr, i) =>
-      val d = aggregate(zip_with(v, typedLit(cArr.toSeq), (x, c) => (x - c) * (x - c)),
-        lit(0.0), (a, b) => a + b)
+      val d = graft.functions.ArrayMath.sqDist(v, typedLit(cArr.toSeq))
       struct((if (roundDp >= 0) round(d, roundDp) else d).as("d"), lit(i).as("cell"))
     }
     least(dists: _*).getField("cell")

@@ -16,8 +16,10 @@ import Queries._
   */
 object SimilarityQueries {
 
+  // native fused dot product (same left fold as aggregate∘zip_with,
+  // bit-identical; keeps the scoring projection inside codegen)
   private def dotCol(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.functions.ArrayMath.dot(a, b)
 
   /** Fixed IVF centroids for the q66 oracle: 4 deterministic 64-dim
     * vectors with exact-decimal components at the embeddings' scale

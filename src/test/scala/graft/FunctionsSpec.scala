@@ -31,6 +31,31 @@ class FunctionsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
   }
 
+  test("native ArrayDot/ArraySqDist ≡ HOF fold bit-for-bit, and codegen'd") {
+    val e = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val plane = (0 until 64).map(i => math.sin(i * 131.0 + 523.0))
+    val hofDot = aggregate(zip_with(col("v"), typedLit(plane), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    val hofSq = aggregate(zip_with(col("v"), typedLit(plane), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+    val df = e.select(col("vec_id"),
+      graft.functions.ArrayMath.dot(col("v"), typedLit(plane)).as("nd"),
+      hofDot.as("hd"),
+      graft.functions.ArrayMath.sqDist(col("v"), typedLit(plane)).as("ns"),
+      hofSq.as("hs"))
+    val rows = df.collect()
+    // identical left fold → identical doubles, not just approx
+    assert(rows.forall(r => r.getDouble(1) == r.getDouble(2)))
+    assert(rows.forall(r => r.getDouble(3) == r.getDouble(4)))
+    // the native projection stays inside whole-stage codegen
+    val lean = e.select(graft.functions.ArrayMath.dot(col("v"), typedLit(plane)).as("d"))
+    lean.collect()
+    val plan = lean.queryExecution.executedPlan.toString
+    val dotLines = plan.linesIterator.filter(_.contains("array_dot")).toSeq
+    assert(dotLines.nonEmpty && dotLines.exists(_.contains("*(")), plan)
+  }
+
   test("GlmLossGradAggregator (UDAF facade) equals the RDD kernel") {
     import graft.functions.{GlmLossGradAggregator, GlmRow}
     import graft.families.Logistic
