@@ -355,9 +355,29 @@ object Solvers {
     val uArr = u.map(_.toArray)
     val zArr = z.toArray
     val fam = family
+    val sparse = d.isSparse
     d.rows
       .mapPartitionsWithIndex { (idx, it) =>
         val rows = it.toArray
+        val n = rows.length
+        // L-BFGS evaluates the objective O(10²) times per x-update; pack
+        // the partition into flat primitive arrays ONCE so every eval is
+        // a branch-free dense loop instead of per-row vector dispatch
+        // (sparse inputs keep the dispatching path — no densify).
+        val xsFlat: Array[Double] = if (sparse) null else {
+          val a = new Array[Double](n * p)
+          var r = 0
+          while (r < n) {
+            System.arraycopy(
+              rows(r)._1.asInstanceOf[org.apache.spark.ml.linalg.DenseVector].values,
+              0, a, r * p, p)
+            r += 1
+          }
+          a
+        }
+        val ys = new Array[Double](n)
+        var ri = 0
+        while (ri < n) { ys(ri) = rows(ri)._2; ri += 1 }
         val zL = DenseVector(zArr)
         val uL = DenseVector(uArr(idx))
         val init = DenseVector(betasArr(idx).clone())
@@ -366,13 +386,28 @@ object Solvers {
             val b = beta.toArray
             var loss = 0.0
             val g = new Array[Double](p)
-            var r = 0
-            while (r < rows.length) {
-              val (x, y) = rows(r)
-              val xb = graft.linalg.Kernels.dot(x, b)
-              loss += fam.loss(xb, y)
-              graft.linalg.Kernels.axpy(fam.dLoss(xb, y), x, g)
-              r += 1
+            if (sparse) {
+              var r = 0
+              while (r < n) {
+                val x = rows(r)._1
+                val xb = graft.linalg.Kernels.dot(x, b)
+                loss += fam.loss(xb, ys(r))
+                graft.linalg.Kernels.axpy(fam.dLoss(xb, ys(r)), x, g)
+                r += 1
+              }
+            } else {
+              var r = 0
+              while (r < n) {
+                val base = r * p
+                var xb = 0.0
+                var i = 0
+                while (i < p) { xb += xsFlat(base + i) * b(i); i += 1 }
+                loss += fam.loss(xb, ys(r))
+                val w = fam.dLoss(xb, ys(r))
+                i = 0
+                while (i < p) { g(i) += w * xsFlat(base + i); i += 1 }
+                r += 1
+              }
             }
             val diffV = beta - zL + uL
             val l = loss + (rho / 2.0) * (diffV dot diffV)
