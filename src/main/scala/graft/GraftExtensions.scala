@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.MinHashSig
+import graft.functions.{ArrayDot, ArraySqDist, MinHashSig}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -11,6 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * `.withExtensions(new GraftExtensions)`) can call them from SQL:
   *
   * {{{ SELECT doc_id, minhash_sig(text) FROM documents }}}
+  * {{{ SELECT array_dot(embedding, embedding) FROM embeddings }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
@@ -18,5 +19,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       (exprs: Seq[Expression]) => MinHashSig(exprs.head, 8)))
+    e.injectFunction((
+      new FunctionIdentifier("array_dot"),
+      new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
+      (exprs: Seq[Expression]) => ArrayDot(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("array_sqdist"),
+      new ExpressionInfo(classOf[ArraySqDist].getName, "array_sqdist"),
+      (exprs: Seq[Expression]) => ArraySqDist(exprs(0), exprs(1))))
   }
 }

@@ -215,6 +215,39 @@ object TextQueries {
           CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-z]{1,4}')) AS INTEGER) AS n_subtokens
         FROM documents ORDER BY doc_id""")),
 
+    // ---- rolling-hash fingerprint (Rabin 8-gram windows + min-hash
+    // winnowing): h(i) = Σ_k c_{i+k}·131^k over every 8-char window, doc
+    // fingerprint = min window hash. Pure 64-bit integer math (131^7 ≈
+    // 6.6e14 is exact in both engines' POWER→BIGINT) → exact oracle.
+    // The rolling window is the content-defined-chunking primitive a
+    // dedup pipeline uses to find shifted duplicates that fixed shingles
+    // miss. Per-row projection, no shuffle.
+    Q("q70_rolling_fp",
+      (s, dir) =>
+        tbl(s, dir, "documents")
+          .withColumn("ws", expr(
+            """transform(sequence(1, length(text) - 7),
+                 i -> aggregate(sequence(0, 7), 0L,
+                   (acc, k) -> acc + cast(ascii(substr(text, i + k, 1)) as long)
+                     * cast(pow(131, k) as long)))"""))
+          .filter(length(col("text")) >= 8)
+          .select(col("doc_id"),
+            array_min(col("ws")).as("fp"),
+            size(col("ws")).as("n_win"),
+            size(array_distinct(col("ws"))).as("n_uniq"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+          CAST(LIST_MIN(ws) AS BIGINT) AS fp,
+          CAST(LEN(ws) AS INTEGER) AS n_win,
+          CAST(LEN(LIST_DISTINCT(ws)) AS INTEGER) AS n_uniq
+        FROM (SELECT doc_id,
+            LIST_TRANSFORM(RANGE(1, LENGTH(text) - 6),
+              i -> CAST(LIST_SUM(LIST_TRANSFORM(RANGE(0, 8),
+                k -> CAST(ASCII(SUBSTR(text, i + k, 1)) AS BIGINT)
+                  * CAST(POWER(131, k) AS BIGINT))) AS BIGINT)) AS ws
+          FROM documents WHERE LENGTH(text) >= 8)
+        ORDER BY doc_id""")),
+
     // ---- per-source corpus stats (group agg over the doc table)
     Q("q36_source_stats",
       (s, dir) =>
