@@ -47,4 +47,25 @@ object Sources {
 
   def writeJson(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
     df.write.mode(mode).json(path)
+
+  /** Bucketed parquet table (session catalog): rows are hash-clustered
+    * into `nBuckets` files per partition by `bucketCols`, and the layout
+    * is recorded in the catalog. Joins/aggregations keyed on the bucket
+    * columns between tables with the SAME bucket count then run with
+    * ZERO exchange — the co-located-join technique that at 100 TB
+    * replaces re-shuffling the fact table on every query with one
+    * shuffle at write time (SortMergeJoin still sorts within buckets;
+    * add `sortBy` at write to pre-sort files too). */
+  def writeBucketed(df: DataFrame, table: String, nBuckets: Int,
+      bucketCols: Seq[String], sortCols: Seq[String] = Nil,
+      mode: String = "overwrite"): Unit = {
+    require(bucketCols.nonEmpty, "bucketCols must be non-empty")
+    val w = df.write.mode(mode).format("parquet")
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
+  def readTable(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
 }

@@ -64,4 +64,45 @@ class SourcesSpec extends AnyFunSuite {
     val acc = m.score(test)
     assert(acc > 0.5, s"acc=$acc")
   }
+
+  test("bucketed tables co-locate the join: ZERO exchange in the plan") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val li = spark.read.parquet(s"${TestSpark.sf0001}/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    val ord = spark.read.parquet(s"${TestSpark.sf0001}/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+    Sources.writeBucketed(li, "li_bkt", 4, Seq("l_orderkey"), Seq("l_orderkey"))
+    Sources.writeBucketed(ord, "ord_bkt", 4, Seq("o_orderkey"), Seq("o_orderkey"))
+    // disable broadcast so the test proves BUCKETING (not broadcast)
+    // removes the exchange — at 100 TB neither side broadcasts
+    val prevBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Sources.readTable(spark, "li_bkt")
+        .join(Sources.readTable(spark, "ord_bkt"),
+          col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("q"))
+      val n = joined.collect()(0).getLong(0)
+      assert(n > 0)
+      def shuffles(p: SparkPlan): Int = p match {
+        case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
+        case qs: QueryStageExec => shuffles(qs.plan)
+        case s: ShuffleExchangeExec => 1 + s.children.map(shuffles).sum
+        case other => other.children.map(shuffles).sum
+      }
+      // same bucket count on the join key on both sides → the join itself
+      // needs no exchange; the only shuffle is the final 1-row aggregate
+      assert(shuffles(joined.queryExecution.executedPlan) <= 1,
+        joined.queryExecution.executedPlan.toString)
+      val joinPlan = joined.queryExecution.executedPlan.toString
+      assert(joinPlan.contains("SortMergeJoin") || joinPlan.contains("ShuffledHashJoin"),
+        joinPlan)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
+      spark.sql("DROP TABLE IF EXISTS li_bkt")
+      spark.sql("DROP TABLE IF EXISTS ord_bkt")
+    }
+  }
 }
