@@ -41,6 +41,11 @@ object Dedup {
     val rowsPerBand = 8 / bands
     val sigd = df.select(col(idCol).as("__id"),
       expr(s"minhash_sig($textCol)").as("__sig"))
+      // docs too short to shingle (<3 tokens) all share the empty-signature
+      // sentinel (Long.MaxValue minima) — at corpus scale they'd collide
+      // into ONE quadratic bucket; they have no shingles to match on, so
+      // drop them from candidate generation entirely
+      .filter(element_at(col("__sig"), 1) =!= Long.MaxValue)
     val banded = (0 until bands).map { b =>
       sigd.select(col("__id"), lit(b).as("__band"),
         concat_ws(":", (0 until rowsPerBand).map(r =>

@@ -127,6 +127,17 @@ class OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Dedup.minhashCandidates(df, "id", "text", bands = 16))
   }
 
+  test("minhash candidates: shingle-less docs never pair (no sentinel bucket)") {
+    import spark.implicits._
+    // two <3-token docs share the empty-signature sentinel; they must NOT
+    // become candidates of each other (quadratic trivial-doc bucket)
+    val df = Seq((1L, "ab"), (2L, "cd"), (3L, "one two three four five six"),
+      (4L, "one two three four five six")).toDF("id", "text")
+    val cands = Dedup.minhashCandidates(df, "id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands == Set((3L, 4L)), cands.toString)
+  }
+
   test("capHotKeys drops high-df shingles before any self-join") {
     import spark.implicits._
     // 'stop phrase' appears in every doc; 'rare pair' in two

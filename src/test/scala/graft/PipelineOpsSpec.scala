@@ -122,6 +122,40 @@ class PipelineOpsSpec extends AnyFunSuite {
     run()
   }
 
+  test("streaming parquet SINK: file-to-file pipeline round-trips (append mode)") {
+    val dir = TestSpark.sf0001
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.types._
+    val rawSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val src = java.nio.file.Files.createTempDirectory("events_sink_src")
+    val out = java.nio.file.Files.createTempDirectory("events_sink_out")
+    val ckpt = java.nio.file.Files.createTempDirectory("events_sink_ckpt")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      src.resolve("events.parquet"))
+    // per-row projection pipeline (append-compatible): type-tagged value
+    val stream = spark.readStream.schema(rawSchema).parquet(src.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select(col("event_id"), col("event_type"),
+        (col("value") * 2.0).as("value2"))
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet").option("path", out.toString).start()
+    try assert(q.awaitTermination(120000), "sink stream did not finish")
+    finally q.stop()
+    val written = spark.read.parquet(out.toString)
+    val expected = Queries.eventsTbl(spark, dir)
+      .select(col("event_id"), col("event_type"), (col("value") * 2.0).as("value2"))
+    assert(written.count() == expected.count())
+    val a = written.agg(sum(col("value2"))).head().getDouble(0)
+    val b = expected.agg(sum(col("value2"))).head().getDouble(0)
+    assert(math.abs(a - b) < 1e-6, s"$a vs $b")
+  }
+
   test("stateful streaming sessionize emits sessions matching the batch twin") {
     import spark.implicits._
     import org.apache.spark.sql.types._
