@@ -81,34 +81,38 @@ object Similarity {
     var iter = 0
     while (iter < iters) {
       val bc = rdd.sparkContext.broadcast(centroids)
-      val updated = rdd.mapPartitions { it =>
-        val cs = bc.value
-        val d = cs(0).length
-        val sums = Array.fill(cs.length)(new Array[Double](d))
-        val counts = new Array[Long](cs.length)
-        it.foreach { v =>
+      val d0 = centroids(0).length
+      val k0 = centroids.length
+      // treeAggregate: k·d partials combine in-cluster at depth 2 — the
+      // driver sees O(√n) partials, not one per partition (at 10⁶
+      // partitions a flat reduce funnels GBs through the driver)
+      val updated = rdd.treeAggregate(
+        (Array.fill(k0)(new Array[Double](d0)), new Array[Long](k0)))(
+        seqOp = { case ((sums, counts), v) =>
+          val cs = bc.value
           var best = 0; var bestD = Double.MaxValue
           var c = 0
           while (c < cs.length) {
             var dist = 0.0; var i = 0
-            while (i < d) { val t = v(i) - cs(c)(i); dist += t * t; i += 1 }
+            while (i < d0) { val t = v(i) - cs(c)(i); dist += t * t; i += 1 }
             if (dist < bestD) { bestD = dist; best = c }
             c += 1
           }
           var i = 0
-          while (i < d) { sums(best)(i) += v(i); i += 1 }
+          while (i < d0) { sums(best)(i) += v(i); i += 1 }
           counts(best) += 1
-        }
-        Iterator.single((sums, counts))
-      }.reduce { case ((s1, c1), (s2, c2)) =>
-        var c = 0
-        while (c < c1.length) {
-          var i = 0
-          while (i < s1(c).length) { s1(c)(i) += s2(c)(i); i += 1 }
-          c1(c) += c2(c); c += 1
-        }
-        (s1, c1)
-      }
+          (sums, counts)
+        },
+        combOp = { case ((s1, c1), (s2, c2)) =>
+          var c = 0
+          while (c < c1.length) {
+            var i = 0
+            while (i < s1(c).length) { s1(c)(i) += s2(c)(i); i += 1 }
+            c1(c) += c2(c); c += 1
+          }
+          (s1, c1)
+        },
+        depth = 2)
       centroids = centroids.indices.map { c =>
         if (updated._2(c) == 0) centroids(c)
         else updated._1(c).map(_ / updated._2(c))

@@ -140,6 +140,48 @@ object PipelineQueries {
           CAST(NULL AS INTEGER) AS img_w
         FROM documents ORDER BY media_id""")),
 
+    // ---- real image decode, golden-oracle form: encode known PNG + BMP
+    // images in-memory (16×8, left half red / right half green → exact
+    // channel means), decode through the distributed imageMeta path, and
+    // compare against the known constants. Decoded output is invariant to
+    // encoder details, so the constants are a true oracle for the
+    // javax.imageio codec path.
+    Q("q51_image_decode",
+      (s, dir) => {
+        def img(): java.awt.image.BufferedImage = {
+          val im = new java.awt.image.BufferedImage(16, 8,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          for (y <- 0 until 8; x <- 0 until 16)
+            im.setRGB(x, y, if (x < 8) 0xff0000 else 0x00ff00)
+          im
+        }
+        def bytes(fmt: String): Array[Byte] = {
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img(), fmt, baos)
+          baos.toByteArray
+        }
+        import s.implicits._
+        Seq((1L, bytes("png")), (2L, bytes("bmp")), (3L, "not an image".getBytes("UTF-8")))
+          .toDF("media_id", "payload")
+          .select(col("media_id"),
+            Multimodal.imageMeta(col("payload")).as("m"))
+          .select(col("media_id"),
+            col("m.width").as("w"), col("m.height").as("h"),
+            round(col("m.mean_r"), 2).as("mean_r"),
+            round(col("m.mean_g"), 2).as("mean_g"),
+            round(col("m.mean_b"), 2).as("mean_b"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT * FROM (VALUES
+          (CAST(1 AS BIGINT), CAST(16 AS INTEGER), CAST(8 AS INTEGER),
+           CAST(127.5 AS DOUBLE), CAST(127.5 AS DOUBLE), CAST(0.0 AS DOUBLE)),
+          (CAST(2 AS BIGINT), CAST(16 AS INTEGER), CAST(8 AS INTEGER),
+           CAST(127.5 AS DOUBLE), CAST(127.5 AS DOUBLE), CAST(0.0 AS DOUBLE)),
+          (CAST(3 AS BIGINT), CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE))
+        ) AS t(media_id, w, h, mean_r, mean_g, mean_b)
+        ORDER BY media_id""")),
+
     // ---- streaming batch-twin: 5-minute tumbling windows over events
     Q("q60_tumbling_window",
       (s, dir) =>

@@ -278,6 +278,14 @@ object Solvers {
     * partitioning, exactly as the reference's depends on its chunking.
     * Control it with `GlmData.repartition(n)` (≙ `X.rechunk`,
     * algorithms.py:294-298) before calling.
+    *
+    * Scale note: the driver holds the k×p consensus state (βs, duals) —
+    * the reference's own shape (algorithms.py:302-312). At 100 TB keep
+    * the CHUNK count O(cluster cores), e.g. repartition to 10³–10⁴, not
+    * one chunk per 128 MB input split (10⁵–10⁶): bigger local problems
+    * converge in fewer consensus rounds AND keep the driver state in MBs.
+    * For extreme partition counts prefer lbfgs/gradient_descent, whose
+    * reductions are O(p) trees with no per-chunk driver state.
     */
   def admm(
       data: GlmData,
