@@ -53,6 +53,19 @@ object EventStream {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("total"))
 
+  /** Streaming exact dedup, the streaming twin of `Dedup.exact`:
+    * `dropDuplicatesWithinWatermark` keeps each key's state only until
+    * the watermark passes it — bounded state at unbounded input, the
+    * only viable exact-dedup shape on an infinite stream (a plain
+    * `dropDuplicates` would grow state forever). Duplicates arriving
+    * within `watermark` of the first occurrence are suppressed. */
+  def streamingDedup(
+      events: DataFrame, idCols: Seq[String],
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCols)
+
   /** Streaming stateful sessionization via flatMapGroupsWithState: one
     * state object per user (open-session bounds + count); a session is
     * emitted when the gap to the next event exceeds `gapMinutes` or the

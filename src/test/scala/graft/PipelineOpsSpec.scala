@@ -228,6 +228,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup within watermark suppresses duplicate ids, bounded state") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val events = input.toDF().toDF("event_id", "ts", "value")
+    val q = EventStream.streamingDedup(events, Seq("event_id"), "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("dedup_out").start()
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2020-01-01 10:$m%02d:00")
+    try {
+      input.addData((1L, ts(0), 1.0), (1L, ts(1), 2.0), (2L, ts(1), 3.0))
+      q.processAllAvailable()
+      input.addData((1L, ts(2), 4.0)) // still within watermark → duplicate
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id")
+        .collect().map(_.getLong(0)).toSeq.sorted
+      assert(ids == Seq(1L, 2L), ids.toString) // each id exactly once
+    } finally q.stop()
+  }
+
   test("sessionize: gap > 30min starts a new session") {
     import spark.implicits._
     val events = Seq(
