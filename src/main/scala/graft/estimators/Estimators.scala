@@ -76,14 +76,14 @@ abstract class GLM(val params: GlmParams) extends Serializable {
       org.apache.spark.ml.functions.vector_to_array(col(params.featuresCol))
     else col(params.featuresCol)
 
-  /** Linear margin X_·coef as a pure-Catalyst column (zip_with + aggregate
-    * higher-order functions — codegen'd, no UDF). */
+  /** Linear margin X_·coef as a pure-Catalyst column: native fused
+    * ArrayDot against the literal coefficient array (same left fold as
+    * the zip_with+aggregate composition, bit-identical, but stays inside
+    * whole-stage codegen — this is the production scoring path). */
   def marginCol(features: Column): Column = {
     val c = coef.toArray.toSeq
-    val dotProd = aggregate(
-      zip_with(features.cast("array<double>"), typedLit(c), (a, b) => a * b),
-      lit(0.0),
-      (acc, v) => acc + v)
+    val dotProd = graft.functions.ArrayMath.dot(
+      features.cast("array<double>"), typedLit(c))
     if (params.fitIntercept) dotProd + lit(intercept) else dotProd
   }
 

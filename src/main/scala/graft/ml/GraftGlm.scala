@@ -4,7 +4,7 @@ import graft.estimators.{GLM, GlmParams, LinearRegression, LogisticRegression, P
 import org.apache.spark.ml.{Estimator, Model}
 import org.apache.spark.ml.param._
 import org.apache.spark.ml.param.shared.{HasFeaturesCol, HasLabelCol, HasMaxIter, HasTol}
-import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.ml.util.{DefaultParamsReadable, DefaultParamsWritable, Identifiable, MLReadable, MLReader, MLWritable, MLWriter}
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.types.{BooleanType, DoubleType, StructType}
 
@@ -17,7 +17,8 @@ import org.apache.spark.sql.types.{BooleanType, DoubleType, StructType}
   */
 class GraftGlm(override val uid: String)
     extends Estimator[GraftGlmModel]
-    with HasFeaturesCol with HasLabelCol with HasMaxIter with HasTol {
+    with HasFeaturesCol with HasLabelCol with HasMaxIter with HasTol
+    with DefaultParamsWritable {
 
   def this() = this(Identifiable.randomUID("graftGlm"))
 
@@ -71,11 +72,13 @@ class GraftGlm(override val uid: String)
   }
 }
 
+object GraftGlm extends DefaultParamsReadable[GraftGlm]
+
 class GraftGlmModel(
     override val uid: String,
     val inner: GLM,
     val familyName: String)
-    extends Model[GraftGlmModel] {
+    extends Model[GraftGlmModel] with MLWritable {
 
   override def transform(dataset: Dataset[_]): DataFrame =
     inner.transform(dataset.toDF())
@@ -92,4 +95,43 @@ class GraftGlmModel(
 
   def coefficients: Array[Double] = inner.coef.toArray
   def intercept: Double = inner.intercept
+
+  /** Model persistence (sklearn-pickle analog, spark.ml idiom): one
+    * parquet row holding the fitted state — family, the coefficient
+    * vector (intercept-last raw form), and the transform-relevant params.
+    */
+  override def write: MLWriter = new MLWriter {
+    override protected def saveImpl(path: String): Unit = {
+      val spark = sparkSession
+      import spark.implicits._
+      Seq((uid, familyName, inner.rawCoef.toArray.toSeq,
+          inner.params.fitIntercept, inner.params.featuresCol,
+          inner.params.labelCol))
+        .toDF("uid", "family", "rawCoef", "fitIntercept", "featuresCol", "labelCol")
+        .repartition(1)
+        .write.mode(if (shouldOverwrite) "overwrite" else "errorifexists")
+        .parquet(path)
+    }
+  }
+}
+
+object GraftGlmModel extends MLReadable[GraftGlmModel] {
+  override def read: MLReader[GraftGlmModel] = new MLReader[GraftGlmModel] {
+    override def load(path: String): GraftGlmModel = {
+      val row = sparkSession.read.parquet(path).head()
+      val params = GlmParams(
+        fitIntercept = row.getAs[Boolean]("fitIntercept"),
+        featuresCol = row.getAs[String]("featuresCol"),
+        labelCol = row.getAs[String]("labelCol"))
+      val familyName = row.getAs[String]("family")
+      val inner: GLM = familyName match {
+        case "logistic" => new LogisticRegression(params)
+        case "normal" => new LinearRegression(params)
+        case "poisson" => new PoissonRegression(params)
+      }
+      inner.rawCoef =
+        breeze.linalg.DenseVector(row.getAs[Seq[Double]]("rawCoef").toArray)
+      new GraftGlmModel(row.getAs[String]("uid"), inner, familyName)
+    }
+  }
 }

@@ -287,6 +287,25 @@ object PipelineQueries {
           CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS total
         FROM lineitem GROUP BY 1 ORDER BY key""")),
 
+    // ---- salted join (Skew.saltedJoin): skewed-left vs replicated-right
+    // join whose result is EXACTLY the plain equi-join (the oracle) —
+    // the right side replicates once per salt, the left salts uniformly,
+    // so the hot key's rows spread over nSalts reducers. Aggregates stay
+    // decimal-exact through the dsum contract.
+    Q("q71_salted_join",
+      (s, dir) => {
+        val li = tbl(s, dir, "lineitem")
+        val ord = tbl(s, dir, "orders").select("o_orderkey", "o_orderstatus")
+        graft.ops.Skew.saltedJoin(li, ord, "l_orderkey", "o_orderkey", nSalts = 8)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("total_qty"))
+          .orderBy("o_orderstatus")
+      },
+      Some(s"""SELECT o_orderstatus, COUNT(*) AS n,
+          ${dsumSql("l_quantity")} AS total_qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     // ---- sessionization (gap-and-island batch twin of the stateful path)
     Q("q61_sessionize",
       (s, dir) =>

@@ -97,4 +97,31 @@ class MlPipelineSpec extends AnyFunSuite {
     val b = new graft.estimators.LogisticRegression(p).fit(sparseDf).rawCoef
     assert(breeze.linalg.max(breeze.numerics.abs(a - b)) < 1e-10)
   }
+
+  test("model save/load round-trip: identical predictions") {
+    import spark.implicits._
+    val li = spark.read.parquet(s"${TestSpark.sf0001}/lineitem.parquet")
+    val df = li.select(
+      array(col("l_quantity"), col("l_discount")).as("features"),
+      (col("l_returnflag") === "R").cast("double").as("label"))
+    val model = new GraftGlm().setSolver("newton").setMaxIter(10).fit(df)
+    val dir = java.nio.file.Files.createTempDirectory("graft_model").toString + "/m"
+    model.write.overwrite().save(dir)
+    val loaded = graft.ml.GraftGlmModel.load(dir)
+    assert(loaded.familyName == model.familyName)
+    assert(loaded.coefficients.toSeq == model.coefficients.toSeq)
+    assert(loaded.intercept == model.intercept)
+    val before = model.transform(df).select("probability")
+      .limit(50).collect().map(_.getDouble(0)).toSeq
+    val after = loaded.transform(df).select("probability")
+      .limit(50).collect().map(_.getDouble(0)).toSeq
+    assert(before == after)
+    // the estimator itself persists via DefaultParamsWritable
+    val edir = java.nio.file.Files.createTempDirectory("graft_est").toString + "/e"
+    val est = new GraftGlm().setSolver("lbfgs").setLamduh(0.3)
+    est.write.overwrite().save(edir)
+    val estLoaded = GraftGlm.load(edir)
+    assert(estLoaded.getOrDefault(estLoaded.solver) == "lbfgs")
+    assert(estLoaded.getOrDefault(estLoaded.lamduh) == 0.3)
+  }
 }
