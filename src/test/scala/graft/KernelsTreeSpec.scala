@@ -37,6 +37,26 @@ class KernelsTreeSpec extends AnyFunSuite {
     } finally d.unpersist()
   }
 
+  test("tree combine is still ONE Spark job per kernel call") {
+    val d = data512()
+    try {
+      d.rows.count() // materialize cache outside the counted region
+      val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          counter.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        Kernels.lossGrad(d, breeze.linalg.DenseVector.zeros[Double](4), Logistic)
+        Thread.sleep(300)
+      } finally spark.sparkContext.removeSparkListener(listener)
+      // map + grouped-combine are STAGES of one job, not extra jobs
+      assert(counter.get() == 1, s"jobs=${counter.get()}")
+    } finally d.unpersist()
+  }
+
   test("tree path agrees with the flat driver fold within float tolerance") {
     val flat = Datasets.makeInterceptData(spark, 4000, 3).repartition(8).persist()
     val tree = flat.repartition(512).persist()
