@@ -410,6 +410,65 @@ object Relational {
           .orderBy("l_returnflag"),
       None),
 
+    // ---- ranking-window breadth: rank / dense_rank / percent_rank /
+    // ntile / lead / lag / first_value in one pass. All outputs are
+    // integers or ratios of small integers (percent_rank =
+    // (rank−1)/(n−1), identical division on both engines). Total
+    // ordering inside the frame via the (o_totalprice DESC, o_orderkey)
+    // tiebreak keeps every rank deterministic.
+    Q("q72_window_funcs",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        tbl(s, dir, "orders").filter(col("o_orderkey") < 2000)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            rank().over(w).as("rk"),
+            dense_rank().over(w).as("drk"),
+            percent_rank().over(w).as("prk"),
+            ntile(4).over(w).as("quartile"),
+            lag(col("o_orderkey"), 1).over(w).as("prev_key"),
+            lead(col("o_orderkey"), 1).over(w).as("next_key"),
+            first(col("o_orderkey")).over(w).as("top_key"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderstatus,
+          CAST(RANK() OVER w AS INTEGER) AS rk,
+          CAST(DENSE_RANK() OVER w AS INTEGER) AS drk,
+          PERCENT_RANK() OVER w AS prk,
+          CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+          LAG(o_orderkey, 1) OVER w AS prev_key,
+          LEAD(o_orderkey, 1) OVER w AS next_key,
+          FIRST_VALUE(o_orderkey) OVER w AS top_key
+        FROM orders WHERE o_orderkey < 2000
+        WINDOW w AS (PARTITION BY o_orderstatus
+          ORDER BY o_totalprice DESC, o_orderkey ASC)
+        ORDER BY o_orderkey""")),
+
+    // ---- explicit GROUPING SETS + per-column GROUPING() flags (beyond
+    // the rollup/cube shorthands of q10/q10b). gid is built from
+    // per-column grouping bits so both engines agree on the encoding;
+    // NULLS FIRST pinned explicitly (Spark defaults nulls-first ASC,
+    // DuckDB nulls-last).
+    Q("q73_grouping_sets",
+      (s, dir) => {
+        tbl(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+        s.sql(s"""SELECT l_returnflag, l_linestatus,
+            CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INT) AS gid,
+            COUNT(*) AS n,
+            ${dsumSql("l_quantity")} AS total_qty
+          FROM lineitem_v
+          GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+          ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus,
+          CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INTEGER) AS gid,
+          COUNT(*) AS n,
+          ${dsumSql("l_quantity")} AS total_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
+
     // ---- case expressions + conditional aggregation
     Q("q18_case_agg",
       (s, dir) =>
