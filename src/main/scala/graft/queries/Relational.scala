@@ -469,6 +469,28 @@ object Relational {
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
 
+    // ---- correlated EXISTS / NOT EXISTS (decorrelated by Catalyst into
+    // semi/anti joins — the declarative twin of q07's explicit joins)
+    Q("q74_correlated_exists",
+      (s, dir) => {
+        tbl(s, dir, "supplier").createOrReplaceTempView("supplier_v")
+        tbl(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+        s.sql("""SELECT s_suppkey, s_name FROM supplier_v s
+          WHERE EXISTS (SELECT 1 FROM lineitem_v l
+                        WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 50)
+            AND NOT EXISTS (SELECT 1 FROM lineitem_v l2
+                            WHERE l2.l_suppkey = s.s_suppkey
+                              AND l2.l_quantity = 1 AND l2.l_discount = 0.1)
+          ORDER BY s_suppkey""")
+      },
+      Some("""SELECT s_suppkey, s_name FROM supplier s
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 50)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_suppkey = s.s_suppkey
+                            AND l2.l_quantity = 1 AND l2.l_discount = 0.1)
+        ORDER BY s_suppkey""")),
+
     // ---- case expressions + conditional aggregation
     Q("q18_case_agg",
       (s, dir) =>

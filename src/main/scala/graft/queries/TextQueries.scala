@@ -248,6 +248,22 @@ object TextQueries {
           FROM documents WHERE LENGTH(text) >= 8)
         ORDER BY doc_id""")),
 
+    // ---- positional explode (ordinal-preserving UNNEST): token position
+    // survives the explode — the shape windowed shingling and alignment
+    // joins build on. Spark pos is 0-based, DuckDB ordinality 1-based →
+    // emitted as 1-based on both sides.
+    Q("q75_posexplode",
+      (s, dir) =>
+        tbl(s, dir, "documents").filter(col("doc_id") < 20)
+          .select(col("doc_id"), posexplode(toksCol).as(Seq("pos0", "tok")))
+          .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("tok"))
+          .orderBy("doc_id", "pos"),
+      Some("""SELECT doc_id, CAST(i AS INTEGER) AS pos, toks[i] AS tok
+        FROM (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(text, ' +') AS toks
+              FROM documents WHERE doc_id < 20),
+          UNNEST(RANGE(1, LEN(toks) + 1)) AS t(i)
+        ORDER BY doc_id, pos""")),
+
     // ---- per-source corpus stats (group agg over the doc table)
     Q("q36_source_stats",
       (s, dir) =>
