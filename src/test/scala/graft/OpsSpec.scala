@@ -169,6 +169,30 @@ class OpsSpec extends AnyFunSuite {
     assert(out(0).getString(out(0).fieldIndex("venue")) == "B")
   }
 
+  test("bucketed range join: exact overlap set, each pair emitted once") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 0.0, 10.0),   // spans several buckets
+      (2L, 9.5, 10.5),   // straddles a bucket boundary
+      (3L, 20.0, 21.0),  // touches r30 only at the open end → no match
+      (4L, 35.0, 36.0))  // inside r30
+      .toDF("lid", "lo", "hi")
+    val right = Seq(
+      (10L, 5.0, 25.0),  // overlaps 1, 2; [20,21) ⊂ [5,25) overlaps 3 too
+      (20L, 10.0, 12.0), // overlaps 2 (9.5 < 12, 10 < 10.5); NOT 1 ([0,10) vs [10,12) — open)
+      (30L, 21.0, 40.0)) // overlaps 4; NOT 3 ([20,21) vs [21,40) — open)
+      .toDF("rid", "rlo", "rhi")
+    // small bucket width forces multi-bucket intervals → tests the
+    // first-overlap-bucket dedup guard
+    val out = graft.ops.RangeJoin.overlapBucketed(left, right,
+        "lo", "hi", "rlo", "rhi", bucketWidth = 4.0)
+      .select("l_lid", "r_rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = Set((1L, 10L), (2L, 10L), (3L, 10L), (2L, 20L), (4L, 30L))
+    assert(out.toSet == expected, out.toSeq.sorted.mkString(","))
+    // emitted exactly once despite spanning many shared buckets
+    assert(out.length == expected.size, out.toSeq.sorted.mkString(","))
+  }
+
   test("imageMeta decodes a real PNG (javax.imageio) and rejects non-images") {
     import spark.implicits._
     // render a deterministic 20×10 image: left half red, right half blue
