@@ -187,6 +187,32 @@ object Relational {
           COUNT(*) AS n, ${dsumSql("o_totalprice")} AS total
         FROM orders GROUP BY 1, 2 ORDER BY yr, mo""")),
 
+    // ---- date-function breadth: trunc / month arithmetic (both engines
+    // clamp to month end) / day diff / last_day / quarter / day-of-month.
+    // Dates surfaced as strings so the compare is representation-free;
+    // dayofweek deliberately avoided (Spark 1=Sunday vs DuckDB 0=Sunday).
+    Q("q76_date_breadth",
+      (s, dir) =>
+        tbl(s, dir, "orders").filter(col("o_orderkey") < 2000)
+          .select(col("o_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"),
+            date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
+            date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd").as("plus3m"),
+            datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date")).as("days_since"),
+            date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+            quarter(col("o_orderdate")).as("q"),
+            dayofmonth(col("o_orderdate")).as("dom"))
+          .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+          STRFTIME(o_orderdate, '%Y-%m-%d') AS d,
+          STRFTIME(DATE_TRUNC('month', o_orderdate), '%Y-%m-%d') AS month_start,
+          STRFTIME(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m,
+          CAST(DATE_DIFF('day', DATE '1995-01-01', o_orderdate::DATE) AS INTEGER) AS days_since,
+          STRFTIME(LAST_DAY(o_orderdate::DATE), '%Y-%m-%d') AS month_end,
+          CAST(QUARTER(o_orderdate) AS INTEGER) AS q,
+          CAST(DAY(o_orderdate) AS INTEGER) AS dom
+        FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""")),
+
     // ---- rollup (grouping sets)
     Q("q10_rollup",
       (s, dir) =>

@@ -264,6 +264,33 @@ object TextQueries {
           UNNEST(RANGE(1, LEN(toks) + 1)) AS t(i)
         ORDER BY doc_id, pos""")),
 
+    // ---- array-function breadth over token arrays: slice / position /
+    // sort / flatten / contains — the list-manipulation surface a
+    // pipeline uses between tokenize and join. 1-based slice and
+    // position semantics align across engines; absent-position
+    // normalized to 0 (Spark convention).
+    Q("q77_array_funcs",
+      (s, dir) => {
+        val toks = toksCol
+        tbl(s, dir, "documents").filter(col("doc_id") < 20)
+          .select(col("doc_id"),
+            concat_ws(",", slice(toks, 2, 3)).as("mid3"),
+            expr("array_position(split(text, ' +'), 'the')").cast("int").as("pos_the"),
+            concat_ws(",", slice(sort_array(toks), 1, 5)).as("sorted5"),
+            size(flatten(array(toks, toks))).as("n_doubled"),
+            array_contains(toks, "data").cast("int").as("has_data"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+          ARRAY_TO_STRING(toks[2:4], ',') AS mid3,
+          CAST(COALESCE(LIST_POSITION(toks, 'the'), 0) AS INTEGER) AS pos_the,
+          ARRAY_TO_STRING(LIST_SORT(toks)[1:5], ',') AS sorted5,
+          CAST(LEN(FLATTEN([toks, toks])) AS INTEGER) AS n_doubled,
+          CAST(LIST_CONTAINS(toks, 'data') AS INTEGER) AS has_data
+        FROM (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(text, ' +') AS toks
+              FROM documents WHERE doc_id < 20)
+        ORDER BY doc_id""")),
+
     // ---- per-source corpus stats (group agg over the doc table)
     Q("q36_source_stats",
       (s, dir) =>
