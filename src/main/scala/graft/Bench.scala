@@ -26,6 +26,15 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Median-of-3: single-run samples on sub-second queries jitter ±30%
+    // round-over-round (GC, JIT recompiles, page cache), which made real
+    // regressions indistinguishable from noise. The median of 3 runs is
+    // robust to one bad sample while keeping the bench under ~3× cost.
+    def timeMedian(reps: Int)(f: => Unit): Double = {
+      val samples = Array.fill(reps)(time(f)).sorted
+      samples(reps / 2)
+    }
+
     val headline = graft.queries.Queries.all.filter(_.bench)
     // JIT/codegen warmup on the smallest SF (different data dir, so no
     // page-cache advantage for the timed runs), then touch the timed dir's
@@ -38,14 +47,17 @@ object Bench {
       }
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
 
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     headline.foreach { q =>
-      results(q.name) = time { q.spark(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      results(q.name) = timeMedian(reps) {
+        q.spark(spark, sfDir).write.format("noop").mode("overwrite").save()
+      }
     }
 
     // GLM fit benchmark: the baseline-comparable fit (admm logistic,
     // ~6×10⁵ rows at sf0.1, 5 features + intercept)
-    results("glm_fit") = time {
+    results("glm_fit") = timeMedian(reps) {
       import graft.estimators.{GlmParams, LogisticRegression}
       import org.apache.spark.sql.functions._
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")

@@ -2,10 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native Catalyst expressions for the dense-vector hot path.
   *
@@ -18,12 +18,18 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * pass over the unsafe array data with real `doGenCode`, so ANN scoring
   * (q40/q46/q65/q66 shapes) stays inside the codegen'd stage at scale.
   *
-  * Both inputs MUST already be `array<double>` with non-null elements —
-  * callers cast explicitly (every call site does `.cast("array<double>")`
-  * or ships a typedLit[Seq[Double]]); unequal lengths fold over the
-  * common prefix.
+  * Inputs are analysis-checked to `array<double>` (these expressions are
+  * SQL-visible via `register`, so arbitrary `array_dot(array(1,2), ...)`
+  * calls reach them): `ImplicitCastInputTypes` coerces e.g. array<int>
+  * to array<double> for free and rejects non-array inputs at analysis
+  * time — without it, `ArrayData.getDouble` on an int-backed UnsafeArray
+  * would reinterpret bytes and return silently wrong doubles. Elements
+  * must be non-null; unequal lengths fold over the common prefix.
   */
-abstract class ArrayFoldExpression extends BinaryExpression {
+abstract class ArrayFoldExpression extends BinaryExpression with ImplicitCastInputTypes {
+  // inferred Seq[ArrayType] — AbstractDataType is private[sql] in Spark 4,
+  // so the signature can't be named outside org.apache.spark.sql
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
 

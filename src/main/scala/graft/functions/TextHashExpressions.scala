@@ -87,9 +87,24 @@ case class MinHashSig(child: Expression, numHashes: Int)
 }
 
 object TextHashFunctions {
-  /** Register SQL-visible functions on a session (idempotent). */
+  /** Register SQL-visible functions on a session (idempotent).
+    *
+    * `minhash_sig(text[, numHashes])` — signature width defaults to 8
+    * (the oracle-checked q44/q45 form); production near-dup at corpus
+    * scale typically runs 128 hashes (`minhash_sig(text, 128)`). The
+    * width argument must be a foldable integer literal (it sizes the
+    * per-row minima array at plan time). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_sig", exprs => MinHashSig(exprs.head, 8), "built-in")
+      "minhash_sig", {
+        case Seq(text) => MinHashSig(text, 8)
+        case Seq(text, n) =>
+          require(n.foldable, "minhash_sig: numHashes must be a literal")
+          val width = n.eval().asInstanceOf[Number].intValue()
+          require(width >= 1, s"minhash_sig: numHashes must be >= 1, got $width")
+          MinHashSig(text, width)
+        case exprs => throw new IllegalArgumentException(
+          s"minhash_sig(text[, numHashes]) takes 1 or 2 arguments, got ${exprs.length}")
+      }, "built-in")
   }
 }

@@ -128,6 +128,9 @@ object GraftGlmModel extends MLReadable[GraftGlmModel] {
         case "logistic" => new LogisticRegression(params)
         case "normal" => new LinearRegression(params)
         case "poisson" => new PoissonRegression(params)
+        case other => throw new IllegalArgumentException(
+          s"GraftGlmModel.load: unknown family '$other' in model file at $path " +
+            "(expected one of: logistic, normal, poisson)")
       }
       inner.rawCoef =
         breeze.linalg.DenseVector(row.getAs[Seq[Double]]("rawCoef").toArray)

@@ -15,13 +15,17 @@ object Dedup {
   /** Exact dedup on chosen columns: keeps the min-`idCol` row per group.
     * (hash-groupBy; at scale this is a single shuffle of md5 keys).
     *
-    * NULLs are encoded explicitly per column (concat_ws silently skips
-    * them, which would conflate (a, NULL), (NULL, a) and (a) into one
-    * key); the \u0000 separator + \u0001-tagged null sentinel keep every
-    * column's presence and position part of the key. */
+    * Key encoding is collision-free by construction: each column
+    * contributes a fixed-width token -- a 1-char null flag plus the md5
+    * of its string form -- so no value string can collide with a NULL
+    * sentinel, and no embedded separator byte can make two distinct
+    * column tuples concatenate identically (in-band sentinels would
+    * conflate a genuine value equal to the sentinel with NULL and drop
+    * a non-duplicate row). */
   def exact(df: DataFrame, idCol: String, cols: Seq[String]): DataFrame = {
-    val key = md5(concat_ws("\u0000",
-      cols.map(c => coalesce(col(c).cast("string"), lit("\u0001<null>"))): _*))
+    val key = md5(concat(cols.flatMap(c => Seq(
+      when(col(c).isNull, lit("0")).otherwise(lit("1")),
+      md5(coalesce(col(c).cast("string"), lit(""))))): _*))
     val keepers = df.groupBy(key.as("__dupkey"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
     df.join(keepers.select(col(idCol), col("n_copies")), Seq(idCol), "inner")
@@ -29,18 +33,24 @@ object Dedup {
 
   /** MinHash near-dup candidate pairs over a text column via banded LSH.
     * Returns (id1, id2) candidates; follow with `jaccardVerify` to filter
-    * to true near-dups. */
+    * to true near-dups.
+    *
+    * `numHashes` is the signature width (8 = the oracle-checked default;
+    * 128 = the typical production width — more hashes sharpen the
+    * banding S-curve, so recall at the target jaccard rises while chance
+    * collisions fall). `bands` must tile the signature exactly or hashes
+    * would be silently dropped / buckets degenerate to a single empty
+    * string = full O(n²) cross-product. */
   def minhashCandidates(
-      df: DataFrame, idCol: String, textCol: String, bands: Int = 4): DataFrame = {
-    // signature length is 8 (minhash_sig); bands must tile it exactly or
-    // hashes are silently dropped (bands=3) or buckets degenerate to a
-    // single empty string = full O(n²) cross-product (bands>8)
-    require(bands >= 1 && bands <= 8 && 8 % bands == 0,
-      s"bands must be in {1,2,4,8} to tile the 8-hash signature, got $bands")
+      df: DataFrame, idCol: String, textCol: String, bands: Int = 4,
+      numHashes: Int = 8): DataFrame = {
+    require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
+    require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
+      s"bands must tile the $numHashes-hash signature exactly, got $bands")
     TextHashFunctions.register(df.sparkSession)
-    val rowsPerBand = 8 / bands
+    val rowsPerBand = numHashes / bands
     val sigd = df.select(col(idCol).as("__id"),
-      expr(s"minhash_sig($textCol)").as("__sig"))
+      expr(s"minhash_sig($textCol, $numHashes)").as("__sig"))
       // docs too short to shingle (<3 tokens) all share the empty-signature
       // sentinel (Long.MaxValue minima) — at corpus scale they'd collide
       // into ONE quadratic bucket; they have no shingles to match on, so

@@ -286,6 +286,16 @@ object Solvers {
     * converge in fewer consensus rounds AND keep the driver state in MBs.
     * For extreme partition counts prefer lbfgs/gradient_descent, whose
     * reductions are O(p) trees with no per-chunk driver state.
+    *
+    * Executor-memory bound: the x-update materializes each partition on
+    * heap — the original row objects (~(p+2)×8 B each for dense rows,
+    * plus vector-object overhead ≈ 2× in practice) PLUS, for dense
+    * input, a packed copy of rows/partition × p × 8 B. Size partitions
+    * so `rowsPerPartition × p × 8 B × 3 ≲ executor heap per task`; e.g.
+    * p = 100 and 4 GiB/task allows ~1.7×10⁶ rows per partition. This is
+    * deliberate (L-BFGS re-scans the partition O(10²) times per update,
+    * so the pack amortizes to a branch-free dense loop), and the same
+    * rows-fit-in-a-chunk assumption the reference's dask chunks make.
     */
   def admm(
       data: GlmData,
@@ -372,13 +382,22 @@ object Solvers {
         // the partition into flat primitive arrays ONCE so every eval is
         // a branch-free dense loop instead of per-row vector dispatch
         // (sparse inputs keep the dispatching path — no densify).
+        // isSparse is inferred from the FIRST row only (GlmData.fromDF);
+        // VectorUDT input (e.g. from VectorAssembler) routinely mixes
+        // dense and sparse rows, so the pack dispatches per-row instead
+        // of blind-casting — a sparse row in a "dense" dataset scatters
+        // its actives rather than throwing ClassCastException.
         val xsFlat: Array[Double] = if (sparse) null else {
           val a = new Array[Double](n * p)
           var r = 0
           while (r < n) {
-            System.arraycopy(
-              rows(r)._1.asInstanceOf[org.apache.spark.ml.linalg.DenseVector].values,
-              0, a, r * p, p)
+            rows(r)._1 match {
+              case d: org.apache.spark.ml.linalg.DenseVector =>
+                System.arraycopy(d.values, 0, a, r * p, p)
+              case s: org.apache.spark.ml.linalg.SparseVector =>
+                val base = r * p
+                s.foreachActive((i, v) => a(base + i) = v)
+            }
             r += 1
           }
           a

@@ -56,6 +56,20 @@ class FunctionsSpec extends AnyFunSuite {
     assert(dotLines.nonEmpty && dotLines.exists(_.contains("*(")), plan)
   }
 
+  test("array_dot SQL surface: implicit cast from array<int>, analysis error otherwise") {
+    graft.functions.ArrayMath.register(spark)
+    // int arrays coerce to array<double> at analysis time (without
+    // inputTypes, getDouble over int-backed UnsafeArrayData reinterprets
+    // bytes and returns silently wrong values)
+    assert(spark.sql("SELECT array_dot(array(1, 2, 3), array(4, 5, 6)) AS d")
+      .head().getDouble(0) == 32.0)
+    assert(spark.sql("SELECT array_sqdist(array(1, 2), array(3, 4)) AS d")
+      .head().getDouble(0) == 8.0)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT array_dot('abc', array(1.0))").collect()
+    }
+  }
+
   test("GlmLossGradAggregator (UDAF facade) equals the RDD kernel") {
     import graft.functions.{GlmLossGradAggregator, GlmRow}
     import graft.families.Logistic

@@ -98,6 +98,40 @@ class MlPipelineSpec extends AnyFunSuite {
     assert(breeze.linalg.max(breeze.numerics.abs(a - b)) < 1e-10)
   }
 
+  test("admm flat-pack survives mixed dense/sparse VectorUDT rows") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val rows = (0 until 300).map { i =>
+      val dense = Array.tabulate(4)(_ => rng.nextGaussian())
+      (dense, if (rng.nextDouble() < 0.5) 1.0 else 0.0)
+    }
+    val denseDf = rows.map { case (a, l) => (Vectors.dense(a), l) }.toDF("features", "label")
+    // first row dense → isSparse inferred false → flat-pack path runs;
+    // per-row sparse vectors later in the partition must scatter into the
+    // pack, not ClassCastException (VectorAssembler-style mixed input)
+    val mixedDf = rows.zipWithIndex.map { case ((a, l), i) =>
+      val v: org.apache.spark.ml.linalg.Vector =
+        if (i % 3 == 1) Vectors.dense(a).toSparse else Vectors.dense(a)
+      (v, l)
+    }.toDF("features", "label")
+    assert(!graft.core.GlmData.fromDF(mixedDf).isSparse)
+    val p = graft.estimators.GlmParams(solver = "admm", maxIter = 10,
+      normalize = false, nPartitions = 2)
+    val a = new graft.estimators.LogisticRegression(p).fit(denseDf).rawCoef
+    val b = new graft.estimators.LogisticRegression(p).fit(mixedDf).rawCoef
+    assert(breeze.linalg.max(breeze.numerics.abs(a - b)) < 1e-10)
+  }
+
+  test("model load: unknown family fails with a descriptive error") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_badmodel").toString + "/m"
+    Seq(("uid1", "bogus", Seq(1.0, 2.0), true, "features", "label"))
+      .toDF("uid", "family", "rawCoef", "fitIntercept", "featuresCol", "labelCol")
+      .write.parquet(dir)
+    val e = intercept[IllegalArgumentException](graft.ml.GraftGlmModel.load(dir))
+    assert(e.getMessage.contains("bogus"))
+  }
+
   test("model save/load round-trip: identical predictions") {
     import spark.implicits._
     val li = spark.read.parquet(s"${TestSpark.sf0001}/lineitem.parquet")

@@ -120,6 +120,18 @@ class OpsSpec extends AnyFunSuite {
     assert(out.select("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L))
   }
 
+  test("exact dedup: sentinel-like values and embedded separators stay distinct") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("\u0001<null>"), Some("x")), // value equal to an in-band sentinel
+      (2L, None: Option[String], Some("x")), // genuine NULL must NOT merge with row 1
+      (3L, Some("a\u0000b"), Some("c")),     // embedded separator byte: ("a\0b","c")
+      (4L, Some("a"), Some("b\u0000c")))     // vs ("a","b\0c") must stay distinct
+      .toDF("id", "c1", "c2")
+    val out = Dedup.exact(df, "id", Seq("c1", "c2"))
+    assert(out.count() == 4)
+  }
+
   test("minhash candidates reject band counts that do not tile the signature") {
     import spark.implicits._
     val df = Seq((1L, "a b c d")).toDF("id", "text")

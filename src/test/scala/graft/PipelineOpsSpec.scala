@@ -42,6 +42,43 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(native(4L).forall(_ == Long.MaxValue))
   }
 
+  test("minhash width 128: recall on seeded near-dup fixture ≥ width-8 run") {
+    import spark.implicits._
+    TextHashFunctions.register(spark)
+    // seeded fixture: 40 base docs of 25 tokens from a 50-word vocab; the
+    // first 20 get a near-dup twin with 2 tokens mutated (shingle jaccard
+    // ≈ 0.6 — squarely in the band-probability S-curve's sensitive zone)
+    val rng = new scala.util.Random(42)
+    val vocab = (0 until 50).map(i => s"w$i")
+    val bases = (0 until 40).map { i =>
+      i.toLong -> Seq.fill(25)(vocab(rng.nextInt(vocab.size))).mkString(" ")
+    }
+    val twins = bases.take(20).map { case (i, text) =>
+      val toks = text.split(" ")
+      toks(5 + rng.nextInt(10)) = vocab(rng.nextInt(vocab.size))
+      toks(20) = vocab(rng.nextInt(vocab.size))
+      (i + 1000L) -> toks.mkString(" ")
+    }
+    val df = (bases ++ twins).toDF("id", "text")
+    val truth = (0 until 20).map(i => (i.toLong, i + 1000L)).toSet
+    // equal rows-per-band (2) so the comparison isolates signature width:
+    // more bands at the same band width → strictly better recall odds
+    def recall(bands: Int, numHashes: Int): Double = {
+      val cands = graft.ops.Dedup
+        .minhashCandidates(df, "id", "text", bands = bands, numHashes = numHashes)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      truth.count(cands.contains).toDouble / truth.size
+    }
+    val r8 = recall(bands = 4, numHashes = 8)
+    val r128 = recall(bands = 64, numHashes = 128)
+    assert(r128 >= r8, s"width-128 recall $r128 < width-8 recall $r8")
+    assert(r128 >= 0.9, s"width-128 recall $r128")
+    // width argument is SQL-visible and sizes the signature
+    val sig = df.limit(1).selectExpr("minhash_sig(text, 128) AS s")
+      .head().getSeq[Long](0)
+    assert(sig.length == 128)
+  }
+
   test("multimodal: schema, feature extraction batch shape, frame sampling") {
     val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
     val media = Multimodal.mediaFromDocuments(docs)
