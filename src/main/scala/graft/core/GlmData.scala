@@ -22,8 +22,12 @@ import org.apache.spark.storage.StorageLevel
 final class GlmData(
     val rows: RDD[(MlVector, Double)],
     val numFeatures: Int,
-    /** true when any row is a SparseVector (disables normalization in the
-      * estimator path, estimators.py:82-84) */
+    /** FIRST-ROW heuristic, not an any-row scan: `fromDF` samples only the
+      * first vector (a full pass to decide would cost a job). Kernels and
+      * ADMM packing dispatch per row regardless, so a mixed dense/sparse
+      * input mis-flagged here stays CORRECT — a dense-first mix merely
+      * keeps normalization on (the conservative direction is sparse-first,
+      * which disables it, estimators.py:82-84). */
     val isSparse: Boolean)
     extends Serializable {
 

@@ -86,6 +86,76 @@ case class MinHashSig(child: Expression, numHashes: Int)
   override def prettyName: String = "minhash_sig"
 }
 
+/** SimHash fingerprint of a text column: per-token ±1 majority vote over
+  * `bits` hash bits, emitted as ONE signed 64-bit long (bit 63, when
+  * present, is the sign bit — the standard two's-complement encoding both
+  * Spark and DuckDB shift/xor/popcount identically).
+  *
+  * Semantics are bit-compatible with the SQL form the DuckDB oracle
+  * checks: Java regex `split(" +", -1)` tokens (per OCCURRENCE — repeated
+  * tokens vote repeatedly), token hash bits 0..31 from the first 4 md5
+  * bytes as an unsigned 32-bit int (= `conv(substring(md5(t),1,8),16,10)`),
+  * bits 32..63 from md5 bytes 5..8 (hex chars 9..16), bit set iff the
+  * vote sum is strictly positive.
+  *
+  * One md5 per token computes all `bits` votes (the HOF form re-evaluates
+  * the token-hash array once per bit — 64× the md5 work); real `doGenCode`
+  * keeps the projection inside whole-stage codegen. */
+case class SimHashFp(child: Expression, bits: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val splitter = Pattern.compile(" +")
+  @transient private lazy val digest =
+    new ThreadLocal[MessageDigest] {
+      override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+    }
+
+  /** The fused kernel; public so generated code can call it. */
+  def computeFp(input: UTF8String): Long = {
+    val toks = splitter.split(input.toString, -1)
+    val votes = new Array[Int](bits)
+    val md = digest.get()
+    var i = 0
+    while (i < toks.length) {
+      md.reset()
+      val d = md.digest(toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val h1 = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      val h2 = ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+      var b = 0
+      while (b < bits) {
+        val src = if (b < 32) h1 else h2
+        if (((src >>> (b & 31)) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < bits) {
+      if (votes(b) > 0) fp |= 1L << b
+      b += 1
+    }
+    fp
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    computeFp(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simHashFp", this, classOf[SimHashFp].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.computeFp($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashFp =
+    copy(child = newChild)
+  override def prettyName: String = "simhash_fp"
+}
+
 object TextHashFunctions {
   /** Register SQL-visible functions on a session (idempotent).
     *
@@ -105,6 +175,18 @@ object TextHashFunctions {
           MinHashSig(text, width)
         case exprs => throw new IllegalArgumentException(
           s"minhash_sig(text[, numHashes]) takes 1 or 2 arguments, got ${exprs.length}")
+      }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash_fp", {
+        case Seq(text) => SimHashFp(text, 64)
+        case Seq(text, n) =>
+          require(n.foldable, "simhash_fp: bits must be a literal")
+          val bits = n.eval().asInstanceOf[Number].intValue()
+          require(bits >= 1 && bits <= 64,
+            s"simhash_fp: bits must be in [1, 64], got $bits")
+          SimHashFp(text, bits)
+        case exprs => throw new IllegalArgumentException(
+          s"simhash_fp(text[, bits]) takes 1 or 2 arguments, got ${exprs.length}")
       }, "built-in")
   }
 }

@@ -90,19 +90,53 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
-  /** SimHash fingerprints; near-dups are rows within `maxHammingDist`.
-    * Bucketing by bit-chunks keeps the candidate join linear. */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = split(col(textCol), " +")
-    val tokHash = transform(toks, t =>
-      conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
-    val bits = (0 until 16).map { b =>
-      val vote = aggregate(tokHash, lit(0L),
-        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-      (vote > 0).cast("long")
-    }
-    df.select(col(idCol),
-      bits.zipWithIndex.map { case (c, b) => (c * (1L << b)) }.reduce(_ + _).as("simhash"))
+  /** SimHash fingerprints (native codegen'd expression, one md5 pass per
+    * token for all `bits` votes). `bits = 64` is the production width —
+    * a signed long whose bit 63 is the sign bit; shift/xor/popcount all
+    * operate on the two's-complement pattern identically across engines.
+    * `bits = 16` reproduces the historical narrow fingerprint bit-for-bit
+    * (oracle continuity for q43). */
+  def simhash(df: DataFrame, idCol: String, textCol: String,
+      bits: Int = 64): DataFrame = {
+    require(bits >= 1 && bits <= 64, s"bits must be in [1, 64], got $bits")
+    TextHashFunctions.register(df.sparkSession)
+    df.select(col(idCol), expr(s"simhash_fp($textCol, $bits)").as("simhash"))
+  }
+
+  /** SimHash near-dup pairs via hamming bands: the fingerprint is split
+    * into `bands` equal bit-chunks; docs sharing ANY band key are
+    * candidates (pigeonhole: guaranteed recall for hamming < bands), then
+    * the exact popcount(xor) filter keeps hamming <= `maxHamming`.
+    *
+    * 100 TB shape: `bands` narrow (band, key) shuffles of FINGERPRINTS
+    * (never text), pairwise only within band buckets. With the default
+    * 64-bit / 4-band split each band key has 2^16 values, so buckets hold
+    * ~n/65536 docs — the within-bucket join stays linear at corpus scale
+    * (the old 16-bit/8-bit-key form went quadratic past ~10^6 docs). */
+  def simhashNearDups(
+      df: DataFrame, idCol: String, textCol: String, bits: Int = 64,
+      bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    require(bands >= 1 && bands <= bits && bits % bands == 0,
+      s"bands must tile the $bits-bit fingerprint exactly, got $bands")
+    val bandBits = bits / bands
+    require(bandBits <= 32, s"band keys must fit 32 bits, got $bandBits")
+    val mask = (1L << bandBits) - 1
+    val sim = simhash(df, idCol, textCol, bits)
+      .select(col(idCol).as("__id"), col("simhash"))
+    val banded = (0 until bands).map { b =>
+      // arithmetic shift + mask extracts the band identically on any
+      // engine (sign-extension bits die under the mask)
+      sim.select(col("__id"), col("simhash"), lit(b).as("__band"),
+        shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask)).as("__key"))
+    }.reduce(_ union _)
+    val a = banded.as("a"); val b2 = banded.as("b")
+    a.join(b2, col("a.__band") === col("b.__band")
+        && col("a.__key") === col("b.__key")
+        && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id1"), col("b.__id").as("id2"),
+        expr("bit_count(a.simhash ^ b.simhash)").cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Embedding-cosine near-dup pairs above `threshold`, restricted to a

@@ -16,31 +16,9 @@ object PipelineQueries {
 
   private val P = 2147483647L // 2^31 − 1
   private val NH = 8 // hashes per signature
-  private def aCoef(i: Int): Long = 2L * i + 1
-  private def bCoef(i: Int): Long = 1L * i * i + 7
 
-  // 3-token shingle md5-hash array per document (Spark side)
-  private def shingleHashes = {
-    val toks = split(col("text"), " +")
-    val n = size(toks)
-    val shingles = when(n >= 3,
-      array_distinct(transform(sequence(lit(0), n - 3),
-        i => concat_ws(" ",
-          element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3)))))
-      .otherwise(array().cast("array<string>"))
-    transform(shingles, sh => conv(substring(md5(sh), 1, 8), 16, 10).cast("long"))
-  }
-
-  /** All NH minima in ONE fold over the hash array, so each shingle is
-    * md5-hashed exactly once (an 8× re-evaluation here was the first
-    * BENCH bottleneck: 117 s → ~2 s at sf0.1). Returns array<long>. */
-  private def minhashSigArr = {
-    val zero = array((0 until NH).map(_ => lit(Long.MaxValue)): _*)
-    aggregate(shingleHashes, zero,
-      (acc, h) => array((0 until NH).map(i =>
-        least(element_at(acc, i + 1), pmod(h * aCoef(i) + bCoef(i), lit(P)))): _*))
-  }
-
+  // DuckDB twin of the native minhash_sig shingle hashing (oracles only;
+  // the Spark side runs the codegen'd MinHashSig expression)
   private val shingleHashesSql =
     """LIST_TRANSFORM(
          LIST_DISTINCT(CASE WHEN LEN(toks) >= 3 THEN

@@ -33,6 +33,29 @@ object SimilarityQueries {
       .map { case (cv, c) => s"($c, ${cv.mkString("[", ", ", "]")}::DOUBLE[])" }
       .mkString(", ")
 
+  // shared DuckDB CTE: 64-bit SimHash fingerprint per document — the SQL
+  // twin of the native simhash_fp(text, 64) expression. Bit 63's weight is
+  // the -2^63 literal (1<<63 overflows DuckDB's BIGINT shift); the sum of
+  // distinct two's-complement weights lands exactly on the signed value
+  // Spark produces.
+  private val sim64Sql =
+    """th AS (
+          SELECT doc_id,
+            LIST_TRANSFORM(REGEXP_SPLIT_TO_ARRAY(text, ' +'), t ->
+              ('0x' || SUBSTRING(MD5(t), 1, 8))::BIGINT) AS h1,
+            LIST_TRANSFORM(REGEXP_SPLIT_TO_ARRAY(text, ' +'), t ->
+              ('0x' || SUBSTRING(MD5(t), 9, 8))::BIGINT) AS h2
+          FROM documents),
+        sim AS (
+          SELECT doc_id,
+            CAST(LIST_SUM(LIST_TRANSFORM(RANGE(0, 64), b ->
+              CAST(LIST_SUM(LIST_TRANSFORM(CASE WHEN b < 32 THEN h1 ELSE h2 END, h ->
+                CASE WHEN (h // CAST(POWER(2, CASE WHEN b < 32 THEN b ELSE b - 32 END) AS BIGINT)) % 2 = 1
+                  THEN 1 ELSE -1 END)) > 0 AS BIGINT)
+              * CASE WHEN b = 63 THEN (-9223372036854775807 - 1)
+                     ELSE CAST(POWER(2, b) AS BIGINT) END)) AS BIGINT) AS simhash
+          FROM th)"""
+
   // shared DuckDB CTE: 4-bit random-hyperplane bucket per vector (the
   // same sin-projection as Similarity.lshBucket, rounded before the sign
   // test so a last-ulp wobble cannot flip a bucket bit)
@@ -190,26 +213,16 @@ object SimilarityQueries {
     // ---- note: the q42 bucket expression differs from q46's only in the
     // rounding point; both check the hyperplane-LSH plumbing
 
-    // ---- SimHash (16-bit here) document fingerprint for near-dup
-    // detection: per-token md5-derived integer hash, per-bit ±1 majority
-    // vote — pure integer math, exact oracle. At scale this is one
-    // narrow projection pass + no shuffle.
+    // ---- SimHash document fingerprint (Dedup.simhash, native codegen'd
+    // expression): per-token md5-derived hash, per-bit ±1 majority vote —
+    // pure integer math, exact oracle. 16-bit width here for oracle
+    // continuity; q43b checks the production 64-bit width. At scale this
+    // is one narrow projection pass + no shuffle.
     Q("q43_simhash",
-      (s, dir) => {
-        val toks = split(col("text"), " +")
-        val tokHash = transform(toks, t =>
-          conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
-        val bits = (0 until 16).map { b =>
-          val vote = aggregate(tokHash, lit(0L),
-            (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-          (vote > 0).cast("long").as(s"bit$b")
-        }
-        tbl(s, dir, "documents")
-          .select(col("doc_id") +: bits: _*)
-          .select(col("doc_id"),
-            (0 until 16).map(b => col(s"bit$b") * lit(1L << b)).reduce(_ + _).as("simhash"))
-          .orderBy("doc_id")
-      },
+      (s, dir) =>
+        graft.ops.Dedup.simhash(tbl(s, dir, "documents"), "doc_id", "text",
+            bits = 16)
+          .orderBy("doc_id"),
       Some("""WITH th AS (
           SELECT doc_id,
             LIST_TRANSFORM(REGEXP_SPLIT_TO_ARRAY(text, ' +'), t ->
@@ -222,53 +235,37 @@ object SimilarityQueries {
               AS BIGINT) * CAST(POWER(2, b) AS BIGINT))) AS BIGINT) AS simhash
         FROM th ORDER BY doc_id""")),
 
-    // ---- SimHash near-dup pairs via hamming BANDS: split the 16-bit
-    // fingerprint into two 8-bit bands; docs sharing either band are
-    // candidates (guarantees recall for hamming ≤ 1, catches most ≤ 3),
-    // then the exact popcount(xor) filter keeps hamming ≤ 3. Pure integer
-    // math end-to-end — exact oracle. At 100 TB: two narrow (band, key)
-    // shuffles of fingerprints, never text; pairwise only within buckets.
+    // ---- production-width 64-bit SimHash fingerprint: bits 0..31 vote
+    // from the first 4 md5 bytes, bits 32..63 from bytes 5..8; bit 63 is
+    // the SIGN bit of the long — both engines emit the same signed
+    // two's-complement value (DuckDB's 2^63 weight is the -2^63 literal
+    // since 1<<63 overflows there).
+    Q("q43b_simhash64",
+      (s, dir) =>
+        graft.ops.Dedup.simhash(tbl(s, dir, "documents"), "doc_id", "text")
+          .orderBy("doc_id"),
+      Some(s"WITH $sim64Sql SELECT doc_id, simhash FROM sim ORDER BY doc_id")),
+
+    // ---- SimHash near-dup pairs via hamming BANDS (Dedup.simhashNearDups):
+    // the 64-bit fingerprint splits into 4×16-bit band keys; docs sharing
+    // ANY band are candidates (pigeonhole: guaranteed recall for hamming
+    // ≤ 3), then the exact popcount(xor) filter keeps hamming ≤ 3. Pure
+    // integer math end-to-end — exact oracle. At 100 TB: four narrow
+    // (band, key) shuffles of fingerprints, never text; 2^16 keys per band
+    // keep buckets ~n/65536 so the within-bucket join stays linear (the
+    // old 16-bit/8-bit-key form had 256 buckets per band → quadratic).
+    // Band extraction is arithmetic-shift + mask — sign-extension bits
+    // die under the mask identically on both engines.
     Q("q69_simhash_neardup",
-      (s, dir) => {
-        val toks = split(col("text"), " +")
-        val tokHash = transform(toks, t =>
-          conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
-        val bits = (0 until 16).map { b =>
-          val vote = aggregate(tokHash, lit(0L),
-            (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-          (vote > 0).cast("long") * lit(1L << b)
-        }
-        val sim = tbl(s, dir, "documents").filter(col("doc_id") < 300)
-          .select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
-        val bands = sim.select(col("doc_id"), col("simhash"),
-            lit(0).as("band"), col("simhash").bitwiseAND(lit(255L)).as("key"))
-          .union(sim.select(col("doc_id"), col("simhash"),
-            lit(1).as("band"), shiftright(col("simhash"), 8).as("key")))
-        val a = bands.as("a"); val b2 = bands.as("b")
-        a.join(b2, col("a.band") === col("b.band") && col("a.key") === col("b.key")
-            && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-            expr("bit_count(a.simhash ^ b.simhash)").cast("int").as("hamming"))
-          .filter(col("hamming") <= 3)
-          .distinct()
-          .orderBy("d1", "d2")
-      },
-      Some("""WITH th AS (
-          SELECT doc_id,
-            LIST_TRANSFORM(REGEXP_SPLIT_TO_ARRAY(text, ' +'), t ->
-              ('0x' || SUBSTRING(MD5(t), 1, 8))::BIGINT) AS hashes
-          FROM documents WHERE doc_id < 300),
-        sim AS (
-          SELECT doc_id,
-            CAST(LIST_SUM(LIST_TRANSFORM(RANGE(0, 16), b ->
-              CAST(LIST_SUM(LIST_TRANSFORM(hashes, h ->
-                CASE WHEN (h // CAST(POWER(2, b) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END)) > 0
-                AS BIGINT) * CAST(POWER(2, b) AS BIGINT))) AS BIGINT) AS simhash
-          FROM th),
+      (s, dir) =>
+        graft.ops.Dedup.simhashNearDups(tbl(s, dir, "documents"),
+            "doc_id", "text", bits = 64, bands = 4, maxHamming = 3)
+          .select(col("id1").as("d1"), col("id2").as("d2"), col("hamming"))
+          .orderBy("d1", "d2"),
+      Some(s"""WITH $sim64Sql,
         bands AS (
-          SELECT doc_id, simhash, 0 AS band, simhash & 255 AS key FROM sim
-          UNION ALL
-          SELECT doc_id, simhash, 1 AS band, simhash >> 8 AS key FROM sim),
+          SELECT doc_id, simhash, band, (simhash >> (16 * band)) & 65535 AS key
+          FROM sim, UNNEST(RANGE(0, 4)) AS t(band)),
         cand AS (
           SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
             CAST(BIT_COUNT(XOR(a.simhash, b.simhash)) AS INTEGER) AS hamming

@@ -49,6 +49,81 @@ class OpsSpec extends AnyFunSuite {
       s"near=${ham(sh(1L), sh(2L))} far=${ham(sh(1L), sh(3L))}")
   }
 
+  test("native simhash_fp(16) is bit-identical to the composed HOF form") {
+    // independent twin: the pre-round-4 higher-order-function composition
+    // (split → md5 per token → per-bit vote fold) evaluated by Spark
+    // itself; the native expression must reproduce it exactly
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+      .limit(50)
+    val toks = split(col("text"), " +")
+    val tokHash = transform(toks, t =>
+      conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
+    val bitsC = (0 until 16).map { b =>
+      val vote = aggregate(tokHash, lit(0L),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      (vote > 0).cast("long") * lit(1L << b)
+    }
+    val hof = docs.select(col("doc_id"), bitsC.reduce(_ + _).as("expected"))
+    val native = Dedup.simhash(docs, "doc_id", "text", bits = 16)
+    val joined = native.join(hof, "doc_id")
+      .filter(col("simhash") =!= col("expected"))
+    assert(joined.count() == 0)
+  }
+
+  test("64-bit simhash: sign bit occurs and band keys stay within 16 bits") {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val fps = Dedup.simhash(docs, "doc_id", "text").select("simhash")
+      .collect().map(_.getLong(0))
+    // with ~64 random bits roughly half the corpus must have bit 63 set
+    // (negative long) — proves the signed encoding is exercised
+    assert(fps.exists(_ < 0) && fps.exists(_ >= 0))
+    // every 16-bit band key of every fingerprint lands in [0, 65535]
+    // even for negative fingerprints (arithmetic shift + mask)
+    for (fp <- fps; b <- 0 until 4) {
+      val key = (fp >> (16 * b)) & 0xffffL
+      assert(key >= 0 && key <= 65535)
+    }
+  }
+
+  test("simhash band buckets are O(n/2^16): no quadratic hot bucket") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val n = docs.count()
+    val sim = Dedup.simhash(docs, "doc_id", "text")
+    val banded = (0 until 4).map { b =>
+      sim.select(lit(b).as("band"),
+        shiftright(col("simhash"), 16 * b).bitwiseAND(lit(0xffffL)).as("key"))
+    }.reduce(_ union _)
+    val maxBucket = banded.groupBy("band", "key").count()
+      .agg(max("count")).head().getLong(0)
+    // 2^16 keys per band: with n ≪ 65536 docs buckets are ~1 except true
+    // near-dup clusters; a 16-bit fingerprint would pile ~n/256 docs per
+    // 8-bit key. Bound generously: no bucket holds more than 5% of docs.
+    assert(maxBucket <= math.max(3, n / 20),
+      s"hot band bucket of $maxBucket docs out of $n")
+  }
+
+  test("simhashNearDups finds near-identical docs, skips unrelated ones") {
+    import spark.implicits._
+    val base = ("w" + 1.to(40).mkString(" w")).split(" ").mkString(" ") // w1..w40
+    val near = base.replace("w40", "w41")
+    val far = "completely different vocabulary nothing shared here at all " * 4
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("id", "text")
+    val pairs = Dedup.simhashNearDups(df, "id", "text", maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), pairs.toString)
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), pairs.toString)
+  }
+
+  test("simhashNearDups rejects band counts that do not tile the fingerprint") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c")).toDF("id", "text")
+    intercept[IllegalArgumentException](
+      Dedup.simhashNearDups(df, "id", "text", bits = 64, bands = 3))
+    intercept[IllegalArgumentException](
+      Dedup.simhashNearDups(df, "id", "text", bits = 64, bands = 1)) // 64-bit key
+  }
+
   test("LSH top-k recall vs brute force is reasonable on real embeddings") {
     val e = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
     val queries = e.filter(col("vec_id") < 10)
