@@ -14,10 +14,12 @@ import org.apache.spark.sql.types._
   * output shape — is real and tested.
   *
   * Codec status: IMAGE decode is real (JDK-built-in javax.imageio —
-  * PNG/BMP/JPEG/GIF width/height/pixel-stats, no external libs needed);
-  * audio/video remain STUBBED with deterministic fakes (this container
-  * ships no audio/video codecs). Swap `fakeDecode`/`sampleFrames` for a
-  * real codec (e.g. JNI ffmpeg) without touching any plumbing.
+  * PNG/BMP/JPEG/GIF width/height/pixel-stats) and AUDIO decode is real
+  * (JDK-built-in javax.sound.sampled — WAV/AIFF/AU PCM sample rate,
+  * channels, frames, duration, RMS); video remains STUBBED with a
+  * deterministic fake (this container ships no video codecs). Swap
+  * `fakeDecode`/`sampleFrames` for a real codec (e.g. JNI ffmpeg)
+  * without touching any plumbing.
   */
 object Multimodal {
 
@@ -75,7 +77,82 @@ object Multimodal {
     * no shuffle. */
   def imageMeta(payload: Column): Column = imageMetaUdf(payload)
 
-  /** STUB decode (audio/video): deterministic per-byte statistics standing
+  /** Decoded audio metadata + signal statistics. Sample-value stats are in
+    * raw PCM units (a 16-bit stream ranges ±32768). */
+  case class AudioInfo(sample_rate: Double, channels: Int, n_frames: Long,
+      duration_ms: Double, rms: Double)
+
+  /** RMS sampling cap: at most this many PCM samples are read for the
+    * signal stats, so a single multi-hour row cannot stall its partition
+    * (duration/frames still come from the header and stay exact). */
+  private val MaxRmsSamples = 1 << 20
+
+  /** Real audio decode (javax.sound.sampled): bytes → (sample rate,
+    * channels, frame count, duration, RMS). WAV/AIFF/AU ship with the JDK;
+    * non-PCM encodings (a-law/µ-law) are converted to PCM_SIGNED first.
+    * Returns null for payloads no registered reader accepts (text, images,
+    * video, corrupt data) — callers get a nullable struct column. */
+  private[graft] def decodeAudio(bytes: Array[Byte]): AudioInfo = {
+    if (bytes == null || bytes.isEmpty) return null
+    try {
+      val raw = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(bytes))
+      try {
+        val pcmSigned = javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        val ais =
+          if (raw.getFormat.getEncoding == pcmSigned) raw
+          else javax.sound.sampled.AudioSystem.getAudioInputStream(pcmSigned, raw)
+        val f = ais.getFormat
+        val nFrames = ais.getFrameLength
+        val durationMs =
+          if (nFrames >= 0) nFrames * 1000.0 / f.getFrameRate else -1.0
+        val bytesPerSample = f.getSampleSizeInBits / 8
+        require(bytesPerSample >= 1 && bytesPerSample <= 4)
+        val maxBytes = MaxRmsSamples * bytesPerSample
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](8192)
+        var read = 0
+        var n = ais.read(chunk)
+        while (n > 0 && read < maxBytes) {
+          buf.write(chunk, 0, math.min(n, maxBytes - read))
+          read += n
+          n = ais.read(chunk)
+        }
+        val data = buf.toByteArray
+        val nSamples = data.length / bytesPerSample
+        var sumSq = 0.0
+        var i = 0
+        while (i < nSamples) {
+          val off = i * bytesPerSample
+          // assemble the signed sample honoring the stream's endianness
+          var v = 0L
+          var b = 0
+          while (b < bytesPerSample) {
+            val idx = if (f.isBigEndian) off + b else off + bytesPerSample - 1 - b
+            v = (v << 8) | (data(idx) & 0xffL)
+            b += 1
+          }
+          // sign-extend from sampleSize bits
+          val shift = 64 - f.getSampleSizeInBits
+          val s = (v << shift) >> shift
+          sumSq += s.toDouble * s.toDouble
+          i += 1
+        }
+        val rms = if (nSamples == 0) 0.0 else math.sqrt(sumSq / nSamples)
+        AudioInfo(f.getSampleRate.toDouble, f.getChannels, nFrames,
+          durationMs, rms)
+      } finally raw.close()
+    } catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  private val audioMetaUdf = udf(decodeAudio _)
+
+  /** Binary → nullable struct(sample_rate, channels, n_frames, duration_ms,
+    * rms); null when the payload is not decodable audio. Partition-
+    * parallel, no shuffle. */
+  def audioMeta(payload: Column): Column = audioMetaUdf(payload)
+
+  /** STUB decode (video): deterministic per-byte statistics standing
     * in for a real sample decode. Keeps the exact UDF signature / batch
     * shape a real decoder would have (binary → fixed-length feature
     * vector). */

@@ -160,6 +160,60 @@ object PipelineQueries {
         ) AS t(media_id, w, h, mean_r, mean_g, mean_b)
         ORDER BY media_id""")),
 
+    // ---- real audio decode, golden-oracle form: synthesize WAV/PCM files
+    // in-memory with exactly known signal content (a DC mono tone and a
+    // ±square stereo tone — both have closed-form RMS in raw PCM units),
+    // decode through the distributed audioMeta path (javax.sound.sampled),
+    // and compare against the known constants. Header-derived fields
+    // (rate, channels, frames, duration) are exact; the chosen signals
+    // make RMS exact in double too.
+    Q("q52_audio_decode",
+      (s, dir) => {
+        def wav(rate: Float, channels: Int, frames: Int,
+            sample: Int => Short): Array[Byte] = {
+          val data = new Array[Byte](frames * channels * 2)
+          var i = 0
+          while (i < frames * channels) {
+            val v = sample(i)
+            data(2 * i) = (v & 0xff).toByte
+            data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(rate, 16, channels,
+            true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+          baos.toByteArray
+        }
+        import s.implicits._
+        Seq(
+          (1L, wav(8000f, 1, 8000, _ => 1000)),            // 1 s DC mono
+          (2L, wav(16000f, 2, 4000,                         // 0.25 s ± square
+            i => if (i % 2 == 0) 2000 else -2000)),
+          (3L, "not audio at all".getBytes("UTF-8")))
+          .toDF("media_id", "payload")
+          .select(col("media_id"), Multimodal.audioMeta(col("payload")).as("m"))
+          .select(col("media_id"),
+            col("m.sample_rate").as("rate_hz"),
+            col("m.channels").as("channels"),
+            col("m.n_frames").as("n_frames"),
+            col("m.duration_ms").as("duration_ms"),
+            round(col("m.rms"), 3).as("rms"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT * FROM (VALUES
+          (CAST(1 AS BIGINT), CAST(8000.0 AS DOUBLE), CAST(1 AS INTEGER),
+           CAST(8000 AS BIGINT), CAST(1000.0 AS DOUBLE), CAST(1000.0 AS DOUBLE)),
+          (CAST(2 AS BIGINT), CAST(16000.0 AS DOUBLE), CAST(2 AS INTEGER),
+           CAST(4000 AS BIGINT), CAST(250.0 AS DOUBLE), CAST(2000.0 AS DOUBLE)),
+          (CAST(3 AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS INTEGER),
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE))
+        ) AS t(media_id, rate_hz, channels, n_frames, duration_ms, rms)
+        ORDER BY media_id""")),
+
     // ---- streaming batch-twin: 5-minute tumbling windows over events
     Q("q60_tumbling_window",
       (s, dir) =>

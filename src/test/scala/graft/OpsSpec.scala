@@ -302,6 +302,36 @@ class OpsSpec extends AnyFunSuite {
     assert(out(1).isNullAt(1)) // text payload → null struct
   }
 
+  test("audioMeta decodes a real WAV (javax.sound) and rejects non-audio") {
+    import spark.implicits._
+    // 0.5 s of a 440 Hz sine at amplitude 10000, 16-bit mono 8 kHz:
+    // RMS of a whole number of periods ≈ A/√2 (440·0.5 = 220 periods)
+    val rate = 8000; val frames = 4000; val amp = 10000.0
+    val data = new Array[Byte](frames * 2)
+    for (i <- 0 until frames) {
+      val v = math.round(amp * math.sin(2 * math.Pi * 440 * i / rate)).toShort
+      data(2 * i) = (v & 0xff).toByte
+      data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    val df = Seq((1L, baos.toByteArray), (2L, "definitely not audio".getBytes("UTF-8")))
+      .toDF("id", "payload")
+    val out = df.select(col("id"),
+        graft.ops.Multimodal.audioMeta(col("payload")).as("m"))
+      .orderBy("id").collect()
+    val m = out(0).getStruct(1)
+    assert(m.getDouble(0) == 8000.0 && m.getInt(1) == 1) // rate, channels
+    assert(m.getLong(2) == frames && m.getDouble(3) == 500.0) // frames, ms
+    assert(math.abs(m.getDouble(4) - amp / math.sqrt(2)) < amp * 0.01,
+      s"rms=${m.getDouble(4)}")
+    assert(out(1).isNullAt(1)) // text payload → null struct
+  }
+
   test("resize accepts a non-trivial payload expression (Column API)") {
     import spark.implicits._
     val df = Seq((1L, "hello world payload")).toDF("id", "text")
