@@ -50,15 +50,29 @@ object Similarity {
     }.reduce(_ + _)
   }
 
-  /** Approximate top-k via shared LSH buckets + exact rerank. */
+  /** Approximate top-k via shared LSH buckets + exact rerank.
+    *
+    * `probeHamming = 1` turns on bit-flip multi-probe: each query also
+    * probes the `nBits` buckets at hamming distance 1 from its own (a
+    * near-miss on one hyperplane's sign is the dominant LSH failure mode,
+    * so these are exactly the buckets holding the lost neighbors). Only
+    * the broadcast-small QUERY side fans out (×(nBits+1)); the corpus
+    * keeps one bucket per row, so the plan stays a single bucket join and
+    * no (q, c) pair can duplicate. */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      dim: Int, k: Int, nBits: Int = 8): DataFrame = {
+      dim: Int, k: Int, nBits: Int = 8, probeHamming: Int = 0): DataFrame = {
+    require(probeHamming >= 0 && probeHamming <= 1,
+      s"probeHamming must be 0 or 1, got $probeHamming")
     val bucket = lshBucket(col(vecCol), dim, nBits)
     val c = corpus.select(col(idCol).as("c_id"),
       col(vecCol).cast("array<double>").as("cv"), bucket.as("bk"))
+    val probes =
+      if (probeHamming == 0) array(bucket)
+      else array(bucket +: (0 until nBits).map(j =>
+        bucket.bitwiseXOR(lit(1 << j))): _*)
     val q = queries.select(col(idCol).as("q_id"),
-      col(vecCol).cast("array<double>").as("qv"), bucket.as("bk"))
+      col(vecCol).cast("array<double>").as("qv"), explode(probes).as("bk"))
     val scored = c.join(broadcast(q), "bk")
       .select(col("q_id"), col("c_id"), cosineSim(col("qv"), col("cv")).as("cos"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
@@ -140,15 +154,37 @@ object Similarity {
     least(dists: _*).getField("cell")
   }
 
-  /** IVF approximate top-k: probe the query's nearest cell(s). */
+  /** The query's `nprobe` nearest centroid cells, nearest first (the
+    * multi-probe companion of [[ivfCell]], same rounding/tie rules:
+    * `array_sort` on struct(d, cell) orders by distance then lowest cell
+    * id). */
+  def ivfCells(vecCol: Column, centroids: Array[Array[Double]], nprobe: Int,
+      roundDp: Int = -1): Column = {
+    require(nprobe >= 1 && nprobe <= centroids.length,
+      s"nprobe must be in [1, ${centroids.length}], got $nprobe")
+    val v = vecCol.cast("array<double>")
+    val dists = centroids.zipWithIndex.map { case (cArr, i) =>
+      val d = graft.functions.ArrayMath.sqDist(v, typedLit(cArr.toSeq))
+      struct((if (roundDp >= 0) round(d, roundDp) else d).as("d"), lit(i).as("cell"))
+    }
+    transform(slice(array_sort(array(dists: _*)), 1, nprobe),
+      s => s.getField("cell"))
+  }
+
+  /** IVF approximate top-k: each query probes its `nprobe` nearest cells.
+    * Corpus rows keep exactly ONE cell, so fanning out only the
+    * broadcast-small query side widens recall without duplicating any
+    * (q, c) pair or touching the corpus-side plan. */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      centroids: Array[Array[Double]], k: Int, roundDp: Int = -1): DataFrame = {
+      centroids: Array[Array[Double]], k: Int, roundDp: Int = -1,
+      nprobe: Int = 1): DataFrame = {
     val cell = ivfCell(col(vecCol), centroids, roundDp)
     val c = corpus.select(col(idCol).as("c_id"),
       col(vecCol).cast("array<double>").as("cv"), cell.as("cell"))
     val q = queries.select(col(idCol).as("q_id"),
-      col(vecCol).cast("array<double>").as("qv"), cell.as("cell"))
+      col(vecCol).cast("array<double>").as("qv"),
+      explode(ivfCells(col(vecCol), centroids, nprobe, roundDp)).as("cell"))
     val rawCos = cosineSim(col("qv"), col("cv"))
     val scored = c.join(broadcast(q), "cell")
       .select(col("q_id"), col("c_id"),

@@ -332,6 +332,51 @@ object SimilarityQueries {
             c_id, cos
           FROM scored)
         SELECT q_id, rk, c_id, cos FROM ranked WHERE rk <= 3
+        ORDER BY q_id, rk""")),
+
+    // ---- IVF multi-probe (nprobe=2): each query probes its TWO nearest
+    // cells (corpus rows keep one cell, so no (q,c) pair duplicates and
+    // the corpus-side plan is unchanged). Distances rounded before the
+    // per-query cell ranking; ties break to the lower cell id — the same
+    // struct-lexicographic rule as single-probe q66.
+    Q("q66b_ivf_nprobe",
+      (s, dir) => {
+        val e = tbl(s, dir, "embeddings")
+        graft.ops.Similarity.ivfTopK(
+            e.filter(col("vec_id") >= 5), e.filter(col("vec_id") < 5),
+            "vec_id", "embedding", ivfCentroids, k = 3, roundDp = 6,
+            nprobe = 2)
+          .select("q_id", "rk", "c_id", "cos")
+          .orderBy("q_id", "rk")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cents AS (SELECT * FROM (VALUES $centroidSqlValues) t(cell, cv)),
+        dist AS (
+          SELECT vec_id, cell,
+            ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(0, 64),
+              i -> (v[i+1] - cv[i+1]) * (v[i+1] - cv[i+1]))), 6) AS d
+          FROM e, cents),
+        ranked_cells AS (
+          SELECT vec_id, cell,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn
+          FROM dist),
+        corpus_cell AS (SELECT vec_id, cell FROM ranked_cells WHERE rn = 1),
+        query_cells AS (SELECT vec_id, cell FROM ranked_cells WHERE rn <= 2),
+        c AS (SELECT e.vec_id, v, cell FROM e JOIN corpus_cell USING (vec_id)
+              WHERE e.vec_id >= 5),
+        q AS (SELECT e.vec_id AS q_id, v AS qv, cell
+              FROM e JOIN query_cells USING (vec_id) WHERE e.vec_id < 5),
+        scored AS (
+          SELECT q_id, c.vec_id AS c_id,
+            ROUND(LIST_DOT_PRODUCT(qv, v) /
+              (SQRT(LIST_DOT_PRODUCT(qv, qv)) * SQRT(LIST_DOT_PRODUCT(v, v))), 6) AS cos
+          FROM c JOIN q ON c.cell = q.cell),
+        ranked AS (
+          SELECT q_id, CAST(ROW_NUMBER() OVER (
+            PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS INTEGER) AS rk,
+            c_id, cos
+          FROM scored)
+        SELECT q_id, rk, c_id, cos FROM ranked WHERE rk <= 3
         ORDER BY q_id, rk"""))
   )
 }
