@@ -31,18 +31,30 @@ object Similarity {
   }
 
   /** Deterministic random-hyperplane bucket id (nBits-bit signature).
-    * Hyperplane j component i = sin(i·131 + j·523) — seedless, both
-    * portable and cheap; replace with seeded gaussians via
-    * `Datasets`-style rand for production use.
     *
-    * The hyperplanes are materialized as LITERAL arrays (java.lang.Math
-    * .sin — the exact function Spark's own Sin folds to) and projected
-    * with the native ArrayDot, so the per-row work is nBits fused loops
-    * inside codegen instead of interpreted HOF chains. */
-  def lshBucket(vecCol: Column, dim: Int, nBits: Int = 8): Column = {
+    * Two hyperplane families, both deterministic:
+    *  - `seed = None` (default): component i of plane j = sin(i·131 +
+    *    j·523) — seedless and SQL-expressible, so cross-engine oracles
+    *    can recompute the identical buckets (q42/q46/q65).
+    *  - `seed = Some(s)`: i.i.d. gaussians from `java.util.Random(s)`
+    *    (nextGaussian is algorithm-specified in its javadoc, so the same
+    *    seed yields bit-identical planes on any JVM) — the production
+    *    choice: true spherically-symmetric projections, and distinct
+    *    seeds give independent hash tables for multi-table LSH.
+    *
+    * The hyperplanes are materialized as LITERAL arrays computed on the
+    * driver and projected with the native ArrayDot, so the per-row work
+    * is nBits fused loops inside codegen instead of interpreted HOF
+    * chains — either family ships to executors the same way. */
+  def lshBucket(vecCol: Column, dim: Int, nBits: Int = 8,
+      seed: Option[Long] = None): Column = {
     val v = vecCol.cast("array<double>")
+    val rng = seed.map(s => new java.util.Random(s))
     (0 until nBits).map { j =>
-      val plane = (0 until dim).map(i => math.sin(i * 131.0 + j * 523.0))
+      val plane = rng match {
+        case Some(r) => Seq.fill(dim)(r.nextGaussian())
+        case None => (0 until dim).map(i => math.sin(i * 131.0 + j * 523.0))
+      }
       val proj = graft.functions.ArrayMath.dot(v, typedLit(plane))
       // round before the sign test so an engine-dependent last-ulp wobble
       // cannot flip a bucket bit (cross-engine oracle exactness)
@@ -61,10 +73,11 @@ object Similarity {
     * no (q, c) pair can duplicate. */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      dim: Int, k: Int, nBits: Int = 8, probeHamming: Int = 0): DataFrame = {
+      dim: Int, k: Int, nBits: Int = 8, probeHamming: Int = 0,
+      seed: Option[Long] = None): DataFrame = {
     require(probeHamming >= 0 && probeHamming <= 1,
       s"probeHamming must be 0 or 1, got $probeHamming")
-    val bucket = lshBucket(col(vecCol), dim, nBits)
+    val bucket = lshBucket(col(vecCol), dim, nBits, seed)
     val c = corpus.select(col(idCol).as("c_id"),
       col(vecCol).cast("array<double>").as("cv"), bucket.as("bk"))
     val probes =

@@ -137,6 +137,32 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"recall=$recall") // 2-bit buckets = 1/4 of corpus probed
   }
 
+  test("seeded-gaussian hyperplanes: deterministic per seed, end-to-end equivalent") {
+    val e = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    def buckets(seed: Option[Long]) = e
+      .select(col("vec_id"),
+        Similarity.lshBucket(col("embedding"), dim = 64, nBits = 4, seed = seed)
+          .as("bk"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // same seed → bit-identical bucket assignment (java.util.Random's
+    // nextGaussian is algorithm-specified, so this holds on any JVM)
+    assert(buckets(Some(7L)) == buckets(Some(7L)))
+    // distinct seeds → independent hash tables (different assignments)
+    assert(buckets(Some(7L)) != buckets(Some(8L)))
+    // the seeded family drives lshTopK the same way the seedless one
+    // does: both sides hash with the same planes, so every returned
+    // neighbor shares the query's bucket and per-query k holds
+    val queries = e.filter(col("vec_id") < 10)
+    val corpus = e.filter(col("vec_id") >= 10)
+    val out = Similarity.lshTopK(corpus, queries, "vec_id", "embedding",
+      dim = 64, k = 5, nBits = 4, seed = Some(7L))
+    assert(out.count() > 0)
+    assert(out.groupBy("q_id").count().collect().forall(_.getLong(1) <= 5))
+    val bk = buckets(Some(7L))
+    assert(out.select("q_id", "c_id").collect()
+      .forall(r => bk(r.getLong(0)) == bk(r.getLong(1))))
+  }
+
   test("LSH bit-flip multi-probe lifts recall to >=0.9 on real embeddings") {
     val e = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
     val queries = e.filter(col("vec_id") < 10)
