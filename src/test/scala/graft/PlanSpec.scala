@@ -98,6 +98,35 @@ class PlanSpec extends AnyFunSuite {
     assert(sigLines.exists(_.contains("*(")), plan)
   }
 
+  test("q43b simhash_fp stays inside whole-stage codegen (no fallback)") {
+    graft.functions.TextHashFunctions.register(spark)
+    val df = Queries.byName("q43b_simhash64").spark(spark, TestSpark.sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val fpLines = plan.linesIterator.filter(_.contains("simhash_fp")).toSeq
+    assert(fpLines.nonEmpty, plan)
+    assert(fpLines.exists(_.contains("*(")), plan)
+  }
+
+  test("q69 simhash near-dup plan joins on band keys, never the corpus") {
+    val df = Queries.byName("q69_simhash_neardup").spark(spark, TestSpark.sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // banded self-join must be an equi-join on (band, key) — any
+    // cartesian/nested-loop here means the bucketing degenerated
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q66b ivf multi-probe keeps the broadcast bucket-join shape") {
+    val df = Queries.byName("q66b_ivf_nprobe").spark(spark, TestSpark.sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // query side (exploded to nprobe cells) broadcasts; corpus scans once
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("GLM kernel pass plan has zero exchanges (no shuffle in solvers)") {
     import graft.core.GlmData
     import org.apache.spark.sql.functions._
