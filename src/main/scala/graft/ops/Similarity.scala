@@ -47,13 +47,16 @@ object Similarity {
     * is nBits fused loops inside codegen instead of interpreted HOF
     * chains — either family ships to executors the same way. */
   def lshBucket(vecCol: Column, dim: Int, nBits: Int = 8,
-      seed: Option[Long] = None): Column = {
+      seed: Option[Long] = None, planeOffset: Int = 0): Column = {
     val v = vecCol.cast("array<double>")
     val rng = seed.map(s => new java.util.Random(s))
     (0 until nBits).map { j =>
       val plane = rng match {
         case Some(r) => Seq.fill(dim)(r.nextGaussian())
-        case None => (0 until dim).map(i => math.sin(i * 131.0 + j * 523.0))
+        // planeOffset shifts the seedless family to a disjoint plane set
+        // (plane j' = j + offset) — how multi-table LSH gets independent
+        // tables while staying SQL-expressible for cross-engine oracles
+        case None => (0 until dim).map(i => math.sin(i * 131.0 + (j + planeOffset) * 523.0))
       }
       val proj = graft.functions.ArrayMath.dot(v, typedLit(plane))
       // round before the sign test so an engine-dependent last-ulp wobble
@@ -165,6 +168,56 @@ object Similarity {
       struct((if (roundDp >= 0) round(d, roundDp) else d).as("d"), lit(i).as("cell"))
     }
     least(dists: _*).getField("cell")
+  }
+
+  /** Multi-table LSH top-k: OR-amplification across `nTables` independent
+    * hash tables (seeded gaussian hyperplanes, table t seeded `seed + t`),
+    * the standard production recall lever — a neighbor is lost only if it
+    * mismatches the query in EVERY table, so miss probability decays
+    * exponentially in `nTables` while each table keeps its n/2^nBits
+    * bucket sizes.
+    *
+    * 100 TB shape: the corpus is scanned once and hashed to `nTables`
+    * (table, bucket) keys per row via one projection (a ×nTables key
+    * fan-out of ids + vectors, NOT a corpus duplication on disk); the
+    * broadcast-small query side fans out identically; one equi-join on
+    * (table, bucket), exact rerank, per-query top-k. Candidate dedup is
+    * implicit: the window rank sees each (q, c) pair once per shared
+    * table but emits `rk <= k` rows after DISTINCT-free dedup via
+    * groupBy-max — cheaper than DISTINCT on the scored pairs. */
+  def lshTopKMultiTable(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      dim: Int, k: Int, nBits: Int = 8, nTables: Int = 4,
+      seed: Option[Long] = Some(42L), roundDp: Int = -1): DataFrame = {
+    require(nTables >= 1, s"nTables must be >= 1, got $nTables")
+    def keyed(df: DataFrame, idAs: String, vecAs: String) = {
+      val tables = (0 until nTables).map { t =>
+        // table t: gaussian planes from seed+t, or (seedless) the
+        // disjoint sin-family planes [t·nBits, (t+1)·nBits)
+        val bk = seed match {
+          case Some(s) => lshBucket(col(vecCol), dim, nBits, Some(s + t))
+          case None => lshBucket(col(vecCol), dim, nBits, None, t * nBits)
+        }
+        struct(lit(t).as("tbl"), bk.as("bk"))
+      }
+      df.select(col(idCol).as(idAs),
+        col(vecCol).cast("array<double>").as(vecAs),
+        explode(array(tables: _*)).as("tb"))
+    }
+    val c = keyed(corpus, "c_id", "cv")
+    val q = keyed(queries, "q_id", "qv")
+    // a (q, c) pair that shares several tables would rank several times;
+    // collapse to one row per pair before the top-k window (groupBy on the
+    // pair key — cheaper than DISTINCT over scored rows; qv/cv are
+    // constant within a group so first() is deterministic)
+    val rawCos = cosineSim(col("qv"), col("cv"))
+    val pairs = c.as("c").join(broadcast(q.as("q")), col("c.tb") === col("q.tb"))
+      .groupBy(col("q.q_id").as("q_id"), col("c.c_id").as("c_id"))
+      .agg(first(col("q.qv")).as("qv"), first(col("c.cv")).as("cv"))
+      .select(col("q_id"), col("c_id"),
+        (if (roundDp >= 0) round(rawCos, roundDp) else rawCos).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
+    pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
   /** The query's `nprobe` nearest centroid cells, nearest first (the

@@ -210,6 +210,53 @@ object SimilarityQueries {
         SELECT q_id, rk, vec_id, cos FROM ranked WHERE rk <= 3
         ORDER BY q_id, rk""")),
 
+    // ---- multi-table LSH ANN (Similarity.lshTopKMultiTable): two
+    // independent 4-bit tables via disjoint plane sets (table t uses sin
+    // planes [4t, 4t+4) — the seedless family, so DuckDB recomputes the
+    // identical buckets). Candidates = pairs sharing EITHER table's
+    // bucket (OR-amplification), deduped per pair before the exact
+    // cosine rerank; cosine rounded before ranking (fold-ulp rule).
+    Q("q46b_lsh_multitable",
+      (s, dir) => {
+        val e = tbl(s, dir, "embeddings")
+        graft.ops.Similarity.lshTopKMultiTable(
+            e.filter(col("vec_id") >= 10), e.filter(col("vec_id") < 10),
+            "vec_id", "embedding", dim = 64, k = 3, nBits = 4,
+            nTables = 2, seed = None, roundDp = 6)
+          .select("q_id", "rk", "c_id", "cos")
+          .orderBy("q_id", "rk")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        proj AS (
+          SELECT vec_id, j,
+            ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(0, 64),
+              i -> v[i+1] * SIN(i * 131.0 + j * 523.0))), 6) AS p
+          FROM e, UNNEST(RANGE(0, 8)) AS tj(j)),
+        bk AS (
+          SELECT vec_id, j // 4 AS tbl,
+            SUM(CASE WHEN p > 0 THEN CAST(POWER(2, j % 4) AS BIGINT) ELSE 0 END) AS bk
+          FROM proj GROUP BY vec_id, j // 4),
+        ev AS (SELECT e.vec_id, v, tbl, bk FROM e JOIN bk ON e.vec_id = bk.vec_id),
+        q AS (SELECT vec_id AS q_id, v AS qv, tbl, bk FROM ev WHERE vec_id < 10),
+        c AS (SELECT * FROM ev WHERE vec_id >= 10),
+        pairs AS (
+          SELECT DISTINCT q_id, c.vec_id AS c_id
+          FROM c JOIN q ON c.tbl = q.tbl AND c.bk = q.bk),
+        scored AS (
+          SELECT p.q_id, p.c_id,
+            ROUND(LIST_DOT_PRODUCT(qe.v, ce.v) /
+              (SQRT(LIST_DOT_PRODUCT(qe.v, qe.v)) * SQRT(LIST_DOT_PRODUCT(ce.v, ce.v))), 6) AS cos
+          FROM pairs p
+          JOIN e qe ON p.q_id = qe.vec_id
+          JOIN e ce ON p.c_id = ce.vec_id),
+        ranked AS (
+          SELECT q_id, CAST(ROW_NUMBER() OVER (
+            PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS INTEGER) AS rk,
+            c_id, cos
+          FROM scored)
+        SELECT q_id, rk, c_id, cos FROM ranked WHERE rk <= 3
+        ORDER BY q_id, rk""")),
+
     // ---- note: the q42 bucket expression differs from q46's only in the
     // rounding point; both check the hyperplane-LSH plumbing
 
