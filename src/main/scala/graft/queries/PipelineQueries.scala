@@ -214,6 +214,80 @@ object PipelineQueries {
         ) AS t(media_id, rate_hz, channels, n_frames, duration_ms, rms)
         ORDER BY media_id""")),
 
+    // ---- end-to-end corpus curation (the workflow a training-data
+    // pipeline actually runs, composed from the already-oracle-proven
+    // operators): quality gate (length + type-token ratio) → language
+    // gate (stopword heuristic) → exact dedup (Dedup.exact keeps the
+    // min-doc_id copy) → MinHash-LSH near-dup candidates + exact Jaccard
+    // verify (Dedup.minhashCandidates / jaccardVerify), dropping the
+    // higher doc_id of each verified pair → per-source survivor stats.
+    // At 100 TB every stage is a narrow projection, a key-only shuffle,
+    // or a banded signature join — the corpus text is never pairwise-
+    // joined or reshuffled.
+    Q("q80_curation_pipeline",
+      (s, dir) => {
+        val toks = split(col("text"), " +")
+        val nTok = size(toks)
+        val ttr = size(array_distinct(toks)).cast("double") / nTok
+        val enHits = size(filter(toks,
+          t => t.isin("the", "a", "and", "of", "fast", "slow")))
+        val kept = tbl(s, dir, "documents")
+          .filter(nTok >= 5 && ttr >= 0.3 && enHits > 0)
+        val deduped = graft.ops.Dedup.exact(kept, "doc_id", Seq("text"))
+          .drop("n_copies")
+        val cands = graft.ops.Dedup.minhashCandidates(deduped, "doc_id", "text")
+        val ver = graft.ops.Dedup.jaccardVerify(
+          deduped, cands, "doc_id", "text", threshold = 0.5)
+        val fin = deduped.join(
+          ver.select(col("id2").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+        fin.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(split(col("text"), " +"))).as("total_tokens"))
+          .orderBy("source")
+      },
+      Some(s"""WITH toksed AS (
+          SELECT doc_id, text, source, REGEXP_SPLIT_TO_ARRAY(text, ' +') AS toks
+          FROM documents),
+        kept AS (
+          SELECT * FROM toksed
+          WHERE LEN(toks) >= 5
+            AND CAST(LEN(LIST_DISTINCT(toks)) AS DOUBLE) / LEN(toks) >= 0.3
+            AND LEN(LIST_FILTER(toks,
+              t -> t IN ('the', 'a', 'and', 'of', 'fast', 'slow'))) > 0),
+        keepers AS (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY MD5(text)),
+        dd AS (SELECT k.* FROM kept k JOIN keepers USING (doc_id)),
+        h AS (SELECT doc_id, $shingleHashesSql AS hashes FROM dd),
+        sig AS (
+          SELECT doc_id, LIST_TRANSFORM(RANGE(0, $NH), i ->
+            LIST_MIN(LIST_TRANSFORM(hashes,
+              x -> (x * (2 * i + 1) + (i * i + 7)) % $P))) AS s
+          FROM h),
+        bands AS (
+          SELECT doc_id, band,
+            CAST(s[2 * band + 1] AS VARCHAR) || ':' || CAST(s[2 * band + 2] AS VARCHAR) AS bucket
+          FROM sig, UNNEST(RANGE(0, ${NH / 2})) AS t(band)),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        sh AS (
+          SELECT doc_id,
+            LIST_DISTINCT(CASE WHEN LEN(toks) >= 3 THEN
+              LIST_TRANSFORM(RANGE(1, LEN(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+              ELSE [] END) AS sh
+          FROM dd),
+        ver AS (
+          SELECT d1, d2 FROM cand
+          JOIN sh s1 ON cand.d1 = s1.doc_id
+          JOIN sh s2 ON cand.d2 = s2.doc_id
+          WHERE CAST(LEN(LIST_INTERSECT(s1.sh, s2.sh)) AS DOUBLE) /
+            LEN(LIST_DISTINCT(s1.sh || s2.sh)) >= 0.5),
+        fin AS (SELECT * FROM dd WHERE doc_id NOT IN (SELECT d2 FROM ver))
+        SELECT source, COUNT(*) AS n_docs,
+          CAST(SUM(LEN(toks)) AS BIGINT) AS total_tokens
+        FROM fin GROUP BY source ORDER BY source""")),
+
     // ---- streaming batch-twin: 5-minute tumbling windows over events
     Q("q60_tumbling_window",
       (s, dir) =>
