@@ -291,6 +291,43 @@ object TextQueries {
               FROM documents WHERE doc_id < 20)
         ORDER BY doc_id""")),
 
+    // ---- map-function breadth: per-document term-frequency MAP
+    // (map_from_entries over grouped counts), then the map surface —
+    // element_at lookup, size, map_filter, map_keys, map_values +
+    // aggregate — reduced to scalar columns. The DuckDB twin computes
+    // the same scalars straight from the token list (the oracle checks
+    // VALUES, not mechanism — Spark's map ops must land on the counts
+    // the list algebra defines). Map iteration order is engine-defined,
+    // so only order-independent reductions are emitted.
+    Q("q78_map_funcs",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents").filter(col("doc_id") < 20)
+        val tf = docs
+          .select(col("doc_id"), explode(toksCol).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+          .groupBy("doc_id")
+          .agg(map_from_entries(collect_list(struct(col("tok"), col("cnt"))))
+            .as("tf"))
+        tf.select(col("doc_id"),
+            coalesce(element_at(col("tf"), "the"), lit(0L)).as("n_the"),
+            size(col("tf")).as("n_distinct"),
+            size(map_filter(col("tf"), (_, v) => v > 1)).as("n_repeated"),
+            array_min(map_keys(col("tf"))).as("first_tok"),
+            aggregate(map_values(col("tf")), lit(0L), (acc, v) => acc + v)
+              .as("n_tokens"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+          CAST(LEN(LIST_FILTER(toks, t -> t = 'the')) AS BIGINT) AS n_the,
+          CAST(LEN(LIST_DISTINCT(toks)) AS INTEGER) AS n_distinct,
+          CAST(LEN(LIST_FILTER(LIST_DISTINCT(toks),
+            t -> LEN(LIST_FILTER(toks, x -> x = t)) > 1)) AS INTEGER) AS n_repeated,
+          LIST_SORT(LIST_DISTINCT(toks))[1] AS first_tok,
+          CAST(LEN(toks) AS BIGINT) AS n_tokens
+        FROM (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(text, ' +') AS toks
+              FROM documents WHERE doc_id < 20)
+        ORDER BY doc_id""")),
+
     // ---- per-source corpus stats (group agg over the doc table)
     Q("q36_source_stats",
       (s, dir) =>

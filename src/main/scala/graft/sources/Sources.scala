@@ -48,6 +48,26 @@ object Sources {
   def writeJson(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
     df.write.mode(mode).json(path)
 
+  /** ORC scan — the other columnar format Spark ships a vectorized V2
+    * reader for; same pushdown/pruning properties as parquet. */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String, partitionByCols: Seq[String] = Nil,
+      mode: String = "overwrite"): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionByCols.nonEmpty) w.partitionBy(partitionByCols: _*) else w)
+      .orc(path)
+  }
+
+  /** Line-text scan (one string column `value` per line) — the raw-corpus
+    * ingestion format; pair with the text-analysis operators. */
+  def readText(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+
+  def writeText(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
+    df.write.mode(mode).text(path)
+
   /** Bucketed parquet table (session catalog): rows are hash-clustered
     * into `nBuckets` files per partition by `bucketCols`, and the layout
     * is recorded in the catalog. Joins/aggregations keyed on the bucket

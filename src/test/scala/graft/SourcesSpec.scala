@@ -33,6 +33,32 @@ class SourcesSpec extends AnyFunSuite {
       .sameElements(docs.orderBy("doc_id").collect().map(_.toString)))
   }
 
+  test("orc round-trip preserves values and pushes filters to the scan") {
+    val li = spark.read.parquet(s"${TestSpark.sf0001}/lineitem.parquet")
+      .select("l_orderkey", "l_quantity", "l_returnflag").limit(100)
+    val dir = tmp("orc_rt")
+    Sources.writeOrc(li, dir)
+    val back = Sources.readOrc(spark, dir)
+    assert(back.orderBy("l_orderkey", "l_quantity").collect().map(_.toString)
+      .sameElements(li.orderBy("l_orderkey", "l_quantity").collect().map(_.toString)))
+    // ORC's V2 reader gets the same pushdown treatment as parquet
+    val plan = back.filter(col("l_quantity") < 5.0).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert(plan.contains("l_quantity"), plan)
+  }
+
+  test("text round-trip: raw corpus lines in, one `value` column out") {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+      .select("text").limit(50)
+    val dir = tmp("text_rt")
+    Sources.writeText(docs, dir)
+    val back = Sources.readText(spark, dir)
+    assert(back.columns.toSeq == Seq("value"))
+    assert(back.orderBy("value").collect().map(_.getString(0)).toSeq ==
+      docs.orderBy("text").collect().map(_.getString(0)).toSeq)
+  }
+
   test("partitioned parquet sink enables partition pruning") {
     val li = spark.read.parquet(s"${TestSpark.sf0001}/lineitem.parquet")
       .select("l_orderkey", "l_quantity", "l_returnflag")
