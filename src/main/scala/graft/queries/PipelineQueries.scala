@@ -301,6 +301,48 @@ object PipelineQueries {
         FROM events GROUP BY 1, 2 ORDER BY win_us, event_type"""),
       bench = true),
 
+    // ---- sliding windows (batch twin of the watermarked streaming form):
+    // 10-minute windows sliding every 5 — each event lands in exactly 2
+    // windows, both epoch-aligned on the slide like DuckDB's TIME_BUCKET,
+    // so the twin enumerates k ∈ {0,1} shifted buckets per event.
+    Q("q60b_sliding_window",
+      (s, dir) =>
+        EventStream.slidingCounts(eventsTbl(s, dir))
+          .select(unix_micros(col("win_start")).as("win_us"),
+            col("event_type"), col("n"), col("total"))
+          .orderBy("win_us", "event_type"),
+      Some(s"""SELECT
+          EPOCH_US(TIME_BUCKET(INTERVAL 5 MINUTES, ts) - k * INTERVAL 5 MINUTES) AS win_us,
+          event_type, COUNT(*) AS n, ${dsumSql("value")} AS total
+        FROM events, UNNEST([0, 1]) AS t(k)
+        GROUP BY 1, 2 ORDER BY win_us, event_type""")),
+
+    // ---- interval join (batch twin of the watermarked stream-stream
+    // join): click→view attribution — each click matched to same-user
+    // views within the prior 10 minutes; per-user counts + exact integer
+    // lag bounds. At scale both streams shuffle on user_id once and the
+    // watermark bounds the join state.
+    Q("q81_interval_join",
+      (s, dir) => {
+        val ev = eventsTbl(s, dir).filter(col("user_id") <= 100)
+        val clicks = ev.filter(col("event_type") === "click")
+        val views = ev.filter(col("event_type") === "view")
+        EventStream.intervalJoinBatch(clicks, views, windowMinutes = 10)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_attributed"),
+            min(unix_micros(col("l_ts")) - unix_micros(col("r_ts"))).as("min_lag_us"),
+            max(unix_micros(col("l_ts")) - unix_micros(col("r_ts"))).as("max_lag_us"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT c.user_id AS user_id, COUNT(*) AS n_attributed,
+          MIN(EPOCH_US(c.ts) - EPOCH_US(v.ts)) AS min_lag_us,
+          MAX(EPOCH_US(c.ts) - EPOCH_US(v.ts)) AS max_lag_us
+        FROM (SELECT * FROM events WHERE event_type = 'click' AND user_id <= 100) c
+        JOIN (SELECT * FROM events WHERE event_type = 'view' AND user_id <= 100) v
+          ON c.user_id = v.user_id AND v.ts <= c.ts
+            AND c.ts < v.ts + INTERVAL 10 MINUTES
+        GROUP BY c.user_id ORDER BY c.user_id""")),
+
     // ---- as-of join: each event ↔ the user's most recent order at or
     // before the event time (composed union+window operator; oracle is
     // DuckDB's native ASOF JOIN). Right side deduped per (key, time) for

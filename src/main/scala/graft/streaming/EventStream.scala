@@ -53,6 +53,61 @@ object EventStream {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("total"))
 
+  /** Batch sliding window: `sizeMinutes` windows every `slideMinutes`
+    * (each event lands in size/slide windows), keyed by event_type. */
+  def slidingCounts(events: DataFrame, sizeMinutes: Int = 10,
+      slideMinutes: Int = 5): DataFrame =
+    events
+      .groupBy(
+        window(col("ts"), s"$sizeMinutes minutes", s"$slideMinutes minutes")
+          .getField("start").as("win_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), valueTotal)
+
+  /** Streaming twin of [[slidingCounts]] (watermarked). */
+  def slidingCountsStreaming(events: DataFrame, sizeMinutes: Int = 10,
+      slideMinutes: Int = 5): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(
+        window(col("ts"), s"$sizeMinutes minutes", s"$slideMinutes minutes"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), valueTotal)
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("total"))
+
+  /** Batch twin of the stream-stream interval join: each left event
+    * matched to same-user right events with `r.ts <= l.ts < r.ts +
+    * window` (e.g. click→view attribution). The batch form is the
+    * DuckDB-oracle-checkable shape (q81). */
+  def intervalJoinBatch(left: DataFrame, right: DataFrame,
+      windowMinutes: Int): DataFrame =
+    left.as("l").join(right.as("r"),
+        col("l.user_id") === col("r.user_id") &&
+          col("r.ts") <= col("l.ts") &&
+          col("l.ts") < col("r.ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("l.event_id").as("l_id"), col("l.user_id").as("user_id"),
+        col("l.ts").as("l_ts"), col("r.event_id").as("r_id"),
+        col("r.ts").as("r_ts"))
+
+  /** Stream-stream interval join with watermarks on BOTH sides: the
+    * time-range predicate bounds each side's join state to the watermark
+    * horizon (without it Spark must buffer both streams forever — the
+    * planner rejects the query in append mode). Same output schema and
+    * match semantics as [[intervalJoinBatch]]. */
+  def intervalJoinStreaming(left: DataFrame, right: DataFrame,
+      windowMinutes: Int, watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermark).as("l")
+    val r = right.withWatermark("ts", watermark).as("r")
+    l.join(r,
+        col("l.user_id") === col("r.user_id") &&
+          col("r.ts") <= col("l.ts") &&
+          col("l.ts") < col("r.ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("l.event_id").as("l_id"), col("l.user_id").as("user_id"),
+        col("l.ts").as("l_ts"), col("r.event_id").as("r_id"),
+        col("r.ts").as("r_ts"))
+  }
+
   /** Streaming exact dedup, the streaming twin of `Dedup.exact`:
     * `dropDuplicatesWithinWatermark` keeps each key's state only until
     * the watermark passes it — bounded state at unbounded input, the

@@ -123,6 +123,71 @@ class PipelineOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sliding counts match the batch twin (memory sink)") {
+    val dir = TestSpark.sf0001
+    val batch = EventStream.slidingCounts(Queries.eventsTbl(spark, dir))
+      .orderBy("win_start", "event_type").collect()
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.types._
+    val rawSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val tmp = java.nio.file.Files.createTempDirectory("events_slide")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      tmp.resolve("events.parquet"))
+    val stream = spark.readStream.schema(rawSchema)
+      .parquet(tmp.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = EventStream.slidingCountsStreaming(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sliding_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sliding_out")
+        .orderBy("win_start", "event_type").collect()
+      assert(streamed.length == batch.length)
+      assert(streamed.map(_.toString).sameElements(batch.map(_.toString)))
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join matches batch twin; late right side dropped") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2020-01-01 10:$m%02d:00")
+    // fixture: user 1 has a view at 10:00 and clicks at 10:05 (inside the
+    // 10-min window) and 10:20 (outside); user 2's click precedes any view
+    val clickRows = Seq((101L, ts(5), 1L), (102L, ts(20), 1L), (103L, ts(2), 2L))
+    val viewRows = Seq((201L, ts(0), 1L), (202L, ts(6), 2L))
+    val clicksB = clickRows.toDF("event_id", "ts", "user_id")
+    val viewsB = viewRows.toDF("event_id", "ts", "user_id")
+    val batch = EventStream.intervalJoinBatch(clicksB, viewsB, windowMinutes = 10)
+      .select("l_id", "r_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch == Set((101L, 201L))) // only the in-window attribution
+
+    val clickIn = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val viewIn = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val clicks = clickIn.toDF().toDF("event_id", "ts", "user_id")
+    val views = viewIn.toDF().toDF("event_id", "ts", "user_id")
+    val joined = EventStream.intervalJoinStreaming(clicks, views, windowMinutes = 10)
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ivj_out").start()
+    try {
+      viewIn.addData(viewRows: _*)
+      clickIn.addData(clickRows: _*)
+      q.processAllAvailable()
+      // advance both watermarks far past the fixture so results flush
+      viewIn.addData((999L, ts(59), 99L))
+      clickIn.addData((998L, ts(59), 98L))
+      q.processAllAvailable()
+      val streamed = spark.table("ivj_out").select("l_id", "r_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    } finally q.stop()
+  }
+
   test("file-source stream with checkpoint + AvailableNow trigger matches q60 batch twin") {
     val dir = TestSpark.sf0001
     val batch = EventStream.tumblingCounts(Queries.eventsTbl(spark, dir))
