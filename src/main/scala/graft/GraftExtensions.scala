@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{ArrayDot, ArraySqDist, MinHashSig}
+import graft.functions.{ArrayDot, ArraySqDist, MinHashSig, SimHashFp, TextHashFunctions}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -18,7 +18,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       new FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
-      (exprs: Seq[Expression]) => MinHashSig(exprs.head, 8)))
+      TextHashFunctions.minhashSigBuilder))
+    e.injectFunction((
+      new FunctionIdentifier("simhash_fp"),
+      new ExpressionInfo(classOf[SimHashFp].getName, "simhash_fp"),
+      TextHashFunctions.simhashFpBuilder))
     e.injectFunction((
       new FunctionIdentifier("array_dot"),
       new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),

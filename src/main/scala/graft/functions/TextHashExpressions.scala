@@ -157,36 +157,44 @@ case class SimHashFp(child: Expression, bits: Int)
 }
 
 object TextHashFunctions {
-  /** Register SQL-visible functions on a session (idempotent).
-    *
-    * `minhash_sig(text[, numHashes])` — signature width defaults to 8
+
+  /** `minhash_sig(text[, numHashes])` — signature width defaults to 8
     * (the oracle-checked q44/q45 form); production near-dup at corpus
     * scale typically runs 128 hashes (`minhash_sig(text, 128)`). The
     * width argument must be a foldable integer literal (it sizes the
-    * per-row minima array at plan time). */
+    * per-row minima array at plan time). Shared by the temp-function
+    * path ([[register]]) and [[graft.GraftExtensions]]. */
+  private[graft] val minhashSigBuilder: Seq[Expression] => Expression = {
+    case Seq(text) => MinHashSig(text, 8)
+    case Seq(text, n) =>
+      require(n.foldable, "minhash_sig: numHashes must be a literal")
+      val width = n.eval().asInstanceOf[Number].intValue()
+      require(width >= 1, s"minhash_sig: numHashes must be >= 1, got $width")
+      MinHashSig(text, width)
+    case exprs => throw new IllegalArgumentException(
+      s"minhash_sig(text[, numHashes]) takes 1 or 2 arguments, got ${exprs.length}")
+  }
+
+  /** `simhash_fp(text[, bits])` — fingerprint width defaults to 64 (the
+    * production near-dup width); bits must be a foldable literal in
+    * [1, 64]. */
+  private[graft] val simhashFpBuilder: Seq[Expression] => Expression = {
+    case Seq(text) => SimHashFp(text, 64)
+    case Seq(text, n) =>
+      require(n.foldable, "simhash_fp: bits must be a literal")
+      val bits = n.eval().asInstanceOf[Number].intValue()
+      require(bits >= 1 && bits <= 64,
+        s"simhash_fp: bits must be in [1, 64], got $bits")
+      SimHashFp(text, bits)
+    case exprs => throw new IllegalArgumentException(
+      s"simhash_fp(text[, bits]) takes 1 or 2 arguments, got ${exprs.length}")
+  }
+
+  /** Register SQL-visible functions on a session (idempotent). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_sig", {
-        case Seq(text) => MinHashSig(text, 8)
-        case Seq(text, n) =>
-          require(n.foldable, "minhash_sig: numHashes must be a literal")
-          val width = n.eval().asInstanceOf[Number].intValue()
-          require(width >= 1, s"minhash_sig: numHashes must be >= 1, got $width")
-          MinHashSig(text, width)
-        case exprs => throw new IllegalArgumentException(
-          s"minhash_sig(text[, numHashes]) takes 1 or 2 arguments, got ${exprs.length}")
-      }, "built-in")
+      "minhash_sig", minhashSigBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash_fp", {
-        case Seq(text) => SimHashFp(text, 64)
-        case Seq(text, n) =>
-          require(n.foldable, "simhash_fp: bits must be a literal")
-          val bits = n.eval().asInstanceOf[Number].intValue()
-          require(bits >= 1 && bits <= 64,
-            s"simhash_fp: bits must be in [1, 64], got $bits")
-          SimHashFp(text, bits)
-        case exprs => throw new IllegalArgumentException(
-          s"simhash_fp(text[, bits]) takes 1 or 2 arguments, got ${exprs.length}")
-      }, "built-in")
+      "simhash_fp", simhashFpBuilder, "built-in")
   }
 }

@@ -94,6 +94,23 @@ class EstimatorsSpec extends AnyFunSuite {
     assert(n > 0)
   }
 
+  test("SQL surface: width args and simhash_fp reachable, bad widths rejected") {
+    graft.functions.TextHashFunctions.register(spark)
+    val doc = s"parquet.`${TestSpark.sf0001}/documents.parquet`"
+    // parameterized widths through the shared builders (the same ones
+    // GraftExtensions injects)
+    val row = spark.sql(
+      s"""SELECT size(minhash_sig(text, 16)) AS w, simhash_fp(text) AS fp64,
+             simhash_fp(text, 16) AS fp16
+           FROM $doc LIMIT 1""").head()
+    assert(row.getInt(0) == 16)
+    assert(row.getLong(2) >= 0 && row.getLong(2) <= 0xffffL) // 16-bit range
+    intercept[Exception](
+      spark.sql(s"SELECT simhash_fp(text, 65) FROM $doc").collect())
+    intercept[Exception](
+      spark.sql(s"SELECT minhash_sig(text, 0) FROM $doc").collect())
+  }
+
   test("fit_intercept=false leaves coef full-length") {
     val df = lineitemGlm
     val m = new LogisticRegression(
