@@ -220,6 +220,34 @@ object Similarity {
     pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
+  /** Persist trained IVF centroids as a tiny (cell, centroid) parquet
+    * table — the index-build-once shape: at 100 TB the k-means training
+    * pass is the expensive step, so the quantizer is written next to the
+    * corpus and every subsequent query job [[loadCentroids]] instead of
+    * retraining. Cell ids are the array index; the loader restores order
+    * by the cell column, so assignments are reproducible across jobs. */
+  def saveCentroids(spark: org.apache.spark.sql.SparkSession,
+      centroids: Array[Array[Double]], path: String): Unit = {
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .repartition(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  def loadCentroids(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[Array[Double]] = {
+    val rows = spark.read.parquet(path)
+      .select(col("cell").cast("int"), col("centroid").cast("array<double>"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    require(rows.nonEmpty, s"no centroids at $path")
+    require(rows.map(_._1).toSeq == rows.indices.toSeq,
+      s"centroid cells at $path are not a dense 0..${rows.length - 1} range")
+    rows.map(_._2)
+  }
+
   /** The query's `nprobe` nearest centroid cells, nearest first (the
     * multi-probe companion of [[ivfCell]], same rounding/tie rules:
     * `array_sort` on struct(d, cell) orders by distance then lowest cell

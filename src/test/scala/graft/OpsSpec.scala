@@ -231,6 +231,22 @@ class OpsSpec extends AnyFunSuite {
     assert(r8 == 1.0, s"full-probe recall=$r8")
   }
 
+  test("IVF centroid save/load round-trips and reproduces probe results") {
+    val e = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val cents = Similarity.trainIvfCentroids(e, "embedding", kCells = 4, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_cents").toString
+    Similarity.saveCentroids(spark, cents, dir)
+    val back = Similarity.loadCentroids(spark, dir)
+    assert(back.length == cents.length)
+    assert(back.zip(cents).forall { case (a, b) => a.sameElements(b) })
+    val queries = e.filter(col("vec_id") < 5)
+    val corpus = e.filter(col("vec_id") >= 5)
+    def probe(cs: Array[Array[Double]]) =
+      Similarity.ivfTopK(corpus, queries, "vec_id", "embedding", cs, k = 3)
+        .select("q_id", "rk", "c_id").collect().map(_.toString).toSeq
+    assert(probe(back) == probe(cents))
+  }
+
   test("IVF centroids train and probe returns neighbors from own cell") {
     val e = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
     val centroids = Similarity.trainIvfCentroids(e, "embedding", kCells = 4, iters = 3)
