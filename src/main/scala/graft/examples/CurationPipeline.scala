@@ -1,0 +1,76 @@
+package graft.examples
+
+import graft.ops.{Dedup, Multimodal, Similarity}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Runnable tour of the training-data-pipeline surface (the north-star
+  * operators beyond the reference's GLM scope): corpus curation —
+  * quality gate → exact dedup → MinHash-LSH near-dup removal → SimHash
+  * fingerprints — then embedding similarity (brute force vs multi-table
+  * LSH vs IVF with persisted centroids) and multimodal decode.
+  *
+  * Run: sbt "runMain graft.examples.CurationPipeline [sfDir]"
+  */
+object CurationPipeline {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-curation-pipeline")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+    // 1. quality gate: min length + type-token ratio
+    val toks = split(col("text"), " +")
+    val kept = docs.filter(size(toks) >= 5 &&
+      size(array_distinct(toks)).cast("double") / size(toks) >= 0.3)
+    println(s"[curate] quality gate: ${docs.count()} -> ${kept.count()} docs")
+
+    // 2. exact dedup (min-doc_id keeper per identical text)
+    val exact = Dedup.exact(kept, "doc_id", Seq("text")).drop("n_copies")
+    println(s"[curate] exact dedup: -> ${exact.count()} docs")
+
+    // 3. MinHash-LSH near-dup candidates + exact Jaccard verification
+    val cands = Dedup.minhashCandidates(exact, "doc_id", "text")
+    val nearDups = Dedup.jaccardVerify(exact, cands, "doc_id", "text", 0.5)
+    val curated = exact.join(
+      nearDups.select(col("id2").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+    println(s"[curate] near-dup removal: ${nearDups.count()} pairs -> ${curated.count()} docs")
+
+    // 4. 64-bit SimHash fingerprints + banded near-dup pairs
+    val simPairs = Dedup.simhashNearDups(curated, "doc_id", "text")
+    println(s"[curate] simhash(64) hamming<=3 pairs: ${simPairs.count()}")
+
+    // 5. similarity: exact baseline vs multi-table LSH vs IVF (persisted)
+    val queries = emb.filter(col("vec_id") < 5)
+    val corpus = emb.filter(col("vec_id") >= 5)
+    val exactNN = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", k = 3)
+    val lshNN = Similarity.lshTopKMultiTable(corpus, queries, "vec_id", "embedding",
+      dim = 64, k = 3, nBits = 2, nTables = 4, seed = Some(42L))
+    val centDir = java.nio.file.Files.createTempDirectory("ivf_index").toString
+    Similarity.saveCentroids(spark,
+      Similarity.trainIvfCentroids(corpus, "embedding", kCells = 4, iters = 3), centDir)
+    val ivfNN = Similarity.ivfTopK(corpus, queries, "vec_id", "embedding",
+      Similarity.loadCentroids(spark, centDir), k = 3, nprobe = 2)
+    println(s"[ann] exact=${exactNN.count()} lsh=${lshNN.count()} ivf=${ivfNN.count()} rows")
+
+    // 6. multimodal: payload plumbing + real image/audio decode attempts
+    val media = Multimodal.mediaFromDocuments(curated.limit(20))
+      .withColumn("img", Multimodal.imageMeta(col("payload")))
+      .withColumn("audio", Multimodal.audioMeta(col("payload")))
+    val decoded = media.select(
+      count(lit(1)).as("n"),
+      count(col("img")).as("n_images"),
+      count(col("audio")).as("n_audio")).head()
+    println(s"[media] payloads=${decoded.getLong(0)} decoded images=${decoded.getLong(1)} audio=${decoded.getLong(2)} (text stand-ins: 0/0 expected)")
+
+    spark.stop()
+  }
+}
