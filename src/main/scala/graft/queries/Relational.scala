@@ -517,6 +517,29 @@ object Relational {
                             AND l2.l_quantity = 1 AND l2.l_discount = 0.1)
         ORDER BY s_suppkey""")),
 
+    // ---- LATERAL join: per-nation top-2 customers by balance — the
+    // correlated table-subquery form of top-n-per-group (Catalyst
+    // decorrelates the LATERAL + correlated ORDER BY/LIMIT into a ranked
+    // window join; the declarative twin of q04/q72's explicit windows).
+    // Raw double column values only → exact oracle.
+    Q("q79_lateral_topn",
+      (s, dir) => {
+        tbl(s, dir, "nation").createOrReplaceTempView("nation_v")
+        tbl(s, dir, "customer").createOrReplaceTempView("customer_v")
+        s.sql("""SELECT n_name, c_name, c_acctbal
+          FROM nation_v, LATERAL (
+            SELECT c_name, c_acctbal FROM customer_v
+            WHERE c_nationkey = n_nationkey
+            ORDER BY c_acctbal DESC, c_name LIMIT 2)
+          ORDER BY n_name, c_acctbal DESC, c_name""")
+      },
+      Some("""SELECT n_name, c_name, c_acctbal
+        FROM nation n, LATERAL (
+          SELECT c_name, c_acctbal FROM customer
+          WHERE c_nationkey = n_nationkey
+          ORDER BY c_acctbal DESC, c_name LIMIT 2)
+        ORDER BY n_name, c_acctbal DESC, c_name""")),
+
     // ---- case expressions + conditional aggregation
     Q("q18_case_agg",
       (s, dir) =>
