@@ -517,6 +517,41 @@ object Relational {
                             AND l2.l_quantity = 1 AND l2.l_discount = 0.1)
         ORDER BY s_suppkey""")),
 
+    // ---- FULL OUTER join with asymmetric sides: sparse customer vs
+    // supplier nation rosters so BOTH unmatched directions occur; null
+    // handling surfaced as coalesced counts + missing flags (integers →
+    // exact oracle). At scale: two partial-agg'd groupBys then one
+    // key shuffle join — outer-ness adds no extra exchange.
+    Q("q82_outer_join",
+      (s, dir) => {
+        val c = tbl(s, dir, "customer").filter(col("c_custkey") < 30)
+          .groupBy(col("c_nationkey").as("c_nk"))
+          .agg(count(lit(1)).as("n_cust"))
+        val sup = tbl(s, dir, "supplier").filter(col("s_suppkey") < 8)
+          .groupBy(col("s_nationkey").as("s_nk"))
+          .agg(count(lit(1)).as("n_supp"))
+        c.join(sup, col("c_nk") === col("s_nk"), "full_outer")
+          .select(
+            coalesce(col("c_nk"), col("s_nk")).as("nk"),
+            coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+            coalesce(col("n_supp"), lit(0L)).as("n_supp"),
+            col("c_nk").isNull.cast("int").as("cust_missing"),
+            col("s_nk").isNull.cast("int").as("supp_missing"))
+          .orderBy("nk")
+      },
+      Some("""WITH c AS (
+          SELECT c_nationkey AS c_nk, COUNT(*) AS n_cust
+          FROM customer WHERE c_custkey < 30 GROUP BY 1),
+        s AS (
+          SELECT s_nationkey AS s_nk, COUNT(*) AS n_supp
+          FROM supplier WHERE s_suppkey < 8 GROUP BY 1)
+        SELECT COALESCE(c_nk, s_nk) AS nk,
+          COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp,
+          CAST(c_nk IS NULL AS INTEGER) AS cust_missing,
+          CAST(s_nk IS NULL AS INTEGER) AS supp_missing
+        FROM c FULL OUTER JOIN s ON c_nk = s_nk
+        ORDER BY nk""")),
+
     // ---- LATERAL join: per-nation top-2 customers by balance — the
     // correlated table-subquery form of top-n-per-group (Catalyst
     // decorrelates the LATERAL + correlated ORDER BY/LIMIT into a ranked

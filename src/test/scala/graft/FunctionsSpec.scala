@@ -70,6 +70,39 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("text-hash expressions handle unicode/emoji/empty text like the HOF twin") {
+    graft.functions.TextHashFunctions.register(spark)
+    // multi-byte UTF-8 (accents, CJK, emoji), repeated tokens, empty and
+    // whitespace-only strings — the md5 must hash the UTF-8 bytes exactly
+    // as Spark's own md5(), per token occurrence
+    val df = Seq(
+      (1L, "café über straße"), (2L, "日本語 テスト 日本語"),
+      (3L, "🙂 🙃 🙂 🙂"), (4L, ""), (5L, "   "), (6L, "mixed café 日本 🙂 end"))
+      .toDF("id", "text")
+    df.createOrReplaceTempView("uni_docs")
+    val toks = split(col("text"), " +")
+    val tokHash = transform(toks, t =>
+      conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
+    val bitsC = (0 until 16).map { b =>
+      val vote = aggregate(tokHash, lit(0L),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      (vote > 0).cast("long") * lit(1L << b)
+    }
+    val expected = df.select(col("id"), bitsC.reduce(_ + _).as("expected"))
+    val mismatches = spark.sql(
+        "SELECT id, simhash_fp(text, 16) AS fp FROM uni_docs")
+      .join(expected, "id").filter(col("fp") =!= col("expected")).count()
+    assert(mismatches == 0)
+    // minhash over unicode shingles: deterministic, no crash, sentinel for
+    // short docs (empty/whitespace rows have <3 tokens → all-MaxValue)
+    val sigs = spark.sql("SELECT id, minhash_sig(text) AS s FROM uni_docs ORDER BY id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1))
+    assert(sigs.length == 6)
+    assert(sigs.toMap.apply(4L).forall(_ == Long.MaxValue))
+    assert(sigs.toMap.apply(5L).forall(_ == Long.MaxValue))
+    assert(sigs.toMap.apply(2L) != sigs.toMap.apply(3L))
+  }
+
   test("GlmLossGradAggregator (UDAF facade) equals the RDD kernel") {
     import graft.functions.{GlmLossGradAggregator, GlmRow}
     import graft.families.Logistic
