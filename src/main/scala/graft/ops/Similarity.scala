@@ -207,15 +207,16 @@ object Similarity {
     val c = keyed(corpus, "c_id", "cv")
     val q = keyed(queries, "q_id", "qv")
     // a (q, c) pair that shares several tables would rank several times;
-    // collapse to one row per pair before the top-k window (groupBy on the
-    // pair key — cheaper than DISTINCT over scored rows; qv/cv are
-    // constant within a group so first() is deterministic)
-    val rawCos = cosineSim(col("qv"), col("cv"))
+    // score INSIDE the join projection (d multiply-adds in codegen — cheap
+    // to repeat per shared table), then collapse to one row per pair so
+    // the dedup shuffle carries a single double, not two d-dim vectors.
+    // cos is identical across a pair's tables, so max() is deterministic.
+    val rawCos = cosineSim(col("q.qv"), col("c.cv"))
     val pairs = c.as("c").join(broadcast(q.as("q")), col("c.tb") === col("q.tb"))
-      .groupBy(col("q.q_id").as("q_id"), col("c.c_id").as("c_id"))
-      .agg(first(col("q.qv")).as("qv"), first(col("c.cv")).as("cv"))
-      .select(col("q_id"), col("c_id"),
+      .select(col("q.q_id").as("q_id"), col("c.c_id").as("c_id"),
         (if (roundDp >= 0) round(rawCos, roundDp) else rawCos).as("cos"))
+      .groupBy(col("q_id"), col("c_id"))
+      .agg(max(col("cos")).as("cos"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
     pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
