@@ -33,8 +33,12 @@ object CurationPipeline {
       size(array_distinct(toks)).cast("double") / size(toks) >= 0.3)
     println(s"[curate] quality gate: ${docs.count()} -> ${kept.count()} docs")
 
-    // 2. exact dedup (min-doc_id keeper per identical text)
+    // 2. exact dedup (min-doc_id keeper per identical text). Persist the
+    // survivor set: three downstream consumers (candidate generation,
+    // verification, anti-join) would otherwise each recompute the
+    // gate+dedup lineage from the scan.
     val exact = Dedup.exact(kept, "doc_id", Seq("text")).drop("n_copies")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     println(s"[curate] exact dedup: -> ${exact.count()} docs")
 
     // 3. MinHash-LSH near-dup candidates + exact Jaccard verification
