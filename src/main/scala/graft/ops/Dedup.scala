@@ -1,6 +1,5 @@
 package graft.ops
 
-import graft.functions.TextHashFunctions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -47,10 +46,11 @@ object Dedup {
     require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
     require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
       s"bands must tile the $numHashes-hash signature exactly, got $bands")
-    TextHashFunctions.register(df.sparkSession)
     val rowsPerBand = numHashes / bands
-    val sigd = df.select(col(idCol).as("__id"),
-      expr(s"minhash_sig($textCol, $numHashes)").as("__sig"))
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val sig = ColumnBridge.column(graft.functions.MinHashSig(
+      ColumnBridge.expression(col(textCol)), numHashes))
+    val sigd = df.select(col(idCol).as("__id"), sig.as("__sig"))
       // docs too short to shingle (<3 tokens) all share the empty-signature
       // sentinel (Long.MaxValue minima) — at corpus scale they'd collide
       // into ONE quadratic bucket; they have no shingles to match on, so
@@ -99,8 +99,12 @@ object Dedup {
   def simhash(df: DataFrame, idCol: String, textCol: String,
       bits: Int = 64): DataFrame = {
     require(bits >= 1 && bits <= 64, s"bits must be in [1, 64], got $bits")
-    TextHashFunctions.register(df.sparkSession)
-    df.select(col(idCol), expr(s"simhash_fp($textCol, $bits)").as("simhash"))
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    // Column-API construction (not expr(s"simhash_fp($textCol)")) so any
+    // column name — spaces, dots, backticks — resolves like col() does
+    val fp = ColumnBridge.column(graft.functions.SimHashFp(
+      ColumnBridge.expression(col(textCol)), bits))
+    df.select(col(idCol), fp.as("simhash"))
   }
 
   /** SimHash near-dup pairs via hamming bands: the fingerprint is split
