@@ -9,7 +9,11 @@ import graft.linalg.Kernels
   * coefficients. Three unit-tested branches (test_utils.py:10-51):
   *   1. exactly one zero-std (constant) column → treated as intercept:
   *      its mean→0, std→1, and the intercept coefficient absorbs
-  *      `i_adj = Σ(out·mean/std)`;
+  *      `i_adj = Σ(out·mean/std)` — NOTE this correction is exact only
+  *      when the constant column is the ONES column `add_intercept`
+  *      appends (the margin identity `X·β' = Xn·β̂` needs x_int = 1; a
+  *      constant c ≠ 1 would need i_adj/c — property-checked in
+  *      NormalizePropsSpec, same contract as the reference);
   *   2. more than one constant column → error;
   *   3. no constant column → scale-only (mean forced to zeros).
   */
