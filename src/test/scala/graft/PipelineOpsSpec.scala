@@ -188,6 +188,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static join enriches a stream from a broadcast dimension") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // static dimension (the broadcast side — no state, no watermark needed)
+    val dim = spark.read.parquet(s"${TestSpark.sf0001}/nation.parquet")
+      .select(col("n_nationkey").cast("long").as("key"), col("n_name"))
+    val input = MemoryStream[(Long, Long, Double)]
+    val stream = input.toDF().toDF("event_id", "key", "value")
+    val q = stream.join(broadcast(dim), Seq("key"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("enrich_out").start()
+    try {
+      input.addData((1L, 0L, 1.0), (2L, 3L, 2.0), (3L, 9999L, 3.0)) // 9999: no dim row
+      q.processAllAvailable()
+      val out = spark.table("enrich_out").select("event_id", "n_name").collect()
+      assert(out.length == 2) // inner join drops the unmatched key
+      assert(out.forall(r => r.getString(1).nonEmpty))
+      assert(out.map(_.getLong(0)).toSet == Set(1L, 2L))
+    } finally q.stop()
+  }
+
   test("file-source stream with checkpoint + AvailableNow trigger matches q60 batch twin") {
     val dir = TestSpark.sf0001
     val batch = EventStream.tumblingCounts(Queries.eventsTbl(spark, dir))
