@@ -41,11 +41,15 @@ object CurationPipeline {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     println(s"[curate] exact dedup: -> ${exact.count()} docs")
 
-    // 3. MinHash-LSH near-dup candidates + exact Jaccard verification
+    // 3. MinHash-LSH near-dup candidates + exact Jaccard verification.
+    // Persist the curated survivors too: the banded self-join +
+    // verification is the costliest stage, and three downstream actions
+    // (simhash, ANN prep, media) consume `curated`.
     val cands = Dedup.minhashCandidates(exact, "doc_id", "text")
     val nearDups = Dedup.jaccardVerify(exact, cands, "doc_id", "text", 0.5)
     val curated = exact.join(
-      nearDups.select(col("id2").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+        nearDups.select(col("id2").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     println(s"[curate] near-dup removal: ${nearDups.count()} pairs -> ${curated.count()} docs")
 
     // 4. 64-bit SimHash fingerprints + banded near-dup pairs

@@ -56,12 +56,19 @@ object Dedup {
       // into ONE quadratic bucket; they have no shingles to match on, so
       // drop them from candidate generation entirely
       .filter(element_at(col("__sig"), 1) =!= Long.MaxValue)
-    val banded = (0 until bands).map { b =>
-      sigd.select(col("__id"), lit(b).as("__band"),
+    // ONE signature projection then an explode fan-out (a union of
+    // per-band selects would re-plan the scan + shingle hashing once per
+    // band — bands× the md5 work)
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
         concat_ws(":", (0 until rowsPerBand).map(r =>
           element_at(col("__sig"), b * rowsPerBand + r + 1).cast("string")): _*)
-          .as("__bucket"))
-    }.reduce(_ union _)
+          .as("bucket"))
+    }
+    val banded = sigd
+      .select(col("__id"), explode(array(bandStructs: _*)).as("__bk"))
+      .select(col("__id"), col("__bk.band").as("__band"),
+        col("__bk.bucket").as("__bucket"))
     val l = banded.as("l"); val r = banded.as("r")
     l.join(r, col("l.__band") === col("r.__band")
         && col("l.__bucket") === col("r.__bucket")
@@ -127,12 +134,20 @@ object Dedup {
     val mask = (1L << bandBits) - 1
     val sim = simhash(df, idCol, textCol, bits)
       .select(col(idCol).as("__id"), col("simhash"))
-    val banded = (0 until bands).map { b =>
-      // arithmetic shift + mask extracts the band identically on any
-      // engine (sign-extension bits die under the mask)
-      sim.select(col("__id"), col("simhash"), lit(b).as("__band"),
-        shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask)).as("__key"))
-    }.reduce(_ union _)
+    // ONE fingerprint projection then an explode fan-out (a union of
+    // per-band selects would re-plan the scan + per-token md5 once per
+    // band — 4× the text I/O for the default split). Arithmetic shift +
+    // mask extracts each band identically on any engine (sign-extension
+    // bits die under the mask).
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask)).as("key"))
+    }
+    val banded = sim
+      .select(col("__id"), col("simhash"),
+        explode(array(bandStructs: _*)).as("__bk"))
+      .select(col("__id"), col("simhash"),
+        col("__bk.band").as("__band"), col("__bk.key").as("__key"))
     val a = banded.as("a"); val b2 = banded.as("b")
     a.join(b2, col("a.__band") === col("b.__band")
         && col("a.__key") === col("b.__key")

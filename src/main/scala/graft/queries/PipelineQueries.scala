@@ -55,24 +55,12 @@ object PipelineQueries {
     // ---- MinHash-LSH candidate pairs: 4 bands × 2 rows; pairs sharing
     // any band bucket (the scale path that avoids the O(n²) join)
     Q("q45_minhash_lsh_pairs",
-      (s, dir) => {
-        graft.functions.TextHashFunctions.register(s)
-        val docs = tbl(s, dir, "documents").filter(col("doc_id") < 200)
-          .select(col("doc_id"), expr("minhash_sig(text)").as("sigarr"))
-          .select(col("doc_id") +:
-            (0 until NH).map(i => element_at(col("sigarr"), i + 1).as(s"h$i")): _*)
-        val bands = (0 until NH / 2).map { band =>
-          docs.select(col("doc_id"), lit(band).as("band"),
-            concat_ws(":", col(s"h${2 * band}").cast("string"),
-              col(s"h${2 * band + 1}").cast("string")).as("bucket"))
-        }.reduce(_ union _)
-        val a = bands.as("a"); val b2 = bands.as("b")
-        a.join(b2, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
-            && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-          .distinct()
-          .orderBy("d1", "d2")
-      },
+      (s, dir) =>
+        graft.ops.Dedup.minhashCandidates(
+            tbl(s, dir, "documents").filter(col("doc_id") < 200),
+            "doc_id", "text", bands = NH / 2, numHashes = NH)
+          .select(col("id1").as("d1"), col("id2").as("d2"))
+          .orderBy("d1", "d2"),
       Some(s"""WITH h AS (
           SELECT doc_id, $shingleHashesSql AS hashes
           FROM (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(text, ' +') AS toks
