@@ -147,6 +147,69 @@ object Multimodal {
 
   private val audioMetaUdf = udf(decodeAudio _)
 
+  /** REAL audio feature extraction: per-window RMS energy over the decoded
+    * PCM samples — a fixed-length `nWindows` vector (the energy-envelope
+    * features a retrieval/quality pipeline bins on). Windows split the
+    * sampled span evenly; null for non-audio payloads. Shares
+    * [[decodeAudio]]'s PCM conversion and the `MaxRmsSamples` work cap. */
+  private[graft] def audioEnergy(bytes: Array[Byte], nWindows: Int): Array[Double] = {
+    if (bytes == null || bytes.isEmpty || nWindows <= 0) return null
+    try {
+      val raw = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(bytes))
+      try {
+        val pcmSigned = javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        val ais =
+          if (raw.getFormat.getEncoding == pcmSigned) raw
+          else javax.sound.sampled.AudioSystem.getAudioInputStream(pcmSigned, raw)
+        val f = ais.getFormat
+        val bytesPerSample = f.getSampleSizeInBits / 8
+        val maxBytes = MaxRmsSamples * bytesPerSample
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](8192)
+        var read = 0
+        var n = ais.read(chunk)
+        while (n > 0 && read < maxBytes) {
+          buf.write(chunk, 0, math.min(n, maxBytes - read))
+          read += n
+          n = ais.read(chunk)
+        }
+        val data = buf.toByteArray
+        val nSamples = data.length / bytesPerSample
+        if (nSamples == 0) return Array.fill(nWindows)(0.0)
+        val sumSq = new Array[Double](nWindows)
+        val cnt = new Array[Long](nWindows)
+        val shift = 64 - f.getSampleSizeInBits
+        var i = 0
+        while (i < nSamples) {
+          val off = i * bytesPerSample
+          var v = 0L
+          var b = 0
+          while (b < bytesPerSample) {
+            val idx = if (f.isBigEndian) off + b else off + bytesPerSample - 1 - b
+            v = (v << 8) | (data(idx) & 0xffL)
+            b += 1
+          }
+          val s = (v << shift) >> shift
+          val w = math.min(nWindows - 1, (i.toLong * nWindows / nSamples).toInt)
+          sumSq(w) += s.toDouble * s.toDouble
+          cnt(w) += 1
+          i += 1
+        }
+        Array.tabulate(nWindows)(w =>
+          if (cnt(w) == 0) 0.0 else math.sqrt(sumSq(w) / cnt(w)))
+      } finally raw.close()
+    } catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  private val audioEnergyUdf = udf(audioEnergy _)
+
+  /** Binary → nullable array<double> of `nWindows` per-window RMS
+    * energies; null when the payload is not decodable audio.
+    * Partition-parallel, no shuffle. */
+  def audioFeatures(payload: Column, nWindows: Int): Column =
+    audioEnergyUdf(payload, lit(nWindows))
+
   /** Binary → nullable struct(sample_rate, channels, n_frames, duration_ms,
     * rms); null when the payload is not decodable audio. Partition-
     * parallel, no shuffle. */

@@ -276,6 +276,49 @@ object PipelineQueries {
           CAST(SUM(LEN(toks)) AS BIGINT) AS total_tokens
         FROM fin GROUP BY source ORDER BY source""")),
 
+    // ---- real audio FEATURE EXTRACTION, golden-oracle form: a WAV whose
+    // first half is DC +1000 and second half DC +3000 has a closed-form
+    // 2-window energy envelope [1000, 3000]; the ± square has constant
+    // envelope 2000 in every window. Non-audio → null vector.
+    Q("q52b_audio_features",
+      (s, dir) => {
+        def wav(rate: Float, frames: Int, sample: Int => Short): Array[Byte] = {
+          val data = new Array[Byte](frames * 2)
+          var i = 0
+          while (i < frames) {
+            val v = sample(i)
+            data(2 * i) = (v & 0xff).toByte
+            data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+          baos.toByteArray
+        }
+        import s.implicits._
+        Seq(
+          (1L, wav(8000f, 4000, i => if (i < 2000) 1000 else 3000)),
+          (2L, wav(8000f, 4000, i => if (i % 2 == 0) 2000 else -2000)),
+          (3L, "not audio".getBytes("UTF-8")))
+          .toDF("media_id", "payload")
+          .select(col("media_id"),
+            Multimodal.audioFeatures(col("payload"), 2).as("e"))
+          .select(col("media_id"),
+            round(element_at(col("e"), 1), 3).as("e1"),
+            round(element_at(col("e"), 2), 3).as("e2"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT * FROM (VALUES
+          (CAST(1 AS BIGINT), CAST(1000.0 AS DOUBLE), CAST(3000.0 AS DOUBLE)),
+          (CAST(2 AS BIGINT), CAST(2000.0 AS DOUBLE), CAST(2000.0 AS DOUBLE)),
+          (CAST(3 AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE))
+        ) AS t(media_id, e1, e2)
+        ORDER BY media_id""")),
+
     // ---- streaming batch-twin: 5-minute tumbling windows over events
     Q("q60_tumbling_window",
       (s, dir) =>

@@ -440,6 +440,14 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(m.getDouble(4) - amp / math.sqrt(2)) < amp * 0.01,
       s"rms=${m.getDouble(4)}")
     assert(out(1).isNullAt(1)) // text payload → null struct
+    // windowed energy features: a steady sine's envelope is flat A/√2
+    val feats = df.select(col("id"),
+        graft.ops.Multimodal.audioFeatures(col("payload"), 4).as("e"))
+      .orderBy("id").collect()
+    val e = feats(0).getSeq[Double](1)
+    assert(e.length == 4)
+    assert(e.forall(v => math.abs(v - amp / math.sqrt(2)) < amp * 0.02), e.toString)
+    assert(feats(1).isNullAt(1)) // non-audio → null vector
   }
 
   test("resize accepts a non-trivial payload expression (Column API)") {
