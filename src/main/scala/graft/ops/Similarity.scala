@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.functions.MathFunctions.{arrayNorm, cosineSim}
+import graft.functions.MathFunctions.cosineSim
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -10,11 +10,13 @@ import org.apache.spark.sql.functions._
   * Three tiers, by corpus size:
   *  1. `bruteForceTopK` — exact: broadcast the (small) query set against
   *     one corpus scan. O(|Q|·n), zero corpus shuffle. The baseline.
-  *  2. `lshTopK` — approximate: random-hyperplane buckets on both sides,
-  *     candidates share a bucket; rerank exactly within buckets. One
-  *     narrow shuffle of (bucket, id) keys.
-  *  3. `ivfTopK` — approximate: k-means coarse quantizer (nprobe cells
-  *     per query); the 100 TB shape where bucket skew matters.
+  *  2. `lshTopK` / `lshTopKMultiTable` — approximate: random-hyperplane
+  *     buckets on both sides, candidates share a bucket; rerank exactly
+  *     within buckets. Recall levers: bit-flip multi-probe
+  *     (`probeHamming`) and OR-amplified independent tables (`nTables`).
+  *  3. `ivfTopK` — approximate: k-means coarse quantizer with `nprobe`
+  *     cells per query and save/load centroid persistence; the 100 TB
+  *     shape where bucket skew matters.
   */
 object Similarity {
 
@@ -181,10 +183,10 @@ object Similarity {
     * (table, bucket) keys per row via one projection (a ×nTables key
     * fan-out of ids + vectors, NOT a corpus duplication on disk); the
     * broadcast-small query side fans out identically; one equi-join on
-    * (table, bucket), exact rerank, per-query top-k. Candidate dedup is
-    * implicit: the window rank sees each (q, c) pair once per shared
-    * table but emits `rk <= k` rows after DISTINCT-free dedup via
-    * groupBy-max — cheaper than DISTINCT on the scored pairs. */
+    * (table, bucket), exact rerank, per-query top-k. Pairs sharing
+    * several tables are collapsed to one scored row by a groupBy on the
+    * pair key BEFORE the rank window (see the in-body note on why the
+    * score is computed pre-collapse). */
   def lshTopKMultiTable(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       dim: Int, k: Int, nBits: Int = 8, nTables: Int = 4,
