@@ -118,6 +118,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  /** File scans in an executed plan, traversing AQE wrappers (same
+    * traversal discipline as [[countShuffles]]). */
+  private def countScans(p: SparkPlan): Int = p match {
+    case a: AdaptiveSparkPlanExec => countScans(a.executedPlan)
+    case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      countScans(qs.plan)
+    case _: org.apache.spark.sql.execution.FileSourceScanExec => 1
+    case other => other.children.map(countScans).sum
+  }
+
+  test("banded candidate generation scans the corpus once per side (explode, not union)") {
+    // the union-of-band-selects form re-planned the scan + hashing once
+    // per band (4 bands × 2 join sides = 8 scans); the explode form must
+    // hash once per side and fan out rows
+    for (name <- Seq("q69_simhash_neardup", "q45_minhash_lsh_pairs")) {
+      val df = Queries.byName(name).spark(spark, TestSpark.sf0001)
+      df.collect()
+      val scans = countScans(df.queryExecution.executedPlan)
+      assert(scans <= 2, s"$name: $scans parquet scans")
+      assert(df.queryExecution.executedPlan.toString.contains("Generate explode"),
+        s"$name missing explode")
+    }
+  }
+
   test("q66b ivf multi-probe keeps the broadcast bucket-join shape") {
     val df = Queries.byName("q66b_ivf_nprobe").spark(spark, TestSpark.sf0001)
     df.collect()
