@@ -328,6 +328,66 @@ object TextQueries {
               FROM documents WHERE doc_id < 20)
         ORDER BY doc_id""")),
 
+    // ---- stratified per-key cap (Sampling.stratifiedCap): at most k docs
+    // per language, picked deterministically by content-hash order — the
+    // corpus-balancing op (reruns select the SAME rows; sample() would
+    // not). One key shuffle; WindowGroupLimit bounds the per-group sort.
+    Q("q84_stratified_cap",
+      (s, dir) =>
+        graft.ops.Sampling.stratifiedCap(
+            tbl(s, dir, "documents"), Seq("lang"), k = 20,
+            orderBy = Seq(md5(col("text")), col("doc_id")))
+          .select(col("lang"), col("doc_id"))
+          .orderBy("lang", "doc_id"),
+      Some("""SELECT lang, doc_id FROM (
+          SELECT lang, doc_id,
+            ROW_NUMBER() OVER (PARTITION BY lang ORDER BY MD5(text), doc_id) AS rn
+          FROM documents) WHERE rn <= 20
+        ORDER BY lang, doc_id""")),
+
+    // ---- Gopher-style repetition quality: fraction of 2-gram characters
+    // belonging to 2-grams that repeat within the document — the classic
+    // duplicated-n-gram filter for generated/boilerplate text. Pure
+    // integer counts and an exactly-rounded int/int division → exact
+    // oracle. Per-row explode + per-doc agg; no cross-doc shuffle of text.
+    Q("q85_repetition_quality",
+      (s, dir) => {
+        val toks = toksCol
+        val grams = when(size(toks) >= 2,
+          transform(sequence(lit(0), size(toks) - 2),
+            i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
+          .otherwise(array().cast("array<string>"))
+        val g = tbl(s, dir, "documents").filter(col("doc_id") < 200)
+          .select(col("doc_id"), explode(grams).as("gram"))
+          .groupBy(col("doc_id"), col("gram"))
+          .agg(count(lit(1)).as("cnt"), length(col("gram")).as("len"))
+        g.groupBy(col("doc_id"))
+          .agg(
+            sum(col("len") * col("cnt")).as("total_chars"),
+            sum(when(col("cnt") > 1, col("len") * col("cnt")).otherwise(0L))
+              .as("dup_chars"))
+          .select(col("doc_id"),
+            col("total_chars").cast("long").as("total_chars"),
+            col("dup_chars").cast("long").as("dup_chars"),
+            (col("dup_chars").cast("double") / col("total_chars")).as("dup2_frac"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH g AS (
+          SELECT doc_id, gram, COUNT(*) AS cnt, LENGTH(gram) AS len
+          FROM (
+            SELECT doc_id, UNNEST(CASE WHEN LEN(toks) >= 2 THEN
+              LIST_TRANSFORM(RANGE(1, LEN(toks)), i -> toks[i] || ' ' || toks[i+1])
+              ELSE [] END) AS gram
+            FROM (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(text, ' +') AS toks
+                  FROM documents WHERE doc_id < 200))
+          GROUP BY doc_id, gram)
+        SELECT doc_id,
+          CAST(SUM(len * cnt) AS BIGINT) AS total_chars,
+          CAST(SUM(CASE WHEN cnt > 1 THEN len * cnt ELSE 0 END) AS BIGINT) AS dup_chars,
+          CAST(SUM(CASE WHEN cnt > 1 THEN len * cnt ELSE 0 END) AS DOUBLE)
+            / SUM(len * cnt) AS dup2_frac
+        FROM g GROUP BY doc_id ORDER BY doc_id""")),
+
     // ---- per-source corpus stats (group agg over the doc table)
     Q("q36_source_stats",
       (s, dir) =>

@@ -450,6 +450,26 @@ class OpsSpec extends AnyFunSuite {
     assert(feats(1).isNullAt(1)) // non-audio → null vector
   }
 
+  test("stratifiedCap: deterministic per-key top-k, reproducible across reruns") {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    def pick() = graft.ops.Sampling.stratifiedCap(docs, Seq("lang"), k = 5,
+        orderBy = Seq(md5(col("text")), col("doc_id")))
+      .select("lang", "doc_id").collect().map(_.toString).toSet
+    val a = pick()
+    assert(a == pick()) // rerun selects the SAME rows
+    // cap respected per key; keys with fewer rows keep them all
+    val counts = graft.ops.Sampling.stratifiedCap(docs, Seq("lang"), k = 5,
+        orderBy = Seq(md5(col("text")), col("doc_id")))
+      .groupBy("lang").count().collect()
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.forall(r => r.getLong(1) == math.min(5L, totals(r.getString(0)))))
+    intercept[IllegalArgumentException](
+      graft.ops.Sampling.stratifiedCap(docs, Seq(), 5, Seq(col("doc_id"))))
+    intercept[IllegalArgumentException](
+      graft.ops.Sampling.stratifiedCap(docs, Seq("lang"), 0, Seq(col("doc_id"))))
+  }
+
   test("resize accepts a non-trivial payload expression (Column API)") {
     import spark.implicits._
     val df = Seq((1L, "hello world payload")).toDF("id", "text")
