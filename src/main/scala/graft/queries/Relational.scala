@@ -407,6 +407,53 @@ object Relational {
           QUANTILE_CONT(l_quantity, 0.95) AS p95
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // ---- winsorized aggregation: per-group p05/p95 percentile clamp —
+    // the outlier-robust sum a feature pipeline uses. Exactness recipe:
+    // the in-range mass sums under the decimal dsum contract (prices are
+    // 2-dp-clean); the clamped tails contribute n_below·p05 + n_above·p95
+    // as a FIXED-ORDER three-term double expression on both engines
+    // (interpolated percentiles are messy doubles — summing them per-row
+    // in decimal would hit the double→decimal rounding asymmetry), then
+    // one ROUND(…,4).
+    Q("q83_winsorize",
+      (s, dir) => {
+        val li = tbl(s, dir, "lineitem")
+        val pct = li.groupBy(col("l_returnflag"))
+          .agg(expr("percentile(l_extendedprice, 0.05)").as("lo"),
+            expr("percentile(l_extendedprice, 0.95)").as("hi"))
+        li.join(broadcast(pct), "l_returnflag")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum((col("l_extendedprice") < col("lo")).cast("long")).as("n_below"),
+            sum((col("l_extendedprice") > col("hi")).cast("long")).as("n_above"),
+            sum(when(col("l_extendedprice") >= col("lo")
+                && col("l_extendedprice") <= col("hi"),
+              col("l_extendedprice").cast("decimal(30,4)"))
+              .otherwise(lit(0).cast("decimal(30,4)"))).as("mid_dec"),
+            first(col("lo")).as("lo"), first(col("hi")).as("hi"))
+          .select(col("l_returnflag"), col("n"), col("n_below"), col("n_above"),
+            round(col("mid_dec").cast("double")
+              + col("n_below") * col("lo") + col("n_above") * col("hi"), 4)
+              .as("winsorized_sum"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH pct AS (
+          SELECT l_returnflag,
+            QUANTILE_CONT(l_extendedprice, 0.05) AS lo,
+            QUANTILE_CONT(l_extendedprice, 0.95) AS hi
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l.l_returnflag, COUNT(*) AS n,
+          CAST(SUM(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+          CAST(SUM(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+          ROUND(CAST(SUM(CASE WHEN l_extendedprice >= lo AND l_extendedprice <= hi
+              THEN CAST(l_extendedprice AS DECIMAL(30,4)) ELSE CAST(0 AS DECIMAL(30,4)) END) AS DOUBLE)
+            + CAST(SUM(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END) AS BIGINT) * ANY_VALUE(lo)
+            + CAST(SUM(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END) AS BIGINT) * ANY_VALUE(hi), 4)
+            AS winsorized_sum
+        FROM lineitem l JOIN pct USING (l_returnflag)
+        GROUP BY l.l_returnflag ORDER BY l.l_returnflag""")),
+
     // ---- sketch aggregations (the 100 TB path for distinct/quantile):
     // engine-specific estimators → rows-only check by design; exact
     // counterparts are q17/q37
