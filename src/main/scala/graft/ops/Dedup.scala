@@ -158,6 +158,54 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over a near-dup PAIR set: each node's cluster
+    * id is the minimum id reachable through pair edges (min-label
+    * propagation to fixpoint). This is the step that turns pairwise
+    * near-dup evidence into dedup GROUPS — transitively: if a~b and b~c,
+    * then {a,b,c} is one cluster with representative min(a,b,c) — so a
+    * pipeline keeps exactly one doc per cluster instead of dropping one
+    * side of each pair (which can over- or under-delete on chains).
+    *
+    * 100 TB shape: iterates over the PAIR graph only (candidates after
+    * banding/verification — orders of magnitude smaller than the corpus);
+    * each round is one join + one min-aggregate; `localCheckpoint`
+    * truncates the growing lineage. Near-dup clusters are small and
+    * shallow, so the label diameter — and the round count — is tiny; the
+    * fixpoint is unique, hence deterministic under any execution order.
+    * Returns (node, cluster). */
+  def clusterPairs(pairs: DataFrame, idCol1: String = "id1",
+      idCol2: String = "id2", maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(idCol1).as("a"), col(idCol2).as("b"))
+      .union(pairs.select(col(idCol2).as("a"), col(idCol1).as("b")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("cluster", col("node"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // each node offers its label to every neighbor; keep the min of
+      // (own label, offered labels)
+      val next = edges
+        .join(labels.withColumnRenamed("node", "a"), "a")
+        .select(col("b").as("node"), col("cluster"))
+        .union(labels)
+        .groupBy("node").agg(min("cluster").as("cluster"))
+        .localCheckpoint()
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.node") === col("o.node"))
+        .filter(col("n.cluster") =!= col("o.cluster"))
+        .limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist(false)
+    require(converged, s"clusterPairs did not converge in $maxIter rounds")
+    labels
+  }
+
   /** Embedding-cosine near-dup pairs above `threshold`, restricted to a
     * candidate set (e.g. LSH buckets from Similarity.lshBuckets) so the
     * pairwise work stays bounded.

@@ -321,6 +321,38 @@ object SimilarityQueries {
         SELECT d1, d2, hamming FROM cand WHERE hamming <= 3
         ORDER BY d1, d2""")),
 
+    // ---- dedup clusters (Dedup.clusterPairs): connected components over
+    // the 64-bit SimHash near-dup pairs — the step that turns pairwise
+    // evidence into groups with one representative each. Spark side runs
+    // min-label propagation to its unique fixpoint (deterministic); the
+    // oracle computes the same closure with a recursive CTE. Iterates on
+    // the PAIR graph only, never the corpus.
+    Q("q87_dedup_clusters",
+      (s, dir) => {
+        val pairs = graft.ops.Dedup.simhashNearDups(tbl(s, dir, "documents"),
+          "doc_id", "text", bits = 64, bands = 4, maxHamming = 3)
+        graft.ops.Dedup.clusterPairs(pairs)
+          .orderBy("node")
+      },
+      Some(s"""WITH RECURSIVE $sim64Sql,
+        bands AS (
+          SELECT doc_id, simhash, band, (simhash >> (16 * band)) & 65535 AS key
+          FROM sim, UNNEST(RANGE(0, 4)) AS t(band)),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+          WHERE BIT_COUNT(XOR(a.simhash, b.simhash)) <= 3),
+        edges AS (
+          SELECT d1 AS a, d2 AS b FROM cand
+          UNION SELECT d2, d1 FROM cand),
+        reach(node, label) AS (
+          SELECT a, a FROM edges
+          UNION
+          SELECT e.b, r.label FROM reach r JOIN edges e ON r.node = e.a)
+        SELECT node, MIN(label) AS cluster FROM reach
+        GROUP BY node ORDER BY node""")),
+
     // ---- embedding-cosine near-dup pairs (Dedup.cosineNearDups): LSH
     // buckets bound the pairwise work; cosine rounded BEFORE the
     // threshold test so the boundary cannot flip on a fold ulp

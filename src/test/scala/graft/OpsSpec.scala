@@ -115,6 +115,23 @@ class OpsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), pairs.toString)
   }
 
+  test("clusterPairs: transitive closure labels chains, triangles, islands") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter forces several propagation rounds),
+    // triangle 10-11-12 with redundant edges, isolated pair 20-21
+    val pairs = Seq(
+      (2L, 3L), (1L, 2L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L))
+      .toDF("id1", "id2")
+    val out = Dedup.clusterPairs(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(out(_) == 1L), out.toString)
+    assert(Seq(10L, 11L, 12L).forall(out(_) == 10L), out.toString)
+    assert(Seq(20L, 21L).forall(out(_) == 20L), out.toString)
+    assert(out.size == 9)
+  }
+
   test("simhashNearDups rejects band counts that do not tile the fingerprint") {
     import spark.implicits._
     val df = Seq((1L, "a b c")).toDF("id", "text")
