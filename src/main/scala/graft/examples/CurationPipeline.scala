@@ -41,14 +41,20 @@ object CurationPipeline {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     println(s"[curate] exact dedup: -> ${exact.count()} docs")
 
-    // 3. MinHash-LSH near-dup candidates + exact Jaccard verification.
-    // Persist the curated survivors too: the banded self-join +
-    // verification is the costliest stage, and three downstream actions
-    // (simhash, ANN prep, media) consume `curated`.
+    // 3. MinHash-LSH near-dup candidates + exact Jaccard verification,
+    // then TRANSITIVE clusters (clusterPairs) so each near-dup group
+    // keeps exactly one representative — dropping one side of each pair
+    // over-keeps when docs connect only through an intermediate (q87
+    // checks the closure cross-engine). Persist the curated survivors:
+    // the banded self-join + verification is the costliest stage, and
+    // three downstream actions (simhash, ANN prep, media) consume
+    // `curated`.
     val cands = Dedup.minhashCandidates(exact, "doc_id", "text")
     val nearDups = Dedup.jaccardVerify(exact, cands, "doc_id", "text", 0.5)
-    val curated = exact.join(
-        nearDups.select(col("id2").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+    val dropped = Dedup.clusterPairs(nearDups)
+      .filter(col("node") =!= col("cluster")) // non-representatives
+      .select(col("node").as("doc_id"))
+    val curated = exact.join(dropped, Seq("doc_id"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     println(s"[curate] near-dup removal: ${nearDups.count()} pairs -> ${curated.count()} docs")
 
