@@ -46,35 +46,60 @@ object Dedup {
     require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
     require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
       s"bands must tile the $numHashes-hash signature exactly, got $bands")
+    val b = banded(df, idCol, textCol, bands, numHashes)
+    val l = b.as("l"); val r = b.as("r")
+    l.join(r, col("l.__band") === col("r.__band")
+        && col("l.__bucket") === col("r.__bucket")
+        && col("l.__id") < col("r.__id"))
+      .select(col("l.__id").as("id1"), col("r.__id").as("id2"))
+      .distinct()
+  }
+
+  /** Incremental (asymmetric) MinHash candidates: match a NEW batch
+    * against an existing REFERENCE corpus — the daily-ingest shape, where
+    * the reference side's signatures are computed once (or read from a
+    * signature table) and each incoming batch only hashes itself. Returns
+    * (new_id, ref_id) pairs sharing any band; no id ordering constraint
+    * (the sides are distinct corpora). Same banding, sentinel, and width
+    * rules as [[minhashCandidates]]. */
+  def minhashCandidatesAgainst(
+      newDf: DataFrame, refDf: DataFrame, idCol: String, textCol: String,
+      bands: Int = 4, numHashes: Int = 8): DataFrame = {
+    require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
+    require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
+      s"bands must tile the $numHashes-hash signature exactly, got $bands")
+    val n = banded(newDf, idCol, textCol, bands, numHashes).as("n")
+    val r = banded(refDf, idCol, textCol, bands, numHashes).as("r")
+    n.join(r, col("n.__band") === col("r.__band")
+        && col("n.__bucket") === col("r.__bucket"))
+      .select(col("n.__id").as("new_id"), col("r.__id").as("ref_id"))
+      .distinct()
+  }
+
+  /** Shared banded-signature frame: ONE native-MinHashSig projection (an
+    * explode fan-out, not a union of per-band selects that would re-plan
+    * the scan + shingle hashing per band), with the short-doc sentinel
+    * filter — docs too short to shingle (<3 tokens) all share the
+    * Long.MaxValue empty-signature minima and would collide into ONE
+    * quadratic bucket; they have no shingles to match on, so they are
+    * dropped from candidate generation entirely. */
+  private def banded(df: DataFrame, idCol: String, textCol: String,
+      bands: Int, numHashes: Int): DataFrame = {
     val rowsPerBand = numHashes / bands
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val sig = ColumnBridge.column(graft.functions.MinHashSig(
       ColumnBridge.expression(col(textCol)), numHashes))
     val sigd = df.select(col(idCol).as("__id"), sig.as("__sig"))
-      // docs too short to shingle (<3 tokens) all share the empty-signature
-      // sentinel (Long.MaxValue minima) — at corpus scale they'd collide
-      // into ONE quadratic bucket; they have no shingles to match on, so
-      // drop them from candidate generation entirely
       .filter(element_at(col("__sig"), 1) =!= Long.MaxValue)
-    // ONE signature projection then an explode fan-out (a union of
-    // per-band selects would re-plan the scan + shingle hashing once per
-    // band — bands× the md5 work)
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         concat_ws(":", (0 until rowsPerBand).map(r =>
           element_at(col("__sig"), b * rowsPerBand + r + 1).cast("string")): _*)
           .as("bucket"))
     }
-    val banded = sigd
-      .select(col("__id"), explode(array(bandStructs: _*)).as("__bk"))
+    sigd.select(col("__id"), explode(array(bandStructs: _*)).as("__bk"))
       .select(col("__id"), col("__bk.band").as("__band"),
         col("__bk.bucket").as("__bucket"))
-    val l = banded.as("l"); val r = banded.as("r")
-    l.join(r, col("l.__band") === col("r.__band")
-        && col("l.__bucket") === col("r.__bucket")
-        && col("l.__id") < col("r.__id"))
-      .select(col("l.__id").as("id1"), col("r.__id").as("id2"))
-      .distinct()
   }
 
   /** Exact Jaccard over token 3-shingles for candidate verification. */

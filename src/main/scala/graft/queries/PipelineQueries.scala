@@ -79,6 +79,37 @@ object PipelineQueries {
           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
         ORDER BY d1, d2""")),
 
+    // ---- incremental dedup (Dedup.minhashCandidatesAgainst): a NEW
+    // batch (doc_id >= 250) matched against the existing REFERENCE
+    // corpus (doc_id < 250) — the daily-ingest shape: asymmetric band
+    // join, no id-ordering constraint, each side hashed once.
+    Q("q88_incremental_dedup",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        graft.ops.Dedup.minhashCandidatesAgainst(
+            docs.filter(col("doc_id") >= 250), docs.filter(col("doc_id") < 250),
+            "doc_id", "text")
+          .orderBy("new_id", "ref_id")
+      },
+      Some(s"""WITH h AS (
+          SELECT doc_id, $shingleHashesSql AS hashes
+          FROM (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(text, ' +') AS toks
+                FROM documents)),
+        sig AS (
+          SELECT doc_id, LIST_TRANSFORM(RANGE(0, $NH), i ->
+            LIST_MIN(LIST_TRANSFORM(hashes,
+              x -> (x * (2 * i + 1) + (i * i + 7)) % $P))) AS s
+          FROM h),
+        bands AS (
+          SELECT doc_id, band,
+            CAST(s[2 * band + 1] AS VARCHAR) || ':' || CAST(s[2 * band + 2] AS VARCHAR) AS bucket
+          FROM sig, UNNEST(RANGE(0, ${NH / 2})) AS t(band))
+        SELECT DISTINCT n.doc_id AS new_id, r.doc_id AS ref_id
+        FROM bands n JOIN bands r
+          ON n.band = r.band AND n.bucket = r.bucket
+          AND n.doc_id >= 250 AND r.doc_id < 250
+        ORDER BY new_id, ref_id""")),
+
     // ---- multimodal plumbing: binary payloads + metadata; oracle checks
     // the schema-visible parts (byte length, md5 of payload). The real
     // image decoder (javax.imageio) runs over every payload and yields

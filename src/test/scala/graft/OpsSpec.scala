@@ -115,6 +115,23 @@ class OpsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), pairs.toString)
   }
 
+  test("incremental minhash candidates match new docs against the reference only") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val ref = Seq((1L, base), (2L, "completely different reference text here ok"))
+      .toDF("id", "text")
+    val fresh = Seq((10L, base.replace("today", "tomorrow")), // near-dup of ref 1
+      (11L, base), // exact text of ref 1
+      (12L, "nothing in common with anything at all whatsoever"))
+      .toDF("id", "text")
+    val pairs = Dedup.minhashCandidatesAgainst(fresh, ref, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((10L, 1L)) && pairs.contains((11L, 1L)), pairs.toString)
+    // no new×new or ref×ref pairs, and the unrelated doc matches nothing
+    assert(pairs.forall { case (n, r) => n >= 10L && r < 10L }, pairs.toString)
+    assert(!pairs.exists(_._1 == 12L), pairs.toString)
+  }
+
   test("clusterPairs: transitive closure labels chains, triangles, islands") {
     import spark.implicits._
     // chain 1-2-3-4 (diameter forces several propagation rounds),
