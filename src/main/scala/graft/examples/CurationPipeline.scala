@@ -51,10 +51,7 @@ object CurationPipeline {
     // `curated`.
     val cands = Dedup.minhashCandidates(exact, "doc_id", "text")
     val nearDups = Dedup.jaccardVerify(exact, cands, "doc_id", "text", 0.5)
-    val dropped = Dedup.clusterPairs(nearDups)
-      .filter(col("node") =!= col("cluster")) // non-representatives
-      .select(col("node").as("doc_id"))
-    val curated = exact.join(dropped, Seq("doc_id"), "left_anti")
+    val curated = Dedup.keepOnePerCluster(exact, "doc_id", nearDups)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     println(s"[curate] near-dup removal: ${nearDups.count()} pairs -> ${curated.count()} docs")
 

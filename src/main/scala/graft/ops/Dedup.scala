@@ -231,6 +231,19 @@ object Dedup {
     labels
   }
 
+  /** Keep one representative per near-dup cluster: computes the
+    * transitive clusters of `pairs` ([[clusterPairs]]) and anti-joins the
+    * non-representative ids out of `df`. Rows in no pair survive
+    * untouched — the end-to-end "pairs in, deduplicated corpus out"
+    * composition every curation pipeline runs. */
+  def keepOnePerCluster(df: DataFrame, idCol: String, pairs: DataFrame,
+      idCol1: String = "id1", idCol2: String = "id2"): DataFrame = {
+    val drops = clusterPairs(pairs, idCol1, idCol2)
+      .filter(col("node") =!= col("cluster"))
+      .select(col("node").as(idCol))
+    df.join(drops, Seq(idCol), "left_anti")
+  }
+
   /** Embedding-cosine near-dup pairs above `threshold`, restricted to a
     * candidate set (e.g. LSH buckets from Similarity.lshBuckets) so the
     * pairwise work stays bounded.

@@ -149,6 +149,16 @@ class OpsSpec extends AnyFunSuite {
     assert(out.size == 9)
   }
 
+  test("keepOnePerCluster keeps cluster minima and untouched rows") {
+    import spark.implicits._
+    val df = Seq.tabulate(6)(i => (i.toLong, s"doc$i")).toDF("id", "text")
+    // cluster {0,1,2} via a chain; {4,5} pair; 3 untouched
+    val pairs = Seq((0L, 1L), (1L, 2L), (4L, 5L)).toDF("id1", "id2")
+    val kept = graft.ops.Dedup.keepOnePerCluster(df, "id", pairs)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 3L, 4L), kept.toString)
+  }
+
   test("simhashNearDups rejects band counts that do not tile the fingerprint") {
     import spark.implicits._
     val df = Seq((1L, "a b c")).toDF("id", "text")
