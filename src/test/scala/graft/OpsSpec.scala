@@ -149,6 +149,14 @@ class OpsSpec extends AnyFunSuite {
     assert(out.size == 9)
   }
 
+  test("clusterPairs and keepOnePerCluster handle an empty pair set") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "text")
+    val noPairs = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    assert(Dedup.clusterPairs(noPairs).count() == 0)
+    assert(Dedup.keepOnePerCluster(df, "id", noPairs).count() == 2)
+  }
+
   test("keepOnePerCluster keeps cluster minima and untouched rows") {
     import spark.implicits._
     val df = Seq.tabulate(6)(i => (i.toLong, s"doc$i")).toDF("id", "text")
