@@ -50,7 +50,12 @@ object CurationPipeline {
     // three downstream actions (simhash, ANN prep, media) consume
     // `curated`.
     val cands = Dedup.minhashCandidates(exact, "doc_id", "text")
+    // persist the verified pairs: cluster formation reads them per
+    // propagation round and the count below reads them again — without
+    // this the banded self-join + verification (the costliest stage)
+    // re-executes each time
     val nearDups = Dedup.jaccardVerify(exact, cands, "doc_id", "text", 0.5)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val curated = Dedup.keepOnePerCluster(exact, "doc_id", nearDups)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     println(s"[curate] near-dup removal: ${nearDups.count()} pairs -> ${curated.count()} docs")

@@ -193,20 +193,25 @@ object Dedup {
     *
     * 100 TB shape: iterates over the PAIR graph only (candidates after
     * banding/verification — orders of magnitude smaller than the corpus);
-    * each round is one join + one min-aggregate; `localCheckpoint`
-    * truncates the growing lineage. Near-dup clusters are small and
-    * shallow, so the label diameter — and the round count — is tiny; the
+    * each round is one join + one min-aggregate over a persisted label
+    * table, with the superseded round's cache explicitly released (at
+    * most two label copies live at any moment). Near-dup clusters are
+    * small and shallow, so the label diameter — and the round count — is
+    * tiny; raise `maxIter` for pathological chain-shaped corpora. The
     * fixpoint is unique, hence deterministic under any execution order.
-    * Returns (node, cluster). */
+    * Returns (node, cluster), persisted and materialized — callers may
+    * `.unpersist()` it when done. */
   def clusterPairs(pairs: DataFrame, idCol1: String = "id1",
       idCol2: String = "id2", maxIter: Int = 25): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = pairs.select(col(idCol1).as("a"), col(idCol2).as("b"))
       .union(pairs.select(col(idCol2).as("a"), col(idCol1).as("b")))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(MEMORY_AND_DISK)
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("cluster", col("node"))
-      .localCheckpoint()
+      .persist(MEMORY_AND_DISK)
+    labels.count()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -217,17 +222,19 @@ object Dedup {
         .select(col("b").as("node"), col("cluster"))
         .union(labels)
         .groupBy("node").agg(min("cluster").as("cluster"))
-        .localCheckpoint()
+        .persist(MEMORY_AND_DISK)
       val changed = next.as("n")
         .join(labels.as("o"), col("n.node") === col("o.node"))
         .filter(col("n.cluster") =!= col("o.cluster"))
         .limit(1).count()
+      labels.unpersist(false)
       labels = next
       converged = changed == 0
       iter += 1
     }
-    edges.unpersist(false)
     require(converged, s"clusterPairs did not converge in $maxIter rounds")
+    labels.count() // materialize before releasing the edge cache
+    edges.unpersist(false)
     labels
   }
 
@@ -237,8 +244,9 @@ object Dedup {
     * untouched — the end-to-end "pairs in, deduplicated corpus out"
     * composition every curation pipeline runs. */
   def keepOnePerCluster(df: DataFrame, idCol: String, pairs: DataFrame,
-      idCol1: String = "id1", idCol2: String = "id2"): DataFrame = {
-    val drops = clusterPairs(pairs, idCol1, idCol2)
+      idCol1: String = "id1", idCol2: String = "id2",
+      maxIter: Int = 25): DataFrame = {
+    val drops = clusterPairs(pairs, idCol1, idCol2, maxIter)
       .filter(col("node") =!= col("cluster"))
       .select(col("node").as(idCol))
     df.join(drops, Seq(idCol), "left_anti")

@@ -87,12 +87,18 @@ object Multimodal {
     * (duration/frames still come from the header and stay exact). */
   private val MaxRmsSamples = 1 << 20
 
-  /** Real audio decode (javax.sound.sampled): bytes → (sample rate,
-    * channels, frame count, duration, RMS). WAV/AIFF/AU ship with the JDK;
-    * non-PCM encodings (a-law/µ-law) are converted to PCM_SIGNED first.
-    * Returns null for payloads no registered reader accepts (text, images,
-    * video, corrupt data) — callers get a nullable struct column. */
-  private[graft] def decodeAudio(bytes: Array[Byte]): AudioInfo = {
+  /** Decoded PCM payload: converted format, total frame count (from the
+    * header — exact even when sampling caps the read), and the raw sample
+    * bytes capped at [[MaxRmsSamples]]. */
+  private case class Pcm(format: javax.sound.sampled.AudioFormat,
+      nFrames: Long, data: Array[Byte])
+
+  /** Shared decode plumbing for [[decodeAudio]] and [[audioEnergy]]:
+    * open via javax.sound.sampled (WAV/AIFF/AU ship with the JDK),
+    * convert non-PCM encodings (a-law/µ-law) to PCM_SIGNED, and read at
+    * most `MaxRmsSamples` samples. Returns null for payloads no
+    * registered reader accepts (text, images, video, corrupt data). */
+  private def readPcm(bytes: Array[Byte]): Pcm = {
     if (bytes == null || bytes.isEmpty) return null
     try {
       val raw = javax.sound.sampled.AudioSystem.getAudioInputStream(
@@ -103,9 +109,6 @@ object Multimodal {
           if (raw.getFormat.getEncoding == pcmSigned) raw
           else javax.sound.sampled.AudioSystem.getAudioInputStream(pcmSigned, raw)
         val f = ais.getFormat
-        val nFrames = ais.getFrameLength
-        val durationMs =
-          if (nFrames >= 0) nFrames * 1000.0 / f.getFrameRate else -1.0
         val bytesPerSample = f.getSampleSizeInBits / 8
         require(bytesPerSample >= 1 && bytesPerSample <= 4)
         val maxBytes = MaxRmsSamples * bytesPerSample
@@ -118,31 +121,47 @@ object Multimodal {
           read += n
           n = ais.read(chunk)
         }
-        val data = buf.toByteArray
-        val nSamples = data.length / bytesPerSample
-        var sumSq = 0.0
-        var i = 0
-        while (i < nSamples) {
-          val off = i * bytesPerSample
-          // assemble the signed sample honoring the stream's endianness
-          var v = 0L
-          var b = 0
-          while (b < bytesPerSample) {
-            val idx = if (f.isBigEndian) off + b else off + bytesPerSample - 1 - b
-            v = (v << 8) | (data(idx) & 0xffL)
-            b += 1
-          }
-          // sign-extend from sampleSize bits
-          val shift = 64 - f.getSampleSizeInBits
-          val s = (v << shift) >> shift
-          sumSq += s.toDouble * s.toDouble
-          i += 1
-        }
-        val rms = if (nSamples == 0) 0.0 else math.sqrt(sumSq / nSamples)
-        AudioInfo(f.getSampleRate.toDouble, f.getChannels, nFrames,
-          durationMs, rms)
+        Pcm(f, ais.getFrameLength, buf.toByteArray)
       } finally raw.close()
     } catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  /** Signed sample `i` of a PCM byte buffer, honoring the stream's
+    * endianness, sign-extended from the format's sample width. */
+  @inline private def pcmSample(p: Pcm, i: Int, bytesPerSample: Int): Long = {
+    val off = i * bytesPerSample
+    var v = 0L
+    var b = 0
+    while (b < bytesPerSample) {
+      val idx = if (p.format.isBigEndian) off + b
+        else off + bytesPerSample - 1 - b
+      v = (v << 8) | (p.data(idx) & 0xffL)
+      b += 1
+    }
+    val shift = 64 - p.format.getSampleSizeInBits
+    (v << shift) >> shift
+  }
+
+  /** Real audio decode: bytes → (sample rate, channels, frame count,
+    * duration, RMS); null for non-audio payloads. */
+  private[graft] def decodeAudio(bytes: Array[Byte]): AudioInfo = {
+    val p = readPcm(bytes)
+    if (p == null) return null
+    val f = p.format
+    val durationMs =
+      if (p.nFrames >= 0) p.nFrames * 1000.0 / f.getFrameRate else -1.0
+    val bytesPerSample = f.getSampleSizeInBits / 8
+    val nSamples = p.data.length / bytesPerSample
+    var sumSq = 0.0
+    var i = 0
+    while (i < nSamples) {
+      val s = pcmSample(p, i, bytesPerSample)
+      sumSq += s.toDouble * s.toDouble
+      i += 1
+    }
+    val rms = if (nSamples == 0) 0.0 else math.sqrt(sumSq / nSamples)
+    AudioInfo(f.getSampleRate.toDouble, f.getChannels, p.nFrames,
+      durationMs, rms)
   }
 
   private val audioMetaUdf = udf(decodeAudio _)
@@ -151,55 +170,26 @@ object Multimodal {
     * PCM samples — a fixed-length `nWindows` vector (the energy-envelope
     * features a retrieval/quality pipeline bins on). Windows split the
     * sampled span evenly; null for non-audio payloads. Shares
-    * [[decodeAudio]]'s PCM conversion and the `MaxRmsSamples` work cap. */
+    * [[readPcm]]'s conversion and work cap with [[decodeAudio]]. */
   private[graft] def audioEnergy(bytes: Array[Byte], nWindows: Int): Array[Double] = {
-    if (bytes == null || bytes.isEmpty || nWindows <= 0) return null
-    try {
-      val raw = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new ByteArrayInputStream(bytes))
-      try {
-        val pcmSigned = javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
-        val ais =
-          if (raw.getFormat.getEncoding == pcmSigned) raw
-          else javax.sound.sampled.AudioSystem.getAudioInputStream(pcmSigned, raw)
-        val f = ais.getFormat
-        val bytesPerSample = f.getSampleSizeInBits / 8
-        val maxBytes = MaxRmsSamples * bytesPerSample
-        val buf = new java.io.ByteArrayOutputStream()
-        val chunk = new Array[Byte](8192)
-        var read = 0
-        var n = ais.read(chunk)
-        while (n > 0 && read < maxBytes) {
-          buf.write(chunk, 0, math.min(n, maxBytes - read))
-          read += n
-          n = ais.read(chunk)
-        }
-        val data = buf.toByteArray
-        val nSamples = data.length / bytesPerSample
-        if (nSamples == 0) return Array.fill(nWindows)(0.0)
-        val sumSq = new Array[Double](nWindows)
-        val cnt = new Array[Long](nWindows)
-        val shift = 64 - f.getSampleSizeInBits
-        var i = 0
-        while (i < nSamples) {
-          val off = i * bytesPerSample
-          var v = 0L
-          var b = 0
-          while (b < bytesPerSample) {
-            val idx = if (f.isBigEndian) off + b else off + bytesPerSample - 1 - b
-            v = (v << 8) | (data(idx) & 0xffL)
-            b += 1
-          }
-          val s = (v << shift) >> shift
-          val w = math.min(nWindows - 1, (i.toLong * nWindows / nSamples).toInt)
-          sumSq(w) += s.toDouble * s.toDouble
-          cnt(w) += 1
-          i += 1
-        }
-        Array.tabulate(nWindows)(w =>
-          if (cnt(w) == 0) 0.0 else math.sqrt(sumSq(w) / cnt(w)))
-      } finally raw.close()
-    } catch { case scala.util.control.NonFatal(_) => null }
+    if (nWindows <= 0) return null
+    val p = readPcm(bytes)
+    if (p == null) return null
+    val bytesPerSample = p.format.getSampleSizeInBits / 8
+    val nSamples = p.data.length / bytesPerSample
+    if (nSamples == 0) return Array.fill(nWindows)(0.0)
+    val sumSq = new Array[Double](nWindows)
+    val cnt = new Array[Long](nWindows)
+    var i = 0
+    while (i < nSamples) {
+      val s = pcmSample(p, i, bytesPerSample)
+      val w = math.min(nWindows - 1, (i.toLong * nWindows / nSamples).toInt)
+      sumSq(w) += s.toDouble * s.toDouble
+      cnt(w) += 1
+      i += 1
+    }
+    Array.tabulate(nWindows)(w =>
+      if (cnt(w) == 0) 0.0 else math.sqrt(sumSq(w) / cnt(w)))
   }
 
   private val audioEnergyUdf = udf(audioEnergy _)

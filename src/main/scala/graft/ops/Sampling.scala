@@ -27,8 +27,12 @@ object Sampling {
     require(k >= 1, s"k must be >= 1, got $k")
     require(orderBy.nonEmpty, "orderBy must be non-empty (determinism)")
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderBy: _*)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k)
-      .drop("__rn")
+    // collision-proof temp name: a caller's own "__rn" column must
+    // survive untouched
+    val rn = Iterator.from(0).map(i => s"__rn$i")
+      .find(n => !df.columns.contains(n)).get
+    df.withColumn(rn, row_number().over(w))
+      .filter(col(rn) <= k)
+      .drop(rn)
   }
 }

@@ -17,6 +17,28 @@ object PipelineQueries {
   private val P = 2147483647L // 2^31 − 1
   private val NH = 8 // hashes per signature
 
+  /** Golden-WAV builder shared by q52/q52b: `frames`×`channels` 16-bit
+    * little-endian PCM samples from `sample(i)`, containerized via
+    * javax.sound's own writer so the decode path reads a real file. */
+  private def wavBytes(rate: Float, channels: Int, frames: Int,
+      sample: Int => Short): Array[Byte] = {
+    val data = new Array[Byte](frames * channels * 2)
+    var i = 0
+    while (i < frames * channels) {
+      val v = sample(i)
+      data(2 * i) = (v & 0xff).toByte
+      data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, channels, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
   // DuckDB twin of the native minhash_sig shingle hashing (oracles only;
   // the Spark side runs the codegen'd MinHashSig expression)
   private val shingleHashesSql =
@@ -188,29 +210,10 @@ object PipelineQueries {
     // make RMS exact in double too.
     Q("q52_audio_decode",
       (s, dir) => {
-        def wav(rate: Float, channels: Int, frames: Int,
-            sample: Int => Short): Array[Byte] = {
-          val data = new Array[Byte](frames * channels * 2)
-          var i = 0
-          while (i < frames * channels) {
-            val v = sample(i)
-            data(2 * i) = (v & 0xff).toByte
-            data(2 * i + 1) = ((v >> 8) & 0xff).toByte
-            i += 1
-          }
-          val fmt = new javax.sound.sampled.AudioFormat(rate, 16, channels,
-            true, false)
-          val ais = new javax.sound.sampled.AudioInputStream(
-            new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
-          val baos = new java.io.ByteArrayOutputStream()
-          javax.sound.sampled.AudioSystem.write(ais,
-            javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
-          baos.toByteArray
-        }
         import s.implicits._
         Seq(
-          (1L, wav(8000f, 1, 8000, _ => 1000)),            // 1 s DC mono
-          (2L, wav(16000f, 2, 4000,                         // 0.25 s ± square
+          (1L, wavBytes(8000f, 1, 8000, _ => 1000)),        // 1 s DC mono
+          (2L, wavBytes(16000f, 2, 4000,                    // 0.25 s ± square
             i => if (i % 2 == 0) 2000 else -2000)),
           (3L, "not audio at all".getBytes("UTF-8")))
           .toDF("media_id", "payload")
@@ -313,27 +316,10 @@ object PipelineQueries {
     // envelope 2000 in every window. Non-audio → null vector.
     Q("q52b_audio_features",
       (s, dir) => {
-        def wav(rate: Float, frames: Int, sample: Int => Short): Array[Byte] = {
-          val data = new Array[Byte](frames * 2)
-          var i = 0
-          while (i < frames) {
-            val v = sample(i)
-            data(2 * i) = (v & 0xff).toByte
-            data(2 * i + 1) = ((v >> 8) & 0xff).toByte
-            i += 1
-          }
-          val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
-          val ais = new javax.sound.sampled.AudioInputStream(
-            new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
-          val baos = new java.io.ByteArrayOutputStream()
-          javax.sound.sampled.AudioSystem.write(ais,
-            javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
-          baos.toByteArray
-        }
         import s.implicits._
         Seq(
-          (1L, wav(8000f, 4000, i => if (i < 2000) 1000 else 3000)),
-          (2L, wav(8000f, 4000, i => if (i % 2 == 0) 2000 else -2000)),
+          (1L, wavBytes(8000f, 1, 4000, i => if (i < 2000) 1000 else 3000)),
+          (2L, wavBytes(8000f, 1, 4000, i => if (i % 2 == 0) 2000 else -2000)),
           (3L, "not audio".getBytes("UTF-8")))
           .toDF("media_id", "payload")
           .select(col("media_id"),
