@@ -19,10 +19,18 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(kv => nameFilter(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // one retry: a transiently failed query (executor memory spike, temp
+      // file race) would otherwise silently zero this round's correctness
+      // row — the driver runs this dump exactly once per round
+      def attempt(): Unit = fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
+      try attempt()
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        System.err.println(s"[verify] $name failed (${e.getMessage}); retrying once")
+        try attempt()
+        catch { case e2: Throwable =>
+          System.err.println(s"[verify] $name failed twice: ${e2.getMessage}")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
