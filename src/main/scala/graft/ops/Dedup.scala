@@ -223,6 +223,12 @@ object Dedup {
         .union(labels)
         .groupBy("node").agg(min("cluster").as("cluster"))
         .persist(MEMORY_AND_DISK)
+      // FULLY materialize next's cache BEFORE dropping the parent's: a
+      // short-circuiting probe (limit+count) would cache only some
+      // partitions, and completing them later would recompute through
+      // the by-then-unpersisted previous rounds — a cascade that deepens
+      // every iteration
+      next.count()
       val changed = next.as("n")
         .join(labels.as("o"), col("n.node") === col("o.node"))
         .filter(col("n.cluster") =!= col("o.cluster"))
@@ -233,7 +239,6 @@ object Dedup {
       iter += 1
     }
     require(converged, s"clusterPairs did not converge in $maxIter rounds")
-    labels.count() // materialize before releasing the edge cache
     edges.unpersist(false)
     labels
   }
