@@ -1,15 +1,34 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 
 /** Deduplication operators (north star #1) as DataFrame transformers.
   * Every variant follows the same 100 TB shape: one narrow projection
   * pass to a compact key (hash / signature / band bucket), then a
   * key-grouped shuffle of keys only — the corpus itself is never
   * re-shuffled or pairwise-joined.
+  *
+  * Hot-bucket guard: every banded self-join degrades (band, key) buckets
+  * larger than `maxBucket` from all-pairs to STAR pairs around the
+  * bucket's min-id row. An adversarial corpus (millions of boilerplate
+  * near-copies) floods one bucket; all-pairs there is O(cnt²), while the
+  * star is O(cnt) and still connects every member to the representative —
+  * so cluster formation ([[clusterPairs]]) merges the flood into one
+  * group exactly as the quadratic form would, and verification stays
+  * bounded. What the star gives up: pairs between two NON-representative
+  * members of a hot bucket that match nothing else (for true duplicate
+  * floods they all verify against the representative anyway).
   */
 object Dedup {
+
+  /** Buckets above this row count degrade from all-pairs to star pairs.
+    * 4096 caps the worst per-bucket join at ~8M comparisons while sitting
+    * far above any bucket a non-degenerate corpus produces (a bucket is
+    * one band-signature collision group, ~n/2^16 for the simhash bands). */
+  val DefaultMaxBucket: Int = 4096
 
   /** Exact dedup on chosen columns: keeps the min-`idCol` row per group.
     * (hash-groupBy; at scale this is a single shuffle of md5 keys).
@@ -39,20 +58,34 @@ object Dedup {
     * banding S-curve, so recall at the target jaccard rises while chance
     * collisions fall). `bands` must tile the signature exactly or hashes
     * would be silently dropped / buckets degenerate to a single empty
-    * string = full O(n²) cross-product. */
+    * string = full O(n²) cross-product.
+    *
+    * The banded frame is persisted (it feeds both join sides plus the
+    * hot-bucket star branch), so each doc's signature is computed ONCE;
+    * the cache is a compact (id, band, bucket) projection — never text.
+    * Buckets above `maxBucket` emit star pairs (see object doc). */
   def minhashCandidates(
       df: DataFrame, idCol: String, textCol: String, bands: Int = 4,
-      numHashes: Int = 8): DataFrame = {
+      numHashes: Int = 8, maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
     require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
       s"bands must tile the $numHashes-hash signature exactly, got $bands")
-    val b = banded(df, idCol, textCol, bands, numHashes)
-    val l = b.as("l"); val r = b.as("r")
-    l.join(r, col("l.__band") === col("r.__band")
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
+    val w = Window.partitionBy("__band", "__bucket")
+    val marked = banded(df, idCol, textCol, bands, numHashes)
+      .withColumn("__cnt", count(lit(1)).over(w))
+      .withColumn("__rep", min(col("__id")).over(w))
+      .persist(MEMORY_AND_DISK)
+    val small = marked.filter(col("__cnt") <= maxBucket)
+    val l = small.as("l"); val r = small.as("r")
+    val allPairs = l.join(r, col("l.__band") === col("r.__band")
         && col("l.__bucket") === col("r.__bucket")
         && col("l.__id") < col("r.__id"))
       .select(col("l.__id").as("id1"), col("r.__id").as("id2"))
-      .distinct()
+    val hotStar = marked
+      .filter(col("__cnt") > maxBucket && col("__id") =!= col("__rep"))
+      .select(col("__rep").as("id1"), col("__id").as("id2"))
+    allPairs.union(hotStar).distinct()
   }
 
   /** Incremental (asymmetric) MinHash candidates: match a NEW batch
@@ -61,15 +94,29 @@ object Dedup {
     * signature table) and each incoming batch only hashes itself. Returns
     * (new_id, ref_id) pairs sharing any band; no id ordering constraint
     * (the sides are distinct corpora). Same banding, sentinel, and width
-    * rules as [[minhashCandidates]]. */
+    * rules as [[minhashCandidates]].
+    *
+    * Hot-bucket guard (asymmetric): the REFERENCE side keeps only its
+    * `maxBucket` lowest-id rows per (band, bucket) — a boilerplate flood
+    * in the reference otherwise multiplies every matching new doc by the
+    * whole flood. Each new doc still meets up to `maxBucket` reference
+    * members per band, so its duplicate-or-not decision survives (any
+    * retained member of a true-dup flood matches); the NEW side is never
+    * capped — every incoming doc must get its dedup verdict. */
   def minhashCandidatesAgainst(
       newDf: DataFrame, refDf: DataFrame, idCol: String, textCol: String,
-      bands: Int = 4, numHashes: Int = 8): DataFrame = {
+      bands: Int = 4, numHashes: Int = 8,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
     require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
       s"bands must tile the $numHashes-hash signature exactly, got $bands")
+    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
     val n = banded(newDf, idCol, textCol, bands, numHashes).as("n")
-    val r = banded(refDf, idCol, textCol, bands, numHashes).as("r")
+    val wr = Window.partitionBy("__band", "__bucket").orderBy("__id")
+    val r = banded(refDf, idCol, textCol, bands, numHashes)
+      .withColumn("__rn", row_number().over(wr))
+      .filter(col("__rn") <= maxBucket)
+      .drop("__rn").as("r")
     n.join(r, col("n.__band") === col("r.__band")
         && col("n.__bucket") === col("r.__bucket"))
       .select(col("n.__id").as("new_id"), col("r.__id").as("ref_id"))
@@ -151,11 +198,13 @@ object Dedup {
     * (the old 16-bit/8-bit-key form went quadratic past ~10^6 docs). */
   def simhashNearDups(
       df: DataFrame, idCol: String, textCol: String, bits: Int = 64,
-      bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+      bands: Int = 4, maxHamming: Int = 3,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(bands >= 1 && bands <= bits && bits % bands == 0,
       s"bands must tile the $bits-bit fingerprint exactly, got $bands")
     val bandBits = bits / bands
     require(bandBits <= 32, s"band keys must fit 32 bits, got $bandBits")
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
     val mask = (1L << bandBits) - 1
     val sim = simhash(df, idCol, textCol, bits)
       .select(col(idCol).as("__id"), col("simhash"))
@@ -168,17 +217,35 @@ object Dedup {
       struct(lit(b).as("band"),
         shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask)).as("key"))
     }
-    val banded = sim
+    // persisted: feeds both join sides + the hot-star branch, so the
+    // fingerprint projection runs once; the cache holds (id, fp, band,
+    // key) longs only. The struct-min carries the representative's
+    // fingerprint alongside its id (ids are unique, so the struct order
+    // is the id order).
+    val w = Window.partitionBy("__band", "__key")
+    val marked = sim
       .select(col("__id"), col("simhash"),
         explode(array(bandStructs: _*)).as("__bk"))
       .select(col("__id"), col("simhash"),
         col("__bk.band").as("__band"), col("__bk.key").as("__key"))
-    val a = banded.as("a"); val b2 = banded.as("b")
-    a.join(b2, col("a.__band") === col("b.__band")
+      .withColumn("__cnt", count(lit(1)).over(w))
+      .withColumn("__rep", min(struct(col("__id"), col("simhash"))).over(w))
+      .persist(MEMORY_AND_DISK)
+    val small = marked.filter(col("__cnt") <= maxBucket)
+    val a = small.as("a"); val b2 = small.as("b")
+    val allPairs = a.join(b2, col("a.__band") === col("b.__band")
         && col("a.__key") === col("b.__key")
         && col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("id1"), col("b.__id").as("id2"),
         expr("bit_count(a.simhash ^ b.simhash)").cast("int").as("hamming"))
+    // star pairs keep the exact hamming filter: a hot-bucket member is a
+    // confirmed near-dup only if it sits within maxHamming of the
+    // representative (the all-pairs guarantee narrows to rep-vs-member)
+    val hotStar = marked
+      .filter(col("__cnt") > maxBucket && col("__id") =!= col("__rep.__id"))
+      .select(col("__rep.__id").as("id1"), col("__id").as("id2"),
+        expr("bit_count(__rep.simhash ^ simhash)").cast("int").as("hamming"))
+    allPairs.union(hotStar)
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
@@ -193,8 +260,9 @@ object Dedup {
     *
     * 100 TB shape: iterates over the PAIR graph only (candidates after
     * banding/verification — orders of magnitude smaller than the corpus);
-    * each round is one join + one min-aggregate over a persisted label
-    * table, with the superseded round's cache explicitly released (at
+    * each round is ONE job — a join + min-aggregate whose full decimal
+    * label-sum doubles as both the cache materializer and the convergence
+    * probe — with the superseded round's cache explicitly released (at
     * most two label copies live at any moment). Near-dup clusters are
     * small and shallow, so the label diameter — and the round count — is
     * tiny; raise `maxIter` for pathological chain-shaped corpora. The
@@ -203,15 +271,25 @@ object Dedup {
     * `.unpersist()` it when done. */
   def clusterPairs(pairs: DataFrame, idCol1: String = "id1",
       idCol2: String = "id2", maxIter: Int = 25): DataFrame = {
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = pairs.select(col(idCol1).as("a"), col(idCol2).as("b"))
       .union(pairs.select(col(idCol2).as("a"), col(idCol1).as("b")))
       .distinct()
       .persist(MEMORY_AND_DISK)
+    // Convergence probe: per-node labels are MONOTONICALLY non-increasing
+    // (each round takes min(own, offers)), so the label table changed iff
+    // its total label sum changed. Summing in decimal(38,0) is exact for
+    // any graph size (no Long overflow, no double rounding), and the full
+    // aggregation scans every partition — materializing the round's cache
+    // completely in the SAME job that decides convergence (a limit-style
+    // probe would cache only some partitions and recompute the rest
+    // through by-then-unpersisted parents). Empty graph → null sum on
+    // both sides → converged at round 1, labels empty: correct.
+    def labelSum(l: DataFrame): java.math.BigDecimal =
+      l.agg(sum(col("cluster").cast("decimal(38,0)"))).head().getDecimal(0)
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("cluster", col("node"))
       .persist(MEMORY_AND_DISK)
-    labels.count()
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -223,19 +301,12 @@ object Dedup {
         .union(labels)
         .groupBy("node").agg(min("cluster").as("cluster"))
         .persist(MEMORY_AND_DISK)
-      // FULLY materialize next's cache BEFORE dropping the parent's: a
-      // short-circuiting probe (limit+count) would cache only some
-      // partitions, and completing them later would recompute through
-      // the by-then-unpersisted previous rounds — a cascade that deepens
-      // every iteration
-      next.count()
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.node") === col("o.node"))
-        .filter(col("n.cluster") =!= col("o.cluster"))
-        .limit(1).count()
+      val s = labelSum(next)
       labels.unpersist(false)
       labels = next
-      converged = changed == 0
+      converged = (s == null && prevSum == null) ||
+        (s != null && prevSum != null && s.compareTo(prevSum) == 0)
+      prevSum = s
       iter += 1
     }
     require(converged, s"clusterPairs did not converge in $maxIter rounds")

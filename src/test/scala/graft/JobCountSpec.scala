@@ -66,6 +66,36 @@ class JobCountSpec extends AnyFunSuite {
     data.unpersist()
   }
 
+  test("clusterPairs: exactly ONE job per propagation round") {
+    import spark.implicits._
+    // chain 1-2-3-4: labels sum walks 10 → 7 → 5 → 4 → 4, so exactly 4
+    // propagation rounds run before the sum repeats. Each round's full
+    // decimal label-sum is both the cache materializer and the
+    // convergence probe — 1 job/round + 1 for the initial label table
+    // (the round-4 form paid 2 jobs/round: count + change-probe).
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id1", "id2")
+    // AQE turns every action into one job per materialized stage, hiding
+    // the action count; with it off, 1 action = 1 job, so the listener
+    // measures exactly what the contract promises
+    // broadcast-hash builds also count as jobs (one per round on this
+    // tiny fixture; at scale the label join is a sort-merge join anyway)
+    // — force SMJ so the listener sees exactly the actions
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    val bcWas = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val jobs = try countJobs {
+      val out = graft.ops.Dedup.clusterPairs(pairs)
+      assert(out.collect().forall(_.getLong(1) == 1L))
+      out.unpersist()
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcWas)
+    }
+    // 1 init + 4 rounds + 1 final collect (reads the cache)
+    assert(jobs <= 6, s"jobs=$jobs, expected ≤ 6 (1 init + 4 rounds + 1 read)")
+  }
+
   test("empty input raises a clear error") {
     import org.apache.spark.sql.types._
     val empty = spark.createDataFrame(

@@ -132,6 +132,65 @@ class OpsSpec extends AnyFunSuite {
     assert(!pairs.exists(_._1 == 12L), pairs.toString)
   }
 
+  test("hot-bucket guard: identical-doc flood emits linear star pairs (minhash)") {
+    import spark.implicits._
+    val text = "the quick brown fox jumps over the lazy dog again and again today"
+    val df = Seq.tabulate(40)(i => (i.toLong, text)).toDF("id", "text")
+    val pairs = Dedup.minhashCandidates(df, "id", "text", maxBucket = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // all 40 docs share every band bucket → cnt=40 > 8 → star around id 0:
+    // 39 pairs, not the 780 an all-pairs join would emit
+    assert(pairs.length == 39, s"${pairs.length} pairs (all-pairs would be 780)")
+    assert(pairs.forall(_._1 == 0L), pairs.take(5).mkString(","))
+    assert(pairs.map(_._2).toSet == (1L until 40L).toSet)
+    // the flood still collapses into ONE cluster through the star edges
+    val clusters = Dedup.clusterPairs(
+        Dedup.minhashCandidates(df, "id", "text", maxBucket = 8))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(clusters.length == 40 && clusters.forall(_._2 == 0L))
+  }
+
+  test("hot-bucket guard: identical-doc flood emits linear star pairs (simhash)") {
+    import spark.implicits._
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    val df = Seq.tabulate(30)(i => (i.toLong, text)).toDF("id", "text")
+    val pairs = Dedup.simhashNearDups(df, "id", "text", maxBucket = 5).collect()
+    assert(pairs.length == 29, s"${pairs.length} pairs (all-pairs would be 435)")
+    pairs.foreach { r =>
+      assert(r.getLong(0) == 0L && r.getInt(2) == 0, r.toString)
+    }
+  }
+
+  test("hot-bucket guard is inert below the cap (identical pair sets)") {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+      .limit(150)
+    def pairSet(cap: Int) =
+      Dedup.simhashNearDups(docs, "doc_id", "text", maxBucket = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairSet(Dedup.DefaultMaxBucket) == pairSet(1000000))
+  }
+
+  test("hot-bucket guard: reference-side flood capped, every new doc still matched") {
+    import spark.implicits._
+    val text = "the quick brown fox jumps over the lazy dog again and again today"
+    val ref = Seq.tabulate(30)(i => (i.toLong, text)).toDF("id", "text")
+    val fresh = Seq((100L, text), (101L, text),
+      (102L, "unrelated different vocabulary entirely separate words here zzz"))
+      .toDF("id", "text")
+    val pairs = Dedup.minhashCandidatesAgainst(fresh, ref, "id", "text",
+        maxBucket = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // the flood keeps only its 4 lowest-id members per bucket, so each
+    // matching new doc meets ≤4 reference partners — but still gets its
+    // duplicate verdict (≥1 pair); the unrelated doc matches nothing
+    for (n <- Seq(100L, 101L)) {
+      val partners = pairs.filter(_._1 == n).map(_._2).toSet
+      assert(partners.nonEmpty && partners.subsetOf(Set(0L, 1L, 2L, 3L)),
+        s"$n -> $partners")
+    }
+    assert(!pairs.exists(_._1 == 102L), pairs.mkString(","))
+  }
+
   test("clusterPairs: transitive closure labels chains, triangles, islands") {
     import spark.implicits._
     // chain 1-2-3-4 (diameter forces several propagation rounds),

@@ -128,17 +128,35 @@ class PlanSpec extends AnyFunSuite {
     case other => other.children.map(countScans).sum
   }
 
-  test("banded candidate generation scans the corpus once per side (explode, not union)") {
-    // the union-of-band-selects form re-planned the scan + hashing once
-    // per band (4 bands × 2 join sides = 8 scans); the explode form must
-    // hash once per side and fan out rows
+  /** InMemoryTableScans in an executed plan (cached-frame consumers). */
+  private def collectInMem(p: SparkPlan): Seq[
+      org.apache.spark.sql.execution.columnar.InMemoryTableScanExec] = p match {
+    case a: AdaptiveSparkPlanExec => collectInMem(a.executedPlan)
+    case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      collectInMem(qs.plan)
+    case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+      Seq(s)
+    case other => other.children.flatMap(collectInMem)
+  }
+
+  test("banded candidate generation hashes the corpus ONCE (cached band frame)") {
+    // round-4 form scanned + hashed the corpus once per join side (gate
+    // was ≤2); the band frame is now persisted, so the executed plan reads
+    // the cache everywhere and the ONE scan + signature projection +
+    // explode live inside the cached plan
     for (name <- Seq("q69_simhash_neardup", "q45_minhash_lsh_pairs")) {
       val df = Queries.byName(name).spark(spark, TestSpark.sf0001)
       df.collect()
-      val scans = countScans(df.queryExecution.executedPlan)
-      assert(scans <= 2, s"$name: $scans parquet scans")
-      assert(df.queryExecution.executedPlan.toString.contains("Generate explode"),
-        s"$name missing explode")
+      val plan = df.queryExecution.executedPlan
+      assert(countScans(plan) == 0,
+        s"$name: ${countScans(plan)} raw parquet scans outside the cache")
+      val mem = collectInMem(plan)
+      assert(mem.nonEmpty, s"$name: no cached band frame\n$plan")
+      val cached = mem.head.relation.cachedPlan
+      assert(countScans(cached) == 1,
+        s"$name: ${countScans(cached)} scans inside the cached plan\n$cached")
+      assert(cached.toString.contains("Generate explode"),
+        s"$name missing explode\n$cached")
     }
   }
 
