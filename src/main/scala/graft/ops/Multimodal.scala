@@ -14,12 +14,15 @@ import org.apache.spark.sql.types._
   * output shape — is real and tested.
   *
   * Codec status: IMAGE decode is real (JDK-built-in javax.imageio —
-  * PNG/BMP/JPEG/GIF width/height/pixel-stats) and AUDIO decode is real
+  * PNG/BMP/JPEG/GIF width/height/pixel-stats), AUDIO decode is real
   * (JDK-built-in javax.sound.sampled — WAV/AIFF/AU PCM sample rate,
-  * channels, frames, duration, RMS); video remains STUBBED with a
-  * deterministic fake (this container ships no video codecs). Swap
-  * `fakeDecode`/`sampleFrames` for a real codec (e.g. JNI ffmpeg)
-  * without touching any plumbing.
+  * channels, frames, duration, RMS), and VIDEO container metadata is
+  * real (pure-JVM MP4/ISO-BMFF and AVI/RIFF header parsing — width,
+  * height, duration from `mvhd`/`tkhd`/`avih`; no codec needed).
+  * Only video FRAME decode remains stubbed with a deterministic fake
+  * (this environment ships no video codecs); swap `fakeDecode`/
+  * `sampleFrames` for a real codec (e.g. JNI ffmpeg) without touching
+  * any plumbing.
   */
 object Multimodal {
 
@@ -205,10 +208,188 @@ object Multimodal {
     * parallel, no shuffle. */
   def audioMeta(payload: Column): Column = audioMetaUdf(payload)
 
-  /** STUB decode (video): deterministic per-byte statistics standing
-    * in for a real sample decode. Keeps the exact UDF signature / batch
-    * shape a real decoder would have (binary → fixed-length feature
-    * vector). */
+  /** Parsed video container metadata (header-only — no codec). */
+  case class VideoInfo(container: String, width: Int, height: Int,
+      duration_ms: Long)
+
+  // ---- byte-order helpers for the container parsers (bounds are the
+  // caller's responsibility; every entry point wraps in NonFatal → null)
+  @inline private def be32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+  @inline private def be64(b: Array[Byte], o: Int): Long =
+    (be32(b, o) << 32) | be32(b, o + 4)
+  @inline private def le32(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+  @inline private def fourcc(b: Array[Byte], o: Int): String =
+    new String(b, o, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+
+  /** ISO-BMFF box walk over `bytes[start, end)`: (type, payloadStart,
+    * payloadEnd) per box, honoring 64-bit `largesize` (size==1) and
+    * to-end (size==0) encodings; stops at the first malformed size. */
+  private def mp4Boxes(b: Array[Byte], start: Int, end: Int): Iterator[(String, Int, Int)] =
+    new Iterator[(String, Int, Int)] {
+      private var o = start
+      def hasNext: Boolean = o + 8 <= end
+      def next(): (String, Int, Int) = {
+        val size = be32(b, o)
+        val typ = fourcc(b, o + 4)
+        val (ps, boxEnd) =
+          if (size == 1 && o + 16 <= end) (o + 16, o + be64(b, o + 8))
+          else if (size == 0) (o + 8, end.toLong)
+          else (o + 8, o + size)
+        if (boxEnd <= o || boxEnd > end) { o = end; (typ, ps, ps) } // malformed: stop
+        else { o = boxEnd.toInt; (typ, ps, boxEnd.toInt) }
+      }
+    }
+
+  /** MP4 (ISO base media) metadata: duration from `moov/mvhd`
+    * (timescale + duration, version 0 and 1 layouts), width/height from
+    * the largest `trak/tkhd` 16.16 fixed-point dimensions (audio tracks
+    * carry 0×0). Returns null when no valid moov/mvhd is present. */
+  private val Mp4TopLevelTypes =
+    Set("ftyp", "styp", "moov", "mdat", "free", "skip", "wide", "pdin",
+      "moof", "mfra", "meta", "uuid")
+
+  private def parseMp4(b: Array[Byte]): VideoInfo = {
+    // cheap magic gate: a junk payload must not get a full box walk
+    if (!Mp4TopLevelTypes.contains(fourcc(b, 4))) return null
+    val moov = mp4Boxes(b, 0, b.length).collectFirst {
+      case ("moov", ps, pe) => (ps, pe)
+    }.orNull
+    if (moov == null) return null
+    var durationMs = -1L
+    var w = 0; var h = 0
+    for ((typ, ps, pe) <- mp4Boxes(b, moov._1, moov._2)) typ match {
+      case "mvhd" if pe - ps >= 20 =>
+        val v = b(ps) & 0xff
+        val (timescale, duration) =
+          if (v == 1 && pe - ps >= 32) (be32(b, ps + 20), be64(b, ps + 24))
+          else (be32(b, ps + 12), be32(b, ps + 16))
+        if (timescale > 0) durationMs = duration * 1000L / timescale
+      case "trak" =>
+        for ((t2, p2, e2) <- mp4Boxes(b, ps, pe) if t2 == "tkhd") {
+          val v = b(p2) & 0xff
+          val dimOff = if (v == 1) 88 else 76 // layouts differ in 32- vs 64-bit times
+          if (e2 - p2 >= dimOff + 8) {
+            val tw = (be32(b, p2 + dimOff) >> 16).toInt
+            val th = (be32(b, p2 + dimOff + 4) >> 16).toInt
+            if (tw.toLong * th > w.toLong * h) { w = tw; h = th }
+          }
+        }
+      case _ => ()
+    }
+    if (durationMs < 0) null else VideoInfo("mp4", w, h, durationMs)
+  }
+
+  /** AVI (RIFF) metadata: width/height/frame timing from the `hdrl`
+    * LIST's `avih` main header. Returns null when the RIFF/AVI magic or
+    * the header chunk is absent. */
+  private def parseAvi(b: Array[Byte]): VideoInfo = {
+    if (b.length < 24 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "AVI ")
+      return null
+    var o = 12
+    while (o + 8 <= b.length) {
+      val typ = fourcc(b, o)
+      val size = le32(b, o + 4)
+      val ps = o + 8
+      val pe = math.min(ps + size, b.length.toLong).toInt
+      if (typ == "LIST" && pe - ps >= 4 && fourcc(b, ps) == "hdrl") {
+        var o2 = ps + 4
+        while (o2 + 8 <= pe) {
+          val t2 = fourcc(b, o2)
+          val s2 = le32(b, o2 + 4)
+          if (t2 == "avih" && s2 >= 40 && o2 + 8 + 40 <= pe) {
+            val usPerFrame = le32(b, o2 + 8)
+            val totalFrames = le32(b, o2 + 8 + 16)
+            val w = le32(b, o2 + 8 + 32).toInt
+            val h = le32(b, o2 + 8 + 36).toInt
+            return VideoInfo("avi", w, h, usPerFrame * totalFrames / 1000L)
+          }
+          o2 += 8 + s2.toInt + (s2.toInt & 1) // chunks pad to even
+        }
+      }
+      o = pe + (size.toInt & 1)
+    }
+    null
+  }
+
+  /** REAL video container metadata: bytes → (container, width, height,
+    * duration_ms) from pure-JVM MP4/AVI header parsing — null for
+    * payloads that are neither (text, images, audio, corrupt data).
+    * Header-only work, so a multi-GB row costs a few hundred byte reads;
+    * partition-parallel, no shuffle. Frame DECODE (pixels) still needs a
+    * codec — see [[extractFeatures]]'s documented stub. */
+  private[graft] def decodeVideoMeta(bytes: Array[Byte]): VideoInfo = {
+    if (bytes == null || bytes.length < 16) return null
+    try {
+      val mp4 = parseMp4(bytes)
+      if (mp4 != null) mp4 else parseAvi(bytes)
+    } catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  private val videoMetaUdf = udf(decodeVideoMeta _)
+
+  /** Binary → nullable struct(container, width, height, duration_ms);
+    * null when the payload is not a recognizable MP4/AVI container. */
+  def videoMeta(payload: Column): Column = videoMetaUdf(payload)
+
+  /** Golden-MP4 fixture builder (q53 + specs): a structurally valid
+    * ISO-BMFF header (ftyp + moov(mvhd + trak(tkhd))) with known
+    * timescale/duration and 16.16 fixed-point track dimensions — the
+    * metadata parser reads the real box layout, so expected constants
+    * are a true oracle. Lives here (not in the query file) because the
+    * parser and its byte-layout twin belong together. */
+  private[graft] def mp4Bytes(timescale: Int, duration: Int,
+      width: Int, height: Int): Array[Byte] = {
+    def w32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      w32(8L + payload.length) ++ typ.getBytes("ISO-8859-1") ++ payload
+    val identityMatrix =
+      w32(0x00010000L) ++ w32(0) ++ w32(0) ++ w32(0) ++
+        w32(0x00010000L) ++ w32(0) ++ w32(0) ++ w32(0) ++ w32(0x40000000L)
+    // mvhd v0: verflags, creation, modification, timescale, duration,
+    // rate, volume+reserved, reserved, matrix, predefined, next_track
+    val mvhd = w32(0) ++ w32(0) ++ w32(0) ++ w32(timescale) ++
+      w32(duration) ++ w32(0x00010000L) ++ w32(0x01000000L) ++
+      new Array[Byte](8) ++ identityMatrix ++ new Array[Byte](24) ++ w32(2)
+    // tkhd v0: verflags/times/track/duration (24) + reserved (8) +
+    // layer/group/volume/reserved (8) + matrix (36) + width/height as
+    // 16.16 fixed (8) = 84 bytes; dims sit at payload offset 76
+    def tkhd(w: Int, h: Int): Array[Byte] =
+      new Array[Byte](40) ++ identityMatrix ++
+        w32(w.toLong << 16) ++ w32(h.toLong << 16)
+    val moov = box("moov", box("mvhd", mvhd) ++
+      box("trak", box("tkhd", tkhd(width, height))) ++
+      box("trak", box("tkhd", tkhd(0, 0)))) // audio track: 0×0 dims
+    box("ftyp", "isom".getBytes("ISO-8859-1") ++ w32(512) ++
+      "isomiso2".getBytes("ISO-8859-1")) ++ moov
+  }
+
+  /** Golden-AVI fixture builder (q53 + specs): RIFF('AVI ' LIST('hdrl'
+    * avih)) with the real 56-byte main-header layout (little-endian). */
+  private[graft] def aviBytes(usPerFrame: Int, totalFrames: Int,
+      width: Int, height: Int): Array[Byte] = {
+    def w32(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val avih = w32(usPerFrame) ++ w32(0) ++ w32(0) ++ w32(0x10) ++
+      w32(totalFrames) ++ w32(0) ++ w32(1) ++ w32(0) ++
+      w32(width) ++ w32(height) ++ new Array[Byte](16)
+    val hdrl = "hdrl".getBytes("ISO-8859-1") ++
+      "avih".getBytes("ISO-8859-1") ++ w32(avih.length) ++ avih
+    val riffBody = "AVI ".getBytes("ISO-8859-1") ++
+      "LIST".getBytes("ISO-8859-1") ++ w32(hdrl.length) ++ hdrl
+    "RIFF".getBytes("ISO-8859-1") ++ w32(riffBody.length) ++ riffBody
+  }
+
+  /** STUB decode (video frames): deterministic per-byte statistics
+    * standing in for a real sample decode (container METADATA is real —
+    * [[videoMeta]]). Keeps the exact UDF signature / batch shape a real
+    * decoder would have (binary → fixed-length feature vector). */
   private val fakeDecode: Array[Byte] => Array[Double] = { bytes =>
     if (bytes == null || bytes.isEmpty) Array.fill(4)(0.0)
     else {

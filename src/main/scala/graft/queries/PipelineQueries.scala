@@ -236,6 +236,40 @@ object PipelineQueries {
         ) AS t(media_id, rate_hz, channels, n_frames, duration_ms, rms)
         ORDER BY media_id""")),
 
+    // ---- real video container-header metadata, golden-oracle form:
+    // synthesize a structurally valid MP4 (timescale 1000, duration 2500
+    // → 2500 ms; 320×240 video track beside a 0×0 audio track) and AVI
+    // (40000 µs/frame × 250 frames → 10000 ms; 640×480), parse through
+    // the distributed videoMeta path (pure-JVM mvhd/tkhd/avih byte
+    // parsing — no codec), and compare against the known constants.
+    // Non-video payloads (including real image bytes) must yield NULLs.
+    Q("q53_video_meta",
+      (s, dir) => {
+        import s.implicits._
+        Seq(
+          (1L, Multimodal.mp4Bytes(
+            timescale = 1000, duration = 2500, width = 320, height = 240)),
+          (2L, Multimodal.aviBytes(
+            usPerFrame = 40000, totalFrames = 250, width = 640, height = 480)),
+          (3L, "definitely not a video container".getBytes("UTF-8")))
+          .toDF("media_id", "payload")
+          .select(col("media_id"), Multimodal.videoMeta(col("payload")).as("m"))
+          .select(col("media_id"),
+            col("m.container").as("container"),
+            col("m.width").as("w"), col("m.height").as("h"),
+            col("m.duration_ms").as("duration_ms"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT * FROM (VALUES
+          (CAST(1 AS BIGINT), 'mp4', CAST(320 AS INTEGER), CAST(240 AS INTEGER),
+           CAST(2500 AS BIGINT)),
+          (CAST(2 AS BIGINT), 'avi', CAST(640 AS INTEGER), CAST(480 AS INTEGER),
+           CAST(10000 AS BIGINT)),
+          (CAST(3 AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS INTEGER),
+           CAST(NULL AS INTEGER), CAST(NULL AS BIGINT))
+        ) AS t(media_id, container, w, h, duration_ms)
+        ORDER BY media_id""")),
+
     // ---- end-to-end corpus curation (the workflow a training-data
     // pipeline actually runs, composed from the already-oracle-proven
     // operators): quality gate (length + type-token ratio) → language

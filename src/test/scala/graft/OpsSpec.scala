@@ -581,6 +581,28 @@ class OpsSpec extends AnyFunSuite {
       graft.ops.Sampling.stratifiedCap(docs, Seq("lang"), 0, Seq(col("doc_id"))))
   }
 
+  test("videoMeta parses real MP4/AVI container headers, rejects junk") {
+    import graft.ops.Multimodal
+    val mp4 = Multimodal.mp4Bytes(
+      timescale = 600, duration = 1500, width = 1920, height = 1080)
+    val avi = Multimodal.aviBytes(
+      usPerFrame = 33333, totalFrames = 300, width = 1280, height = 720)
+    val m = Multimodal.decodeVideoMeta(mp4)
+    assert(m == Multimodal.VideoInfo("mp4", 1920, 1080, 2500), m.toString)
+    val a = Multimodal.decodeVideoMeta(avi)
+    assert(a == Multimodal.VideoInfo("avi", 1280, 720, 9999), a.toString)
+    // junk, truncation, and null must all yield null — never throw
+    assert(Multimodal.decodeVideoMeta("plain text payload xx".getBytes) == null)
+    assert(Multimodal.decodeVideoMeta(mp4.take(20)) == null)
+    assert(Multimodal.decodeVideoMeta(avi.take(10)) == null)
+    assert(Multimodal.decodeVideoMeta(null) == null)
+    // a real image payload must not parse as video
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB), "png", baos)
+    assert(Multimodal.decodeVideoMeta(baos.toByteArray) == null)
+  }
+
   test("resize accepts a non-trivial payload expression (Column API)") {
     import spark.implicits._
     val df = Seq((1L, "hello world payload")).toDF("id", "text")
