@@ -18,6 +18,10 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // a flaky operator must not hide behind the retry: every first-attempt
+    // failure is recorded in a sidecar (retries.json), empty on a clean run
+    val retried = scala.collection.mutable.LinkedHashMap[String, String]()
+    val failed = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.filter(kv => nameFilter(kv._1)).foreach { case (name, fn) =>
       // one retry: a transiently failed query (executor memory spike, temp
       // file race) would otherwise silently zero this round's correctness
@@ -27,9 +31,11 @@ object Verify {
       try attempt()
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed (${e.getMessage}); retrying once")
+        retried(name) = String.valueOf(e.getMessage)
         try attempt()
         catch { case e2: Throwable =>
           System.err.println(s"[verify] $name failed twice: ${e2.getMessage}")
+          failed(name) = String.valueOf(e2.getMessage)
         }
       }
     }
@@ -48,6 +54,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    def obj(m: scala.collection.Map[String, String]): String =
+      m.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/retries.json"),
+      s"""{"retried": ${obj(retried)}, "failed_twice": ${obj(failed)}}""")
     spark.stop()
   }
 }

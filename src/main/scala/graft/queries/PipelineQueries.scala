@@ -342,7 +342,8 @@ object PipelineQueries {
         fin AS (SELECT * FROM dd WHERE doc_id NOT IN (SELECT d2 FROM ver))
         SELECT source, COUNT(*) AS n_docs,
           CAST(SUM(LEN(toks)) AS BIGINT) AS total_tokens
-        FROM fin GROUP BY source ORDER BY source""")),
+        FROM fin GROUP BY source ORDER BY source"""),
+      bench = true),
 
     // ---- real audio FEATURE EXTRACTION, golden-oracle form: a WAV whose
     // first half is DC +1000 and second half DC +3000 has a closed-form

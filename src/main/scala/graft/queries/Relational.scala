@@ -454,9 +454,12 @@ object Relational {
         FROM lineitem l JOIN pct USING (l_returnflag)
         GROUP BY l.l_returnflag ORDER BY l.l_returnflag""")),
 
-    // ---- sketch aggregations (the 100 TB path for distinct/quantile):
-    // engine-specific estimators → rows-only check by design; exact
-    // counterparts are q17/q37
+    // ---- sketch aggregations (the 100 TB path for distinct/quantile).
+    // The sketch VALUES are engine-specific (HLL++ / KLL internals), so
+    // the oracle checks the exact twin columns plus the sketch's
+    // relative-error gate surfaced as an INTEGER flag — DuckDB asserts
+    // the flag is 1 for every group, so a drifting sketch flips the row
+    // to 0 and hash-fails instead of hiding behind a rows-only check.
     Q("q47_hll_distinct",
       (s, dir) =>
         tbl(s, dir, "lineitem")
@@ -464,11 +467,14 @@ object Relational {
           .agg(
             approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
             countDistinct(col("l_partkey")).as("exact_parts"))
-          .withColumn("rel_err",
-            abs(col("approx_parts") - col("exact_parts")).cast("double") / col("exact_parts"))
-          .filter(col("rel_err") < 0.05) // sketch sanity gate baked into the query
+          .select(col("l_returnflag"), col("exact_parts"),
+            (abs(col("approx_parts") - col("exact_parts")).cast("double") /
+              col("exact_parts") < 0.05).cast("int").as("within_tol"))
           .orderBy("l_returnflag"),
-      None),
+      Some("""SELECT l_returnflag,
+          COUNT(DISTINCT l_partkey) AS exact_parts,
+          CAST(1 AS INTEGER) AS within_tol
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
     Q("q48_approx_quantiles",
       (s, dir) =>
         tbl(s, dir, "lineitem")
@@ -476,12 +482,15 @@ object Relational {
           .agg(
             expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)").as("approx"),
             expr("percentile(l_extendedprice, 0.5)").as("exact_p50"))
-          .withColumn("p50_rel_err",
-            abs(element_at(col("approx"), 1) - col("exact_p50")) / col("exact_p50"))
-          .filter(col("p50_rel_err") < 0.05)
-          .select("l_returnflag", "exact_p50", "p50_rel_err")
+          .select(col("l_returnflag"),
+            round(col("exact_p50"), 4).as("exact_p50"),
+            (abs(element_at(col("approx"), 1) - col("exact_p50")) /
+              col("exact_p50") < 0.05).cast("int").as("p50_within_tol"))
           .orderBy("l_returnflag"),
-      None),
+      Some("""SELECT l_returnflag,
+          ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 4) AS exact_p50,
+          CAST(1 AS INTEGER) AS p50_within_tol
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // ---- ranking-window breadth: rank / dense_rank / percent_rank /
     // ntile / lead / lag / first_value in one pass. All outputs are

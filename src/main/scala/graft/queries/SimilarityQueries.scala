@@ -319,7 +319,8 @@ object SimilarityQueries {
           FROM bands a JOIN bands b
             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
         SELECT d1, d2, hamming FROM cand WHERE hamming <= 3
-        ORDER BY d1, d2""")),
+        ORDER BY d1, d2"""),
+      bench = true),
 
     // ---- dedup clusters (Dedup.clusterPairs): connected components over
     // the 64-bit SimHash near-dup pairs — the step that turns pairwise
@@ -351,7 +352,8 @@ object SimilarityQueries {
           UNION
           SELECT e.b, r.label FROM reach r JOIN edges e ON r.node = e.a)
         SELECT node, MIN(label) AS cluster FROM reach
-        GROUP BY node ORDER BY node""")),
+        GROUP BY node ORDER BY node"""),
+      bench = true),
 
     // ---- embedding-cosine near-dup pairs (Dedup.cosineNearDups): LSH
     // buckets bound the pairwise work; cosine rounded BEFORE the
