@@ -21,6 +21,11 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     def time(f: => Unit): Double = {
+      // the dedup paths persist their band frames (keyed by plan in the
+      // cache manager), so a second rep of the same query would read the
+      // first rep's cache and time only the warm path — clear between
+      // samples so every rep pays the full cost it claims to measure
+      spark.sharedState.cacheManager.clearCache()
       val t0 = System.nanoTime()
       try f catch { case e: Throwable => System.err.println(s"[bench] ${e.getMessage}") }
       (System.nanoTime() - t0) / 1e9

@@ -349,6 +349,41 @@ object Dedup {
       .select(col("l.__id").as("id1"), col("r.__id").as("id2"), col("cos"))
   }
 
+  /** Benchmark decontamination: ids of `corpus` docs that share ANY token
+    * `n`-gram with any `reference` doc (the held-out benchmark / eval
+    * set). A training pipeline anti-joins these ids out of the corpus so
+    * eval data cannot leak into training.
+    *
+    * 100 TB shape: one shingle projection per side, the reference side
+    * collapsed to a DISTINCT shingle set (benchmarks are tiny vs the
+    * corpus — typically broadcastable), then a semi-join on the shingle
+    * string — shuffles carry shingles + ids only, never document text.
+    * `maxDf` (optional) drops corpus shingles whose document frequency
+    * exceeds it BEFORE the join — at corpus scale a stop-phrase n-gram
+    * matches everything and would both blow up the shuffle and flag half
+    * the corpus on boilerplate; decontamination should trigger on RARE
+    * n-grams. Default keeps all shingles (exact). */
+  def ngramContaminated(
+      corpus: DataFrame, reference: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, maxDf: Long = Long.MaxValue): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    def shingled(df: DataFrame): DataFrame = {
+      val toks = split(col(textCol), " +")
+      val sh = when(size(toks) >= n,
+        array_distinct(transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ",
+            (0 until n).map(k => element_at(toks, i + k + 1)): _*))))
+        .otherwise(array().cast("array<string>"))
+      df.select(col(idCol).as("__id"), explode(sh).as("__sh"))
+    }
+    val c0 = shingled(corpus)
+    val c = if (maxDf == Long.MaxValue) c0 else capHotKeys(c0, "__sh", maxDf)
+    val r = shingled(reference).select(col("__sh")).distinct()
+    c.join(r, Seq("__sh"), "left_semi")
+      .select(col("__id").as(idCol))
+      .distinct()
+  }
+
   /** Document frequency of each value in an exploded key column — the
     * hot-key guard for shingle-bucketed joins: drop shingles whose df
     * exceeds `maxDf` BEFORE any self-join (a stop-phrase shingle shared

@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** PII redaction for text curation pipelines: replace emails, US-style
+  * phone numbers, and IPv4 addresses with typed placeholder tokens, and
+  * count what was replaced (the audit trail a compliance pass needs).
+  *
+  * The patterns deliberately use only the regex subset whose match
+  * semantics agree between Java's engine (Spark) and RE2 (DuckDB, Go
+  * tooling): character classes, bounded/unbounded repetition, and ASCII
+  * word boundaries — no backreferences or lookaround — so redacted
+  * output is byte-identical cross-engine and oracle-checkable (q89).
+  *
+  * 100 TB shape: pure per-row projection (codegen'd `regexp_replace`),
+  * no shuffle, no UDF.
+  */
+object Redact {
+
+  /** local@domain.tld — local part with common specials, dotted domain,
+    * alpha TLD of 2+. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** NNN-NNN-NNNN / NNN.NNN.NNNN with word boundaries. */
+  val PhoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+
+  /** Dotted-quad IPv4 (syntactic — 999.0.0.1 matches; curation wants
+    * recall over strict RFC validity). */
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Redaction order matters: emails first (their local/domain parts
+    * contain digit runs a later pass must not see), then phones (dashed
+    * digits), then IPv4 (dotted digits — phone dots are already gone). */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      Ipv4Re, "<IP>")
+
+  /** Per-kind match counts over the ORIGINAL text (what redactPii will
+    * replace), as integer columns for exact cross-engine comparison. */
+  def piiCounts(c: Column): (Column, Column, Column) = (
+    regexp_count(c, lit(EmailRe)).cast("int").as("n_emails"),
+    regexp_count(regexp_replace(c, EmailRe, "<EMAIL>"), lit(PhoneRe))
+      .cast("int").as("n_phones"),
+    regexp_count(
+      regexp_replace(regexp_replace(c, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"),
+      lit(Ipv4Re)).cast("int").as("n_ips"))
+}

@@ -388,6 +388,72 @@ object TextQueries {
             / SUM(len * cnt) AS dup2_frac
         FROM g GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ---- benchmark decontamination (Dedup.ngramContaminated): training
+    // docs sharing ANY token 3-gram with the held-out "benchmark" slice
+    // (docs 0..39 stand in for an eval set) are flagged so a pipeline can
+    // anti-join them out — eval data must not leak into training. At
+    // 100 TB: shingle projections + a semi-join on shingle strings; the
+    // reference shingle set is benchmark-sized (broadcastable); maxDf
+    // caps stop-phrase shingles (unset here so the oracle is exact).
+    Q("q86_decontaminate",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        graft.ops.Dedup.ngramContaminated(
+            docs.filter(col("doc_id") >= 40), docs.filter(col("doc_id") < 40),
+            "doc_id", "text", n = 3)
+          .orderBy("doc_id")
+      },
+      Some("""WITH sh AS (
+          SELECT doc_id, UNNEST(LIST_DISTINCT(CASE WHEN LEN(toks) >= 3 THEN
+            LIST_TRANSFORM(RANGE(1, LEN(toks) - 1),
+              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+            ELSE [] END)) AS sh
+          FROM (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(text, ' +') AS toks
+                FROM documents))
+        SELECT DISTINCT c.doc_id
+        FROM sh c WHERE c.doc_id >= 40
+          AND c.sh IN (SELECT sh FROM sh WHERE doc_id < 40)
+        ORDER BY doc_id""")),
+
+    // ---- PII redaction (Redact.redactPii): emails / phones / IPv4 →
+    // typed placeholders + per-kind counts. Each doc is augmented with
+    // deterministic doc_id-derived PII so every row exercises all three
+    // patterns; the md5 of the redacted text proves byte-identical
+    // replacement semantics cross-engine (Java regex vs RE2 — patterns
+    // restricted to the agreeing subset). Pure per-row projection.
+    Q("q89_pii_redact",
+      (s, dir) => {
+        import graft.ops.Redact
+        val aug = concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com or 555-867-5309 from 192.168.0."),
+          (col("doc_id") % 256).cast("string"))
+        val (ne, np, ni) = Redact.piiCounts(aug)
+        tbl(s, dir, "documents")
+          .select(col("doc_id"),
+            md5(Redact.redactPii(aug)).as("redacted_md5"), ne, np, ni)
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id,
+          MD5(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(aug,
+            '${graft.ops.Redact.EmailRe}', '<EMAIL>', 'g'),
+            '${graft.ops.Redact.PhoneRe}', '<PHONE>', 'g'),
+            '${graft.ops.Redact.Ipv4Re}', '<IP>', 'g')) AS redacted_md5,
+          CAST(LEN(REGEXP_EXTRACT_ALL(aug, '${graft.ops.Redact.EmailRe}')) AS INTEGER) AS n_emails,
+          CAST(LEN(REGEXP_EXTRACT_ALL(REGEXP_REPLACE(aug,
+            '${graft.ops.Redact.EmailRe}', '<EMAIL>', 'g'),
+            '${graft.ops.Redact.PhoneRe}')) AS INTEGER) AS n_phones,
+          CAST(LEN(REGEXP_EXTRACT_ALL(REGEXP_REPLACE(REGEXP_REPLACE(aug,
+            '${graft.ops.Redact.EmailRe}', '<EMAIL>', 'g'),
+            '${graft.ops.Redact.PhoneRe}', '<PHONE>', 'g'),
+            '${graft.ops.Redact.Ipv4Re}')) AS INTEGER) AS n_ips
+        FROM (SELECT doc_id,
+            text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+            '@mail.example.com or 555-867-5309 from 192.168.0.' ||
+            CAST(doc_id % 256 AS VARCHAR) AS aug
+          FROM documents)
+        ORDER BY doc_id""")),
+
     // ---- per-source corpus stats (group agg over the doc table)
     Q("q36_source_stats",
       (s, dir) =>

@@ -581,6 +581,52 @@ class OpsSpec extends AnyFunSuite {
       graft.ops.Sampling.stratifiedCap(docs, Seq("lang"), 0, Seq(col("doc_id"))))
   }
 
+  test("ngramContaminated flags shared-3-gram docs, honors the df cap") {
+    import spark.implicits._
+    val bench = Seq(
+      (1L, "the capital of france is paris obviously"),
+      (2L, "common filler words everyone uses here"))
+      .toDF("id", "text")
+    val corpus = Seq(
+      (10L, "quiz answer the capital of france is paris said the model"), // leaks bench 1
+      (11L, "totally novel sentence with no overlap whatsoever present"),
+      (12L, "common filler words appear in this one too"), // leaks bench 2
+      (13L, "short doc"))
+      .toDF("id", "text")
+    val flagged = graft.ops.Dedup.ngramContaminated(corpus, bench, "id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged == Set(10L, 12L), flagged.toString)
+    // df cap: a 3-gram present in EVERY corpus doc gets dropped before
+    // the join, so boilerplate alone no longer flags anything
+    val boiler = Seq.tabulate(10)(i =>
+      (100L + i, s"unique$i words here plus the capital of france stanza"))
+      .toDF("id", "text")
+    val capped = graft.ops.Dedup.ngramContaminated(
+        boiler, bench, "id", "text", maxDf = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(capped.isEmpty, capped.toString)
+  }
+
+  test("redactPii replaces emails, phones, IPv4 and counts them") {
+    import spark.implicits._
+    import graft.ops.Redact
+    val df = Seq(
+      (1L, "reach me at jane.doe+spam@corp.example.org or 555-123-4567"),
+      (2L, "server at 10.0.0.1 and 192.168.255.254 no other pii"),
+      (3L, "nothing sensitive here at all"))
+      .toDF("id", "text")
+    val (ne, np, ni) = Redact.piiCounts(col("text"))
+    val out = df.select(col("id"), Redact.redactPii(col("text")).as("red"),
+        ne, np, ni)
+      .orderBy("id").collect()
+    assert(out(0).getString(1) == "reach me at <EMAIL> or <PHONE>", out(0).toString)
+    assert((out(0).getInt(2), out(0).getInt(3), out(0).getInt(4)) == ((1, 1, 0)))
+    assert(out(1).getString(1) == "server at <IP> and <IP> no other pii")
+    assert((out(1).getInt(2), out(1).getInt(3), out(1).getInt(4)) == ((0, 0, 2)))
+    assert(out(2).getString(1) == "nothing sensitive here at all")
+    assert((out(2).getInt(2), out(2).getInt(3), out(2).getInt(4)) == ((0, 0, 0)))
+  }
+
   test("videoMeta parses real MP4/AVI container headers, rejects junk") {
     import graft.ops.Multimodal
     val mp4 = Multimodal.mp4Bytes(

@@ -24,8 +24,9 @@ class QueriesSpec extends AnyFunSuite {
   }
 
   test("every query name has oracle SQL or documented rows-only status") {
-    // rows-only by design: engine-specific RNG / sketch estimators
-    val allowed = Set("q28_random_split", "q47_hll_distinct", "q48_approx_quantiles")
+    // rows-only by design: engine-specific RNG (the q47/q48 sketches now
+    // surface their rel-err gates as hash-checked integer flags instead)
+    val allowed = Set("q28_random_split")
     val noOracle = Queries.all.filter(_.oracle.isEmpty).map(_.name).toSet
     assert(noOracle == allowed, s"unexpected rows-only: $noOracle")
   }
