@@ -1,6 +1,6 @@
 package graft.examples
 
-import graft.ops.{Dedup, Multimodal, Similarity}
+import graft.ops.{Dedup, Multimodal, Redact, Similarity}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -63,6 +63,17 @@ object CurationPipeline {
     // 4. 64-bit SimHash fingerprints + banded near-dup pairs
     val simPairs = Dedup.simhashNearDups(curated, "doc_id", "text")
     println(s"[curate] simhash(64) hamming<=3 pairs: ${simPairs.count()}")
+
+    // 4b. benchmark decontamination: drop curated docs sharing any token
+    // 3-gram with the held-out "benchmark" slice (first 20 doc_ids stand
+    // in for an eval set), then PII-redact the survivors
+    val bench = docs.filter(col("doc_id") < 20)
+    val leaked = Dedup.ngramContaminated(
+      curated.filter(col("doc_id") >= 20), bench, "doc_id", "text")
+    val clean = curated.filter(col("doc_id") >= 20)
+      .join(leaked, Seq("doc_id"), "left_anti")
+      .withColumn("text", Redact.redactPii(col("text")))
+    println(s"[curate] decontaminate: ${leaked.count()} leaked -> ${clean.count()} clean redacted docs")
 
     // 5. similarity: exact baseline vs multi-table LSH vs IVF (persisted)
     val queries = emb.filter(col("vec_id") < 5)

@@ -160,6 +160,15 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q86 decontamination is a semi-join on shingles, never a cartesian") {
+    val df = Queries.byName("q86_decontaminate").spark(spark, TestSpark.sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("q66b ivf multi-probe keeps the broadcast bucket-join shape") {
     val df = Queries.byName("q66b_ivf_nprobe").spark(spark, TestSpark.sf0001)
     df.collect()
