@@ -40,7 +40,12 @@ object Bench {
       samples(reps / 2)
     }
 
+    // SPARK_GRAFT_BENCH_ONLY=q87,q80 restricts the run to the named
+    // prefixes (local iteration on one hot query); unset = full set
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val headline = graft.queries.Queries.all.filter(_.bench)
+      .filter(q => only.forall(_.exists(q.name.startsWith)))
     // JIT/codegen warmup on the smallest SF (different data dir, so no
     // page-cache advantage for the timed runs), then touch the timed dir's
     // parquet footers once

@@ -149,16 +149,40 @@ object Dedup {
         col("__bk.bucket").as("__bucket"))
   }
 
-  /** Exact Jaccard over token 3-shingles for candidate verification. */
+  /** Exact Jaccard over token 3-shingles for candidate verification.
+    *
+    * Two scale-critical shapes:
+    *  - shingles are built ONLY for docs that appear in a candidate pair
+    *    (semi-join first) — candidates are orders of magnitude fewer than
+    *    the corpus, so the expensive text work tracks the pair set, not
+    *    the corpus;
+    *  - the token array is materialized in its own projection before the
+    *    shingle lambda reads it. `transform` is interpreted (no codegen
+    *    for higher-order functions) and interpretation does no common-
+    *    subexpression elimination, so an inline `split()` would re-run
+    *    the regex split for EVERY element_at — O(tokens²) per doc with a
+    *    ~40× measured slowdown; as a bound attribute it is split once. */
   def jaccardVerify(
       df: DataFrame, candidates: DataFrame, idCol: String, textCol: String,
       threshold: Double): DataFrame = {
-    val toks = split(col(textCol), " +")
-    val shingles = when(size(toks) >= 3,
-      array_distinct(transform(sequence(lit(0), size(toks) - 3),
-        i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2),
-          element_at(toks, i + 3))))).otherwise(array().cast("array<string>"))
-    val sh = df.select(col(idCol).as("__id"), shingles.as("__sh"))
+    // The pair set feeds FIVE plan positions (the two id legs of the
+    // semi-join id set, the sh frame's two join probes, and the verify
+    // join itself); persisting it evaluates the caller's candidate-
+    // generation pipeline ONCE. The cache holds id pairs only — tiny
+    // next to any corpus.
+    val cand = candidates.persist(MEMORY_AND_DISK)
+    val candIds = cand.select(col("id1").as(idCol))
+      .union(cand.select(col("id2").as(idCol)))
+      .distinct()
+    val shingles = when(size(col("__toks")) >= 3,
+      array_distinct(transform(sequence(lit(0), size(col("__toks")) - 3),
+        i => concat_ws(" ", element_at(col("__toks"), i + 1),
+          element_at(col("__toks"), i + 2),
+          element_at(col("__toks"), i + 3)))))
+      .otherwise(array().cast("array<string>"))
+    val sh = df.join(candIds, Seq(idCol), "left_semi")
+      .select(col(idCol).as("__id"), split(col(textCol), " +").as("__toks"))
+      .select(col("__id"), shingles.as("__sh"))
     candidates
       .join(sh.withColumnRenamed("__id", "id1").withColumnRenamed("__sh", "__sh1"), "id1")
       .join(sh.withColumnRenamed("__id", "id2").withColumnRenamed("__sh", "__sh2"), "id2")
@@ -263,15 +287,27 @@ object Dedup {
     * each round is ONE job — a join + min-aggregate whose full decimal
     * label-sum doubles as both the cache materializer and the convergence
     * probe — with the superseded round's cache explicitly released (at
-    * most two label copies live at any moment). Near-dup clusters are
-    * small and shallow, so the label diameter — and the round count — is
-    * tiny; raise `maxIter` for pathological chain-shaped corpora. The
-    * fixpoint is unique, hence deterministic under any execution order.
-    * Returns (node, cluster), persisted and materialized — callers may
-    * `.unpersist()` it when done. */
+    * most two label copies live at any moment). After each round the
+    * materialized frame's LINEAGE is truncated
+    * ([[org.apache.spark.sql.graftbridge.PlanBridge.truncateLineage]]):
+    * `next` references `labels` twice (join + union), so without
+    * truncation round k's logical plan embeds round k-1's twice — 2^k
+    * plan nodes that analysis/optimization/plan-stringification walk on
+    * EVERY action even though the cached data makes execution cheap (at
+    * corpus scale the driver stalls for minutes stringifying the round-8
+    * plan before any task runs). Truncation keeps the per-round plan
+    * constant-size while persistence stays explicitly managed (blocks
+    * free on `unpersist`, not GC — the failure mode that ruled out
+    * `localCheckpoint`). Near-dup clusters are small and shallow, so the
+    * label diameter — and the round count — is tiny; raise `maxIter` for
+    * pathological chain-shaped corpora. The fixpoint is unique, hence
+    * deterministic under any execution order. Returns (node, cluster),
+    * persisted and materialized — callers may `.unpersist()` it when
+    * done. */
   def clusterPairs(pairs: DataFrame, idCol1: String = "id1",
       idCol2: String = "id2", maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col(idCol1).as("a"), col(idCol2).as("b"))
+    import org.apache.spark.sql.graftbridge.PlanBridge.truncateLineage
+    val edgesCache = pairs.select(col(idCol1).as("a"), col(idCol2).as("b"))
       .union(pairs.select(col(idCol2).as("a"), col(idCol1).as("b")))
       .distinct()
       .persist(MEMORY_AND_DISK)
@@ -286,10 +322,19 @@ object Dedup {
     // both sides → converged at round 1, labels empty: correct.
     def labelSum(l: DataFrame): java.math.BigDecimal =
       l.agg(sum(col("cluster").cast("decimal(38,0)"))).head().getDecimal(0)
-    var labels = edges.select(col("a").as("node")).distinct()
+    // `labelsCache` is the persisted handle (unpersist target + what the
+    // caller receives); `labels` is its lineage-truncated twin that the
+    // next round builds on. Truncation is lazy (toRdd + LogicalRDD — no
+    // job), and the truncated frame reads through the still-live cache.
+    var labelsCache = edgesCache.select(col("a").as("node")).distinct()
       .withColumn("cluster", col("node"))
       .persist(MEMORY_AND_DISK)
-    var prevSum = labelSum(labels)
+    var prevSum = labelSum(labelsCache)
+    // edges' plan embeds the caller's whole candidate pipeline; truncate
+    // it once (after labelSum materialized both caches) so each round's
+    // plan is LogicalRDD-join-LogicalRDD, independent of upstream size.
+    val edges = truncateLineage(edgesCache)
+    var labels = truncateLineage(labelsCache)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -302,16 +347,17 @@ object Dedup {
         .groupBy("node").agg(min("cluster").as("cluster"))
         .persist(MEMORY_AND_DISK)
       val s = labelSum(next)
-      labels.unpersist(false)
-      labels = next
+      labelsCache.unpersist(false)
+      labelsCache = next
+      labels = truncateLineage(next)
       converged = (s == null && prevSum == null) ||
         (s != null && prevSum != null && s.compareTo(prevSum) == 0)
       prevSum = s
       iter += 1
     }
     require(converged, s"clusterPairs did not converge in $maxIter rounds")
-    edges.unpersist(false)
-    labels
+    edgesCache.unpersist(false)
+    labelsCache
   }
 
   /** Keep one representative per near-dup cluster: computes the
@@ -367,14 +413,17 @@ object Dedup {
       corpus: DataFrame, reference: DataFrame, idCol: String,
       textCol: String, n: Int = 3, maxDf: Long = Long.MaxValue): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
+    // token array materialized before the lambda reads it — an inline
+    // split() would be re-evaluated per element in the interpreted HOF
+    // (see jaccardVerify)
     def shingled(df: DataFrame): DataFrame = {
-      val toks = split(col(textCol), " +")
-      val sh = when(size(toks) >= n,
-        array_distinct(transform(sequence(lit(0), size(toks) - n),
+      val sh = when(size(col("__toks")) >= n,
+        array_distinct(transform(sequence(lit(0), size(col("__toks")) - n),
           i => concat_ws(" ",
-            (0 until n).map(k => element_at(toks, i + k + 1)): _*))))
+            (0 until n).map(k => element_at(col("__toks"), i + k + 1)): _*))))
         .otherwise(array().cast("array<string>"))
-      df.select(col(idCol).as("__id"), explode(sh).as("__sh"))
+      df.select(col(idCol).as("__id"), split(col(textCol), " +").as("__toks"))
+        .select(col("__id"), explode(sh).as("__sh"))
     }
     val c0 = shingled(corpus)
     val c = if (maxDf == Long.MaxValue) c0 else capHotKeys(c0, "__sh", maxDf)

@@ -352,12 +352,15 @@ object TextQueries {
     // oracle. Per-row explode + per-doc agg; no cross-doc shuffle of text.
     Q("q85_repetition_quality",
       (s, dir) => {
-        val toks = toksCol
-        val grams = when(size(toks) >= 2,
-          transform(sequence(lit(0), size(toks) - 2),
-            i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
+        // toks materialized before the HOF lambda reads it (interpreted
+        // transform would re-split per element — see Dedup.jaccardVerify)
+        val grams = when(size(col("toks")) >= 2,
+          transform(sequence(lit(0), size(col("toks")) - 2),
+            i => concat_ws(" ", element_at(col("toks"), i + 1),
+              element_at(col("toks"), i + 2))))
           .otherwise(array().cast("array<string>"))
         val g = tbl(s, dir, "documents").filter(col("doc_id") < 200)
+          .select(col("doc_id"), toksCol.as("toks"))
           .select(col("doc_id"), explode(grams).as("gram"))
           .groupBy(col("doc_id"), col("gram"))
           .agg(count(lit(1)).as("cnt"), length(col("gram")).as("len"))
