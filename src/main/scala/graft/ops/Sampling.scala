@@ -11,6 +11,81 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** Uniform u32 in [0, 2^32) derived from md5 of `"<seed>:<key>"` — the
+    * deterministic coin every sampling operator here flips. md5 (not
+    * xxhash64) so an external system — or the DuckDB oracle — reproduces
+    * the exact sample: `('0x' || SUBSTRING(MD5(s), 1, 8))::BIGINT`. One
+    * codegen'd projection per row; no shuffle, no RNG state. */
+  def hashU32(key: Column, seed: Long): Column =
+    conv(substring(md5(concat(lit(s"$seed:"), key.cast("string"))), 1, 8), 16, 10)
+      .cast("long")
+
+  private def thresholdOf(rate: Double): Long = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0, 1], got $rate")
+    math.round(rate * 4294967296.0) // rate 1.0 → 2^32 keeps every row
+  }
+
+  /** Deterministic Bernoulli(rate) sample keyed on `keyCol`: a row is
+    * kept iff hash(seed, key) < rate·2^32. Unlike `df.sample()` (whose
+    * selection depends on Spark's partition-seeded RNG and row order),
+    * the decision is a pure function of the KEY — reruns, backfills, and
+    * other engines pick the same rows, and a doc keeps one fate even if
+    * it appears in several shards. Different seeds give independent
+    * samples (e.g. train/holdout splits that never collide). */
+  def hashSample(df: DataFrame, keyCol: Column, rate: Double,
+      seed: Long = 42L): DataFrame =
+    df.filter(hashU32(keyCol, seed) < lit(thresholdOf(rate)))
+
+  /** Per-stratum deterministic sampling — the "source mixing" step of a
+    * training pipeline (upweight curated sources, downsample crawl):
+    * stratum s keeps its rows at `rates(s)` (or `defaultRate` when
+    * unlisted), decided by the same keyed hash coin as [[hashSample]].
+    * One codegen'd CASE per row; no shuffle, no per-stratum passes. */
+  def stratifiedHashSample(df: DataFrame, strataCol: Column, keyCol: Column,
+      rates: Map[String, Double], defaultRate: Double,
+      seed: Long = 42L): DataFrame = {
+    val thr = rates.toSeq.sortBy(_._1).foldLeft(
+      lit(thresholdOf(defaultRate))) { case (acc, (s, r)) =>
+        when(strataCol === lit(s), lit(thresholdOf(r))).otherwise(acc)
+      }
+    df.filter(hashU32(keyCol, seed) < thr)
+  }
+
+  /** Concat-and-chop sequence packing: lay the corpus out as `shards`
+    * independent token streams and record, for each document, the
+    * half-open token span it occupies in its shard's stream — from which
+    * the training-context assignment falls out as pack ids
+    * floor(start/ctxLen) .. floor((end−1)/ctxLen) (a doc straddling a
+    * boundary is split across those contexts, the standard chop). The
+    * layout is a pure function of (seed, id): shard by hash, order within
+    * a shard by (hash, id) — so reruns produce byte-identical shards.
+    *
+    * 100 TB shape: ONE hash shuffle into `shards` groups, and the only
+    * per-group serial state is a running-sum window — Spark externalizes
+    * the sort, and `shards` (thousands in production) bounds each
+    * group to corpus/shards tokens. A single global stream (shards = 1)
+    * would serialize the whole corpus through one partition — that is the
+    * caller's explicit, small-corpus-only choice.
+    *
+    * Returns the input columns plus (shard, start_off, end_off,
+    * first_pack, last_pack). */
+  def packSequences(df: DataFrame, idCol: String, tokenCol: Column,
+      ctxLen: Int, shards: Int, seed: Long = 42L): DataFrame = {
+    require(ctxLen >= 1, s"ctxLen must be >= 1, got $ctxLen")
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val h = hashU32(col(idCol), seed)
+    val w = Window.partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__h", h)
+      .withColumn("shard", pmod(col("__h"), lit(shards)).cast("int"))
+      .withColumn("end_off", sum(tokenCol).over(w))
+      .withColumn("start_off", col("end_off") - tokenCol)
+      .withColumn("first_pack", floor(col("start_off") / ctxLen))
+      .withColumn("last_pack",
+        floor((col("end_off") - 1) / ctxLen))
+      .drop("__h")
+  }
+
   /** Keep at most `k` rows per key group, selected deterministically by
     * `orderBy` (ties broken by every following column). Content-hash
     * ordering (e.g. `md5(text)`) gives a stable pseudo-random pick that

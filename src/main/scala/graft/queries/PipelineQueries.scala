@@ -285,10 +285,14 @@ object PipelineQueries {
         val toks = split(col("text"), " +")
         val nTok = size(toks)
         val ttr = size(array_distinct(toks)).cast("double") / nTok
-        val enHits = size(filter(toks,
-          t => t.isin("the", "a", "and", "of", "fast", "slow")))
+        // arrays_overlap, not size(filter(toks, isin)) > 0: the two are
+        // equivalent, but filter() is an interpreted higher-order function
+        // that would drag this whole filter out of codegen (and interpret
+        // the splits without subexpression elimination)
+        val enHit = arrays_overlap(toks,
+          array(Seq("the", "a", "and", "of", "fast", "slow").map(lit): _*))
         val kept = tbl(s, dir, "documents")
-          .filter(nTok >= 5 && ttr >= 0.3 && enHits > 0)
+          .filter(nTok >= 5 && ttr >= 0.3 && enHit)
         val deduped = graft.ops.Dedup.exact(kept, "doc_id", Seq("text"))
           .drop("n_copies")
         val cands = graft.ops.Dedup.minhashCandidates(deduped, "doc_id", "text")
@@ -344,6 +348,107 @@ object PipelineQueries {
           CAST(SUM(LEN(toks)) AS BIGINT) AS total_tokens
         FROM fin GROUP BY source ORDER BY source"""),
       bench = true),
+
+    // ---- deterministic hash sampling (Sampling.hashSample): Bernoulli
+    // keyed on doc_id via an md5-derived u32 coin — reruns, backfills,
+    // and the oracle engine pick the SAME rows (df.sample() could never
+    // be oracle-checked: its selection depends on Spark's partition-
+    // seeded RNG). rate 0.25 → threshold round(0.25·2^32) = 1073741824.
+    Q("q90_hash_sample",
+      (s, dir) =>
+        graft.ops.Sampling.hashSample(
+            tbl(s, dir, "documents"), col("doc_id"), rate = 0.25, seed = 7L)
+          .select(col("doc_id"), col("source"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, source FROM documents
+        WHERE ('0x' || SUBSTRING(MD5('7:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+          < 1073741824
+        ORDER BY doc_id""")),
+
+    // ---- per-source mixing (Sampling.stratifiedHashSample): the source-
+    // reweighting step of a corpus mix — keep all of src0, half of src1,
+    // 10% of everything else, decided by the same keyed coin per doc.
+    Q("q90b_weighted_mix",
+      (s, dir) =>
+        graft.ops.Sampling.stratifiedHashSample(
+            tbl(s, dir, "documents"), col("source"), col("doc_id"),
+            rates = Map("src0" -> 1.0, "src1" -> 0.5),
+            defaultRate = 0.1, seed = 7L)
+          .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+          .orderBy("source"),
+      Some("""SELECT source, COUNT(*) AS n_docs FROM documents
+        WHERE ('0x' || SUBSTRING(MD5('7:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+          < CASE source WHEN 'src0' THEN 4294967296
+                        WHEN 'src1' THEN 2147483648
+                        ELSE 429496730 END
+        GROUP BY source ORDER BY source""")),
+
+    // ---- concat-and-chop sequence packing (Sampling.packSequences):
+    // each doc's token span in its shard's concatenated stream, and the
+    // ctx-window ids that span covers. Layout is a pure function of
+    // (seed, doc_id) — the oracle reproduces the exact shard order with
+    // the same md5 coin. At 100 TB: one hash shuffle into shards; the
+    // only serial state is a per-shard running sum.
+    Q("q91_pack_sequences",
+      (s, dir) =>
+        graft.ops.Sampling.packSequences(
+            tbl(s, dir, "documents")
+              .select(col("doc_id"), size(split(col("text"), " +")).as("n_tok")),
+            "doc_id", col("n_tok"), ctxLen = 512, shards = 8, seed = 7L)
+          .select(col("doc_id"), col("shard"),
+            col("start_off").cast("long").as("start_off"),
+            col("end_off").cast("long").as("end_off"),
+            col("first_pack").cast("long").as("first_pack"),
+            col("last_pack").cast("long").as("last_pack"))
+          .orderBy("doc_id"),
+      Some("""WITH t AS (
+          SELECT doc_id,
+            LEN(REGEXP_SPLIT_TO_ARRAY(text, ' +')) AS n_tok,
+            ('0x' || SUBSTRING(MD5('7:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+          FROM documents),
+        c AS (
+          SELECT doc_id, CAST(h % 8 AS INTEGER) AS shard, n_tok,
+            CAST(SUM(n_tok) OVER (PARTITION BY h % 8 ORDER BY h, doc_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_off
+          FROM t)
+        SELECT doc_id, shard,
+          end_off - n_tok AS start_off, end_off,
+          (end_off - n_tok) // 512 AS first_pack,
+          (end_off - 1) // 512 AS last_pack
+        FROM c ORDER BY doc_id""")),
+
+    // ---- model-based quality filter: score docs with a FIXED logistic
+    // model over [1, n_tokens, type_token_ratio] (the fixed-β discipline
+    // of q20/q21 — a solver-produced β is engine-specific) and keep docs
+    // the model accepts. The margin x·β is reported instead of the
+    // probability: sign(margin) = (p > 0.5) exactly, with no exp() libm
+    // variance; the native codegen'd ArrayDot folds left like the
+    // oracle's LIST_DOT_PRODUCT, and the margin is rounded BEFORE the
+    // keep test so a boundary ulp cannot flip membership.
+    Q("q92_model_filter",
+      (s, dir) => {
+        val toks = split(col("text"), " +")
+        val feats = tbl(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            array(lit(1.0), size(toks).cast("double"),
+              size(array_distinct(toks)).cast("double") / size(toks))
+              .as("x"))
+        val beta = array(lit(-8.0), lit(0.1), lit(5.0))
+        feats
+          .select(col("doc_id"), col("source"),
+            round(graft.functions.ArrayMath.dot(col("x"), beta), 6).as("margin"))
+          .filter(col("margin") > 0)
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, source, margin FROM (
+          SELECT doc_id, source,
+            ROUND(LIST_DOT_PRODUCT(
+              [1.0, CAST(LEN(toks) AS DOUBLE),
+               CAST(LEN(LIST_DISTINCT(toks)) AS DOUBLE) / LEN(toks)],
+              [-8.0, 0.1, 5.0]), 6) AS margin
+          FROM (SELECT doc_id, source,
+                  REGEXP_SPLIT_TO_ARRAY(text, ' +') AS toks FROM documents))
+        WHERE margin > 0 ORDER BY doc_id""")),
 
     // ---- real audio FEATURE EXTRACTION, golden-oracle form: a WAV whose
     // first half is DC +1000 and second half DC +3000 has a closed-form

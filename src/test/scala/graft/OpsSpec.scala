@@ -581,6 +581,79 @@ class OpsSpec extends AnyFunSuite {
       graft.ops.Sampling.stratifiedCap(docs, Seq("lang"), 0, Seq(col("doc_id"))))
   }
 
+  test("hashSample: deterministic, nested by rate, independent across seeds") {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    def ids(rate: Double, seed: Long) =
+      graft.ops.Sampling.hashSample(docs, col("doc_id"), rate, seed)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s25 = ids(0.25, 7L)
+    assert(s25 == ids(0.25, 7L)) // rerun picks the same rows
+    assert(s25.subsetOf(ids(0.5, 7L))) // thresholds nest: raising the
+    // rate only ADDS rows (same coin, higher cutoff)
+    assert(ids(0.0, 7L).isEmpty)
+    assert(ids(1.0, 7L).size == docs.count())
+    // a different seed is a fresh coin, not a shifted cutoff
+    assert(s25 != ids(0.25, 8L))
+    // selection is a function of the KEY, not partitioning
+    assert(s25 == graft.ops.Sampling.hashSample(
+      docs.repartition(13), col("doc_id"), 0.25, 7L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet)
+    val n = docs.count().toDouble
+    assert(math.abs(s25.size / n - 0.25) < 0.15) // coin is roughly fair
+    intercept[IllegalArgumentException](
+      graft.ops.Sampling.hashSample(docs, col("doc_id"), 1.5))
+  }
+
+  test("stratifiedHashSample: per-stratum rates, default for unlisted") {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val out = graft.ops.Sampling.stratifiedHashSample(
+      docs, col("lang"), col("doc_id"),
+      rates = Map("en" -> 1.0), defaultRate = 0.0, seed = 7L)
+    // rate 1.0 keeps every row of the stratum, 0.0 default drops the rest
+    assert(out.select("lang").distinct().collect().map(_.getString(0)).toSet
+      == Set("en"))
+    assert(out.count() == docs.filter(col("lang") === "en").count())
+    // a listed stratum uses the SAME coin as hashSample — per-stratum
+    // selection equals the global sample restricted to that stratum
+    val mixed = graft.ops.Sampling.stratifiedHashSample(
+      docs, col("lang"), col("doc_id"),
+      rates = Map("en" -> 0.3), defaultRate = 0.3, seed = 7L)
+    val flat = graft.ops.Sampling.hashSample(docs, col("doc_id"), 0.3, 7L)
+    assert(mixed.select("doc_id").collect().map(_.getLong(0)).toSet
+      == flat.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("packSequences: spans tile each shard's stream; chop ids consistent") {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+      .select(col("doc_id"), size(split(col("text"), " +")).as("n_tok"))
+    val packed = graft.ops.Sampling.packSequences(
+      docs, "doc_id", col("n_tok"), ctxLen = 128, shards = 4, seed = 7L)
+    val rows = packed.select("doc_id", "shard", "start_off", "end_off",
+      "first_pack", "last_pack").collect()
+    assert(rows.length == docs.count())
+    // within a shard the spans are disjoint and tile [0, total) exactly
+    rows.groupBy(_.getInt(1)).foreach { case (_, rs) =>
+      val spans = rs.map(r => (r.getLong(2), r.getLong(3))).sortBy(_._1)
+      assert(spans.head._1 == 0L)
+      spans.sliding(2).foreach {
+        case Array((_, e1), (s2, _)) => assert(e1 == s2)
+        case _ => ()
+      }
+    }
+    // pack ids are the chop of the span
+    rows.foreach { r =>
+      assert(r.getLong(4) == r.getLong(2) / 128)
+      assert(r.getLong(5) == (r.getLong(3) - 1) / 128)
+      assert(r.getLong(3) > r.getLong(2)) // every doc here has tokens
+    }
+    // layout is a pure function of (seed, id): partitioning-independent
+    val again = graft.ops.Sampling.packSequences(
+      docs.repartition(17), "doc_id", col("n_tok"), 128, 4, 7L)
+      .select("doc_id", "shard", "start_off").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(again == rows.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet)
+  }
+
   test("ngramContaminated flags shared-3-gram docs, honors the df cap") {
     import spark.implicits._
     val bench = Seq(
