@@ -49,6 +49,15 @@ object Dedup {
     df.join(keepers.select(col(idCol), col("n_copies")), Seq(idCol), "inner")
   }
 
+  /** Case/punctuation/whitespace-insensitive dedup key: lowercase, fold
+    * every non-[a-z0-9 ] char to a space, collapse runs, trim. Real
+    * corpora duplicate up to this jitter (trailing punctuation, smart
+    * quotes, double spaces) — normalize the KEY, keep the original text.
+    * Codegen'd per-row projection; the regexes stay in the character-
+    * class subset where Java's engine and RE2 agree byte-for-byte. */
+  def normalizeForDedup(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+
   /** MinHash near-dup candidate pairs over a text column via banded LSH.
     * Returns (id1, id2) candidates; follow with `jaccardVerify` to filter
     * to true near-dups.

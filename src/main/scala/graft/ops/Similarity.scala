@@ -289,4 +289,34 @@ object Similarity {
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
+
+  /** Per-group mean embedding, fully distributed — the centroid refresh
+    * for IVF cell maintenance, cluster summaries, and per-source
+    * embedding drift monitoring. Unlike [[trainIvfCentroids]] (whose
+    * k·d centroid matrix is driver-held by design), nothing here touches
+    * the driver: posexplode to (group, pos, value), component sums in
+    * exact decimal (order-independent, so the result is deterministic
+    * under any partitioning and bit-identical cross-engine), mean via a
+    * single IEEE division, arrays reassembled in position order.
+    *
+    * 100 TB shape: two key-grouped shuffles of SCALAR components (never
+    * whole vectors); intermediate cardinality is |groups|·dim.
+    * `sumScale` trades digits for headroom: the decimal sum converts to
+    * double exactly while its unscaled value stays under 2^53, i.e.
+    * while the largest group holds < 2^53/10^sumScale ≈ 9·10^8 rows of
+    * |value| ≤ 1 at the default 7; lower `sumScale` for larger groups
+    * (each step of 1 buys 10× the rows at one fewer exact digit). */
+  def groupCentroids(emb: DataFrame, groupCol: Column,
+      vecCol: Column, sumScale: Int = 7): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val e = emb.select(groupCol.as("group"),
+        posexplode(vecCol.cast("array<double>")).as(Seq("pos", "v")))
+    e.groupBy(col("group"), col("pos"))
+      .agg(sum(col("v").cast(DecimalType(38, sumScale))).cast("double").as("s"),
+        count(lit(1)).as("n"))
+      .select(col("group"), col("pos"), (col("s") / col("n")).as("m"))
+      .groupBy(col("group"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x.getField("m")).as("centroid"))
+  }
 }

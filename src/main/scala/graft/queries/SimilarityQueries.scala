@@ -458,6 +458,31 @@ object SimilarityQueries {
             c_id, cos
           FROM scored)
         SELECT q_id, rk, c_id, cos FROM ranked WHERE rk <= 3
-        ORDER BY q_id, rk"""))
+        ORDER BY q_id, rk""")),
+
+    // ---- per-group mean embedding (Similarity.groupCentroids): the
+    // distributed centroid refresh — decimal-exact component sums
+    // (order-independent ⇒ deterministic under any partitioning and
+    // bit-identical cross-engine), ONE IEEE division per component,
+    // arrays reassembled in position order. Exploded back to (label,
+    // pos, m) rows for the compare (the op returns the array form).
+    Q("q93_group_centroids",
+      (s, dir) =>
+        graft.ops.Similarity.groupCentroids(
+            tbl(s, dir, "embeddings"), col("label"), col("embedding"))
+          .select(col("group").as("label"),
+            posexplode(col("centroid")).as(Seq("pos", "m")))
+          .orderBy("label", "pos"),
+      Some("""WITH e AS (
+          SELECT label, CAST(i - 1 AS INTEGER) AS pos,
+            CAST(embedding[i] AS DOUBLE) AS v
+          FROM embeddings, UNNEST(RANGE(1, LEN(embedding) + 1)) AS t(i)),
+        s AS (
+          SELECT label, pos,
+            CAST(SUM(CAST(v AS DECIMAL(38,7))) AS DOUBLE) AS sm,
+            COUNT(*) AS n
+          FROM e GROUP BY label, pos)
+        SELECT label, pos, sm / n AS m FROM s
+        ORDER BY label, pos"""))
   )
 }

@@ -416,7 +416,8 @@ object TextQueries {
         SELECT DISTINCT c.doc_id
         FROM sh c WHERE c.doc_id >= 40
           AND c.sh IN (SELECT sh FROM sh WHERE doc_id < 40)
-        ORDER BY doc_id""")),
+        ORDER BY doc_id"""),
+      bench = true),
 
     // ---- PII redaction (Redact.redactPii): emails / phones / IPv4 →
     // typed placeholders + per-kind counts. Each doc is augmented with
@@ -469,6 +470,30 @@ object TextQueries {
       Some("""SELECT source, lang, COUNT(*) AS n_docs,
           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
           CAST(MAX(LENGTH(text)) AS INTEGER) AS max_len
-        FROM documents GROUP BY source, lang ORDER BY source, lang"""))
+        FROM documents GROUP BY source, lang ORDER BY source, lang""")),
+
+    // ---- normalization-keyed exact dedup (Dedup.normalizeForDedup +
+    // Dedup.exact): real corpora duplicate up to case / punctuation /
+    // whitespace jitter that byte-exact keys miss — normalize first,
+    // then dedup on the normalized key while KEEPING the original text.
+    // The regexes stay in the character-class subset where Java and RE2
+    // agree, so the normalized key is byte-identical cross-engine.
+    Q("q94_normalized_dedup",
+      (s, dir) => {
+        val withKey = tbl(s, dir, "documents")
+          .withColumn("norm_text",
+            graft.ops.Dedup.normalizeForDedup(col("text")))
+        graft.ops.Dedup.exact(withKey, "doc_id", Seq("norm_text"))
+          .select(col("doc_id"), col("n_copies").cast("long").as("n_copies"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH k AS (
+          SELECT doc_id, TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text),
+            '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text
+          FROM documents),
+        keepers AS (
+          SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+          FROM k GROUP BY norm_text)
+        SELECT doc_id, n_copies FROM keepers ORDER BY doc_id"""))
   )
 }

@@ -581,6 +581,58 @@ class OpsSpec extends AnyFunSuite {
       graft.ops.Sampling.stratifiedCap(docs, Seq("lang"), 0, Seq(col("doc_id"))))
   }
 
+  test("normalizeForDedup folds case/punct/whitespace jitter to one key") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "Hello, World!"),
+      (2L, "hello   world"),
+      (3L, "HELLO-WORLD."),
+      (4L, "a genuinely different doc"))
+      .toDF("id", "text")
+      .withColumn("k", Dedup.normalizeForDedup(col("text")))
+    val keys = df.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(keys(1L) == "hello world")
+    assert(keys(1L) == keys(2L) && keys(2L) == keys(3L))
+    assert(keys(4L) != keys(1L))
+    val dd = Dedup.exact(df, "id", Seq("k"))
+    assert(dd.count() == 2) // {1,2,3} collapse, 4 survives
+    assert(dd.filter(col("id") === 1L).head().getAs[Long]("n_copies") == 3L)
+  }
+
+  test("groupCentroids: exact per-group means, partitioning-independent") {
+    import spark.implicits._
+    val df = Seq(
+      (0, Seq(1.0f, 2.0f)), (0, Seq(3.0f, 6.0f)),
+      (1, Seq(-1.0f, 0.5f)))
+      .toDF("label", "embedding")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.ops.Similarity.groupCentroids(d, col("label"), col("embedding"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    val m = run(df)
+    assert(m(0) == Seq(2.0, 4.0)) // exact: decimal sums, one division
+    assert(m(1) == Seq(-1.0, 0.5))
+    assert(run(df.repartition(7)) == m) // order-independent sums
+    // real embeddings: centroid of each label matches a driver-side fold
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val got = graft.ops.Similarity.groupCentroids(
+      emb, col("label"), col("embedding"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    val rows = emb.select(col("label"),
+      col("embedding").cast("array<double>")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1))
+    val want = rows.groupBy(_._1).map { case (l, vs) =>
+      val dim = vs.head._2.length
+      l -> (0 until dim).map { i =>
+        val s = vs.map(v => BigDecimal(v._2(i)).setScale(7,
+          BigDecimal.RoundingMode.HALF_UP)).sum
+        s.toDouble / vs.length
+      }
+    }
+    want.foreach { case (l, c) =>
+      c.zip(got(l)).foreach { case (w, g) => assert(math.abs(w - g) < 1e-12) }
+    }
+  }
+
   test("hashSample: deterministic, nested by rate, independent across seeds") {
     val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
     def ids(rate: Double, seed: Long) =

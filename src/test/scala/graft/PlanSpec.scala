@@ -87,6 +87,45 @@ class PlanSpec extends AnyFunSuite {
       df.queryExecution.executedPlan.toString)
   }
 
+  test("hashSample is a scan-stage filter: zero exchanges, pruned scan") {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    import org.apache.spark.sql.functions.col
+    val df = graft.ops.Sampling.hashSample(docs, col("doc_id"), 0.25, 7L)
+      .select("doc_id")
+    df.collect()
+    assert(countShuffles(df.queryExecution.executedPlan) == 0,
+      df.queryExecution.executedPlan.toString)
+    val fmt = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(fmt.contains("ReadSchema: struct<doc_id:bigint>"), fmt)
+  }
+
+  test("packSequences plan is ONE hash exchange + per-shard window") {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    import org.apache.spark.sql.functions.{col, size, split}
+    val df = graft.ops.Sampling.packSequences(
+      docs.select(col("doc_id"), size(split(col("text"), " +")).as("n_tok")),
+      "doc_id", col("n_tok"), ctxLen = 128, shards = 4, seed = 7L)
+    df.collect()
+    // one shuffle on shard; the running sum must NOT add a global sort
+    assert(countShuffles(df.queryExecution.executedPlan) == 1,
+      df.queryExecution.executedPlan.toString)
+  }
+
+  test("groupCentroids shuffles scalar components only (two exchanges)") {
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    import org.apache.spark.sql.functions.col
+    val df = graft.ops.Similarity.groupCentroids(
+      emb, col("label"), col("embedding"))
+    df.collect()
+    // (group, pos) partial-agg exchange + group reassembly exchange;
+    // anything more means vectors are being reshuffled
+    assert(countShuffles(df.queryExecution.executedPlan) <= 2,
+      df.queryExecution.executedPlan.toString)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial"), plan) // map-side combine present
+  }
+
   test("q44 minhash_sig stays inside whole-stage codegen (no fallback)") {
     graft.functions.TextHashFunctions.register(spark)
     val df = Queries.byName("q44_minhash").spark(spark, TestSpark.sf0001)
