@@ -1,0 +1,108 @@
+package graft
+
+import graft.ops.Sampling
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+/** Property suite for the deterministic sampling/packing operators: the
+  * md5-u32 coin is pinned to a driver-side reimplementation (so the
+  * Spark expression can never drift from the documented formula), and
+  * the set-level invariants — rate nesting, stratified≡flat degeneracy,
+  * threshold exactness, pack-span tiling — are checked over generated
+  * rates, seeds, and corpora. The coin column is collected ONCE per
+  * seed; rate properties are then pure set algebra (no Spark job per
+  * case). */
+object SamplingPropsSpec extends Properties("Sampling") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(12)
+
+  private lazy val spark = TestSpark.spark
+
+  /** Driver-side twin of Sampling.hashU32: first 8 hex chars of
+    * md5("<seed>:<key>") as an unsigned 32-bit value. */
+  private def coinLocal(key: String, seed: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$seed:$key".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 8), 16)
+  }
+
+  private def coins(seed: Long): Map[Long, Long] = {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    docs.select(col("doc_id"), Sampling.hashU32(col("doc_id"), seed).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+  private lazy val coin7 = coins(7L)
+
+  property("hashU32 equals the driver-side md5 formula for any seed") =
+    forAll(Gen.choose(-1000L, 1000L)) { seed =>
+      val got = coins(seed)
+      got.forall { case (id, h) => h == coinLocal(id.toString, seed) }
+    }
+
+  property("rate nesting: every kept key at r1 is kept at r2 >= r1") =
+    forAll(Gen.choose(0.0, 1.0), Gen.choose(0.0, 1.0)) { (a, b) =>
+      val (r1, r2) = (math.min(a, b), math.max(a, b))
+      def kept(r: Double) =
+        coin7.filter(_._2 < math.round(r * 4294967296.0)).keySet
+      kept(r1).subsetOf(kept(r2))
+    }
+
+  property("threshold exactness: kept iff coin < round(rate*2^32)") =
+    forAll(Gen.choose(0.0, 1.0)) { rate =>
+      val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+      val got = Sampling.hashSample(docs, col("doc_id"), rate, 7L)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val thr = math.round(rate * 4294967296.0)
+      got == coin7.filter(_._2 < thr).keySet
+    }
+
+  property("stratified at uniform rates degenerates to the flat sample") =
+    forAll(Gen.choose(0.0, 1.0)) { rate =>
+      val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+      val strat = Sampling.stratifiedHashSample(docs, col("lang"),
+        col("doc_id"), rates = Map("en" -> rate, "fr" -> rate),
+        defaultRate = rate, seed = 7L)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val thr = math.round(rate * 4294967296.0)
+      strat == coin7.filter(_._2 < thr).keySet
+    }
+
+  private case class Corpus(toks: Seq[(Long, Int)], ctxLen: Int, shards: Int)
+  private val corpusGen: Gen[Corpus] = for {
+    n <- Gen.choose(1, 40)
+    toks <- Gen.listOfN(n, Gen.choose(1, 300))
+    ctxLen <- Gen.choose(16, 512)
+    shards <- Gen.choose(1, 6)
+  } yield Corpus(toks.zipWithIndex.map { case (t, i) => (i.toLong, t) },
+    ctxLen, shards)
+
+  property("packSequences matches a serial driver-side layout") =
+    forAll(corpusGen) { c =>
+      import spark.implicits._
+      val df = c.toks.toDF("doc_id", "n_tok")
+      val got = Sampling.packSequences(df, "doc_id", col("n_tok"),
+          c.ctxLen, c.shards, seed = 7L)
+        .select("doc_id", "shard", "start_off", "end_off",
+          "first_pack", "last_pack")
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+        .toMap
+      // serial reference: shard by coin, order by (coin, id), run the sum
+      val want = c.toks
+        .map { case (id, t) => (id, t, coinLocal(id.toString, 7L)) }
+        .groupBy { case (id, _, h) => (h % c.shards).toInt }
+        .flatMap { case (shard, rows) =>
+          var off = 0L
+          rows.sortBy { case (id, _, h) => (h, id) }.map { case (id, t, _) =>
+            val start = off; off += t
+            id -> ((shard, start, off,
+              start / c.ctxLen, (off - 1) / c.ctxLen))
+          }
+        }
+      got == want
+    }
+}
