@@ -1,6 +1,6 @@
 package graft.examples
 
-import graft.ops.{Dedup, Multimodal, Redact, Similarity}
+import graft.ops.{Dedup, Multimodal, Redact, Sampling, Similarity}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -74,6 +74,23 @@ object CurationPipeline {
       .join(leaked, Seq("doc_id"), "left_anti")
       .withColumn("text", Redact.redactPii(col("text")))
     println(s"[curate] decontaminate: ${leaked.count()} leaked -> ${clean.count()} clean redacted docs")
+
+    // 4c. corpus assembly: reweight sources (keep all of src0, half of
+    // src1, 30% of the rest), then lay the mix out as 4 packed token
+    // streams — every selection keyed on doc_id so a rerun ships
+    // byte-identical shards
+    val mixed = Sampling.stratifiedHashSample(clean, col("source"),
+      col("doc_id"), rates = Map("src0" -> 1.0, "src1" -> 0.5),
+      defaultRate = 0.3, seed = 7L)
+    val packed = Sampling.packSequences(
+      mixed.withColumn("n_tok", size(split(col("text"), " +"))),
+      "doc_id", col("n_tok"), ctxLen = 512, shards = 4, seed = 7L)
+    val packStats = packed.agg(
+      count(lit(1)).as("docs"), sum(col("n_tok")).as("tokens"),
+      (max(col("last_pack")) + 1).as("max_packs_per_shard")).head()
+    println(s"[assemble] mix -> ${packStats.getLong(0)} docs, " +
+      s"${packStats.getLong(1)} tokens into 4 shards " +
+      s"(<=${packStats.getLong(2)} ctx-512 packs/shard)")
 
     // 5. similarity: exact baseline vs multi-table LSH vs IVF (persisted)
     val queries = emb.filter(col("vec_id") < 5)
