@@ -210,6 +210,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("hashSample on a stream: stateless filter, batch-identical pick") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // the keyed coin is a pure per-row function: the SAME operator runs
+    // on a stream with no state, no watermark, no output-mode caveats —
+    // and picks exactly the rows its batch twin picks, regardless of
+    // how the stream is micro-batched
+    val input = MemoryStream[Long]
+    val stream = graft.ops.Sampling.hashSample(
+      input.toDF().toDF("doc_id"), col("doc_id"), 0.25, 7L)
+    val q = stream.writeStream.outputMode("append").format("memory")
+      .queryName("sample_out").start()
+    try {
+      input.addData(0L to 99L: _*)
+      q.processAllAvailable()
+      input.addData(100L to 199L: _*) // second micro-batch
+      q.processAllAvailable()
+      val got = spark.table("sample_out").collect().map(_.getLong(0)).toSet
+      val want = graft.ops.Sampling.hashSample(
+        (0L to 199L).toDF("doc_id"), col("doc_id"), 0.25, 7L)
+        .collect().map(_.getLong(0)).toSet
+      assert(got == want)
+      assert(got.nonEmpty && got.size < 200)
+    } finally q.stop()
+  }
+
   test("file-source stream with checkpoint + AvailableNow trigger matches q60 batch twin") {
     val dir = TestSpark.sf0001
     val batch = EventStream.tumblingCounts(Queries.eventsTbl(spark, dir))
