@@ -335,8 +335,16 @@ object Dedup {
     // caller receives); `labels` is its lineage-truncated twin that the
     // next round builds on. Truncation is lazy (toRdd + LogicalRDD — no
     // job), and the truncated frame reads through the still-live cache.
-    var labelsCache = edgesCache.select(col("a").as("node")).distinct()
-      .withColumn("cluster", col("node"))
+    // Seed each node with min(self, neighbors) instead of self: the same
+    // single init shuffle (a groupBy replaces the distinct), but round 1
+    // of propagation comes free — star-shaped clusters (the dominant
+    // near-dup shape) converge one round earlier. Any seed drawn from the
+    // node's reachable set preserves the fixpoint (min over the
+    // reachable component) and the monotone non-increase the sum probe
+    // relies on.
+    var labelsCache = edgesCache
+      .groupBy(col("a").as("node"))
+      .agg(least(col("a"), min(col("b"))).as("cluster"))
       .persist(MEMORY_AND_DISK)
     var prevSum = labelSum(labelsCache)
     // edges' plan embeds the caller's whole candidate pipeline; truncate
