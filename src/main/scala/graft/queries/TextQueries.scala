@@ -494,6 +494,32 @@ object TextQueries {
         keepers AS (
           SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
           FROM k GROUP BY norm_text)
-        SELECT doc_id, n_copies FROM keepers ORDER BY doc_id"""))
+        SELECT doc_id, n_copies FROM keepers ORDER BY doc_id""")),
+
+    // ---- document chunking (Chunking.chunkTokens): overlapping token
+    // windows per doc — the corpus→embedding-table step (one vector per
+    // CHUNK). chunkSize 32, overlap 8 → stride 24; the last chunk may be
+    // short and every doc emits at least one. Pure per-row fan-out, no
+    // shuffle; integer window arithmetic → exact oracle.
+    Q("q95_chunk_tokens",
+      (s, dir) =>
+        graft.ops.Chunking.chunkTokens(
+            tbl(s, dir, "documents").filter(col("doc_id") < 50),
+            "doc_id", "text", chunkSize = 32, overlap = 8)
+          .orderBy("doc_id", "chunk_id"),
+      Some("""WITH t AS (
+          SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(text, ' +') AS toks
+          FROM documents WHERE doc_id < 50),
+        c AS (
+          SELECT doc_id, LEN(toks) AS n, toks,
+            CASE WHEN LEN(toks) <= 32 THEN 1
+                 ELSE 1 + (LEN(toks) - 32 + 23) // 24 END AS n_chunks
+          FROM t)
+        SELECT doc_id, CAST(n_chunks AS INTEGER) AS n_chunks,
+          CAST(k AS INTEGER) AS chunk_id,
+          ARRAY_TO_STRING(toks[k*24+1 : k*24+32], ' ') AS chunk_text,
+          CAST(LEAST(n - k*24, 32) AS INTEGER) AS chunk_tokens
+        FROM c, UNNEST(RANGE(0, n_chunks)) AS u(k)
+        ORDER BY doc_id, chunk_id"""))
   )
 }

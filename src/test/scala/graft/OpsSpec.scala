@@ -581,6 +581,38 @@ class OpsSpec extends AnyFunSuite {
       graft.ops.Sampling.stratifiedCap(docs, Seq("lang"), 0, Seq(col("doc_id"))))
   }
 
+  test("chunkTokens: overlapping windows cover every token, bounds hold") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, (1 to 100).map(i => s"t$i").mkString(" ")), // 100 toks
+      (2L, "a b c"),                                    // shorter than chunk
+      (3L, (1 to 32).map(i => s"x$i").mkString(" ")))   // exactly one chunk
+      .toDF("doc_id", "text")
+    val out = graft.ops.Chunking.chunkTokens(df, "doc_id", "text",
+      chunkSize = 32, overlap = 8).collect()
+    val byDoc = out.groupBy(_.getLong(0))
+    // doc 1: stride 24 → starts 0,24,48,72 → 4 chunks; last has 28 toks
+    assert(byDoc(1L).length == 4 && byDoc(1L).head.getInt(1) == 4)
+    val d1 = byDoc(1L).sortBy(_.getInt(2))
+    assert(d1.map(_.getInt(4)).toSeq == Seq(32, 32, 32, 28))
+    // consecutive chunks overlap by exactly 8 tokens
+    d1.sliding(2).foreach { case Array(a, b) =>
+      val ta = a.getString(3).split(" "); val tb = b.getString(3).split(" ")
+      assert(ta.takeRight(8).sameElements(tb.take(8)))
+    case _ => () }
+    // every token appears in order when overlaps are dropped
+    val rebuilt = d1.zipWithIndex.flatMap { case (r, i) =>
+      val ts = r.getString(3).split(" ")
+      if (i == 0) ts else ts.drop(8)
+    }
+    assert(rebuilt.toSeq == (1 to 100).map(i => s"t$i"))
+    // short docs emit one (short) chunk; exact-size docs exactly one
+    assert(byDoc(2L).length == 1 && byDoc(2L).head.getInt(4) == 3)
+    assert(byDoc(3L).length == 1 && byDoc(3L).head.getInt(4) == 32)
+    intercept[IllegalArgumentException](
+      graft.ops.Chunking.chunkTokens(df, "doc_id", "text", 8, 8))
+  }
+
   test("normalizeForDedup folds case/punct/whitespace jitter to one key") {
     import spark.implicits._
     val df = Seq(
