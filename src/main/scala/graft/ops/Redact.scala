@@ -39,6 +39,21 @@ object Redact {
         PhoneRe, "<PHONE>"),
       Ipv4Re, "<IP>")
 
+  /** C0/C1 control characters (minus \t \n \r) plus DEL — the bytes that
+    * corrupt downstream tokenizers and TSV/JSONL serialization. */
+  val ControlRe = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+
+  /** Text hygiene for ingestion: strip control characters, normalize
+    * \t \r \n to spaces, collapse runs, trim — the standard cleanup
+    * between a raw scrape and tokenization. Same Java/RE2-agreeing
+    * regex subset and per-row codegen'd shape as [[redactPii]]. */
+  def cleanText(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(c, ControlRe, ""),
+        "[\\t\\r\\n]", " "),
+      "  +", " "))
+
   /** Per-kind match counts over the ORIGINAL text (what redactPii will
     * replace), as integer columns for exact cross-engine comparison. */
   def piiCounts(c: Column): (Column, Column, Column) = (

@@ -520,6 +520,36 @@ object TextQueries {
           ARRAY_TO_STRING(toks[k*24+1 : k*24+32], ' ') AS chunk_text,
           CAST(LEAST(n - k*24, 32) AS INTEGER) AS chunk_tokens
         FROM c, UNNEST(RANGE(0, n_chunks)) AS u(k)
-        ORDER BY doc_id, chunk_id"""))
+        ORDER BY doc_id, chunk_id""")),
+
+    // ---- ingestion text hygiene (Redact.cleanText): strip C0/C1
+    // controls + DEL, fold tab/CR/LF to spaces, collapse runs, trim.
+    // Each doc is augmented with deterministic doc_id-derived control
+    // bytes (the q89 pattern) so every row exercises the cleanup; the
+    // md5 of the cleaned text proves byte-identical semantics
+    // cross-engine.
+    Q("q96_clean_text",
+      (s, dir) =>
+        tbl(s, dir, "documents")
+          .withColumn("aug", concat(col("text"), lit(" bad"),
+            expr("chr(1 + doc_id % 8)"), lit("mid"), expr("chr(127)"),
+            lit("\ttail\r\n"), expr("chr(11)")))
+          .select(col("doc_id"),
+            md5(graft.ops.Redact.cleanText(col("aug"))).as("clean_md5"),
+            length(graft.ops.Redact.cleanText(col("aug")))
+              .cast("int").as("clean_len"))
+          .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, MD5(clean) AS clean_md5,
+          CAST(LENGTH(clean) AS INTEGER) AS clean_len
+        FROM (
+          SELECT doc_id, TRIM(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(
+            text || ' bad' || CHR(CAST(1 + doc_id % 8 AS INTEGER)) ||
+              'mid' || CHR(127) || CHR(9) || 'tail' || CHR(13) || CHR(10) ||
+              CHR(11),
+            '${graft.ops.Redact.ControlRe}', '', 'g'),
+            '[\t\r\n]', ' ', 'g'),
+            '  +', ' ', 'g')) AS clean
+          FROM documents)
+        ORDER BY doc_id"""))
   )
 }

@@ -581,6 +581,19 @@ class OpsSpec extends AnyFunSuite {
       graft.ops.Sampling.stratifiedCap(docs, Seq("lang"), 0, Seq(col("doc_id"))))
   }
 
+  test("cleanText strips controls, folds whitespace, keeps content") {
+    import spark.implicits._
+    val dirty = "a\u0001b\u0000c\u007f d\te\r\nf  g \u000b "
+    val out = Seq((1L, dirty), (2L, "already clean"), (3L, ""))
+      .toDF("id", "text")
+      .select(col("id"), graft.ops.Redact.cleanText(col("text")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "abc d e f g") // controls deleted, \t\r\n → space,
+    // runs collapsed, trimmed
+    assert(out(2L) == "already clean")
+    assert(out(3L) == "")
+  }
+
   test("chunkTokens: overlapping windows cover every token, bounds hold") {
     import spark.implicits._
     val df = Seq(
