@@ -1,6 +1,6 @@
 package graft.examples
 
-import graft.ops.{Dedup, Multimodal, Redact, Sampling, Similarity}
+import graft.ops.{Chunking, Dedup, Multimodal, Redact, Sampling, Similarity}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -27,11 +27,13 @@ object CurationPipeline {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
 
-    // 1. quality gate: min length + type-token ratio
+    // 1. hygiene + quality gate: strip control bytes / fold whitespace,
+    // then min length + type-token ratio
+    val cleaned = docs.withColumn("text", Redact.cleanText(col("text")))
     val toks = split(col("text"), " +")
-    val kept = docs.filter(size(toks) >= 5 &&
+    val kept = cleaned.filter(size(toks) >= 5 &&
       size(array_distinct(toks)).cast("double") / size(toks) >= 0.3)
-    println(s"[curate] quality gate: ${docs.count()} -> ${kept.count()} docs")
+    println(s"[curate] hygiene + quality gate: ${docs.count()} -> ${kept.count()} docs")
 
     // 2. exact dedup (min-doc_id keeper per identical text). Persist the
     // survivor set: three downstream consumers (candidate generation,
@@ -91,6 +93,13 @@ object CurationPipeline {
     println(s"[assemble] mix -> ${packStats.getLong(0)} docs, " +
       s"${packStats.getLong(1)} tokens into 4 shards " +
       s"(<=${packStats.getLong(2)} ctx-512 packs/shard)")
+
+    // 4d. retrieval prep: overlapping token chunks (one embedding per
+    // CHUNK downstream, not per doc)
+    val chunks = Chunking.chunkTokens(mixed, "doc_id", "text",
+      chunkSize = 32, overlap = 8)
+    println(s"[assemble] chunking: ${chunks.count()} ctx-32 chunks " +
+      s"from ${packStats.getLong(0)} docs")
 
     // 5. similarity: exact baseline vs multi-table LSH vs IVF (persisted)
     val queries = emb.filter(col("vec_id") < 5)
