@@ -41,12 +41,37 @@ object Dedup {
     * conflate a genuine value equal to the sentinel with NULL and drop
     * a non-duplicate row). */
   def exact(df: DataFrame, idCol: String, cols: Seq[String]): DataFrame = {
-    val key = md5(concat(cols.flatMap(c => Seq(
-      when(col(c).isNull, lit("0")).otherwise(lit("1")),
-      md5(coalesce(col(c).cast("string"), lit(""))))): _*))
-    val keepers = df.groupBy(key.as("__dupkey"))
+    val keepers = df.groupBy(dupKey(cols).as("__dupkey"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
     df.join(keepers.select(col(idCol), col("n_copies")), Seq(idCol), "inner")
+  }
+
+  /** The collision-free multi-column key [[exact]] documents: a
+    * fixed-width (null-flag, md5) token per column, md5'd together. */
+  private def dupKey(cols: Seq[String]): Column =
+    md5(concat(cols.flatMap(c => Seq(
+      when(col(c).isNull, lit("0")).otherwise(lit("1")),
+      md5(coalesce(col(c).cast("string"), lit(""))))): _*))
+
+  /** EXACT incremental match: ids of `newDf` rows whose key columns
+    * equal those of ANY reference row (NULLs match NULLs, per the
+    * [[exact]] key encoding) — the daily-ingest twin of [[exact]], and
+    * the blocking-key step of record linkage when `cols` is a coarse
+    * key. A left-semi join on the md5 key: only keys shuffle, never
+    * payloads.
+    *
+    * 100 TB shape: Spark's runtime bloom-filter optimization (on by
+    * default, `spark.sql.optimizer.runtime.bloomFilter.*`) builds a
+    * bloom filter over the reference keys and pushes it into the new
+    * batch's scan, so the shuffle carries roughly the matching fraction
+    * instead of the whole batch — PlanSpec pins that the semi-join
+    * shape stays eligible for the injection. */
+  def exactMatchesAgainst(newDf: DataFrame, refDf: DataFrame,
+      idCol: String, cols: Seq[String]): DataFrame = {
+    val k = dupKey(cols)
+    newDf.select(col(idCol), k.as("__k"))
+      .join(refDf.select(k.as("__k")), Seq("__k"), "left_semi")
+      .select(col(idCol))
   }
 
   /** Case/punctuation/whitespace-insensitive dedup key: lowercase, fold

@@ -450,6 +450,28 @@ object PipelineQueries {
                   REGEXP_SPLIT_TO_ARRAY(text, ' +') AS toks FROM documents))
         WHERE margin > 0 ORDER BY doc_id""")),
 
+    // ---- exact incremental match (Dedup.exactMatchesAgainst): new-batch
+    // docs whose BLOCKING KEY (lang, n_chars — the record-linkage
+    // coarse-key pattern) matches any reference doc; NULLs match NULLs
+    // per the exact-dedup key encoding. Left-semi on md5 keys only; at
+    // scale Spark's runtime bloom filter pushes the reference keys into
+    // the new batch's scan (plan-gated in PlanSpec).
+    Q("q97_exact_incremental",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        graft.ops.Dedup.exactMatchesAgainst(
+            docs.filter(col("doc_id") >= 100),
+            docs.filter(col("doc_id") < 100),
+            "doc_id", Seq("lang", "n_chars"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id FROM documents a
+        WHERE doc_id >= 100 AND EXISTS (
+          SELECT 1 FROM documents b WHERE b.doc_id < 100
+            AND b.lang IS NOT DISTINCT FROM a.lang
+            AND b.n_chars IS NOT DISTINCT FROM a.n_chars)
+        ORDER BY doc_id""")),
+
     // ---- real audio FEATURE EXTRACTION, golden-oracle form: a WAV whose
     // first half is DC +1000 and second half DC +3000 has a closed-form
     // 2-window energy envelope [1000, 3000]; the ± square has constant

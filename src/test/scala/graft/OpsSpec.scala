@@ -581,6 +581,21 @@ class OpsSpec extends AnyFunSuite {
       graft.ops.Sampling.stratifiedCap(docs, Seq("lang"), 0, Seq(col("doc_id"))))
   }
 
+  test("exactMatchesAgainst: keyed membership, NULLs match NULLs") {
+    import spark.implicits._
+    val ref = Seq((1L, Some("en"), Some(10L)), (2L, None, Some(20L)))
+      .toDF("id", "lang", "n")
+    val fresh = Seq(
+      (10L, Some("en"), Some(10L)), // matches ref 1
+      (11L, Some("en"), Some(99L)), // no match (different n)
+      (12L, None, Some(20L)),       // NULL lang matches ref 2's NULL
+      (13L, None, Some(21L)))       // NULL lang, wrong n
+      .toDF("id", "lang", "n")
+    val got = Dedup.exactMatchesAgainst(fresh, ref, "id", Seq("lang", "n"))
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(10L, 12L), got.toString)
+  }
+
   test("cleanText strips controls, folds whitespace, keeps content") {
     import spark.implicits._
     val dirty = "a\u0001b\u0000c\u007f d\te\r\nf  g \u000b "

@@ -87,6 +87,34 @@ class PlanSpec extends AnyFunSuite {
       df.queryExecution.executedPlan.toString)
   }
 
+  test("exactMatchesAgainst: semi-join eligible for runtime bloom filter") {
+    import org.apache.spark.sql.functions.col
+    // with thresholds opened, Spark's InjectRuntimeFilter must push a
+    // bloom of the reference keys into the new batch's side — the 100 TB
+    // shape where the shuffle carries ~the matching fraction, not the
+    // whole batch. Broadcast disabled so the semi-join is the shuffled
+    // form the optimization targets.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+      val df = graft.ops.Dedup.exactMatchesAgainst(
+        docs.filter(col("doc_id") >= 100),
+        docs.filter(col("doc_id") < 100 && col("lang") === "en"),
+        "doc_id", Seq("lang", "n_chars"))
+      df.collect()
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain") || opt.contains("bloom"), opt)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("hashSample is a scan-stage filter: zero exchanges, pruned scan") {
     val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
     import org.apache.spark.sql.functions.col
