@@ -110,8 +110,12 @@ object CurationPipeline {
     val centDir = java.nio.file.Files.createTempDirectory("ivf_index").toString
     Similarity.saveCentroids(spark,
       Similarity.trainIvfCentroids(corpus, "embedding", kCells = 4, iters = 3), centDir)
+    // index maintenance: one distributed Lloyd step refreshes the saved
+    // centroids against the (drifted) corpus without retraining
+    val refreshed = Similarity.refineCentroids(corpus, "embedding",
+      Similarity.loadCentroids(spark, centDir))
     val ivfNN = Similarity.ivfTopK(corpus, queries, "vec_id", "embedding",
-      Similarity.loadCentroids(spark, centDir), k = 3, nprobe = 2)
+      refreshed, k = 3, nprobe = 2)
     println(s"[ann] exact=${exactNN.count()} lsh=${lshNN.count()} ivf=${ivfNN.count()} rows")
 
     // 6. multimodal: payload plumbing + real image/audio decode attempts

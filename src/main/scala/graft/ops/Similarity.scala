@@ -290,6 +290,29 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
+  /** One Lloyd refinement step over an existing centroid table, in the
+    * DataFrame plane: assign each corpus vector to its nearest cell
+    * ([[ivfCell]] — the codegen'd literal-table argmin), then recompute
+    * each cell's mean via [[groupCentroids]] (decimal-exact sums, no
+    * driver aggregation beyond collecting the k·d result). Cells that
+    * captured no vectors keep their old centroid — same rule as
+    * [[trainIvfCentroids]]. The maintenance path for a long-lived IVF
+    * index: cheaper than retraining (`treeAggregate` from scratch) when
+    * the corpus drifts incrementally, and usable at any cadence because
+    * each call is a single pass. */
+  def refineCentroids(corpus: DataFrame, vecCol: String,
+      centroids: Array[Array[Double]]): Array[Array[Double]] = {
+    require(centroids.nonEmpty, "empty centroid table")
+    val assigned = corpus.select(
+      ivfCell(col(vecCol), centroids).as("__cell"),
+      col(vecCol).cast("array<double>").as("__v"))
+    val means = groupCentroids(assigned, col("__cell"), col("__v"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .toMap
+    centroids.indices.map(c => means.getOrElse(c, centroids(c))).toArray
+  }
+
   /** Per-group mean embedding, fully distributed — the centroid refresh
     * for IVF cell maintenance, cluster summaries, and per-source
     * embedding drift monitoring. Unlike [[trainIvfCentroids]] (whose

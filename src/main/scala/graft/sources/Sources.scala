@@ -88,4 +88,25 @@ object Sources {
 
   def readTable(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
+
+  /** Sharded training-corpus sink: one parquet directory per shard
+    * (`shard=N/`), each shard's rows laid down in its deterministic
+    * stream order — the materialization of `Sampling.packSequences`,
+    * so a downstream token-stream reader consumes each shard
+    * sequentially and a rerun ships byte-identical shards.
+    *
+    * `repartition(shardCol)` + `sortWithinPartitions` + `partitionBy`:
+    * one hash shuffle co-locates each shard, the in-partition sort
+    * orders rows by the pack offsets, and the dynamic partition write
+    * emits exactly one directory per shard. At 100 TB shards are
+    * thousands of directories each written by one task — no global
+    * sort, no driver state. */
+  def writeShards(df: DataFrame, path: String, shardCol: String,
+      orderCols: Seq[String], mode: String = "overwrite"): Unit = {
+    require(orderCols.nonEmpty, "orderCols must be non-empty (determinism)")
+    import org.apache.spark.sql.functions.col
+    df.repartition(col(shardCol))
+      .sortWithinPartitions((shardCol +: orderCols).map(col): _*)
+      .write.mode(mode).partitionBy(shardCol).parquet(path)
+  }
 }

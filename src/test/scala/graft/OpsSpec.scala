@@ -581,6 +581,32 @@ class OpsSpec extends AnyFunSuite {
       graft.ops.Sampling.stratifiedCap(docs, Seq("lang"), 0, Seq(col("doc_id"))))
   }
 
+  test("refineCentroids: Lloyd step never increases SSE, keeps empty cells") {
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val c0 = Similarity.trainIvfCentroids(emb, "embedding", kCells = 4, iters = 1)
+    lazy val rows = emb.select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    def sse(cs: Array[Array[Double]]): Double = {
+      rows.map { v =>
+        cs.map { c =>
+          var s = 0.0; var i = 0
+          while (i < v.length) { val t = v(i) - c(i); s += t * t; i += 1 }
+          s
+        }.min
+      }.sum / rows.length
+    }
+    val c1 = Similarity.refineCentroids(emb, "embedding", c0)
+    val c2 = Similarity.refineCentroids(emb, "embedding", c1)
+    // assignment + mean both minimize SSE; decimal rounding gets an ulp
+    assert(sse(c1) <= sse(c0) + 1e-9, s"${sse(c0)} -> ${sse(c1)}")
+    assert(sse(c2) <= sse(c1) + 1e-9, s"${sse(c1)} -> ${sse(c2)}")
+    // a cell no vector chooses keeps its previous centroid
+    val far = c1 :+ Array.fill(c1(0).length)(1e9)
+    val refined = Similarity.refineCentroids(emb, "embedding", far)
+    assert(refined.length == far.length)
+    assert(refined.last.sameElements(far.last))
+  }
+
   test("exactMatchesAgainst: keyed membership, NULLs match NULLs") {
     import spark.implicits._
     val ref = Seq((1L, Some("en"), Some(10L)), (2L, None, Some(20L)))

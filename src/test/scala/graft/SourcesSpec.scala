@@ -91,6 +91,44 @@ class SourcesSpec extends AnyFunSuite {
     assert(acc > 0.5, s"acc=$acc")
   }
 
+  test("writeShards: one dir per shard, on-disk order = pack stream order") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+      .select(col("doc_id"), size(split(col("text"), " +")).as("n_tok"))
+    val packed = graft.ops.Sampling.packSequences(
+      docs, "doc_id", col("n_tok"), ctxLen = 512, shards = 4, seed = 7L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    graft.sources.Sources.writeShards(
+      packed.select("doc_id", "shard", "start_off", "end_off"),
+      dir, "shard", Seq("start_off"))
+    val shardDirs = new java.io.File(dir).listFiles
+      .filter(_.getName.startsWith("shard=")).sortBy(_.getName)
+    assert(shardDirs.length == 4, shardDirs.map(_.getName).mkString(","))
+    // within each shard the rows sit in stream order on disk, tiling the
+    // token stream exactly as packSequences laid it out
+    for (sd <- shardDirs) {
+      val rows = spark.read.parquet(sd.toString)
+        .select("doc_id", "start_off", "end_off").collect()
+      val offs = rows.map(_.getLong(1))
+      assert(offs.sameElements(offs.sorted), sd.getName)
+      assert(rows.head.getLong(1) == 0L)
+      rows.sliding(2).foreach {
+        case Array(a, b) => assert(a.getLong(2) == b.getLong(1), sd.getName)
+        case _ => ()
+      }
+    }
+    // a rerun reproduces the identical per-shard row sequence
+    val again = java.nio.file.Files.createTempDirectory("graft_shards2").toString
+    graft.sources.Sources.writeShards(
+      packed.select("doc_id", "shard", "start_off", "end_off"),
+      again, "shard", Seq("start_off"))
+    for (sd <- shardDirs) {
+      val a = spark.read.parquet(sd.toString).select("doc_id").collect().map(_.getLong(0)).toSeq
+      val b = spark.read.parquet(s"$again/${sd.getName}").select("doc_id").collect().map(_.getLong(0)).toSeq
+      assert(a == b, sd.getName)
+    }
+  }
+
   test("bucketed tables co-locate the join: ZERO exchange in the plan") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
