@@ -290,6 +290,137 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
+  /** Product-quantization codes: the vector is split into `m` equal
+    * subvectors and each is replaced by the id of its nearest codeword in
+    * that subspace's codebook — `m` small ints instead of `dim` doubles
+    * (64-dim float → 4 bytes at m=4/ksub≤256, a 64× compression). The
+    * memory-resident-index shape for 100 TB ANN: the codes table fits in
+    * RAM where the raw vectors never would. `codebooks(s)(c)` is codeword
+    * `c` of subspace `s`; all codebooks ship as literals so encoding is
+    * one codegen'd projection (same argmin/round/tie rules as
+    * [[ivfCell]]: round before the argmin so a last-ulp wobble cannot
+    * flip a code, ties to the lowest code id). */
+  def pqCodes(vecCol: Column, codebooks: Array[Array[Array[Double]]],
+      roundDp: Int = -1): Column = {
+    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty), "empty codebooks")
+    val dsub = codebooks(0)(0).length
+    val v = vecCol.cast("array<double>")
+    val codes = codebooks.indices.map { s =>
+      val sv = slice(v, s * dsub + 1, dsub)
+      val dists = codebooks(s).zipWithIndex.map { case (cw, cIdx) =>
+        val d = graft.functions.ArrayMath.sqDist(sv, typedLit(cw.toSeq))
+        struct((if (roundDp >= 0) round(d, roundDp) else d).as("d"),
+          lit(cIdx).as("code"))
+      }
+      least(dists: _*).getField("code")
+    }
+    array(codes: _*)
+  }
+
+  /** Asymmetric-distance computation (ADC): approximate squared L2
+    * between a RAW query vector and an ENCODED corpus row = the sum over
+    * subspaces of the exact distance from the query subvector to the
+    * corpus row's codeword. The query side never quantizes (that would
+    * double the quantization error for free). Each subspace term is a
+    * literal-table lookup (`element_at` on the codebook) plus one
+    * codegen'd sqDist; terms are rounded before the sum so the
+    * 4-addend total is cross-engine exact. */
+  def adcDistance(queryVec: Column, codesCol: Column,
+      codebooks: Array[Array[Array[Double]]], roundDp: Int = -1): Column = {
+    val dsub = codebooks(0)(0).length
+    val qv = queryVec.cast("array<double>")
+    val total = codebooks.indices.map { s =>
+      val sv = slice(qv, s * dsub + 1, dsub)
+      val cw = element_at(typedLit(codebooks(s).map(_.toSeq).toSeq),
+        codesCol.getItem(s) + 1)
+      val d = graft.functions.ArrayMath.sqDist(sv, cw)
+      if (roundDp >= 0) round(d, roundDp) else d
+    }.reduce(_ + _)
+    if (roundDp >= 0) round(total, roundDp) else total
+  }
+
+  /** PQ approximate top-k by ADC distance (ascending). The corpus scan
+    * carries only (id, m-byte codes); the broadcast-small query side
+    * carries raw vectors. At scale the encoded corpus comes from a
+    * persisted codes table (encode once with [[pqCodes]], write next to
+    * the corpus like the IVF centroid table) so query jobs never touch
+    * the raw vectors at all. */
+  def pqTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      codebooks: Array[Array[Array[Double]]], k: Int,
+      roundDp: Int = -1): DataFrame = {
+    val c = corpus.select(col(idCol).as("c_id"),
+      pqCodes(col(vecCol), codebooks, roundDp).as("codes"))
+    val q = queries.select(col(idCol).as("q_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .select(col("q_id"), col("c_id"),
+        adcDistance(col("qv"), col("codes"), codebooks, roundDp).as("adist"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adist").asc, col("c_id").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** IVF-PQ: the production 100 TB ANN composition — IVF cells prune the
+    * corpus to `nprobe` cells per query, PQ codes make the within-cell
+    * scan byte-sized. Corpus rows keep ONE (cell, codes) pair; only the
+    * broadcast-small query side fans out, so no (q, c) pair duplicates
+    * (same invariant as [[ivfTopK]]). */
+  def ivfPqTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], codebooks: Array[Array[Array[Double]]],
+      k: Int, nprobe: Int = 1, roundDp: Int = -1): DataFrame = {
+    val c = corpus.select(col(idCol).as("c_id"),
+      ivfCell(col(vecCol), centroids, roundDp).as("cell"),
+      pqCodes(col(vecCol), codebooks, roundDp).as("codes"))
+    val q = queries.select(col(idCol).as("q_id"),
+      col(vecCol).cast("array<double>").as("qv"),
+      explode(ivfCells(col(vecCol), centroids, nprobe, roundDp)).as("cell"))
+    val scored = c.join(broadcast(q), "cell")
+      .select(col("q_id"), col("c_id"),
+        adcDistance(col("qv"), col("codes"), codebooks, roundDp).as("adist"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adist").asc, col("c_id").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** Symmetric per-vector int8 scalar quantization: codes[i] =
+    * round(v[i]·127/scale) with scale = max|v[i]| — 8× smaller than
+    * float64 components with bounded error (|recon−x| ≤ scale/254), the
+    * standard compression for RAM-resident exact-rerank tables when PQ's
+    * loss is too coarse. Rounding is floor(x+0.5) (round-half-up) rather
+    * than ROUND so both JVM and SQL engines agree on every half-step
+    * boundary. Returns struct(codes array<int>, scale double). */
+  def quantizeInt8(vecCol: Column): Column = {
+    val v = vecCol.cast("array<double>")
+    val scale = greatest(array_max(transform(v, x => abs(x))), lit(1e-30))
+    struct(
+      transform(v, x => floor(x * 127 / scale + 0.5).cast("int")).as("codes"),
+      scale.as("scale"))
+  }
+
+  /** Inverse of [[quantizeInt8]]: recon[i] = codes[i]·scale/127. */
+  def dequantizeInt8(quantCol: Column): Column =
+    transform(quantCol.getField("codes"),
+      c => c * quantCol.getField("scale") / 127)
+
+  /** Train per-subspace PQ codebooks: Lloyd k-means on each of the `m`
+    * subvector slices, reusing [[trainIvfCentroids]]'s seeded
+    * treeAggregate trainer (deterministic per seed; subspace `s` seeds
+    * `seed + s` so subspaces are independent). `m` passes over the
+    * corpus — acceptable because m is small (4–16) and training happens
+    * once per index build; the per-pass reduction state is O(ksub·dsub)
+    * driver-held, like the IVF trainer. */
+  def trainPqCodebooks(corpus: DataFrame, vecCol: String, dim: Int,
+      m: Int, ksub: Int, iters: Int = 5,
+      seed: Long = 42L): Array[Array[Array[Double]]] = {
+    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val dsub = dim / m
+    (0 until m).map { s =>
+      val sub = corpus.select(
+        slice(col(vecCol).cast("array<double>"), s * dsub + 1, dsub).as("__sv"))
+      trainIvfCentroids(sub, "__sv", ksub, iters, seed + s)
+    }.toArray
+  }
+
   /** One Lloyd refinement step over an existing centroid table, in the
     * DataFrame plane: assign each corpus vector to its nearest cell
     * ([[ivfCell]] — the codegen'd literal-table argmin), then recompute

@@ -33,6 +33,20 @@ object SimilarityQueries {
       .map { case (cv, c) => s"($c, ${cv.mkString("[", ", ", "]")}::DOUBLE[])" }
       .mkString(", ")
 
+  /** Fixed PQ codebooks for the q99 oracle (the [[ivfCentroids]]
+    * pattern): 4 subspaces × 8 codewords × 16 dims of deterministic
+    * exact-decimal components at the embeddings' scale. Within a
+    * subspace the 8 codewords are pairwise distinct (component i of
+    * codeword c differs whenever c does, mod-10 cycle). */
+  private[graft] val pqCodebooks: Array[Array[Array[Double]]] =
+    Array.tabulate(4, 8, 16)((s, c, i) =>
+      (((i * 5 + c * 11 + s * 7) % 10) - 4.5) / 30.0)
+
+  private def pqCodebookSqlValues: String =
+    (for { s <- pqCodebooks.indices; c <- pqCodebooks(s).indices } yield
+      s"($s, $c, ${pqCodebooks(s)(c).mkString("[", ", ", "]")}::DOUBLE[])")
+      .mkString(", ")
+
   // shared DuckDB CTE: 64-bit SimHash fingerprint per document — the SQL
   // twin of the native simhash_fp(text, 64) expression. Bit 63's weight is
   // the -2^63 literal (1<<63 overflows DuckDB's BIGINT shift); the sum of
@@ -483,6 +497,93 @@ object SimilarityQueries {
             COUNT(*) AS n
           FROM e GROUP BY label, pos)
         SELECT label, pos, sm / n AS m FROM s
-        ORDER BY label, pos"""))
+        ORDER BY label, pos""")),
+
+    // ---- product quantization ADC top-k (Similarity.pqTopK): corpus
+    // vectors collapse to 4 codeword ids (one per 16-dim subspace, fixed
+    // deterministic codebooks — the q66 oracle pattern), queries stay
+    // raw; approximate distance = sum of query-subvector→codeword
+    // distances. Each subspace term is rounded to 6dp before the 4-term
+    // sum, so the total is cross-engine exact; ties break to the lower
+    // c_id / code id on both engines.
+    Q("q99_pq_ann",
+      (s, dir) => {
+        val e = tbl(s, dir, "embeddings")
+        graft.ops.Similarity.pqTopK(
+            e.filter(col("vec_id") >= 5), e.filter(col("vec_id") < 5),
+            "vec_id", "embedding", pqCodebooks, k = 3, roundDp = 6)
+          .select("q_id", "rk", "c_id", "adist")
+          .orderBy("q_id", "rk")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cb AS (SELECT * FROM (VALUES $pqCodebookSqlValues) t(s, code, cw)),
+        sub AS (
+          SELECT vec_id, s, v[s*16+1 : s*16+16] AS sv
+          FROM e, UNNEST(RANGE(0, 4)) u(s)),
+        dist AS (
+          SELECT vec_id, sub.s, code,
+            ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(0, 16),
+              i -> (sv[i+1] - cw[i+1]) * (sv[i+1] - cw[i+1]))), 6) AS d
+          FROM sub JOIN cb ON sub.s = cb.s),
+        assign AS (
+          SELECT vec_id, s, code FROM (
+            SELECT vec_id, s, code,
+              ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d ASC, code ASC) AS rn
+            FROM dist) WHERE rn = 1),
+        adc AS (
+          SELECT q.vec_id AS q_id, a.vec_id AS c_id,
+            ROUND(SUM(ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(0, 16),
+              i -> (q.sv[i+1] - cb.cw[i+1]) * (q.sv[i+1] - cb.cw[i+1]))), 6)), 6) AS adist
+          FROM sub q
+          JOIN assign a ON q.s = a.s AND a.vec_id >= 5
+          JOIN cb ON cb.s = a.s AND cb.code = a.code
+          WHERE q.vec_id < 5
+          GROUP BY q.vec_id, a.vec_id),
+        ranked AS (
+          SELECT q_id, CAST(ROW_NUMBER() OVER (
+            PARTITION BY q_id ORDER BY adist ASC, c_id ASC) AS INTEGER) AS rk,
+            c_id, adist
+          FROM adc)
+        SELECT q_id, rk, c_id, adist FROM ranked WHERE rk <= 3
+        ORDER BY q_id, rk""")),
+
+    // ---- per-vector int8 scalar quantization (Similarity.quantizeInt8):
+    // the 4-byte-per-component → 1-byte compression for RAM-resident
+    // rerank tables. Rounding is floor(x+0.5) on both engines (no
+    // ROUND-half parity risk); the reconstruction-error bound
+    // max|recon−x| ≤ scale/254 is surfaced as an integer flag computed
+    // from bit-identical IEEE arithmetic on both sides.
+    Q("q100_int8_quant",
+      (s, dir) => {
+        import graft.ops.Similarity.{dequantizeInt8, quantizeInt8}
+        tbl(s, dir, "embeddings")
+          .select(col("vec_id"),
+            quantizeInt8(col("embedding")).as("q"),
+            col("embedding").cast("array<double>").as("v"))
+          .select(col("vec_id"),
+            aggregate(col("q.codes"), lit(0), (a, c) => a + c).as("code_sum"),
+            round(col("q.scale"), 6).as("scale_r"),
+            (aggregate(
+                zip_with(dequantizeInt8(col("q")), col("v"), (r, x) => abs(r - x)),
+                lit(0.0), (a, e) => greatest(a, e))
+              <= col("q.scale") / 254 * 1.0000001).cast("int").as("within_bound"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        q AS (
+          SELECT vec_id, v,
+            GREATEST(LIST_MAX(LIST_TRANSFORM(v, x -> ABS(x))), 1e-30) AS scale
+          FROM e),
+        c AS (
+          SELECT vec_id, v, scale,
+            LIST_TRANSFORM(v, x -> CAST(FLOOR(x * 127 / scale + 0.5) AS INTEGER)) AS codes
+          FROM q)
+        SELECT vec_id,
+          CAST(LIST_SUM(codes) AS INTEGER) AS code_sum,
+          ROUND(scale, 6) AS scale_r,
+          CAST(CASE WHEN LIST_MAX(LIST_TRANSFORM(RANGE(1, LEN(v) + 1),
+              i -> ABS(codes[i] * scale / 127 - v[i]))) <= scale / 254 * 1.0000001
+            THEN 1 ELSE 0 END AS INTEGER) AS within_bound
+        FROM c ORDER BY vec_id"""))
   )
 }

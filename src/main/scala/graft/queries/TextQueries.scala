@@ -550,6 +550,45 @@ object TextQueries {
             '[\t\r\n]', ' ', 'g'),
             '  +', ' ', 'g')) AS clean
           FROM documents)
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ---- corpus-wide repeated-passage (boilerplate) detection
+    // (Boilerplate.repeatedNgramStats): 5-grams appearing in >= 3
+    // distinct docs are "common"; each doc reports how many of its
+    // positional 5-grams are common plus a majority-boilerplate flag.
+    // Pure integer outputs -> exact oracle; the md5 gram keys are
+    // identical strings on both engines.
+    Q("q98_repeated_ngrams",
+      (s, dir) =>
+        graft.ops.Boilerplate.repeatedNgramStats(
+            tbl(s, dir, "documents").filter(col("doc_id") < 200),
+            "doc_id", "text", n = 5, minDf = 3)
+          .select(col("doc_id"), col("n_grams"), col("n_common"),
+            (col("n_grams") > 0 && col("n_common") * 2 >= col("n_grams"))
+              .cast("int").as("mostly_boilerplate"))
+          .orderBy("doc_id"),
+      Some("""WITH t AS (
+          SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(text, ' +') AS toks
+          FROM documents WHERE doc_id < 200),
+        g AS (
+          SELECT doc_id,
+            MD5(ARRAY_TO_STRING(toks[i+1 : i+5], ' ')) AS gk
+          FROM t, UNNEST(RANGE(0, LEN(toks) - 5 + 1)) u(i)
+          WHERE LEN(toks) >= 5),
+        common AS (
+          SELECT gk, 1 AS is_common FROM g
+          GROUP BY gk HAVING COUNT(DISTINCT doc_id) >= 3),
+        agg AS (
+          SELECT doc_id, COUNT(*) AS n_grams,
+            SUM(COALESCE(is_common, 0)) AS n_common
+          FROM g LEFT JOIN common USING (gk) GROUP BY doc_id)
+        SELECT t.doc_id,
+          CAST(COALESCE(n_grams, 0) AS INTEGER) AS n_grams,
+          CAST(COALESCE(n_common, 0) AS INTEGER) AS n_common,
+          CAST(CASE WHEN COALESCE(n_grams, 0) > 0
+            AND COALESCE(n_common, 0) * 2 >= n_grams
+            THEN 1 ELSE 0 END AS INTEGER) AS mostly_boilerplate
+        FROM t LEFT JOIN agg USING (doc_id)
+        ORDER BY t.doc_id"""))
   )
 }

@@ -1,0 +1,72 @@
+package graft
+
+import graft.ops.Boilerplate
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Repeated-n-gram (boilerplate) detection semantics: document frequency
+  * counts DISTINCT docs, short docs survive with zero counts, and the
+  * per-doc occurrence accounting is positional. */
+class BoilerplateSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val footer = "all rights reserved by the site owner"
+
+  test("shared footer grams are flagged; unique text is not") {
+    import spark.implicits._
+    // 4 docs share a 7-token footer; each body token is doc-unique so
+    // only grams fully inside the footer can be cross-doc common
+    val docs = (0 until 4).map { i =>
+      (i.toLong, s"body$i words$i number$i here$i now$i $footer")
+    } :+ (9L, "totally unrelated text with no shared passage at all")
+    val df = docs.toDF("doc_id", "text")
+    val out = Boilerplate.repeatedNgramStats(df, "doc_id", "text", n = 5, minDf = 3)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    // each footer doc: 12 tokens → 8 positional 5-grams; the 3 grams fully
+    // inside the footer are shared by all 4 docs → common
+    (0 until 4).foreach { i =>
+      val (n, c) = out(i.toLong)
+      assert(n == 8, s"doc $i n_grams=$n")
+      assert(c == 3, s"doc $i n_common=$c")
+    }
+    assert(out(9L) == ((5, 0)))
+  }
+
+  test("document frequency is distinct-doc: self-repetition is not boilerplate") {
+    import spark.implicits._
+    // one doc repeats its own phrase 5 times — df(gram) is still 1 doc
+    val df = Seq(
+      (1L, Seq.fill(5)("my very own special phrase").mkString(" ")),
+      (2L, "some other words entirely different from that one"))
+      .toDF("doc_id", "text")
+    val out = Boilerplate.repeatedNgramStats(df, "doc_id", "text", n = 5, minDf = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(out(1L) == 0)
+    assert(out(2L) == 0)
+  }
+
+  test("docs shorter than n tokens surface with (0, 0), not dropped") {
+    import spark.implicits._
+    val df = Seq((1L, "too short"), (2L, "a b c d e f")).toDF("doc_id", "text")
+    val out = Boilerplate.repeatedNgramStats(df, "doc_id", "text", n = 5, minDf = 2)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(out(1L) == ((0, 0)))
+    assert(out(2L) == ((2, 0)))
+  }
+
+  test("minDf is a distinct-doc threshold: 2 docs < minDf=3 stays uncommon") {
+    import spark.implicits._
+    val shared = "this exact phrase appears twice only"
+    val df = Seq(
+      (1L, s"$shared padding one two three"),
+      (2L, s"$shared other tail words here"),
+      (3L, "nothing in common with the others at all"))
+      .toDF("doc_id", "text")
+    val two = Boilerplate.repeatedNgramStats(df, "doc_id", "text", n = 6, minDf = 3)
+      .filter(col("n_common") > 0).count()
+    assert(two == 0)
+    val relaxed = Boilerplate.repeatedNgramStats(df, "doc_id", "text", n = 6, minDf = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(relaxed(1L) == 1 && relaxed(2L) == 1 && relaxed(3L) == 0)
+  }
+}

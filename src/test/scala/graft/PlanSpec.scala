@@ -245,6 +245,56 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("q98 repeated-ngram plan: gram-key equi-joins only, occurrence frame cached") {
+    val df = Queries.byName("q98_repeated_ngrams").spark(spark, TestSpark.sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val s = plan.toString
+    // df-count and join-back are key joins on the md5 gram keys — a
+    // cartesian/BNL here means the gram bucketing degenerated
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.contains("BroadcastNestedLoopJoin"), s)
+    // the occurrence frame feeds both the df-count and the join-back:
+    // cached, so each doc is tokenized + md5-hashed exactly once
+    assert(countScans(plan) == 0,
+      s"${countScans(plan)} raw scans outside the cached occurrence frame")
+    val mem = collectInMem(plan)
+    assert(mem.nonEmpty, s"no cached occurrence frame\n$plan")
+    assert(countScans(mem.head.relation.cachedPlan) == 1)
+  }
+
+  test("q99 PQ scan carries codes to a broadcast join — corpus is never shuffled") {
+    val df = Queries.byName("q99_pq_ann").spark(spark, TestSpark.sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val s = plan.toString
+    // queries broadcast against one encoded-corpus pass (the q40 shape,
+    // but the scanned payload is the m-int code array, not raw vectors)
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastExchange"), s)
+    // two exchanges only: the per-query top-k window hash shuffle and
+    // the oracle-mandated final ORDER BY range shuffle — the corpus side
+    // itself never shuffles (WindowGroupLimit prunes to k rows per query
+    // before either exchange)
+    assert(countShuffles(plan) <= 2, s"${countShuffles(plan)} shuffles\n$s")
+    assert(s.contains("WindowGroupLimit"), s)
+  }
+
+  test("IVF-PQ keeps the broadcast cell-join shape (no cartesian)") {
+    val e = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val queries = e.filter(org.apache.spark.sql.functions.col("vec_id") < 5)
+    val corpus = e.filter(org.apache.spark.sql.functions.col("vec_id") >= 5)
+    val cents = graft.ops.Similarity.trainIvfCentroids(corpus, "embedding",
+      kCells = 4, iters = 2)
+    val cbs = graft.ops.Similarity.trainPqCodebooks(corpus, "embedding",
+      dim = 64, m = 4, ksub = 8, iters = 2)
+    val df = graft.ops.Similarity.ivfPqTopK(corpus, queries, "vec_id",
+      "embedding", cents, cbs, k = 3, nprobe = 2)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
   test("GLM kernel pass plan has zero exchanges (no shuffle in solvers)") {
     import graft.core.GlmData
     import org.apache.spark.sql.functions._

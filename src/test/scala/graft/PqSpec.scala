@@ -1,0 +1,132 @@
+package graft
+
+import graft.ops.Similarity
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Product-quantization + int8 scalar-quantization behavior: exact ADC
+  * when the codebooks contain the true subvectors, trained-codebook
+  * determinism and recall against the brute-force baseline, the
+  * IVF-PQ full-probe ≡ plain-PQ identity, and the int8 reconstruction
+  * error bound. */
+class PqSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  /** Codebooks whose subspace-s codewords are exactly the corpus's
+    * subvectors: encoding is then lossless, so ADC equals the true
+    * squared L2 distance. */
+  private def losslessCodebooks(vecs: Seq[Array[Double]], m: Int)
+      : Array[Array[Array[Double]]] = {
+    val dsub = vecs.head.length / m
+    Array.tabulate(m)(s => vecs.map(_.slice(s * dsub, (s + 1) * dsub)).toArray)
+  }
+
+  test("ADC is exact when codebooks contain the true subvectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs = Seq.fill(12)(Array.fill(8)(rnd.nextDouble() - 0.5))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    val cbs = losslessCodebooks(vecs, m = 2)
+    val corpus = df.filter(col("vec_id") >= 2)
+    val queries = df.filter(col("vec_id") < 2)
+    val pq = Similarity.pqTopK(corpus, queries, "vec_id", "embedding", cbs, k = 3)
+      .select("q_id", "rk", "c_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // exact L2 ranking computed directly
+    val exact = (for {
+      (q, qi) <- vecs.zipWithIndex.take(2)
+    } yield {
+      val byDist = vecs.zipWithIndex.drop(2)
+        .map { case (c, ci) =>
+          (c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum, ci.toLong) }
+        .sortBy(identity).take(3)
+      byDist.zipWithIndex.map { case ((_, ci), rk) => (qi.toLong, rk + 1, ci) }
+    }).flatten.toSet
+    assert(pq == exact, s"pq=$pq exact=$exact")
+  }
+
+  test("trained PQ codebooks are deterministic per seed and shaped (m, ksub, dsub)") {
+    val e = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val a = Similarity.trainPqCodebooks(e, "embedding", dim = 64, m = 4, ksub = 8,
+      iters = 2, seed = 11L)
+    val b = Similarity.trainPqCodebooks(e, "embedding", dim = 64, m = 4, ksub = 8,
+      iters = 2, seed = 11L)
+    assert(a.length == 4 && a.forall(_.length == 8) &&
+      a.forall(_.forall(_.length == 16)))
+    assert(a.zip(b).forall { case (sa, sb) =>
+      sa.zip(sb).forall { case (ca, cb) => ca.sameElements(cb) } })
+  }
+
+  test("PQ ADC top-k recalls a reasonable fraction of the exact neighbors") {
+    val e = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val queries = e.filter(col("vec_id") < 10)
+    val corpus = e.filter(col("vec_id") >= 10)
+    // embeddings are unit-norm, so exact-cosine and exact-L2 rankings agree
+    val exact = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", k = 5)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cbs = Similarity.trainPqCodebooks(corpus, "embedding", dim = 64, m = 4,
+      ksub = 16, iters = 5)
+    // the operator contract is candidate PRE-ranking: fetch a wider PQ
+    // top-k, then exact-rerank. Measure how much of the exact top-5 the
+    // PQ top-25 candidate set recovers (the rerank can only keep what PQ
+    // surfaced). Chance level for 25 of 490 candidates is ~5%.
+    val cands = Similarity.pqTopK(corpus, queries, "vec_id", "embedding", cbs, k = 25)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val candRecall = (exact intersect cands).size.toDouble / exact.size
+    assert(candRecall >= 0.3, s"candidate recall@25=$candRecall")
+    // and the direct top-5 must beat chance (5/490 ≈ 1%) clearly — these
+    // near-random 64-dim embeddings are the hard case for 4×16 codebooks
+    val approx = Similarity.pqTopK(corpus, queries, "vec_id", "embedding", cbs, k = 5)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.06, s"recall=$recall")
+  }
+
+  test("IVF-PQ with full probe equals plain PQ; nprobe=1 stays bounded") {
+    val e = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val queries = e.filter(col("vec_id") < 5)
+    val corpus = e.filter(col("vec_id") >= 5)
+    val cents = Similarity.trainIvfCentroids(corpus, "embedding", kCells = 4, iters = 3)
+    val cbs = Similarity.trainPqCodebooks(corpus, "embedding", dim = 64, m = 4,
+      ksub = 8, iters = 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "rk", "c_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // probing every cell scores every (q, c) pair → identical to plain PQ
+    val full = rows(Similarity.ivfPqTopK(corpus, queries, "vec_id", "embedding",
+      cents, cbs, k = 3, nprobe = 4))
+    val plain = rows(Similarity.pqTopK(corpus, queries, "vec_id", "embedding",
+      cbs, k = 3))
+    assert(full == plain)
+    // single probe: ≤ k rows per query, no duplicate (q, c) pairs
+    val one = Similarity.ivfPqTopK(corpus, queries, "vec_id", "embedding",
+      cents, cbs, k = 3, nprobe = 1)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(one.length == one.toSet.size)
+    assert(one.groupBy(_._1).values.forall(_.length <= 3))
+  }
+
+  test("int8 quantization: codes in range, reconstruction within scale/254") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val vecs = Seq.fill(50)(Array.fill(16)((rnd.nextDouble() - 0.5) * 4)) :+
+      Array.fill(16)(0.0) // all-zero vector must not divide by zero
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+      .toDF("vec_id", "v")
+    val q = Similarity.quantizeInt8(col("v"))
+    val out = df.select(col("vec_id"), q.as("q"), col("v"))
+      .select(col("vec_id"), col("q.codes").as("codes"), col("q.scale").as("scale"),
+        Similarity.dequantizeInt8(col("q")).as("recon"), col("v"))
+      .collect()
+    out.foreach { r =>
+      val codes = r.getSeq[Int](1)
+      val scale = r.getDouble(2)
+      val recon = r.getSeq[Double](3)
+      val v = r.getSeq[Double](4)
+      assert(codes.forall(c => c >= -127 && c <= 127), s"codes out of range: $codes")
+      val maxErr = recon.zip(v).map { case (a, b) => math.abs(a - b) }.max
+      assert(maxErr <= scale / 254 * 1.0000001, s"err=$maxErr scale=$scale")
+    }
+  }
+}
