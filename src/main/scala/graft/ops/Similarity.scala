@@ -382,6 +382,67 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
+  /** Encode a corpus to its persisted PQ codes table — the index-build
+    * step: one codegen'd pass over the raw vectors, written next to the
+    * corpus as (id, codes). Query jobs then use [[pqTopKOnCodes]] and
+    * never touch the raw vectors again (the codes table is dim/m·8×
+    * smaller, so at 100 TB of embeddings the scannable index is
+    * RAM-cacheable). */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+      codebooks: Array[Array[Array[Double]]], path: String,
+      roundDp: Int = -1): Unit =
+    corpus.select(col(idCol),
+        pqCodes(col(vecCol), codebooks, roundDp).as("codes"))
+      .write.mode("overwrite").parquet(path)
+
+  /** [[pqTopK]] against an already-encoded corpus (a [[pqEncode]] codes
+    * table): identical ranking, zero raw-vector reads. */
+  def pqTopKOnCodes(
+      codes: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      codebooks: Array[Array[Array[Double]]], k: Int,
+      roundDp: Int = -1): DataFrame = {
+    val c = codes.select(col(idCol).as("c_id"), col("codes"))
+    val q = queries.select(col(idCol).as("q_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .select(col("q_id"), col("c_id"),
+        adcDistance(col("qv"), col("codes"), codebooks, roundDp).as("adist"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adist").asc, col("c_id").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** Persist trained PQ codebooks as a tiny (s, code, codeword) parquet
+    * table (the [[saveCentroids]] pattern); [[loadCodebooks]] restores
+    * the dense (m, ksub) layout and validates it. */
+  def saveCodebooks(spark: org.apache.spark.sql.SparkSession,
+      codebooks: Array[Array[Array[Double]]], path: String): Unit = {
+    import spark.implicits._
+    (for { s <- codebooks.indices; c <- codebooks(s).indices }
+      yield (s, c, codebooks(s)(c).toSeq)).toDF("s", "code", "codeword")
+      .repartition(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  def loadCodebooks(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[Array[Array[Double]]] = {
+    val rows = spark.read.parquet(path)
+      .select(col("s").cast("int"), col("code").cast("int"),
+        col("codeword").cast("array<double>"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    require(rows.nonEmpty, s"no codebooks at $path")
+    val bySub = rows.groupBy(_._1)
+    require(bySub.keySet == bySub.keySet.min.to(bySub.keySet.max).toSet &&
+      bySub.keySet.min == 0,
+      s"codebook subspaces at $path are not a dense 0..${bySub.size - 1} range")
+    (0 until bySub.size).map { s =>
+      val cws = bySub(s).sortBy(_._2)
+      require(cws.map(_._2).toSeq == cws.indices.toSeq,
+        s"subspace $s codes at $path are not a dense 0..${cws.length - 1} range")
+      cws.map(_._3)
+    }.toArray
+  }
+
   /** Symmetric per-vector int8 scalar quantization: codes[i] =
     * round(v[i]·127/scale) with scale = max|v[i]| — 8× smaller than
     * float64 components with bounded error (|recon−x| ≤ scale/254), the

@@ -107,6 +107,46 @@ class PqSpec extends AnyFunSuite {
     assert(one.groupBy(_._1).values.forall(_.length <= 3))
   }
 
+  test("encoded codes table reproduces pqTopK without touching raw vectors") {
+    val e = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val queries = e.filter(col("vec_id") < 5)
+    val corpus = e.filter(col("vec_id") >= 5)
+    val cbs = Similarity.trainPqCodebooks(corpus, "embedding", dim = 64, m = 4,
+      ksub = 8, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("pq_codes").toString
+    Similarity.pqEncode(corpus, "vec_id", "embedding", cbs, dir)
+    val codes = spark.read.parquet(dir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "rk", "c_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val onCodes = rows(Similarity.pqTopKOnCodes(codes, queries, "vec_id",
+      "embedding", cbs, k = 3))
+    val direct = rows(Similarity.pqTopK(corpus, queries, "vec_id",
+      "embedding", cbs, k = 3))
+    assert(onCodes == direct)
+  }
+
+  test("codebook save/load round-trips and rejects a sparse code range") {
+    val e = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val cbs = Similarity.trainPqCodebooks(e, "embedding", dim = 64, m = 2,
+      ksub = 4, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("pq_cbs").toString
+    Similarity.saveCodebooks(spark, cbs, dir)
+    val back = Similarity.loadCodebooks(spark, dir)
+    assert(back.length == cbs.length)
+    assert(back.zip(cbs).forall { case (sa, sb) =>
+      sa.zip(sb).forall { case (ca, cb) => ca.sameElements(cb) } })
+    // corrupt: drop one codeword of subspace 0 → dense-range check fires
+    val dir2 = java.nio.file.Files.createTempDirectory("pq_cbs_bad").toString
+    spark.read.parquet(dir)
+      .filter(!(col("s") === 0 && col("code") === 2))
+      .write.mode("overwrite").parquet(dir2)
+    val err = intercept[IllegalArgumentException] {
+      Similarity.loadCodebooks(spark, dir2)
+    }
+    assert(err.getMessage.contains("dense"))
+  }
+
   test("int8 quantization: codes in range, reconstruction within scale/254") {
     import spark.implicits._
     val rnd = new scala.util.Random(3)
