@@ -270,6 +270,53 @@ object PipelineQueries {
         ) AS t(media_id, container, w, h, duration_ms)
         ORDER BY media_id""")),
 
+    // ---- real video FRAME decode, golden-oracle form: synthesize an
+    // MJPEG AVI in-memory (real container + real ImageIO-encoded JPEG
+    // frames at gray levels 40 / 128 / 216), demux + decode through the
+    // distributed videoFrames path (pure-JVM AVI chunk walk +
+    // javax.imageio JPEG — no external codec). Frame count and
+    // dimensions are header-exact; gray levels survive the lossy JPEG
+    // round-trip only to within DC-quantization error, so the oracle
+    // compares a CLASS with ±85-wide bands (dark < 85 ≤ mid < 170 ≤
+    // bright), not exact means. A second 5-frame AVI sampled at
+    // maxFrames=2 pins the stride (frames 0 and 2 of 5). Non-video
+    // payloads decode to zero frames.
+    Q("q101_video_frames",
+      (s, dir) => {
+        import s.implicits._
+        Seq(
+          (1L, Multimodal.aviMjpegBytes(32, 16, Seq(40, 128, 216))),
+          (2L, Multimodal.aviMjpegBytes(8, 8, Seq(40, 40, 216, 216, 216))),
+          (3L, "definitely not a video".getBytes("UTF-8")))
+          .toDF("media_id", "payload")
+          .select(col("media_id"),
+            explode_outer(Multimodal.videoFrames(col("payload"),
+              maxFrames = 2)).as("f"))
+          .select(col("media_id"),
+            col("f.frame_idx").as("frame_idx"),
+            col("f.width").as("w"), col("f.height").as("h"),
+            when(col("f.frame_idx").isNull, lit(null).cast("string"))
+              .when((col("f.mean_r") + col("f.mean_g") + col("f.mean_b")) / 3 < 85,
+                lit("dark"))
+              .when((col("f.mean_r") + col("f.mean_g") + col("f.mean_b")) / 3 < 170,
+                lit("mid"))
+              .otherwise(lit("bright")).as("luma_class"))
+          .orderBy("media_id", "frame_idx")
+      },
+      Some("""SELECT * FROM (VALUES
+          (CAST(1 AS BIGINT), CAST(0 AS INTEGER), CAST(32 AS INTEGER),
+           CAST(16 AS INTEGER), 'dark'),
+          (CAST(1 AS BIGINT), CAST(1 AS INTEGER), CAST(32 AS INTEGER),
+           CAST(16 AS INTEGER), 'mid'),
+          (CAST(2 AS BIGINT), CAST(0 AS INTEGER), CAST(8 AS INTEGER),
+           CAST(8 AS INTEGER), 'dark'),
+          (CAST(2 AS BIGINT), CAST(2 AS INTEGER), CAST(8 AS INTEGER),
+           CAST(8 AS INTEGER), 'bright'),
+          (CAST(3 AS BIGINT), CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+           CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR))
+        ) AS t(media_id, frame_idx, w, h, luma_class)
+        ORDER BY media_id, frame_idx""")),
+
     // ---- end-to-end corpus curation (the workflow a training-data
     // pipeline actually runs, composed from the already-oracle-proven
     // operators): quality gate (length + type-token ratio) → language
