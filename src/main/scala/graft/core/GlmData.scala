@@ -31,8 +31,21 @@ final class GlmData(
     val isSparse: Boolean)
     extends Serializable {
 
+  /** Persist AND truncate lineage. Without truncation every solver job
+    * re-serializes the full upstream lineage — the DataFrame scan plan,
+    * file listings, codegen state — into its task binary, which at sf0.1
+    * is a 4–8 MiB broadcast PER ITERATION (DAGScheduler "broadcasting
+    * large task binary" warnings); on a real cluster that is per-iteration
+    * scheduler latency that grows with the input's metadata, not its data.
+    * `localCheckpoint` makes the cached blocks themselves the lineage
+    * after the first action, so iteration N>1 ships only the O(k·p)
+    * solver state. Tradeoff: lost cache blocks cannot be recomputed —
+    * the standard iterative-ML bargain (GraphX/ALS checkpoint the same
+    * way); safe here because solvers own the persist→fit→unpersist
+    * lifecycle (Estimators.fit) and nothing reads `rows` after unpersist. */
   def persist(): this.type = {
     rows.persist(StorageLevel.MEMORY_AND_DISK)
+    rows.localCheckpoint()
     this
   }
   def unpersist(): this.type = { rows.unpersist(false); this }
