@@ -36,6 +36,30 @@ object Sampling {
       seed: Long = 42L): DataFrame =
     df.filter(hashU32(keyCol, seed) < lit(thresholdOf(rate)))
 
+  /** Deterministic n-way split — the twin of `DataFrame.randomSplit`
+    * (the reference's `random_split`, docs/examples/basic_api.ipynb)
+    * with the partition-RNG replaced by the keyed hash coin: row → split
+    * i iff cum(i) ≤ hash(seed, key)/2^32 < cum(i+1), with weights
+    * normalized like `randomSplit`. Unlike `randomSplit` the assignment
+    * is a pure function of the KEY — splits are disjoint and exhaustive
+    * BY CONSTRUCTION (randomSplit re-samples per split and only the
+    * cached path guarantees disjointness), reruns/backfills land every
+    * row in the same split, and an external engine (or the DuckDB
+    * oracle) reproduces the exact membership. One codegen'd filter per
+    * split; no shuffle, no materialization. */
+  def hashSplit(df: DataFrame, weights: Array[Double], keyCol: Column,
+      seed: Long = 42L): Array[DataFrame] = {
+    require(weights.nonEmpty && weights.forall(_ > 0.0),
+      s"weights must be positive, got ${weights.mkString(",")}")
+    val total = weights.sum
+    val bounds = weights.scanLeft(0.0)(_ + _)
+      .map(c => math.round(c / total * 4294967296.0))
+    bounds(bounds.length - 1) = 4294967296L // exhaustive despite rounding
+    val u = hashU32(keyCol, seed)
+    Array.tabulate(weights.length)(i =>
+      df.filter(u >= lit(bounds(i)) && u < lit(bounds(i + 1))))
+  }
+
   /** Per-stratum deterministic sampling — the "source mixing" step of a
     * training pipeline (upweight curated sources, downsample crawl):
     * stratum s keeps its rows at `rates(s)` (or `defaultRate` when

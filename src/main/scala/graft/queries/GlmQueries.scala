@@ -212,18 +212,33 @@ object GlmQueries {
           CAST(SUM(CAST($labelSql = CAST(1.0 / (1.0 + EXP(-($marginSql))) > 0.5 AS DOUBLE) AS INTEGER)) AS BIGINT) AS n_correct
         FROM lineitem)""")),
 
-    // ---- random split counts (docs surface: random_split / randomSplit)
-    // not SQL-expressible (engine-specific RNG) → rows-only check
+    // ---- random split (docs surface: random_split / randomSplit,
+    // basic_api.ipynb `random_split([0.05, 0.95], random_state=2)`).
+    // Spark's randomSplit stays the faithful API (BasicApi.scala uses
+    // it); the ORACLE-CHECKABLE twin is Sampling.hashSplit, whose
+    // membership is a pure function of (seed, key) that DuckDB
+    // reproduces via the md5 coin — per-split row counts AND an exact
+    // integer checksum verify the actual membership, not just sizes.
+    // Split-0 threshold: round(0.05 · 2^32) = 214748365.
     Q("q28_random_split",
       (s, dir) => {
-        val Array(a, b2) = tbl(s, dir, "lineitem")
-          .randomSplit(Array(0.05, 0.95), seed = 2)
-        val na = a.count()
-        val nb = b2.count()
-        val spark = a.sparkSession
-        import spark.implicits._
-        Seq((na, nb, na + nb)).toDF("n_train", "n_test", "n_total")
+        val li = tbl(s, dir, "lineitem")
+        val key = concat_ws(":", col("l_orderkey"), col("l_linenumber"))
+        val splits = graft.ops.Sampling.hashSplit(
+          li, Array(0.05, 0.95), key, seed = 2L)
+        splits.zipWithIndex.map { case (part, i) =>
+          part.agg(
+            count(lit(1)).as("n_rows"),
+            sum(col("l_orderkey")).cast("long").as("sum_okey"))
+            .select(lit(i).as("split"), col("n_rows"), col("sum_okey"))
+        }.reduce(_ unionAll _).orderBy("split")
       },
-      None)
+      Some("""WITH u AS (SELECT l_orderkey,
+          ('0x' || SUBSTRING(MD5('2:' || CAST(l_orderkey AS VARCHAR) || ':'
+            || CAST(l_linenumber AS VARCHAR)), 1, 8))::BIGINT AS h
+        FROM lineitem)
+        SELECT CAST(CASE WHEN h < 214748365 THEN 0 ELSE 1 END AS INTEGER) AS split,
+          COUNT(*) AS n_rows, CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey
+        FROM u GROUP BY 1 ORDER BY 1"""))
   )
 }

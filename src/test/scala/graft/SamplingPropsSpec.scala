@@ -105,4 +105,33 @@ object SamplingPropsSpec extends Properties("Sampling") {
         }
       got == want
     }
+
+  private val weightsGen: Gen[Array[Double]] =
+    Gen.choose(2, 5).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0.01, 10.0)).map(_.toArray))
+
+  property("hashSplit is a disjoint, exhaustive, threshold-exact partition") =
+    forAll(weightsGen, Gen.choose(-1000L, 1000L)) { (w, seed) =>
+      val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+      val all = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+      val splits = Sampling.hashSplit(docs, w, col("doc_id"), seed)
+        .map(_.select("doc_id").collect().map(_.getLong(0)).toSet)
+      // exhaustive + disjoint set algebra
+      val union = splits.reduce(_ union _)
+      val disjoint = splits.combinations(2).forall {
+        case Array(a, b) => (a intersect b).isEmpty
+      }
+      // threshold-exact vs the driver-side coin + the documented rounding
+      val total = w.sum
+      val bounds = w.scanLeft(0.0)(_ + _)
+        .map(c => math.round(c / total * 4294967296.0))
+      bounds(bounds.length - 1) = 4294967296L
+      val exact = splits.zipWithIndex.forall { case (s, i) =>
+        s == all.filter { id =>
+          val h = coinLocal(id.toString, seed)
+          h >= bounds(i) && h < bounds(i + 1)
+        }
+      }
+      union == all && disjoint && exact
+    }
 }
