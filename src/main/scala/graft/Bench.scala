@@ -26,18 +26,26 @@ object Bench {
       // first rep's cache and time only the warm path — clear between
       // samples so every rep pays the full cost it claims to measure
       spark.sharedState.cacheManager.clearCache()
+      // settle before starting the clock: collect the PREVIOUS sample's
+      // garbage now so a heavy neighbor (q87's propagation rounds, q80's
+      // band frames) doesn't bill its young-gen debt to this sample — r5
+      // showed 3-5x phantom "regressions" on sub-second queries that an
+      // isolated re-run didn't reproduce (cross-query JVM contamination,
+      // not code). GC time is deliberately OUTSIDE the timed region.
+      System.gc()
+      Thread.sleep(100)
       val t0 = System.nanoTime()
       try f catch { case e: Throwable => System.err.println(s"[bench] ${e.getMessage}") }
       (System.nanoTime() - t0) / 1e9
     }
 
-    // Median-of-3: single-run samples on sub-second queries jitter ±30%
-    // round-over-round (GC, JIT recompiles, page cache), which made real
-    // regressions indistinguishable from noise. The median of 3 runs is
-    // robust to one bad sample while keeping the bench under ~3× cost.
-    def timeMedian(reps: Int)(f: => Unit): Double = {
+    // Median-of-N plus min: the median absorbs one bad sample; the min is
+    // the contamination-free floor (closest to what an isolated run
+    // measures), reported separately so a verdict can tell "this query
+    // got slower" from "its neighbors got noisier".
+    def timeStats(reps: Int)(f: => Unit): (Double, Double) = {
       val samples = Array.fill(reps)(time(f)).sorted
-      samples(reps / 2)
+      (samples(reps / 2), samples(0))
     }
 
     // SPARK_GRAFT_BENCH_ONLY=q87,q80 restricts the run to the named
@@ -59,10 +67,13 @@ object Bench {
 
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val mins = scala.collection.mutable.LinkedHashMap[String, Double]()
     headline.foreach { q =>
-      results(q.name) = timeMedian(reps) {
+      val (med, mn) = timeStats(reps) {
         q.spark(spark, sfDir).write.format("noop").mode("overwrite").save()
       }
+      results(q.name) = med
+      mins(q.name) = mn
     }
 
     // GLM fit benchmark: the baseline-comparable fit (admm logistic,
@@ -70,7 +81,7 @@ object Bench {
     // elsewhere): this is the headline number against BASELINE.md and
     // drifted ±7% round-over-round on unchanged code — two extra samples
     // tighten the median enough to tell real regressions from noise.
-    results("glm_fit") = timeMedian(math.max(reps, 5)) {
+    val (fitMed, fitMin) = timeStats(math.max(reps, 5)) {
       import graft.estimators.{GlmParams, LogisticRegression}
       import org.apache.spark.sql.functions._
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
@@ -81,11 +92,13 @@ object Bench {
       new LogisticRegression(GlmParams(solver = "admm", maxIter = 20,
         nPartitions = cpus.toInt, admmWarmStart = true)).fit(df)
     }
+    results("glm_fit") = fitMed
+    mins("glm_fit") = fitMin
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
+    def jmap(m: scala.collection.Map[String, Double]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.values.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jmap(results)},"queries_min":${jmap(mins)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
