@@ -1,0 +1,298 @@
+package graft.functions
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+
+/** ANN index-state expressions: nearest-cell / PQ-code / ADC / LSH
+  * signature computation against BROADCAST index tables.
+  *
+  * The first-cut forms built these as expression trees over literal
+  * arrays (`least(struct(sqdist(v, typedLit(c_i)), i))` over k cells).
+  * That is fine at toy k, but the serialized plan grows O(k·d): at a
+  * production quantizer (k = 2^16 cells, d = 1024) the plan is hundreds
+  * of MB, analysis walks 2^16 expression nodes per query, and every task
+  * binary re-ships the whole codebook. Here the index state rides a
+  * `Broadcast` handle instead — the plan and task binaries stay O(1) in
+  * k·d (gated by PlanSpec), executors fetch the table once via torrent
+  * broadcast, and the per-row work is one fused loop.
+  *
+  * Numeric contract (cross-engine oracle exactness — the DuckDB oracles
+  * recompute these in SQL): identical to the literal forms —
+  *  - distances accumulate in index order, `(x−y)²` / `x·y` per step
+  *    (the [[ArrayFoldExpression]] fold, bit-identical);
+  *  - `roundDp ≥ 0` rounds HALF_UP on the shortest decimal
+  *    representation before any comparison (Spark `round` semantics), so
+  *    a last-ulp wobble cannot flip an argmin or a sign;
+  *  - argmin ties break to the LOWEST id (strict `<`, the
+  *    `least(struct(d, id))` lexicographic rule), and multi-probe cell
+  *    lists order by (d, id) ascending (stable sort ≙ `array_sort` on
+  *    `struct(d, cell)`).
+  *
+  * Codegen: each expression stays inside whole-stage codegen by emitting
+  * a call to its own `compute` via `addReferenceObj` — the O(k·d) inner
+  * loop is a plain JVM method the JIT compiles once, and the row loop
+  * around it stays fused (no CodegenFallback interpretation).
+  */
+object IndexExpressions {
+
+  /** Spark `round(col, dp)` semantics for doubles (RoundBase): HALF_UP
+    * on `BigDecimal.valueOf`'s shortest-decimal form; NaN/Inf pass
+    * through; negative dp = identity (matches the literal forms'
+    * "roundDp = -1 disables rounding" convention). */
+  def roundTo(dp: Int, d: Double): Double =
+    if (dp < 0 || java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) d
+    else java.math.BigDecimal.valueOf(d)
+      .setScale(dp, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Squared L2 between an ArrayData vector (from offset `off`) and a
+    * codeword, over `len` components — the ArraySqDist fold. */
+  @inline private[functions] def sqDistFrom(
+      v: ArrayData, off: Int, cw: Array[Double], len: Int): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < len) { val t = v.getDouble(off + i) - cw(i); s += t * t; i += 1 }
+    s
+  }
+}
+
+/** Index of the nearest centroid (rounded-distance argmin, ties to the
+  * lowest cell id) against a broadcast centroid table. */
+case class NearestCell(
+    child: Expression,
+    bc: Broadcast[Array[Array[Double]]],
+    roundDp: Int)
+  extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "ivf_cell"
+
+  def compute(v: ArrayData): Int = {
+    val cs = bc.value
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      val cw = cs(c)
+      val d = IndexExpressions.roundTo(roundDp,
+        IndexExpressions.sqDistFrom(v, 0, cw, math.min(v.numElements(), cw.length)))
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val ref = ctx.addReferenceObj("nearestCell", this, classOf[NearestCell].getName)
+      s"${ev.value} = $ref.compute($v);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCell =
+    copy(child = newChild)
+}
+
+/** The `nprobe` nearest centroid cells, nearest first (ties by lowest
+  * cell id) — the multi-probe companion of [[NearestCell]]. */
+case class NearestCells(
+    child: Expression,
+    bc: Broadcast[Array[Array[Double]]],
+    nprobe: Int,
+    roundDp: Int)
+  extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "ivf_cells"
+
+  def compute(v: ArrayData): ArrayData = {
+    val cs = bc.value
+    val k = cs.length
+    val ds = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val cw = cs(c)
+      ds(c) = IndexExpressions.roundTo(roundDp,
+        IndexExpressions.sqDistFrom(v, 0, cw, math.min(v.numElements(), cw.length)))
+      c += 1
+    }
+    // stable sort by distance keeps ascending cell ids on ties — the
+    // array_sort(struct(d, cell)) lexicographic order
+    val idx = Array.range(0, k)
+      .sortBy(i => ds(i))(Ordering.Double.TotalOrdering)
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(idx, nprobe))
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val ref = ctx.addReferenceObj("nearestCells", this, classOf[NearestCells].getName)
+      s"${ev.value} = $ref.compute($v);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCells =
+    copy(child = newChild)
+}
+
+/** PQ encoding: per-subspace rounded-distance argmin (ties to the lowest
+  * code id) against broadcast codebooks — m small ints per vector. */
+case class PqEncodeExpr(
+    child: Expression,
+    bc: Broadcast[Array[Array[Array[Double]]]],
+    roundDp: Int)
+  extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_codes"
+
+  def compute(v: ArrayData): ArrayData = {
+    val cbs = bc.value
+    val dsub = cbs(0)(0).length
+    val out = new Array[Int](cbs.length)
+    var s = 0
+    while (s < cbs.length) {
+      val cb = cbs(s)
+      val off = s * dsub
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cb.length) {
+        val d = IndexExpressions.roundTo(roundDp,
+          IndexExpressions.sqDistFrom(v, off, cb(c), dsub))
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val ref = ctx.addReferenceObj("pqEncode", this, classOf[PqEncodeExpr].getName)
+      s"${ev.value} = $ref.compute($v);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncodeExpr =
+    copy(child = newChild)
+}
+
+/** Asymmetric distance (ADC): Σ over subspaces of the rounded exact
+  * distance from the raw query subvector to the encoded row's codeword,
+  * terms summed in subspace order, total rounded — identical to the
+  * literal `element_at` + sqDist + round composition. */
+case class AdcDistExpr(
+    left: Expression,  // raw query vector, array<double>
+    right: Expression, // corpus row codes, array<int>
+    bc: Broadcast[Array[Array[Array[Double]]]],
+    roundDp: Int)
+  extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(IntegerType))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "adc_distance"
+
+  def compute(qv: ArrayData, codes: ArrayData): Double = {
+    val cbs = bc.value
+    val dsub = cbs(0)(0).length
+    var total = 0.0
+    var s = 0
+    while (s < cbs.length) {
+      val cw = cbs(s)(codes.getInt(s))
+      total += IndexExpressions.roundTo(roundDp,
+        IndexExpressions.sqDistFrom(qv, s * dsub, cw, dsub))
+      s += 1
+    }
+    IndexExpressions.roundTo(roundDp, total)
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (q, c) => {
+      val ref = ctx.addReferenceObj("adcDist", this, classOf[AdcDistExpr].getName)
+      s"${ev.value} = $ref.compute($q, $c);"
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): AdcDistExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Random-hyperplane LSH signature: bit j = sign of the (6-dp-rounded)
+  * projection onto broadcast plane j — the whole nBits-bit bucket id in
+  * one loop instead of nBits literal-plane dot expressions. */
+case class LshSignature(
+    child: Expression,
+    bc: Broadcast[Array[Array[Double]]])
+  extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "lsh_signature"
+
+  def compute(v: ArrayData): Int = {
+    val planes = bc.value
+    var sig = 0
+    var j = 0
+    while (j < planes.length) {
+      val p = planes(j)
+      val n = math.min(v.numElements(), p.length)
+      var proj = 0.0
+      var i = 0
+      while (i < n) { proj += v.getDouble(i) * p(i); i += 1 }
+      if (IndexExpressions.roundTo(6, proj) > 0) sig |= (1 << j)
+      j += 1
+    }
+    sig
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val ref = ctx.addReferenceObj("lshSig", this, classOf[LshSignature].getName)
+      s"${ev.value} = $ref.compute($v);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): LshSignature =
+    copy(child = newChild)
+}
+
+/** Column builders over already-created broadcast handles (one broadcast
+  * per operator invocation — [[graft.ops.Similarity]] shares a handle
+  * across the corpus and query sides of a join). */
+object IndexExpr {
+  def ivfCell(v: Column, bc: Broadcast[Array[Array[Double]]], roundDp: Int): Column =
+    ColumnBridge.column(NearestCell(ColumnBridge.expression(v), bc, roundDp))
+
+  def ivfCells(v: Column, bc: Broadcast[Array[Array[Double]]], nprobe: Int,
+      roundDp: Int): Column =
+    ColumnBridge.column(NearestCells(ColumnBridge.expression(v), bc, nprobe, roundDp))
+
+  def pqCodes(v: Column, bc: Broadcast[Array[Array[Array[Double]]]],
+      roundDp: Int): Column =
+    ColumnBridge.column(PqEncodeExpr(ColumnBridge.expression(v), bc, roundDp))
+
+  def adcDistance(qv: Column, codes: Column,
+      bc: Broadcast[Array[Array[Array[Double]]]], roundDp: Int): Column =
+    ColumnBridge.column(AdcDistExpr(
+      ColumnBridge.expression(qv), ColumnBridge.expression(codes), bc, roundDp))
+
+  def lshSignature(v: Column, bc: Broadcast[Array[Array[Double]]]): Column =
+    ColumnBridge.column(LshSignature(ColumnBridge.expression(v), bc))
+}

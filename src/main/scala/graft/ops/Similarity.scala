@@ -20,6 +20,19 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Index state (centroids, codebooks, hyperplanes) rides a broadcast
+    * variable read by the native index expressions
+    * ([[graft.functions.IndexExpr]]), NOT plan literals: a literal
+    * centroid table serializes O(k·d) into the plan AND every task
+    * binary — at a production quantizer (k = 2^16, d = 1024) that is
+    * hundreds of MB of plan for every query. The broadcast handle keeps
+    * plans O(1) in k·d (PlanSpec gates this) and ships the table to each
+    * executor once. One broadcast per operator invocation, shared across
+    * the corpus and query sides of the join. */
+  private def bcOf[T](v: T)(implicit ct: scala.reflect.ClassTag[T])
+      : org.apache.spark.broadcast.Broadcast[T] =
+    org.apache.spark.sql.SparkSession.active.sparkContext.broadcast(v)
+
   /** Exact top-k: queries broadcast against a single corpus scan. */
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
@@ -44,27 +57,28 @@ object Similarity {
     *    choice: true spherically-symmetric projections, and distinct
     *    seeds give independent hash tables for multi-table LSH.
     *
-    * The hyperplanes are materialized as LITERAL arrays computed on the
-    * driver and projected with the native ArrayDot, so the per-row work
-    * is nBits fused loops inside codegen instead of interpreted HOF
-    * chains — either family ships to executors the same way. */
+    * The hyperplanes are computed on the driver and ship via a broadcast
+    * read by the native [[graft.functions.LshSignature]] expression, so
+    * the per-row work is one fused nBits×dim loop inside codegen and the
+    * plan stays O(1) in the plane count — either family ships the same
+    * way. The projection is rounded to 6 dp before the sign test so an
+    * engine-dependent last-ulp wobble cannot flip a bucket bit
+    * (cross-engine oracle exactness). */
   def lshBucket(vecCol: Column, dim: Int, nBits: Int = 8,
       seed: Option[Long] = None, planeOffset: Int = 0): Column = {
-    val v = vecCol.cast("array<double>")
     val rng = seed.map(s => new java.util.Random(s))
-    (0 until nBits).map { j =>
-      val plane = rng match {
-        case Some(r) => Seq.fill(dim)(r.nextGaussian())
+    val planes: Array[Array[Double]] = Array.tabulate(nBits) { j =>
+      rng match {
+        case Some(r) => Array.fill(dim)(r.nextGaussian())
         // planeOffset shifts the seedless family to a disjoint plane set
         // (plane j' = j + offset) — how multi-table LSH gets independent
         // tables while staying SQL-expressible for cross-engine oracles
-        case None => (0 until dim).map(i => math.sin(i * 131.0 + (j + planeOffset) * 523.0))
+        case None =>
+          Array.tabulate(dim)(i => math.sin(i * 131.0 + (j + planeOffset) * 523.0))
       }
-      val proj = graft.functions.ArrayMath.dot(v, typedLit(plane))
-      // round before the sign test so an engine-dependent last-ulp wobble
-      // cannot flip a bucket bit (cross-engine oracle exactness)
-      (round(proj, 6) > 0).cast("int") * lit(1 << j)
-    }.reduce(_ + _)
+    }
+    graft.functions.IndexExpr.lshSignature(
+      vecCol.cast("array<double>"), bcOf(planes))
   }
 
   /** Approximate top-k via shared LSH buckets + exact rerank.
@@ -109,7 +123,11 @@ object Similarity {
       .map(_.getSeq[Double](0).toArray)
     rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var centroids = rdd.takeSample(withReplacement = false, kCells, seed)
-    require(centroids.nonEmpty, "empty corpus")
+    // a corpus smaller than kCells would silently train a smaller
+    // quantizer (takeSample returns what exists) — fail fast instead:
+    // every consumer sizes nprobe/codes against the REQUESTED k
+    require(centroids.length == kCells,
+      s"corpus has only ${centroids.length} rows, fewer than kCells=$kCells")
     var iter = 0
     while (iter < iters) {
       val bc = rdd.sparkContext.broadcast(centroids)
@@ -156,21 +174,16 @@ object Similarity {
     centroids
   }
 
-  /** Nearest-centroid cell id for a vector column (codegen-friendly:
-    * the centroid table ships as a literal array of arrays). When
+  /** Nearest-centroid cell id for a vector column (broadcast centroid
+    * table + native argmin, [[graft.functions.NearestCell]]). When
     * `roundDp >= 0` the squared distance is rounded before the argmin so
     * a last-ulp fold wobble cannot flip a cell assignment (cross-engine
     * oracle exactness — same rule as lshBucket). Ties break to the
     * lowest cell id on both engines (struct (d, cell) lexicographic). */
   def ivfCell(vecCol: Column, centroids: Array[Array[Double]],
-      roundDp: Int = -1): Column = {
-    val v = vecCol.cast("array<double>")
-    val dists = centroids.zipWithIndex.map { case (cArr, i) =>
-      val d = graft.functions.ArrayMath.sqDist(v, typedLit(cArr.toSeq))
-      struct((if (roundDp >= 0) round(d, roundDp) else d).as("d"), lit(i).as("cell"))
-    }
-    least(dists: _*).getField("cell")
-  }
+      roundDp: Int = -1): Column =
+    graft.functions.IndexExpr.ivfCell(
+      vecCol.cast("array<double>"), bcOf(centroids), roundDp)
 
   /** Multi-table LSH top-k: OR-amplification across `nTables` independent
     * hash tables (seeded gaussian hyperplanes, table t seeded `seed + t`),
@@ -259,13 +272,8 @@ object Similarity {
       roundDp: Int = -1): Column = {
     require(nprobe >= 1 && nprobe <= centroids.length,
       s"nprobe must be in [1, ${centroids.length}], got $nprobe")
-    val v = vecCol.cast("array<double>")
-    val dists = centroids.zipWithIndex.map { case (cArr, i) =>
-      val d = graft.functions.ArrayMath.sqDist(v, typedLit(cArr.toSeq))
-      struct((if (roundDp >= 0) round(d, roundDp) else d).as("d"), lit(i).as("cell"))
-    }
-    transform(slice(array_sort(array(dists: _*)), 1, nprobe),
-      s => s.getField("cell"))
+    graft.functions.IndexExpr.ivfCells(
+      vecCol.cast("array<double>"), bcOf(centroids), nprobe, roundDp)
   }
 
   /** IVF approximate top-k: each query probes its `nprobe` nearest cells.
@@ -276,12 +284,17 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Double]], k: Int, roundDp: Int = -1,
       nprobe: Int = 1): DataFrame = {
-    val cell = ivfCell(col(vecCol), centroids, roundDp)
+    require(nprobe >= 1 && nprobe <= centroids.length,
+      s"nprobe must be in [1, ${centroids.length}], got $nprobe")
+    val bc = bcOf(centroids) // ONE handle for both sides of the join
     val c = corpus.select(col(idCol).as("c_id"),
-      col(vecCol).cast("array<double>").as("cv"), cell.as("cell"))
+      col(vecCol).cast("array<double>").as("cv"),
+      graft.functions.IndexExpr.ivfCell(
+        col(vecCol).cast("array<double>"), bc, roundDp).as("cell"))
     val q = queries.select(col(idCol).as("q_id"),
       col(vecCol).cast("array<double>").as("qv"),
-      explode(ivfCells(col(vecCol), centroids, nprobe, roundDp)).as("cell"))
+      explode(graft.functions.IndexExpr.ivfCells(
+        col(vecCol).cast("array<double>"), bc, nprobe, roundDp)).as("cell"))
     val rawCos = cosineSim(col("qv"), col("cv"))
     val scored = c.join(broadcast(q), "cell")
       .select(col("q_id"), col("c_id"),
@@ -296,47 +309,46 @@ object Similarity {
     * (64-dim float → 4 bytes at m=4/ksub≤256, a 64× compression). The
     * memory-resident-index shape for 100 TB ANN: the codes table fits in
     * RAM where the raw vectors never would. `codebooks(s)(c)` is codeword
-    * `c` of subspace `s`; all codebooks ship as literals so encoding is
-    * one codegen'd projection (same argmin/round/tie rules as
-    * [[ivfCell]]: round before the argmin so a last-ulp wobble cannot
-    * flip a code, ties to the lowest code id). */
+    * `c` of subspace `s`; all codebooks ship via ONE broadcast read by
+    * the native [[graft.functions.PqEncodeExpr]], so encoding is one
+    * codegen'd projection and the plan stays O(1) in m·ksub·dsub (same
+    * argmin/round/tie rules as [[ivfCell]]: round before the argmin so a
+    * last-ulp wobble cannot flip a code, ties to the lowest code id). */
   def pqCodes(vecCol: Column, codebooks: Array[Array[Array[Double]]],
       roundDp: Int = -1): Column = {
-    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty), "empty codebooks")
-    val dsub = codebooks(0)(0).length
-    val v = vecCol.cast("array<double>")
-    val codes = codebooks.indices.map { s =>
-      val sv = slice(v, s * dsub + 1, dsub)
-      val dists = codebooks(s).zipWithIndex.map { case (cw, cIdx) =>
-        val d = graft.functions.ArrayMath.sqDist(sv, typedLit(cw.toSeq))
-        struct((if (roundDp >= 0) round(d, roundDp) else d).as("d"),
-          lit(cIdx).as("code"))
-      }
-      least(dists: _*).getField("code")
-    }
-    array(codes: _*)
+    validateCodebooks(codebooks)
+    graft.functions.IndexExpr.pqCodes(
+      vecCol.cast("array<double>"), bcOf(codebooks), roundDp)
+  }
+
+  /** Structural invariants every codebook consumer assumes: at least one
+    * subspace, uniform ksub >= 1 across subspaces, uniform codeword
+    * dimensionality everywhere (dsub is derived from codebooks(0)(0), so
+    * a ragged table would silently compute wrong distances instead of
+    * failing here). */
+  private[ops] def validateCodebooks(cbs: Array[Array[Array[Double]]]): Unit = {
+    require(cbs.nonEmpty && cbs.forall(_.nonEmpty), "empty codebooks")
+    val ksub = cbs(0).length
+    require(cbs.forall(_.length == ksub),
+      s"ragged codebooks: subspace ksub counts ${cbs.map(_.length).mkString(",")}")
+    val dsub = cbs(0)(0).length
+    require(dsub >= 1 && cbs.forall(_.forall(_.length == dsub)),
+      s"ragged codebooks: expected uniform codeword length $dsub")
   }
 
   /** Asymmetric-distance computation (ADC): approximate squared L2
     * between a RAW query vector and an ENCODED corpus row = the sum over
     * subspaces of the exact distance from the query subvector to the
     * corpus row's codeword. The query side never quantizes (that would
-    * double the quantization error for free). Each subspace term is a
-    * literal-table lookup (`element_at` on the codebook) plus one
-    * codegen'd sqDist; terms are rounded before the sum so the
-    * 4-addend total is cross-engine exact. */
+    * double the quantization error for free). One broadcast-codebook
+    * lookup + fused loop per row ([[graft.functions.AdcDistExpr]]);
+    * terms are rounded before the sum so the m-addend total is
+    * cross-engine exact. */
   def adcDistance(queryVec: Column, codesCol: Column,
       codebooks: Array[Array[Array[Double]]], roundDp: Int = -1): Column = {
-    val dsub = codebooks(0)(0).length
-    val qv = queryVec.cast("array<double>")
-    val total = codebooks.indices.map { s =>
-      val sv = slice(qv, s * dsub + 1, dsub)
-      val cw = element_at(typedLit(codebooks(s).map(_.toSeq).toSeq),
-        codesCol.getItem(s) + 1)
-      val d = graft.functions.ArrayMath.sqDist(sv, cw)
-      if (roundDp >= 0) round(d, roundDp) else d
-    }.reduce(_ + _)
-    if (roundDp >= 0) round(total, roundDp) else total
+    validateCodebooks(codebooks)
+    graft.functions.IndexExpr.adcDistance(
+      queryVec.cast("array<double>"), codesCol, bcOf(codebooks), roundDp)
   }
 
   /** PQ approximate top-k by ADC distance (ascending). The corpus scan
@@ -349,13 +361,17 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       codebooks: Array[Array[Array[Double]]], k: Int,
       roundDp: Int = -1): DataFrame = {
+    validateCodebooks(codebooks)
+    val bc = bcOf(codebooks) // ONE handle for encode + ADC
     val c = corpus.select(col(idCol).as("c_id"),
-      pqCodes(col(vecCol), codebooks, roundDp).as("codes"))
+      graft.functions.IndexExpr.pqCodes(
+        col(vecCol).cast("array<double>"), bc, roundDp).as("codes"))
     val q = queries.select(col(idCol).as("q_id"),
       col(vecCol).cast("array<double>").as("qv"))
     val scored = c.crossJoin(broadcast(q))
       .select(col("q_id"), col("c_id"),
-        adcDistance(col("qv"), col("codes"), codebooks, roundDp).as("adist"))
+        graft.functions.IndexExpr.adcDistance(
+          col("qv"), col("codes"), bc, roundDp).as("adist"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("adist").asc, col("c_id").asc)
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
@@ -369,15 +385,24 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Double]], codebooks: Array[Array[Array[Double]]],
       k: Int, nprobe: Int = 1, roundDp: Int = -1): DataFrame = {
+    require(nprobe >= 1 && nprobe <= centroids.length,
+      s"nprobe must be in [1, ${centroids.length}], got $nprobe")
+    validateCodebooks(codebooks)
+    val bcC = bcOf(centroids)
+    val bcB = bcOf(codebooks)
     val c = corpus.select(col(idCol).as("c_id"),
-      ivfCell(col(vecCol), centroids, roundDp).as("cell"),
-      pqCodes(col(vecCol), codebooks, roundDp).as("codes"))
+      graft.functions.IndexExpr.ivfCell(
+        col(vecCol).cast("array<double>"), bcC, roundDp).as("cell"),
+      graft.functions.IndexExpr.pqCodes(
+        col(vecCol).cast("array<double>"), bcB, roundDp).as("codes"))
     val q = queries.select(col(idCol).as("q_id"),
       col(vecCol).cast("array<double>").as("qv"),
-      explode(ivfCells(col(vecCol), centroids, nprobe, roundDp)).as("cell"))
+      explode(graft.functions.IndexExpr.ivfCells(
+        col(vecCol).cast("array<double>"), bcC, nprobe, roundDp)).as("cell"))
     val scored = c.join(broadcast(q), "cell")
       .select(col("q_id"), col("c_id"),
-        adcDistance(col("qv"), col("codes"), codebooks, roundDp).as("adist"))
+        graft.functions.IndexExpr.adcDistance(
+          col("qv"), col("codes"), bcB, roundDp).as("adist"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("adist").asc, col("c_id").asc)
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
@@ -435,12 +460,17 @@ object Similarity {
     require(bySub.keySet == bySub.keySet.min.to(bySub.keySet.max).toSet &&
       bySub.keySet.min == 0,
       s"codebook subspaces at $path are not a dense 0..${bySub.size - 1} range")
-    (0 until bySub.size).map { s =>
+    val out = (0 until bySub.size).map { s =>
       val cws = bySub(s).sortBy(_._2)
       require(cws.map(_._2).toSeq == cws.indices.toSeq,
         s"subspace $s codes at $path are not a dense 0..${cws.length - 1} range")
       cws.map(_._3)
     }.toArray
+    // a corrupt table with ragged codewords or uneven ksub would
+    // otherwise silently compute wrong distances (dsub derives from
+    // codebooks(0)(0) alone)
+    validateCodebooks(out)
+    out
   }
 
   /** Symmetric per-vector int8 scalar quantization: codes[i] =

@@ -310,4 +310,38 @@ class PlanSpec extends AnyFunSuite {
     val (_, g) = graft.linalg.Kernels.lossGrad(data, breeze.linalg.DenseVector.zeros[Double](2), graft.families.Logistic)
     assert(g.length == 2)
   }
+
+  test("ANN index state rides broadcasts: plan size is O(1) in k·d") {
+    // a literal centroid table would grow the analyzed plan O(k·d); the
+    // broadcast-handle expressions must keep it flat. Gate: growing the
+    // index 64x (16->256 cells, and 4x the dim) leaves the plan string
+    // within noise of the small one — if index state leaks back into the
+    // plan, this blows past 2x immediately.
+    import graft.ops.Similarity
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val queries = emb.limit(3)
+    def planSize(kCells: Int, d: Int): Int = {
+      val rng = new scala.util.Random(1)
+      val cents = Array.fill(kCells)(Array.fill(d)(rng.nextDouble()))
+      Similarity.ivfTopK(emb, queries, "vec_id", "embedding", cents,
+          k = 5, roundDp = 6, nprobe = 2)
+        .queryExecution.analyzed.toString.length
+    }
+    val small = planSize(16, 64)
+    val big = planSize(256, 256)
+    assert(big < small * 2,
+      s"plan grew with index size: $small -> $big chars (index state in plan?)")
+
+    def pqPlanSize(ksub: Int, dsub: Int): Int = {
+      val rng = new scala.util.Random(2)
+      val cbs = Array.fill(4)(Array.fill(ksub)(Array.fill(dsub)(rng.nextDouble())))
+      Similarity.pqTopK(emb, queries, "vec_id", "embedding", cbs,
+          k = 5, roundDp = 6)
+        .queryExecution.analyzed.toString.length
+    }
+    val pqSmall = pqPlanSize(4, 16)
+    val pqBig = pqPlanSize(64, 64)
+    assert(pqBig < pqSmall * 2,
+      s"PQ plan grew with codebook size: $pqSmall -> $pqBig chars")
+  }
 }

@@ -23,12 +23,11 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
-  test("every query name has oracle SQL or documented rows-only status") {
-    // rows-only by design: engine-specific RNG (the q47/q48 sketches now
-    // surface their rel-err gates as hash-checked integer flags instead)
-    val allowed = Set("q28_random_split")
+  test("every query has oracle SQL (zero rows-only entries)") {
+    // q28 was the last rows-only entry; its hash-split twin is now
+    // DuckDB-reproducible, so the registry is 100% oracle-checked
     val noOracle = Queries.all.filter(_.oracle.isEmpty).map(_.name).toSet
-    assert(noOracle == allowed, s"unexpected rows-only: $noOracle")
+    assert(noOracle.isEmpty, s"unexpected rows-only: $noOracle")
   }
 
   test("oracle SQL references only harness table names") {
