@@ -43,6 +43,20 @@ object Datasets {
   private def z0Col(idx: Array[Int], beta: Array[Double]) =
     idx.map(j => col(s"x$j") * lit(beta(j))).reduceOption(_ + _).getOrElse(lit(0.0))
 
+  /** The reference's `is_sparse=True` (datasets.py:51-52) is a STORAGE-
+    * FORMAT switch, not a sparsity-pattern change: the same gaussian X
+    * wrapped in sparse.COO blocks. Mirrored as MLlib SparseVector rows —
+    * identical values, and downstream the sparse dispatch engages
+    * (normalize auto-disable at Estimators, foreachActive kernels, no
+    * densify in the ADMM pack). */
+  private val toSparseVec = udf { (a: Seq[Double]) =>
+    org.apache.spark.ml.linalg.Vectors.dense(a.toArray).toSparse
+  }
+
+  private def maybeSparse(df: DataFrame, isSparse: Boolean): DataFrame =
+    if (!isSparse) df
+    else df.withColumn("features", toSparseVec(col("features")))
+
   /** Classification: y = U(0,1) < σ(X_inf·β_inf) (datasets.py:8-57). */
   def makeClassification(
       spark: SparkSession,
@@ -51,14 +65,15 @@ object Datasets {
       nInformative: Int = 2,
       scale: Double = 1.0,
       chunksize: Int = 100,
-      seed: Long = 42): DataFrame = {
+      seed: Long = 42,
+      isSparse: Boolean = false): DataFrame = {
     val x = baseX(spark, nSamples, nFeatures, chunksize, seed)
     val (idx, beta) = informativeBeta(nFeatures, nInformative, scale, seed)
     val z0 = z0Col(idx, beta)
-    x.withColumn("label",
+    maybeSparse(x.withColumn("label",
         (rand(seed + 7919) < lit(1.0) / (lit(1.0) + exp(-z0))).cast("double"))
       .withColumn("features", array((0 until nFeatures).map(j => col(s"x$j")): _*))
-      .select("id", "features", "label")
+      .select("id", "features", "label"), isSparse)
   }
 
   /** Regression: y = U(0,1) — deliberately trivial noise (datasets.py:60-109). */
@@ -69,11 +84,12 @@ object Datasets {
       nInformative: Int = 2,
       scale: Double = 1.0,
       chunksize: Int = 100,
-      seed: Long = 42): DataFrame = {
+      seed: Long = 42,
+      isSparse: Boolean = false): DataFrame = {
     val x = baseX(spark, nSamples, nFeatures, chunksize, seed)
-    x.withColumn("label", rand(seed + 7919))
+    maybeSparse(x.withColumn("label", rand(seed + 7919))
       .withColumn("features", array((0 until nFeatures).map(j => col(s"x$j")): _*))
-      .select("id", "features", "label")
+      .select("id", "features", "label"), isSparse)
   }
 
   /** Poisson: rate = exp(z0); y ~ Poisson(rate) via per-row inversion
@@ -86,7 +102,8 @@ object Datasets {
       nInformative: Int = 2,
       scale: Double = 1.0,
       chunksize: Int = 100,
-      seed: Long = 42): DataFrame = {
+      seed: Long = 42,
+      isSparse: Boolean = false): DataFrame = {
     val x = baseX(spark, nSamples, nFeatures, chunksize, seed)
     val (idx, beta) = informativeBeta(nFeatures, nInformative, scale, seed)
     val z0 = z0Col(idx, beta)
@@ -104,9 +121,9 @@ object Datasets {
       }
       k.toDouble
     }
-    x.withColumn("label", poissonUdf(exp(z0), rand(seed + 7919)))
+    maybeSparse(x.withColumn("label", poissonUdf(exp(z0), rand(seed + 7919)))
       .withColumn("features", array((0 until nFeatures).map(j => col(s"x$j")): _*))
-      .select("id", "features", "label")
+      .select("id", "features", "label"), isSparse)
   }
 
   /** `make_y` test helper: y = U(0,1) < σ(X·β), default β=[1.5,−3]

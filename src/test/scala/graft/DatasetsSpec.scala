@@ -20,6 +20,25 @@ class DatasetsSpec extends AnyFunSuite {
     assert(df.select(size(col("features"))).head().getInt(0) == 10)
   }
 
+  test("is_sparse mirrors the dense values in SparseVector storage (datasets.py:51-52)") {
+    // the reference's flag wraps the SAME gaussian X in sparse.COO blocks;
+    // ours must produce identical values stored as MLlib SparseVector
+    val dense = Datasets.makeClassification(spark, 200, 4, seed = 77)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[Double](1).toArray.toSeq, r.getDouble(2)))).toMap
+    val sparse = Datasets.makeClassification(spark, 200, 4, seed = 77,
+      isSparse = true).collect()
+    assert(sparse.length == 200)
+    sparse.foreach { r =>
+      val v = r.getAs[org.apache.spark.ml.linalg.Vector](1)
+      assert(v.isInstanceOf[org.apache.spark.ml.linalg.SparseVector],
+        s"row ${r.getLong(0)} not sparse: ${v.getClass}")
+      val (denseVals, denseLabel) = dense(r.getLong(0))
+      assert(v.toArray.toSeq == denseVals, s"row ${r.getLong(0)} values differ")
+      assert(r.getDouble(2) == denseLabel)
+    }
+  }
+
   test("same seed => bit-identical dataset; different seed differs") {
     def sig(seed: Long) = Datasets.makeClassification(spark, 200, 4, seed = seed)
       .select(md5(concat_ws(",", col("id"),

@@ -43,4 +43,22 @@ class NormalizeSpec extends AnyFunSuite {
     assert(d.numFeatures == 4)
     assert(d.rows.collect().forall { case (x, _) => x.size == 4 && x(3) == 1.0 })
   }
+
+  test("add_intercept on sparse rows stays sparse (test_utils.py:104-129)") {
+    // the reference's sparse case: a 4x4 all-zero COO gains a sparse ones
+    // column — [0,0,0,0,1] per row, no densify (the reference marks its
+    // dask variant xfail on a fill-value clash; the engine supports it)
+    import org.apache.spark.ml.linalg.Vectors
+    val rows = graft.TestSpark.spark.sparkContext.parallelize(Seq(
+      (Vectors.sparse(4, Array(), Array()): org.apache.spark.ml.linalg.Vector, 0.0),
+      (Vectors.sparse(4, Array(1), Array(2.0)), 1.0)), 1)
+    val d = new graft.core.GlmData(rows, 4, isSparse = true).addIntercept
+    assert(d.numFeatures == 5)
+    val out = d.rows.collect()
+    out.foreach { case (x, _) =>
+      assert(x.isInstanceOf[org.apache.spark.ml.linalg.SparseVector], x.getClass)
+      assert(x.size == 5 && x(4) == 1.0)
+    }
+    assert(out(1)._1(1) == 2.0) // existing actives preserved
+  }
 }

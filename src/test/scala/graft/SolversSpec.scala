@@ -120,6 +120,42 @@ class SolversSpec extends AnyFunSuite {
     assert(breeze.linalg.max(breeze.numerics.abs(beta)) <= 1e-4)
   }
 
+  test("sparse backend: admm & lbfgs fits pass the oracles, no densify") {
+    // the reference's sparse-backend grid row (test_algos_families.py:
+    // 84-138 array_type='sparse' via make_array_type) + the no-densify
+    // contract implicit in its sparse.COO storage: rows must STAY
+    // SparseVector through addIntercept and the solver passes
+    val df = Datasets.makeClassification(spark, nSamples = 1000,
+      nFeatures = 2, chunksize = 250, seed = 5150, isSparse = true)
+    val base = GlmData.fromDF(df)
+    assert(base.isSparse, "sparse storage must be detected from the first row")
+    val data = base.addIntercept.persist()
+    // partition-level inspection: every row is still a SparseVector
+    val classes = data.rows.mapPartitions(it =>
+        Iterator.single(it.map(_._1.getClass.getSimpleName).toSet))
+      .collect().reduce(_ ++ _)
+    assert(classes == Set("SparseVector"), s"sparse path densified: $classes")
+    // estimator contract: normalize auto-disables for sparse input
+    // (estimators.py:82-84 — centering would densify); fit through the
+    // estimator so that branch is the one under test
+    for (solverName <- Seq("admm", "lbfgs")) {
+      val est = new graft.estimators.LogisticRegression(
+        graft.estimators.GlmParams(solver = solverName, regularizer = "l2",
+          lamduh = 0.01, maxIter = 100))
+      est.fit(df)
+      val beta = est.rawCoef
+      val rng = new scala.util.Random(987)
+      val testVec = DenseVector.fill(3)(rng.nextGaussian())
+      val fLoss = Kernels.loss(data, beta, Logistic)
+      val rLoss = Kernels.loss(data, testVec, Logistic)
+      assert(fLoss < rLoss, s"sparse $solverName: $fLoss !< $rLoss")
+      // unregularized-quality fit at small lambda: moment condition holds
+      val gap = momentGap(data, beta)
+      assert(gap <= 2.0, s"sparse $solverName moment gap $gap")
+    }
+    data.unpersist()
+  }
+
   test("determinism: same input, same partitioning => bit-identical (maxIter=2)") {
     for (solver <- Seq("admm", "proximal_grad", "newton", "gradient_descent")) {
       val d1 = Datasets.makeInterceptData(spark, 1000, 10)
