@@ -23,6 +23,9 @@ final case class GlmParams(
     abstol: Double = 1e-4,
     reltol: Double = 1e-2,
     normalize: Boolean = true,
+    /** ElasticNet mixing weight (regularizers.py ElasticNet(weight=0.5));
+      * routed only when regularizer == "elastic_net" */
+    elasticNetWeight: Double = 0.5,
     featuresCol: String = "features",
     labelCol: String = "label",
     /** repartition the assembled rows before solving; controls ADMM's
@@ -60,7 +63,11 @@ abstract class GLM(val params: GlmParams) extends Serializable {
       rawCoef = Solvers.solve(
         params.solver, data, family,
         maxIter = params.maxIter, tol = params.tol,
-        regularizer = Regularizer.get(params.regularizer),
+        regularizer = params.regularizer match {
+          case "elastic_net" =>
+            new graft.regularizers.ElasticNet(params.elasticNetWeight)
+          case other => Regularizer.get(other)
+        },
         lamduh = params.lamduh, rho = params.rho,
         overRelax = params.overRelax, abstol = params.abstol,
         reltol = params.reltol, normalize = normalize,

@@ -31,9 +31,33 @@ class GraftGlm(override val uid: String)
     "l1 | l2 | elastic_net")
   final val lamduh: DoubleParam = new DoubleParam(this, "lamduh", "regularization strength")
   final val fitIntercept: BooleanParam = new BooleanParam(this, "fitIntercept", "")
+  // full solver-kwarg surface (estimators.py:39-77 routes **kwargs to the
+  // solver) so CrossValidator can grid over ADMM's rho/overRelax/
+  // abstol/reltol and the chunk count, like the reference's GridSearchCV
+  // analog (test_estimators.py:138-155)
+  final val rho: DoubleParam = new DoubleParam(this, "rho",
+    "ADMM augmented-Lagrangian penalty", ParamValidators.gt(0.0))
+  final val overRelax: DoubleParam = new DoubleParam(this, "overRelax",
+    "ADMM over-relaxation factor")
+  final val abstol: DoubleParam = new DoubleParam(this, "abstol",
+    "ADMM absolute stop tolerance", ParamValidators.gt(0.0))
+  final val reltol: DoubleParam = new DoubleParam(this, "reltol",
+    "ADMM relative stop tolerance", ParamValidators.gt(0.0))
+  final val normalize: BooleanParam = new BooleanParam(this, "normalize",
+    "standardize columns before solving (auto-disabled for sparse input)")
+  final val nPartitions: IntParam = new IntParam(this, "nPartitions",
+    "repartition rows before solving (ADMM chunk count); -1 keeps the scan's")
+  final val admmWarmStart: BooleanParam = new BooleanParam(this, "admmWarmStart",
+    "warm-start ADMM local solves from the previous iterate")
+  final val elasticNetWeight: DoubleParam = new DoubleParam(this,
+    "elasticNetWeight", "ElasticNet l1/l2 mixing weight",
+    ParamValidators.inRange(0.0, 1.0))
 
   setDefault(family -> "logistic", solver -> "admm", regularizer -> "l2",
     lamduh -> 1.0, fitIntercept -> true, maxIter -> 100, tol -> 1e-4,
+    rho -> 1.0, overRelax -> 1.0, abstol -> 1e-4, reltol -> 1e-2,
+    normalize -> true, nPartitions -> -1, admmWarmStart -> false,
+    elasticNetWeight -> 0.5,
     featuresCol -> "features", labelCol -> "label")
 
   def setFamily(v: String): this.type = set(family, v)
@@ -43,13 +67,25 @@ class GraftGlm(override val uid: String)
   def setFitIntercept(v: Boolean): this.type = set(fitIntercept, v)
   def setMaxIter(v: Int): this.type = set(maxIter, v)
   def setTol(v: Double): this.type = set(tol, v)
+  def setRho(v: Double): this.type = set(rho, v)
+  def setOverRelax(v: Double): this.type = set(overRelax, v)
+  def setAbstol(v: Double): this.type = set(abstol, v)
+  def setReltol(v: Double): this.type = set(reltol, v)
+  def setNormalize(v: Boolean): this.type = set(normalize, v)
+  def setNPartitions(v: Int): this.type = set(nPartitions, v)
+  def setAdmmWarmStart(v: Boolean): this.type = set(admmWarmStart, v)
+  def setElasticNetWeight(v: Double): this.type = set(elasticNetWeight, v)
   def setFeaturesCol(v: String): this.type = set(featuresCol, v)
   def setLabelCol(v: String): this.type = set(labelCol, v)
 
   private def innerParams = GlmParams(
     fitIntercept = $(fitIntercept), solver = $(solver),
     regularizer = $(regularizer), maxIter = $(maxIter), tol = $(tol),
-    lamduh = $(lamduh), featuresCol = $(featuresCol), labelCol = $(labelCol))
+    lamduh = $(lamduh), rho = $(rho), overRelax = $(overRelax),
+    abstol = $(abstol), reltol = $(reltol), normalize = $(normalize),
+    nPartitions = $(nPartitions), admmWarmStart = $(admmWarmStart),
+    elasticNetWeight = $(elasticNetWeight),
+    featuresCol = $(featuresCol), labelCol = $(labelCol))
 
   override def fit(dataset: Dataset[_]): GraftGlmModel = {
     val inner: GLM = $(family) match {

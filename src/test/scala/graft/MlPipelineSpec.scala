@@ -61,6 +61,39 @@ class MlPipelineSpec extends AnyFunSuite {
     assert(model.avgMetrics.forall(m => !m.isNaN && m > 0))
   }
 
+  test("CrossValidator sweeps admm rho + elasticNetWeight (full kwarg surface)") {
+    // completes the reference's GridSearchCV analog
+    // (test_estimators.py:138-155): the solver kwargs routed through
+    // **kwargs there (rho, abstol, chunks) must be grid-able here
+    import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
+    import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
+    val li = spark.read.parquet(s"${TestSpark.sf0001}/lineitem.parquet")
+      .select(
+        org.apache.spark.sql.functions.array(col("l_quantity"), col("l_discount")).as("features"),
+        (col("l_returnflag") === "R").cast("double").as("label"))
+      .limit(2000)
+    val glm = new GraftGlm().setFamily("logistic").setSolver("admm")
+      .setRegularizer("elastic_net").setMaxIter(10).setLamduh(0.01)
+      .setNPartitions(4).setAdmmWarmStart(true).setAbstol(1e-3).setReltol(1e-2)
+    val grid = new ParamGridBuilder()
+      .addGrid(glm.rho, Array(0.5, 2.0))
+      .addGrid(glm.elasticNetWeight, Array(0.2, 0.8))
+      .build()
+    val cv = new CrossValidator()
+      .setEstimator(glm)
+      .setEvaluator(new BinaryClassificationEvaluator()
+        .setRawPredictionCol("probability"))
+      .setEstimatorParamMaps(grid)
+      .setNumFolds(2)
+      .setSeed(11)
+    val model = cv.fit(li)
+    assert(model.avgMetrics.length == 4)
+    assert(model.avgMetrics.forall(m => !m.isNaN && m > 0.0))
+    // the winning rho must actually reach the inner estimator
+    val bestEst = model.bestModel.parent.asInstanceOf[GraftGlm]
+    assert(Seq(0.5, 2.0).contains(bestEst.getOrDefault(bestEst.rho)))
+  }
+
   test("sparse vector input: fits without densifying, normalize disabled") {
     import spark.implicits._
     val rng = new scala.util.Random(11)
