@@ -380,12 +380,31 @@ object Dedup {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      // each node offers its label to every neighbor; keep the min of
-      // (own label, offered labels)
+      // Pointer jump (path halving) BEFORE the edge round: the label
+      // table is itself a pointer map — cluster ids are node ids, and
+      // every label value has its own row (symmetrized edges put every
+      // endpoint in `a`) — so label(x) ← label(label(x)) is one
+      // self-join of the CACHED table that contracts label chains by
+      // half. Combined with the edge offer below, chain-shaped
+      // components converge in O(log diameter) rounds instead of
+      // O(diameter) — plain min-propagation walks a k-chain one hop per
+      // round. Jump preserves the invariants the convergence probe
+      // needs: label(x) ≤ x always (seed is min(self, nbrs)), so
+      // label(label(x)) ≤ label(x) — monotone non-increasing — and
+      // label(label(x)) is reachable from x, so the fixpoint (component
+      // min everywhere, where the jump is the identity) is unchanged.
+      // The left join + coalesce is belt-and-braces for a label value
+      // missing from the table (cannot happen on symmetrized edges).
+      val jumped = labels.as("l")
+        .join(labels.as("r"), col("l.cluster") === col("r.node"), "left")
+        .select(col("l.node").as("node"),
+          coalesce(col("r.cluster"), col("l.cluster")).as("cluster"))
+      // each node offers its (jumped) label to every neighbor; keep the
+      // min of (own label, offered labels)
       val next = edges
-        .join(labels.withColumnRenamed("node", "a"), "a")
+        .join(jumped.withColumnRenamed("node", "a"), "a")
         .select(col("b").as("node"), col("cluster"))
-        .union(labels)
+        .union(jumped)
         .groupBy("node").agg(min("cluster").as("cluster"))
         .persist(MEMORY_AND_DISK)
       val s = labelSum(next)

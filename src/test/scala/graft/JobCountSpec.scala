@@ -68,9 +68,10 @@ class JobCountSpec extends AnyFunSuite {
 
   test("clusterPairs: exactly ONE job per propagation round") {
     import spark.implicits._
-    // chain 1-2-3-4: labels sum walks 10 → 7 → 5 → 4 → 4, so exactly 4
-    // propagation rounds run before the sum repeats. Each round's full
-    // decimal label-sum is both the cache materializer and the
+    // chain 1-2-3-4: min(self,nbr) seed sums 7; with pointer jumping +
+    // edge offers the sum walks 7 → 4 → 4, so exactly 2 rounds run
+    // before the sum repeats (plain propagation needed 4). Each round's
+    // full decimal label-sum is both the cache materializer and the
     // convergence probe — 1 job/round + 1 for the initial label table
     // (the round-4 form paid 2 jobs/round: count + change-probe).
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id1", "id2")
@@ -92,8 +93,8 @@ class JobCountSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcWas)
     }
-    // 1 init + 4 rounds + 1 final collect (reads the cache)
-    assert(jobs <= 6, s"jobs=$jobs, expected ≤ 6 (1 init + 4 rounds + 1 read)")
+    // 1 init + 2 rounds + 1 final collect (reads the cache)
+    assert(jobs <= 4, s"jobs=$jobs, expected ≤ 4 (1 init + 2 rounds + 1 read)")
   }
 
   test("empty input raises a clear error") {
