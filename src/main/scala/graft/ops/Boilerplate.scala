@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 
 /** Corpus-wide repeated-passage (boilerplate) detection: find token
   * n-grams shared by many documents and score each document by how much
@@ -12,12 +11,17 @@ import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
   * because the SURROUNDING text differs per page.
   *
   * 100 TB shape: one codegen'd projection fans each doc out to its
-  * n-gram md5 keys (32-byte keys, never gram text), then two key-grouped
-  * shuffles — a distinct-doc-count per gram and a key join back to the
-  * occurrence stream. The occurrence frame is persisted because it feeds
-  * both (each doc is tokenized and hashed ONCE); at corpus scale you
-  * would write it as a gram table next to the corpus and reuse it across
-  * pipeline runs, exactly like the MinHash signature table.
+  * n-gram md5 keys (32-byte keys, never gram text), then a linear
+  * three-shuffle pipeline — (doc, gram) occurrence counts, a per-gram
+  * document-frequency WINDOW over those, and the per-doc rollup. The
+  * occurrence stream feeds exactly one consumer, so each doc is
+  * tokenized and hashed ONCE with no persist (an earlier shape cached
+  * the occurrence frame to feed a df-agg + join-back pair, which leaked
+  * the cache into the caller's session); the df window is a plain
+  * unbounded count — no per-gram set materialization, so a viral gram
+  * spills instead of OOMing. At corpus scale you would still write the
+  * (doc, gram) table next to the corpus and reuse it across pipeline
+  * runs, exactly like the MinHash signature table.
   */
 object Boilerplate {
 
@@ -47,16 +51,18 @@ object Boilerplate {
     // explode_outer keeps too-short docs as one null-key row so they
     // surface with (n_grams, n_common) = (0, 0) instead of vanishing
     val occ = docs.select(col(idCol).as("doc_id"),
-        explode_outer(ngramKeys(col(textCol), n)).as("__gk"))
-      .persist(MEMORY_AND_DISK)
-    val common = occ.filter(col("__gk").isNotNull)
-      .groupBy(col("__gk"))
-      .agg(countDistinct(col("doc_id")).as("__df"))
-      .filter(col("__df") >= minDf)
-      .select(col("__gk"), lit(1).as("__is_common"))
-    occ.join(common, Seq("__gk"), "left")
+      explode_outer(ngramKeys(col(textCol), n)).as("__gk"))
+    // (doc, gram) occurrence counts: after this, one row per distinct
+    // (doc, gram), so a per-gram COUNT window IS the distinct-doc
+    // frequency — a doc repeating its own phrase still counts once
+    val perDocGram = occ.groupBy(col("doc_id"), col("__gk"))
+      .agg(count(col("__gk")).as("__cnt")) // 0 for the null too-short row
+    val byGram = org.apache.spark.sql.expressions.Window.partitionBy(col("__gk"))
+    perDocGram
+      .withColumn("__df", count(col("__gk")).over(byGram))
       .groupBy(col("doc_id"))
-      .agg(count(col("__gk")).cast("int").as("n_grams"),
-        sum(coalesce(col("__is_common"), lit(0))).cast("int").as("n_common"))
+      .agg(sum(col("__cnt")).cast("int").as("n_grams"),
+        sum(when(col("__gk").isNotNull && col("__df") >= minDf, col("__cnt"))
+          .otherwise(lit(0))).cast("int").as("n_common"))
   }
 }

@@ -245,22 +245,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
-  test("q98 repeated-ngram plan: gram-key equi-joins only, occurrence frame cached") {
+  test("q98 repeated-ngram plan: ONE scan, linear window pipeline, no joins") {
     val df = Queries.byName("q98_repeated_ngrams").spark(spark, TestSpark.sf0001)
     df.collect()
     val plan = df.queryExecution.executedPlan
     val s = plan.toString
-    // df-count and join-back are key joins on the md5 gram keys — a
-    // cartesian/BNL here means the gram bucketing degenerated
-    assert(!s.contains("CartesianProduct"), s)
-    assert(!s.contains("BroadcastNestedLoopJoin"), s)
-    // the occurrence frame feeds both the df-count and the join-back:
-    // cached, so each doc is tokenized + md5-hashed exactly once
-    assert(countScans(plan) == 0,
-      s"${countScans(plan)} raw scans outside the cached occurrence frame")
-    val mem = collectInMem(plan)
-    assert(mem.nonEmpty, s"no cached occurrence frame\n$plan")
-    assert(countScans(mem.head.relation.cachedPlan) == 1)
+    // the df-count is a per-gram WINDOW over (doc, gram) rows — the plan
+    // must be a linear agg/window pipeline: no join of any kind, and
+    // exactly one corpus scan (each doc tokenized + md5-hashed once,
+    // with no cached frame left behind in the session)
+    assert(!s.contains("Join"), s)
+    assert(plan.toString.contains("Window"), s)
+    assert(countScans(plan) == 1,
+      s"${countScans(plan)} scans, expected exactly 1")
+    assert(collectInMem(plan).isEmpty, "q98 must not leave cached state")
   }
 
   test("q99 PQ scan carries codes to a broadcast join — corpus is never shuffled") {
