@@ -436,6 +436,53 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
+  /** Encode a corpus to its persisted IVF-PQ index table — (id, cell,
+    * codes), the full production index-build step: one codegen'd pass
+    * assigns every vector its coarse cell AND its PQ codes, written next
+    * to the corpus. Query jobs then run [[ivfPqTopKOnCodes]] and never
+    * read a raw vector: at 100 TB of embeddings the scannable index is
+    * m bytes + an int per row. */
+  def ivfPqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], codebooks: Array[Array[Array[Double]]],
+      path: String, roundDp: Int = -1): Unit = {
+    validateCodebooks(codebooks)
+    val bcC = bcOf(centroids)
+    val bcB = bcOf(codebooks)
+    corpus.select(col(idCol),
+        graft.functions.IndexExpr.ivfCell(
+          col(vecCol).cast("array<double>"), bcC, roundDp).as("cell"),
+        graft.functions.IndexExpr.pqCodes(
+          col(vecCol).cast("array<double>"), bcB, roundDp).as("codes"))
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** [[ivfPqTopK]] against an already-encoded (id, cell, codes) index
+    * table: identical ranking, zero raw-vector reads on the corpus side.
+    * Only the broadcast-small query side carries raw vectors (cell
+    * probes + ADC are query-side work against the broadcast index
+    * state). */
+  def ivfPqTopKOnCodes(
+      codes: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], codebooks: Array[Array[Array[Double]]],
+      k: Int, nprobe: Int = 1, roundDp: Int = -1): DataFrame = {
+    require(nprobe >= 1 && nprobe <= centroids.length,
+      s"nprobe must be in [1, ${centroids.length}], got $nprobe")
+    validateCodebooks(codebooks)
+    val bcC = bcOf(centroids)
+    val bcB = bcOf(codebooks)
+    val c = codes.select(col(idCol).as("c_id"), col("cell"), col("codes"))
+    val q = queries.select(col(idCol).as("q_id"),
+      col(vecCol).cast("array<double>").as("qv"),
+      explode(graft.functions.IndexExpr.ivfCells(
+        col(vecCol).cast("array<double>"), bcC, nprobe, roundDp)).as("cell"))
+    val scored = c.join(broadcast(q), "cell")
+      .select(col("q_id"), col("c_id"),
+        graft.functions.IndexExpr.adcDistance(
+          col("qv"), col("codes"), bcB, roundDp).as("adist"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adist").asc, col("c_id").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
   /** Persist trained PQ codebooks as a tiny (s, code, codeword) parquet
     * table (the [[saveCentroids]] pattern); [[loadCodebooks]] restores
     * the dense (m, ksub) layout and validates it. */

@@ -126,6 +126,30 @@ class PqSpec extends AnyFunSuite {
     assert(onCodes == direct)
   }
 
+  test("persisted IVF-PQ index table reproduces ivfPqTopK (build-once query path)") {
+    val e = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val queries = e.filter(col("vec_id") < 5)
+    val corpus = e.filter(col("vec_id") >= 5)
+    val cents = Similarity.trainIvfCentroids(corpus.select("embedding"),
+      "embedding", kCells = 4, iters = 2)
+    val cbs = Similarity.trainPqCodebooks(corpus, "embedding", dim = 64, m = 4,
+      ksub = 8, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_codes").toString
+    Similarity.ivfPqEncode(corpus, "vec_id", "embedding", cents, cbs, dir,
+      roundDp = 6)
+    val codes = spark.read.parquet(dir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "rk", "c_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    for (nprobe <- Seq(1, 2, 4)) {
+      val onCodes = rows(Similarity.ivfPqTopKOnCodes(codes, queries, "vec_id",
+        "embedding", cents, cbs, k = 3, nprobe = nprobe, roundDp = 6))
+      val direct = rows(Similarity.ivfPqTopK(corpus, queries, "vec_id",
+        "embedding", cents, cbs, k = 3, nprobe = nprobe, roundDp = 6))
+      assert(onCodes == direct, s"nprobe=$nprobe")
+    }
+  }
+
   test("codebook save/load round-trips and rejects a sparse code range") {
     val e = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
     val cbs = Similarity.trainPqCodebooks(e, "embedding", dim = 64, m = 2,
