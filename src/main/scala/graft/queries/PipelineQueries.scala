@@ -340,8 +340,14 @@ object PipelineQueries {
           array(Seq("the", "a", "and", "of", "fast", "slow").map(lit): _*))
         val kept = tbl(s, dir, "documents")
           .filter(nTok >= 5 && ttr >= 0.3 && enHit)
-        val deduped = graft.ops.Dedup.exact(kept, "doc_id", Seq("text"))
-          .drop("n_copies")
+        // deduped fans out to FOUR consumers (banding, both jaccard
+        // sides, the final anti-join): truncate its lineage once so each
+        // downstream stage serializes a one-node LogicalRDD instead of
+        // re-embedding the scan+filter+window subtree — without this the
+        // pipeline's stages broadcast 4-8 MiB task binaries apiece
+        // (lazy: no job; the RDD computes when the query runs)
+        val deduped = org.apache.spark.sql.graftbridge.PlanBridge.truncateLineage(
+          graft.ops.Dedup.exact(kept, "doc_id", Seq("text")).drop("n_copies"))
         val cands = graft.ops.Dedup.minhashCandidates(deduped, "doc_id", "text")
         val ver = graft.ops.Dedup.jaccardVerify(
           deduped, cands, "doc_id", "text", threshold = 0.5)
