@@ -427,7 +427,8 @@ object SimilarityQueries {
             c_id, cos
           FROM scored)
         SELECT q_id, rk, c_id, cos FROM ranked WHERE rk <= 3
-        ORDER BY q_id, rk""")),
+        ORDER BY q_id, rk"""),
+      bench = true),
 
     // ---- IVF multi-probe (nprobe=2): each query probes its TWO nearest
     // cells (corpus rows keep one cell, so no (q,c) pair duplicates and
