@@ -21,6 +21,17 @@ import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
   * bounded. What the star gives up: pairs between two NON-representative
   * members of a hot bucket that match nothing else (for true duplicate
   * floods they all verify against the representative anyway).
+  *
+  * Cache lifecycle: the banded/pair operators ([[minhashCandidates]],
+  * [[simhashNearDups]], [[jaccardVerify]]) persist compact intermediate
+  * frames (band keys / id pairs — never corpus text) so a multi-consumer
+  * pipeline evaluates each signature once. Those entries live in the
+  * session cache manager until released: a long-lived session that runs
+  * many dedup pipelines should call `spark.catalog.clearCache()` between
+  * them (or unpersist the returned frame's cached ancestors via
+  * `spark.sharedState.cacheManager`). [[clusterPairs]] manages its own
+  * round caches and frees them as rounds supersede; only its RESULT
+  * frame stays persisted, and its doc tells callers to unpersist it.
   */
 object Dedup {
 
