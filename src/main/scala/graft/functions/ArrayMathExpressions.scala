@@ -84,10 +84,75 @@ case class ArraySqDist(left: Expression, right: Expression) extends ArrayFoldExp
   override def prettyName: String = "array_sqdist"
 }
 
+/** Fused cosine similarity: Σaᵢbᵢ / (√Σaᵢ² · √Σbᵢ²) in ONE pass over the
+  * arrays — the rerank hot loop of every ANN query. Bit-identical to the
+  * three-ArrayDot composition it replaces (independent accumulators in
+  * the same index order; the dot runs over the common prefix while each
+  * norm runs over its own full array, exactly like the composition),
+  * but one array traversal per row instead of three. */
+case class ArrayCosineSim(left: Expression, right: Expression)
+  extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "array_cosine_sim"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val na = a.numElements(); val nb = b.numElements()
+    val n = math.min(na, nb)
+    var ab = 0.0; var aa = 0.0; var bb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i); val y = b.getDouble(i)
+      ab += x * y; aa += x * x; bb += y * y
+      i += 1
+    }
+    while (i < na) { val x = a.getDouble(i); aa += x * x; i += 1 }
+    var j = n
+    while (j < nb) { val y = b.getDouble(j); bb += y * y; j += 1 }
+    ab / (java.lang.Math.sqrt(aa) * java.lang.Math.sqrt(bb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val ab = ctx.freshName("ab"); val aa = ctx.freshName("aa")
+      val bb = ctx.freshName("bb")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      s"""
+        int $na = $a.numElements();
+        int $nb = $b.numElements();
+        int $n = java.lang.Math.min($na, $nb);
+        double $ab = 0.0; double $aa = 0.0; double $bb = 0.0;
+        int $i = 0;
+        for (; $i < $n; $i++) {
+          double $x = $a.getDouble($i);
+          double $y = $b.getDouble($i);
+          $ab += $x * $y; $aa += $x * $x; $bb += $y * $y;
+        }
+        for (; $i < $na; $i++) { double $x = $a.getDouble($i); $aa += $x * $x; }
+        for (int $j = $n; $j < $nb; $j++) { double $y = $b.getDouble($j); $bb += $y * $y; }
+        ${ev.value} = $ab / (java.lang.Math.sqrt($aa) * java.lang.Math.sqrt($bb));
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayCosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
 object ArrayMath {
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(
       ArrayDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def cosineSim(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      ArrayCosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   def sqDist(a: Column, b: Column): Column =
     ColumnBridge.column(
@@ -99,5 +164,7 @@ object ArrayMath {
       "array_dot", exprs => ArrayDot(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "array_sqdist", exprs => ArraySqDist(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "array_cosine_sim", exprs => ArrayCosineSim(exprs(0), exprs(1)), "built-in")
   }
 }

@@ -39,7 +39,9 @@ object MathFunctions {
   /** L2 norm of an array<double> column. */
   def arrayNorm(a: Column): Column = sqrt(arrayDot(a, a))
 
-  /** Cosine similarity of two array<double> columns. */
-  def cosineSim(a: Column, b: Column): Column =
-    arrayDot(a, b) / (arrayNorm(a) * arrayNorm(b))
+  /** Cosine similarity of two array<double> columns: fused single-pass
+    * native expression (bit-identical to
+    * `arrayDot(a,b) / (arrayNorm(a) * arrayNorm(b))`, one array
+    * traversal per row instead of three — the ANN rerank hot loop). */
+  def cosineSim(a: Column, b: Column): Column = ArrayMath.cosineSim(a, b)
 }

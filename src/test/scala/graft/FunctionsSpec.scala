@@ -56,6 +56,35 @@ class FunctionsSpec extends AnyFunSuite {
     assert(dotLines.nonEmpty && dotLines.exists(_.contains("*(")), plan)
   }
 
+  test("fused ArrayCosineSim ≡ dot/(norm·norm) composition bit-for-bit") {
+    val e = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val plane = (0 until 64).map(i => math.sin(i * 131.0 + 523.0))
+    val composed =
+      graft.functions.ArrayMath.dot(col("v"), typedLit(plane)) /
+        (sqrt(graft.functions.ArrayMath.dot(col("v"), col("v"))) *
+         sqrt(graft.functions.ArrayMath.dot(typedLit(plane), typedLit(plane))))
+    val rows = e.select(
+      graft.functions.ArrayMath.cosineSim(col("v"), typedLit(plane)).as("f"),
+      composed.as("c")).collect()
+    assert(rows.nonEmpty && rows.forall(r => r.getDouble(0) == r.getDouble(1)))
+    // unequal lengths: dot over common prefix, each norm over its OWN array
+    import spark.implicits._
+    val odd = Seq((Seq(3.0, 4.0, 12.0), Seq(1.0, 2.0))).toDF("a", "b")
+    val got = odd.select(
+      graft.functions.ArrayMath.cosineSim(col("a"), col("b"))).head().getDouble(0)
+    val want = (3.0 * 1.0 + 4.0 * 2.0) /
+      (math.sqrt(9.0 + 16.0 + 144.0) * math.sqrt(1.0 + 4.0))
+    assert(got == want)
+    // stays inside whole-stage codegen
+    val lean = e.select(
+      graft.functions.ArrayMath.cosineSim(col("v"), typedLit(plane)).as("cs"))
+    lean.collect()
+    val plan = lean.queryExecution.executedPlan.toString
+    val csLines = plan.linesIterator.filter(_.contains("array_cosine_sim")).toSeq
+    assert(csLines.nonEmpty && csLines.exists(_.contains("*(")), plan)
+  }
+
   test("array_dot SQL surface: implicit cast from array<int>, analysis error otherwise") {
     graft.functions.ArrayMath.register(spark)
     // int arrays coerce to array<double> at analysis time (without
