@@ -412,4 +412,45 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(sessions(0).getLong(2) == 2) // first session has 2 events
     assert(sessions(1).getLong(2) == 1)
   }
+
+  test("hashSample/hashSplit run unchanged on a STREAM and match the batch pick") {
+    // the payoff of the keyed md5 coin over df.sample()/randomSplit: the
+    // decision is a stateless pure function of the key, so the SAME code
+    // is streaming-compatible (no RNG state, no watermark) and a
+    // streaming ingest keeps exactly the rows a batch backfill would
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val ids = (1L to 400L)
+    val batchDf = ids.toDF("doc_id")
+    val batchKept = graft.ops.Sampling.hashSample(batchDf, col("doc_id"), 0.3, 11L)
+      .collect().map(_.getLong(0)).toSet
+    val batchSplit0 = graft.ops.Sampling.hashSplit(
+      batchDf, Array(0.4, 0.6), col("doc_id"), 11L)(0)
+      .collect().map(_.getLong(0)).toSet
+
+    val in = MemoryStream[Long]
+    val stream = in.toDF().toDF("doc_id")
+    val sampled = graft.ops.Sampling.hashSample(stream, col("doc_id"), 0.3, 11L)
+    val split0 = graft.ops.Sampling.hashSplit(
+      stream, Array(0.4, 0.6), col("doc_id"), 11L)(0)
+    val q1 = sampled.writeStream.outputMode("append")
+      .format("memory").queryName("hs_out").start()
+    val q2 = split0.writeStream.outputMode("append")
+      .format("memory").queryName("hsp_out").start()
+    try {
+      // two arrivals of the same ids (a re-delivered shard): the keyed
+      // coin gives every row the same fate on each arrival
+      in.addData(ids: _*)
+      in.addData(ids.take(100): _*)
+      q1.processAllAvailable(); q2.processAllAvailable()
+      val streamKept = spark.table("hs_out").collect().map(_.getLong(0))
+      assert(streamKept.toSet == batchKept)
+      // re-delivered rows got the identical verdict (dupes allowed, set equal)
+      assert(streamKept.count(_ <= 100) ==
+        2 * batchKept.count(_ <= 100))
+      val streamSplit0 = spark.table("hsp_out").collect().map(_.getLong(0)).toSet
+      assert(streamSplit0 == batchSplit0)
+    } finally { q1.stop(); q2.stop() }
+  }
 }
