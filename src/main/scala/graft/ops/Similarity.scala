@@ -540,6 +540,51 @@ object Similarity {
     transform(quantCol.getField("codes"),
       c => c * quantCol.getField("scale") / 127)
 
+  /** Two-phase int8 ANN: rank by the QUANTIZED cosine first (pure
+    * integer corpus-side arithmetic — the per-vector scale cancels out
+    * of cosine, so the prefilter never touches a corpus double), keep
+    * the top `mult·k` per query, then exact-rerank only those survivors
+    * with the fused [[graft.functions.MathFunctions.cosineSim]].
+    *
+    * 100 TB shape: the phase-1 scan reads d bytes/row instead of 8d
+    * (the int8 codes table is the RAM-resident index; at production the
+    * codes come from a persisted table like [[pqEncode]]'s) and the
+    * expensive exact cosine runs on mult·k rows per query, not n. The
+    * approximate score is rounded to `roundDp` before ranking (ties to
+    * lowest id) so the candidate CUT is cross-engine exact — making the
+    * whole two-phase ranking DuckDB-reproducible (q102). */
+  def int8TopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, mult: Int = 4, roundDp: Int = 6): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(mult >= 1, s"mult must be >= 1, got $mult")
+    val cv = col(vecCol).cast("array<double>")
+    val c = corpus.select(col(idCol).as("c_id"), cv.as("cv"),
+      quantizeInt8(cv).getField("codes").cast("array<double>").as("codes"))
+    val q = queries.select(col(idCol).as("q_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    import graft.functions.ArrayMath
+    // cos(q, dequant(c)) = Σqᵢcᵢ·(s/127) / (|q| · (s/127)·√Σcᵢ²): the
+    // scale cancels — quantized cosine needs only the integer codes
+    val approx = round(
+      ArrayMath.dot(col("qv"), col("codes")) /
+        (sqrt(ArrayMath.dot(col("qv"), col("qv"))) *
+         sqrt(ArrayMath.dot(col("codes"), col("codes")))), roundDp)
+    val w1 = Window.partitionBy(col("q_id")).orderBy(col("acos").desc, col("c_id").asc)
+    val cands = c.crossJoin(broadcast(q))
+      .select(col("q_id"), col("c_id"), col("qv"), col("cv"), approx.as("acos"))
+      .withColumn("ark", row_number().over(w1)).filter(col("ark") <= mult * k)
+    val w2 = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
+    cands
+      .select(col("q_id"), col("c_id"),
+        // rank on the ROUNDED exact cosine (ties to lowest id) so the
+        // final cut is cross-engine exact too — same rule as phase 1
+        round(graft.functions.MathFunctions.cosineSim(col("qv"), col("cv")),
+          roundDp).as("cos"))
+      .withColumn("rk", row_number().over(w2)).filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("c_id"), col("cos"))
+  }
+
   /** Train per-subspace PQ codebooks: Lloyd k-means on each of the `m`
     * subvector slices, reusing [[trainIvfCentroids]]'s seeded
     * treeAggregate trainer (deterministic per seed; subspace `s` seeds

@@ -585,6 +585,48 @@ object SimilarityQueries {
           CAST(CASE WHEN LIST_MAX(LIST_TRANSFORM(RANGE(1, LEN(v) + 1),
               i -> ABS(codes[i] * scale / 127 - v[i]))) <= scale / 254 * 1.0000001
             THEN 1 ELSE 0 END AS INTEGER) AS within_bound
-        FROM c ORDER BY vec_id"""))
+        FROM c ORDER BY vec_id""")),
+
+    // ---- two-phase int8 ANN (Similarity.int8TopK): quantized-cosine
+    // prefilter (scale cancels — pure integer corpus arithmetic) keeps
+    // mult·k candidates, exact cosine reranks only those. Both cuts rank
+    // on 6dp-rounded scores with ties to lowest id, so the full
+    // two-phase ranking is cross-engine exact.
+    Q("q102_int8_ann",
+      (s, dir) => {
+        val e = tbl(s, dir, "embeddings")
+        graft.ops.Similarity.int8TopK(
+            e.filter(col("vec_id") >= 5), e.filter(col("vec_id") < 5),
+            "vec_id", "embedding", k = 3, mult = 4, roundDp = 6)
+          .orderBy("q_id", "rk")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        c AS (
+          SELECT vec_id, v,
+            LIST_TRANSFORM(v, x -> CAST(FLOOR(x * 127 /
+              GREATEST(LIST_MAX(LIST_TRANSFORM(v, y -> ABS(y))), 1e-30) + 0.5)
+              AS DOUBLE)) AS codes
+          FROM e WHERE vec_id >= 5),
+        q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+        phase1 AS (
+          SELECT q_id, c.vec_id AS c_id, qv, v,
+            ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+              ROUND(LIST_DOT_PRODUCT(qv, codes) /
+                (SQRT(LIST_DOT_PRODUCT(qv, qv)) *
+                 SQRT(LIST_DOT_PRODUCT(codes, codes))), 6) DESC,
+              c.vec_id ASC) AS ark
+          FROM c, q),
+        phase2 AS (
+          SELECT q_id, c_id,
+            ROUND(LIST_DOT_PRODUCT(qv, v) /
+              (SQRT(LIST_DOT_PRODUCT(qv, qv)) * SQRT(LIST_DOT_PRODUCT(v, v))),
+              6) AS cos
+          FROM phase1 WHERE ark <= 12)
+        SELECT q_id, rk, c_id, cos FROM (
+          SELECT q_id, c_id, cos,
+            CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+              ORDER BY cos DESC, c_id ASC) AS INTEGER) AS rk
+          FROM phase2)
+        WHERE rk <= 3 ORDER BY q_id, rk"""))
   )
 }

@@ -171,6 +171,24 @@ class PqSpec extends AnyFunSuite {
     assert(err.getMessage.contains("dense"))
   }
 
+  test("int8 two-phase rerank recalls nearly all exact neighbors") {
+    val e = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val queries = e.filter(col("vec_id") < 10)
+    val corpus = e.filter(col("vec_id") >= 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "c_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(corpus, queries,
+      "vec_id", "embedding", k = 5))
+    val approx = pairs(Similarity.int8TopK(corpus, queries,
+      "vec_id", "embedding", k = 5, mult = 4))
+    // int8 quantization error is ~scale/254 per component — the approx
+    // ranking tracks the exact one closely, so a 4x candidate pool
+    // recovers nearly everything (deterministic data, fixed threshold)
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall")
+  }
+
   test("int8 quantization: codes in range, reconstruction within scale/254") {
     import spark.implicits._
     val rnd = new scala.util.Random(3)
