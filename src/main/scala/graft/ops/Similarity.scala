@@ -42,7 +42,11 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .select(col("q_id"), col("c_id"), cosineSim(col("qv"), col("cv")).as("cos"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    // a zero-norm vector yields cos = 0/0 = NaN, and NaN sorts FIRST in
+    // descending order — one degenerate row would outrank every true
+    // neighbor for every query. Exclude NaN scores from the ranking.
+    scored.filter(!isnan(col("cos")))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
   /** Deterministic random-hyperplane bucket id (nBits-bit signature).
@@ -108,7 +112,11 @@ object Similarity {
     val scored = c.join(broadcast(q), "bk")
       .select(col("q_id"), col("c_id"), cosineSim(col("qv"), col("cv")).as("cos"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    // a zero-norm vector yields cos = 0/0 = NaN, and NaN sorts FIRST in
+    // descending order — one degenerate row would outrank every true
+    // neighbor for every query. Exclude NaN scores from the ranking.
+    scored.filter(!isnan(col("cos")))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
   /** IVF: Lloyd k-means coarse quantizer trained distributed (seeded
@@ -233,7 +241,11 @@ object Similarity {
       .groupBy(col("q_id"), col("c_id"))
       .agg(max(col("cos")).as("cos"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
-    pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    // a zero-norm vector yields cos = 0/0 = NaN, and NaN sorts FIRST in
+    // descending order — one degenerate row would outrank every true
+    // neighbor for every query. Exclude NaN scores from the ranking.
+    pairs.filter(!isnan(col("cos")))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
   /** Persist trained IVF centroids as a tiny (cell, centroid) parquet
@@ -300,7 +312,11 @@ object Similarity {
       .select(col("q_id"), col("c_id"),
         (if (roundDp >= 0) round(rawCos, roundDp) else rawCos).as("cos"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    // a zero-norm vector yields cos = 0/0 = NaN, and NaN sorts FIRST in
+    // descending order — one degenerate row would outrank every true
+    // neighbor for every query. Exclude NaN scores from the ranking.
+    scored.filter(!isnan(col("cos")))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
   /** Product-quantization codes: the vector is split into `m` equal
@@ -565,14 +581,19 @@ object Similarity {
       col(vecCol).cast("array<double>").as("qv"))
     import graft.functions.ArrayMath
     // cos(q, dequant(c)) = Σqᵢcᵢ·(s/127) / (|q| · (s/127)·√Σcᵢ²): the
-    // scale cancels — quantized cosine needs only the integer codes
+    // scale cancels — quantized cosine needs only the integer codes.
+    // The divisor is guarded (null for a zero-norm side): under ANSI
+    // mode (Spark 4 default) a bare `/` THROWS on 0/0 instead of
+    // producing the NaN the filter below would catch.
+    val denom = sqrt(ArrayMath.dot(col("qv"), col("qv"))) *
+      sqrt(ArrayMath.dot(col("codes"), col("codes")))
     val approx = round(
-      ArrayMath.dot(col("qv"), col("codes")) /
-        (sqrt(ArrayMath.dot(col("qv"), col("qv"))) *
-         sqrt(ArrayMath.dot(col("codes"), col("codes")))), roundDp)
+      when(denom =!= 0.0,
+        ArrayMath.dot(col("qv"), col("codes")) / denom), roundDp)
     val w1 = Window.partitionBy(col("q_id")).orderBy(col("acos").desc, col("c_id").asc)
     val cands = c.crossJoin(broadcast(q))
       .select(col("q_id"), col("c_id"), col("qv"), col("cv"), approx.as("acos"))
+      .filter(col("acos").isNotNull && !isnan(col("acos"))) // zero-norm guard
       .withColumn("ark", row_number().over(w1)).filter(col("ark") <= mult * k)
     val w2 = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
     cands
@@ -581,6 +602,7 @@ object Similarity {
         // final cut is cross-engine exact too — same rule as phase 1
         round(graft.functions.MathFunctions.cosineSim(col("qv"), col("cv")),
           roundDp).as("cos"))
+      .filter(!isnan(col("cos"))) // NaN sorts first in DESC — zero-norm guard
       .withColumn("rk", row_number().over(w2)).filter(col("rk") <= k)
       .select(col("q_id"), col("rk"), col("c_id"), col("cos"))
   }

@@ -189,6 +189,29 @@ class PqSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall")
   }
 
+  test("zero-norm corpus rows never outrank true neighbors (NaN guard)") {
+    // cos(q, 0) = 0/0 = NaN, and NaN sorts FIRST under DESC ordering —
+    // without the guard one all-zero embedding would take rank 1 for
+    // every query in every cosine ranker
+    import spark.implicits._
+    val e = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val queries = e.filter(col("vec_id") < 3)
+    val zeroRow = Seq((100000L, Seq.fill(64)(0.0), 0))
+      .toDF("vec_id", "embedding", "label")
+    val corpus = e.filter(col("vec_id") >= 3).unionByName(
+      zeroRow.select(col("vec_id"), col("embedding"), col("label")))
+    val rankers = Seq[org.apache.spark.sql.DataFrame](
+      Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", k = 3),
+      Similarity.lshTopK(corpus, queries, "vec_id", "embedding",
+        dim = 64, k = 3, nBits = 2),
+      Similarity.int8TopK(corpus, queries, "vec_id", "embedding", k = 3))
+    rankers.foreach { df =>
+      val ids = df.select("c_id").collect().map(_.getLong(0)).toSet
+      assert(!ids.contains(100000L), s"zero vector ranked: $ids")
+      assert(ids.nonEmpty)
+    }
+  }
+
   test("int8 quantization: codes in range, reconstruction within scale/254") {
     import spark.implicits._
     val rnd = new scala.util.Random(3)
