@@ -467,6 +467,36 @@ object Dedup {
       .select(col("l.__id").as("id1"), col("r.__id").as("id2"), col("cos"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space with k-means
+    * centroids, compare ONLY within a cluster (cosine >= `threshold`
+    * marks a semantic duplicate pair), form connected components over
+    * those pairs, and keep one representative (the min-id row) per
+    * component. Returns the kept rows of `emb` (all columns).
+    *
+    * 100 TB shape — the whole point of the paper's clustering step: the
+    * per-row cell assignment is one broadcast-centroid codegen'd
+    * projection ([[graft.ops.Similarity.ivfCell]]), the pairwise stage is
+    * bucketed by cell (k centroids bound every bucket to ~n/k rows, and
+    * k scales with the corpus exactly as an IVF index's cell count
+    * does), and component formation iterates on the PAIR graph only
+    * ([[clusterPairs]] via [[keepOnePerCluster]]). No all-pairs stage
+    * anywhere; shuffles carry ids + cells, never text.
+    *
+    * Determinism: cell argmin and cosine are rounded to `roundDp` before
+    * any comparison (the cross-engine exactness rule every similarity
+    * query here follows), and the representative choice (min id) is
+    * order-free — reruns and other engines keep the same rows. */
+  def semDedup(emb: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], threshold: Double,
+      roundDp: Int = 6, maxIter: Int = 25): DataFrame = {
+    require(centroids.nonEmpty, "centroids must be non-empty")
+    val cell = graft.ops.Similarity.ivfCell(
+      col(vecCol).cast("array<double>"), centroids, roundDp)
+    val pairs = cosineNearDups(emb, idCol, vecCol, threshold, cell, roundDp)
+    keepOnePerCluster(emb, idCol, pairs, maxIter = maxIter)
+  }
+
   /** Benchmark decontamination: ids of `corpus` docs that share ANY token
     * `n`-gram with any `reference` doc (the held-out benchmark / eval
     * set). A training pipeline anti-joins these ids out of the corpus so

@@ -110,6 +110,81 @@ object Sampling {
       .drop("__h")
   }
 
+  /** Per-stratum TOKEN-budget sampling — the "give source s exactly B
+    * training tokens" step of a data-mixing recipe (doc-count caps
+    * over-weight short documents; budgets are set in tokens). A row is
+    * kept iff the total `tokenCol` of rows ordered BEFORE it — by
+    * (hash(seed, key), key) within its stratum — is `< budget`, i.e. the
+    * stratum takes documents in deterministic pseudo-random order until
+    * the budget is spent (one straddling doc may overshoot; a zero
+    * budget keeps nothing). A pure function of (seed, key) — reruns,
+    * backfills, and other engines keep the same rows.
+    *
+    * 100 TB shape — the naive form is a running-sum window over each
+    * stratum, and a handful of source strata would each funnel through
+    * one sorted partition. Instead: bucket the 32-bit hash into
+    * `2^binBits` ordered bins, aggregate token sums per (stratum, bin)
+    * (ONE map-side-combined shuffle of counts, no rows), prefix-sum the
+    * tiny bin frame to classify every bin as full-keep (bin ends under
+    * budget), full-drop (bin starts at/over budget), or THE cut bin
+    * (at most one per stratum, where the budget runs out); only cut-bin
+    * rows — ~corpus/2^binBits of the data — enter the fine running-sum
+    * window. Bin-classification join is on (stratum, bin): broadcast-
+    * sized at any real stratum count. Result is row-for-row identical
+    * to the naive window (bins are ordered hash prefixes, so bin order
+    * extends row order; boundary ties, including zero-token rows at an
+    * exact budget edge, fall in the cut bin and get the exact test). */
+  def tokenBudgetCap(df: DataFrame, strataCol: Column, keyCol: Column,
+      tokenCol: Column, budgets: Map[String, Long], defaultBudget: Long,
+      seed: Long = 42L, binBits: Int = 12): DataFrame = {
+    require(binBits >= 1 && binBits <= 20,
+      s"binBits must be in [1, 20], got $binBits")
+    require(defaultBudget >= 0 && budgets.values.forall(_ >= 0),
+      "budgets must be >= 0")
+    val budgetCol = budgets.toSeq.sortBy(_._1).foldLeft(
+      lit(defaultBudget)) { case (acc, (s, b)) =>
+        when(strataCol === lit(s), lit(b)).otherwise(acc)
+      }
+    val cols = df.columns
+    val t = df
+      .withColumn("__tbc_s", strataCol.cast("string"))
+      .withColumn("__tbc_h", hashU32(keyCol, seed))
+      .withColumn("__tbc_k", keyCol.cast("string"))
+      .withColumn("__tbc_tok", tokenCol.cast("long"))
+      .withColumn("__tbc_b", budgetCol)
+      .withColumn("__tbc_bin",
+        shiftright(col("__tbc_h"), 32 - binBits).cast("int"))
+    // phase 1: per-(stratum, bin) token totals + prefix sums — a frame of
+    // at most nStrata·2^binBits COUNT rows, never corpus rows
+    val binW = Window.partitionBy(col("__tbc_s")).orderBy(col("__tbc_bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bins = t.groupBy(col("__tbc_s"), col("__tbc_bin"), col("__tbc_b"))
+      .agg(sum(col("__tbc_tok")).as("__tbc_btok"))
+      .withColumn("__tbc_cum", sum(col("__tbc_btok")).over(binW))
+      .withColumn("__tbc_cb", col("__tbc_cum") - col("__tbc_btok"))
+      // full-keep: every row's before-sum <= cb + btok - ownTok < budget;
+      // full-drop: every row's before-sum >= cb >= budget;
+      // the (at most one per stratum) remaining bin gets the exact test
+      .withColumn("__tbc_cls",
+        when(col("__tbc_cum") < col("__tbc_b"), lit("keep"))
+          .when(col("__tbc_cb") >= col("__tbc_b"), lit("drop"))
+          .otherwise(lit("cut")))
+      .select(col("__tbc_s"), col("__tbc_bin"), col("__tbc_cls"),
+        col("__tbc_cb"))
+    val joined = t.join(broadcast(bins), Seq("__tbc_s", "__tbc_bin"))
+    // phase 2: the exact running sum, over cut-bin rows only
+    val fineW = Window.partitionBy(col("__tbc_s"))
+      .orderBy(col("__tbc_h"), col("__tbc_k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fineKept = joined.filter(col("__tbc_cls") === "cut")
+      .withColumn("__tbc_fine",
+        col("__tbc_cb") + sum(col("__tbc_tok")).over(fineW) - col("__tbc_tok"))
+      .filter(col("__tbc_fine") < col("__tbc_b"))
+    joined.filter(col("__tbc_cls") === "keep")
+      .select(cols.map(col): _*)
+      .unionByName(fineKept.select(cols.map(col): _*))
+  }
+
   /** Keep at most `k` rows per key group, selected deterministically by
     * `orderBy` (ties broken by every following column). Content-hash
     * ordering (e.g. `md5(text)`) gives a stable pseudo-random pick that

@@ -436,6 +436,45 @@ object PipelineQueries {
                         ELSE 429496730 END
         GROUP BY source ORDER BY source""")),
 
+    // ---- per-source TOKEN-budget sampling (Sampling.tokenBudgetCap):
+    // the "give source s exactly B training tokens" mixing step — docs
+    // taken in keyed-hash order until the budget is spent (src0 gets
+    // 1000 tokens, src1 zero, everyone else 400). Spark runs the binned
+    // two-phase selection (only the cut bin enters the fine window);
+    // the oracle replays the naive running-sum definition the binned
+    // form is row-for-row equal to. binBits=4 at this scale so several
+    // sources genuinely exercise the full-keep/cut/drop bin classes.
+    Q("q105_token_budget",
+      (s, dir) => {
+        val d = tbl(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            size(split(col("text"), " +")).as("n_tokens"))
+        graft.ops.Sampling.tokenBudgetCap(d, col("source"), col("doc_id"),
+            col("n_tokens"), budgets = Map("src0" -> 1000L, "src1" -> 0L),
+            defaultBudget = 400L, seed = 7L, binBits = 4)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("toks_kept"))
+          .orderBy("source")
+      },
+      Some("""WITH t AS (
+          SELECT doc_id, source,
+            LEN(REGEXP_SPLIT_TO_ARRAY(text, ' +')) AS n_tokens,
+            ('0x' || SUBSTRING(MD5('7:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+          FROM documents),
+        c AS (
+          SELECT *, COALESCE(SUM(n_tokens) OVER (
+            PARTITION BY source ORDER BY h, CAST(doc_id AS VARCHAR)
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+          FROM t),
+        kept AS (
+          SELECT * FROM c WHERE cb < CASE source WHEN 'src0' THEN 1000
+                                                 WHEN 'src1' THEN 0
+                                                 ELSE 400 END)
+        SELECT source, COUNT(*) AS n_docs,
+          CAST(SUM(n_tokens) AS BIGINT) AS toks_kept
+        FROM kept GROUP BY source ORDER BY source""")),
+
     // ---- concat-and-chop sequence packing (Sampling.packSequences):
     // each doc's token span in its shard's concatenated stream, and the
     // ctx-window ids that span covers. Layout is a pure function of

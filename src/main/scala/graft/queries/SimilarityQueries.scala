@@ -369,6 +369,47 @@ object SimilarityQueries {
         GROUP BY node ORDER BY node"""),
       bench = true),
 
+    // ---- SemDeDup (Dedup.semDedup, arXiv:2303.09540): k-means-cell
+    // bucketing bounds the pairwise stage, cosine >= τ pairs form
+    // components, min-id representative kept per component. Fixed
+    // centroids (the q66 pattern) keep cell assignment oracle-exact;
+    // the oracle replays cell argmin + pairs + a recursive-CTE closure.
+    Q("q104_semdedup",
+      (s, dir) =>
+        graft.ops.Dedup.semDedup(tbl(s, dir, "embeddings"),
+            "vec_id", "embedding", ivfCentroids, threshold = 0.3,
+            roundDp = 6)
+          .select(col("vec_id"))
+          .orderBy("vec_id"),
+      Some(s"""WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cents AS (SELECT * FROM (VALUES $centroidSqlValues) t(cell, cv)),
+        dist AS (
+          SELECT vec_id, cell,
+            ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(0, 64),
+              i -> (v[i+1] - cv[i+1]) * (v[i+1] - cv[i+1]))), 6) AS d
+          FROM e, cents),
+        cellass AS (
+          SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn
+            FROM dist) WHERE rn = 1),
+        ev AS (SELECT e.vec_id, v, cell FROM e JOIN cellass ON e.vec_id = cellass.vec_id),
+        pairs AS (
+          SELECT a.vec_id AS id1, b.vec_id AS id2
+          FROM ev a JOIN ev b ON a.cell = b.cell AND a.vec_id < b.vec_id
+          WHERE ROUND(LIST_DOT_PRODUCT(a.v, b.v) /
+            (SQRT(LIST_DOT_PRODUCT(a.v, a.v)) * SQRT(LIST_DOT_PRODUCT(b.v, b.v))), 6) >= 0.3),
+        edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+          UNION SELECT id2, id1 FROM pairs),
+        reach(node, label) AS (
+          SELECT a, a FROM edges
+          UNION
+          SELECT g.b, r.label FROM reach r JOIN edges g ON r.node = g.a),
+        clusters AS (SELECT node, MIN(label) AS cluster FROM reach GROUP BY node),
+        drops AS (SELECT node FROM clusters WHERE node <> cluster)
+        SELECT vec_id FROM e WHERE vec_id NOT IN (SELECT node FROM drops)
+        ORDER BY vec_id""")),
+
     // ---- embedding-cosine near-dup pairs (Dedup.cosineNearDups): LSH
     // buckets bound the pairwise work; cosine rounded BEFORE the
     // threshold test so the boundary cannot flip on a fold ulp

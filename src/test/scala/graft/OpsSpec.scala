@@ -226,6 +226,27 @@ class OpsSpec extends AnyFunSuite {
     assert(kept == Set(0L, 3L, 4L), kept.toString)
   }
 
+  test("semDedup: one representative per semantic group, cross-cell pairs ignored") {
+    import spark.implicits._
+    // 2-D geometry with two centroids on the axes: rows 0-2 are tight
+    // copies near +x (one semantic group), rows 3-4 near +y (another),
+    // row 5 is the third-quadrant loner (nearest centroid is +x, so it
+    // shares the +x group's CELL, but its cosine to that group is
+    // negative — cell co-residence alone must not merge it).
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val emb = Seq(
+      (0L, Seq(1.0, 0.01)), (1L, Seq(1.0, 0.02)), (2L, Seq(0.99, 0.0)),
+      (3L, Seq(0.02, 1.0)), (4L, Seq(0.0, 0.98)),
+      (5L, Seq(-0.1, -1.0))
+    ).toDF("id", "vec")
+    val kept = Dedup.semDedup(emb, "id", "vec", cents, threshold = 0.9)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 3L, 5L), kept.toString)
+    // output schema is the input schema (rows pass through untouched)
+    assert(Dedup.semDedup(emb, "id", "vec", cents, threshold = 0.9)
+      .columns.toSeq == Seq("id", "vec"))
+  }
+
   test("simhashNearDups rejects band counts that do not tile the fingerprint") {
     import spark.implicits._
     val df = Seq((1L, "a b c")).toDF("id", "text")

@@ -106,6 +106,41 @@ object SamplingPropsSpec extends Properties("Sampling") {
       got == want
     }
 
+  private case class BudgetCase(budget0: Long, defBudget: Long,
+      binBits: Int, seed: Long)
+  private val budgetGen: Gen[BudgetCase] = for {
+    b0 <- Gen.oneOf(Gen.const(0L), Gen.choose(0L, 3000L))
+    bd <- Gen.choose(0L, 1500L)
+    bits <- Gen.choose(1, 12) // tiny bins force multi-row cut bins
+    seed <- Gen.choose(-1000L, 1000L)
+  } yield BudgetCase(b0, bd, bits, seed)
+
+  property("tokenBudgetCap (binned) equals the naive running-sum rule") =
+    forAll(budgetGen) { c =>
+      val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " +")).as("n_tok"))
+      val rows = docs.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+      val firstSrc = rows.map(_._2).min
+      def budgetOf(s: String) = if (s == firstSrc) c.budget0 else c.defBudget
+      // serial reference: per stratum, take docs in (coin, key) order
+      // while the running before-sum stays under the budget
+      val want = rows.groupBy(_._2).iterator.flatMap { case (src, rs) =>
+        var cum = 0L
+        rs.sortBy { case (id, _, _) => (coinLocal(id.toString, c.seed), id) }
+          .flatMap { case (id, _, t) =>
+            val keep = cum < budgetOf(src); cum += t
+            if (keep) Some(id) else None
+          }
+      }.toSet
+      val got = Sampling.tokenBudgetCap(docs, col("source"), col("doc_id"),
+          col("n_tok"), budgets = Map(firstSrc -> c.budget0),
+          defaultBudget = c.defBudget, seed = c.seed, binBits = c.binBits)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      got == want
+    }
+
   private val weightsGen: Gen[Array[Double]] =
     Gen.choose(2, 5).flatMap(n =>
       Gen.listOfN(n, Gen.choose(0.01, 10.0)).map(_.toArray))
