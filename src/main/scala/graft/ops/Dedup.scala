@@ -497,6 +497,39 @@ object Dedup {
     keepOnePerCluster(emb, idCol, pairs, maxIter = maxIter)
   }
 
+  /** Semantic benchmark decontamination — the embedding twin of
+    * [[ngramContaminated]]: ids of `corpus` docs whose embedding has
+    * cosine >= `threshold` to ANY `reference` (eval-set) row. n-gram
+    * decontamination misses PARAPHRASED leakage — an eval question
+    * reworded for a crawl page shares no 3-gram but sits next to it in
+    * embedding space; pipelines run both and union the ids.
+    *
+    * Candidates are restricted to rows sharing `bucketCol` (an LSH
+    * bucket, [[graft.ops.Similarity.lshBucket]] — same recall contract
+    * as every LSH path here: a true hit in a non-colliding bucket is
+    * missed, mitigated by fewer bits or multi-table unioning). 100 TB
+    * shape: the reference side is an eval set — thousands of rows
+    * against a corpus of billions — so it ships as a broadcast and the
+    * whole op is ONE corpus scan + a broadcast semi-join; no shuffle of
+    * the corpus, no pair materialization (the semi-join short-circuits
+    * on the first matching reference row). Cosine is rounded to
+    * `roundDp` before the threshold test (cross-engine exactness). */
+  def cosineContaminated(
+      corpus: DataFrame, reference: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, bucketCol: Column,
+      roundDp: Int = 6): DataFrame = {
+    import graft.functions.MathFunctions.cosineSim
+    val c = corpus.select(col(idCol).as("__id"),
+      col(vecCol).cast("array<double>").as("__cv"), bucketCol.as("__bk"))
+    val r = reference.select(
+      col(vecCol).cast("array<double>").as("__rv"), bucketCol.as("__rbk"))
+    c.join(broadcast(r),
+        col("__bk") === col("__rbk") &&
+          round(cosineSim(col("__cv"), col("__rv")), roundDp) >= threshold,
+        "left_semi")
+      .select(col("__id").as(idCol))
+  }
+
   /** Benchmark decontamination: ids of `corpus` docs that share ANY token
     * `n`-gram with any `reference` doc (the held-out benchmark / eval
     * set). A training pipeline anti-joins these ids out of the corpus so

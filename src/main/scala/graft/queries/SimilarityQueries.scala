@@ -369,6 +369,30 @@ object SimilarityQueries {
         GROUP BY node ORDER BY node"""),
       bench = true),
 
+    // ---- semantic decontamination (Dedup.cosineContaminated): corpus
+    // rows whose embedding is cosine-close to ANY eval-set row — the
+    // paraphrase-leak complement of q86's n-gram decontamination.
+    // LSH buckets (the seedless q65 planes) bound the candidate set;
+    // the reference side broadcasts; ONE corpus scan, zero shuffles.
+    Q("q106_cosine_decontaminate",
+      (s, dir) => {
+        val e = tbl(s, dir, "embeddings")
+        val bucket = graft.ops.Similarity.lshBucket(
+          col("embedding"), dim = 64, nBits = 4)
+        graft.ops.Dedup.cosineContaminated(
+            e.filter(col("vec_id") >= 50), e.filter(col("vec_id") < 50),
+            "vec_id", "embedding", threshold = 0.3,
+            bucketCol = bucket, roundDp = 6)
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH $bucketed4Sql,
+        c AS (SELECT * FROM ev WHERE vec_id >= 50),
+        r AS (SELECT * FROM ev WHERE vec_id < 50)
+        SELECT DISTINCT c.vec_id FROM c JOIN r ON c.bk = r.bk
+        WHERE ROUND(LIST_DOT_PRODUCT(c.v, r.v) /
+          (SQRT(LIST_DOT_PRODUCT(c.v, c.v)) * SQRT(LIST_DOT_PRODUCT(r.v, r.v))), 6) >= 0.3
+        ORDER BY c.vec_id""")),
+
     // ---- SemDeDup (Dedup.semDedup, arXiv:2303.09540): k-means-cell
     // bucketing bounds the pairwise stage, cosine >= τ pairs form
     // components, min-id representative kept per component. Fixed

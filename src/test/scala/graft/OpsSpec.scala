@@ -247,6 +247,25 @@ class OpsSpec extends AnyFunSuite {
       .columns.toSeq == Seq("id", "vec"))
   }
 
+  test("cosineContaminated flags bucket-mates above threshold only") {
+    import spark.implicits._
+    // bucketCol comes straight from a data column so the collision set
+    // is explicit: corpus 10 matches ref 1 (same bucket, cos=1);
+    // corpus 11 is identical to ref 1 but bucketed apart (LSH miss by
+    // construction — must NOT be flagged); corpus 12 shares the bucket
+    // but is orthogonal (below threshold).
+    val ref = Seq((1L, Seq(1.0, 0.0), 0)).toDF("id", "vec", "bk")
+    val corpus = Seq(
+      (10L, Seq(1.0, 0.0), 0),
+      (11L, Seq(1.0, 0.0), 1),
+      (12L, Seq(0.0, 1.0), 0)
+    ).toDF("id", "vec", "bk")
+    val hit = Dedup.cosineContaminated(corpus, ref, "id", "vec",
+        threshold = 0.9, bucketCol = col("bk"))
+      .collect().map(_.getLong(0)).toSet
+    assert(hit == Set(10L), hit.toString)
+  }
+
   test("simhashNearDups rejects band counts that do not tile the fingerprint") {
     import spark.implicits._
     val df = Seq((1L, "a b c")).toDF("id", "text")
