@@ -124,16 +124,17 @@ object Sampling {
     * stratum, and a handful of source strata would each funnel through
     * one sorted partition. Instead: bucket the 32-bit hash into
     * `2^binBits` ordered bins, aggregate token sums per (stratum, bin)
-    * (ONE map-side-combined shuffle of counts, no rows), prefix-sum the
-    * tiny bin frame to classify every bin as full-keep (bin ends under
-    * budget), full-drop (bin starts at/over budget), or THE cut bin
-    * (at most one per stratum, where the budget runs out); only cut-bin
-    * rows — ~corpus/2^binBits of the data — enter the fine running-sum
-    * window. Bin-classification join is on (stratum, bin): broadcast-
-    * sized at any real stratum count. Result is row-for-row identical
-    * to the naive window (bins are ordered hash prefixes, so bin order
-    * extends row order; boundary ties, including zero-token rows at an
-    * exact budget edge, fall in the cut bin and get the exact test). */
+    * (ONE map-side-combined shuffle of counts, no rows — a pruned
+    * second scan), prefix-sum that tiny frame per stratum, and
+    * broadcast-join each bin's tokens-before-this-bin offset back. The
+    * per-row before-sum is then the bin offset plus a running sum
+    * WITHIN the row's (stratum, bin) window — so the fine window
+    * partitions on (stratum, bin): 2^binBits-way parallel per stratum,
+    * each partition ~corpus/(strata·2^binBits) rows, no serial stratum
+    * sort anywhere. Row-for-row identical to the naive window: bins
+    * are ordered hash prefixes, so bin order extends row order, and
+    * the offset makes every row's test exact (boundary ties, including
+    * zero-token rows at an exact budget edge, included). */
   def tokenBudgetCap(df: DataFrame, strataCol: Column, keyCol: Column,
       tokenCol: Column, budgets: Map[String, Long], defaultBudget: Long,
       seed: Long = 42L, binBits: Int = 12): DataFrame = {
@@ -154,35 +155,25 @@ object Sampling {
       .withColumn("__tbc_b", budgetCol)
       .withColumn("__tbc_bin",
         shiftright(col("__tbc_h"), 32 - binBits).cast("int"))
-    // phase 1: per-(stratum, bin) token totals + prefix sums — a frame of
-    // at most nStrata·2^binBits COUNT rows, never corpus rows
+    // phase 1: tokens-before-each-bin — a frame of at most
+    // nStrata·2^binBits COUNT rows, never corpus rows
     val binW = Window.partitionBy(col("__tbc_s")).orderBy(col("__tbc_bin"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val bins = t.groupBy(col("__tbc_s"), col("__tbc_bin"), col("__tbc_b"))
+    val bins = t.groupBy(col("__tbc_s"), col("__tbc_bin"))
       .agg(sum(col("__tbc_tok")).as("__tbc_btok"))
-      .withColumn("__tbc_cum", sum(col("__tbc_btok")).over(binW))
-      .withColumn("__tbc_cb", col("__tbc_cum") - col("__tbc_btok"))
-      // full-keep: every row's before-sum <= cb + btok - ownTok < budget;
-      // full-drop: every row's before-sum >= cb >= budget;
-      // the (at most one per stratum) remaining bin gets the exact test
-      .withColumn("__tbc_cls",
-        when(col("__tbc_cum") < col("__tbc_b"), lit("keep"))
-          .when(col("__tbc_cb") >= col("__tbc_b"), lit("drop"))
-          .otherwise(lit("cut")))
-      .select(col("__tbc_s"), col("__tbc_bin"), col("__tbc_cls"),
-        col("__tbc_cb"))
-    val joined = t.join(broadcast(bins), Seq("__tbc_s", "__tbc_bin"))
-    // phase 2: the exact running sum, over cut-bin rows only
-    val fineW = Window.partitionBy(col("__tbc_s"))
+      .withColumn("__tbc_cb",
+        sum(col("__tbc_btok")).over(binW) - col("__tbc_btok"))
+      .select(col("__tbc_s"), col("__tbc_bin"), col("__tbc_cb"))
+    // phase 2: before-sum = bin offset + running sum within the bin;
+    // one (stratum, bin)-keyed shuffle of the corpus, fully parallel
+    val fineW = Window.partitionBy(col("__tbc_s"), col("__tbc_bin"))
       .orderBy(col("__tbc_h"), col("__tbc_k"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val fineKept = joined.filter(col("__tbc_cls") === "cut")
+    t.join(broadcast(bins), Seq("__tbc_s", "__tbc_bin"))
       .withColumn("__tbc_fine",
         col("__tbc_cb") + sum(col("__tbc_tok")).over(fineW) - col("__tbc_tok"))
       .filter(col("__tbc_fine") < col("__tbc_b"))
-    joined.filter(col("__tbc_cls") === "keep")
       .select(cols.map(col): _*)
-      .unionByName(fineKept.select(cols.map(col): _*))
   }
 
   /** Keep at most `k` rows per key group, selected deterministically by

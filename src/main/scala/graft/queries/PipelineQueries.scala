@@ -440,10 +440,10 @@ object PipelineQueries {
     // the "give source s exactly B training tokens" mixing step — docs
     // taken in keyed-hash order until the budget is spent (src0 gets
     // 1000 tokens, src1 zero, everyone else 400). Spark runs the binned
-    // two-phase selection (only the cut bin enters the fine window);
-    // the oracle replays the naive running-sum definition the binned
-    // form is row-for-row equal to. binBits=4 at this scale so several
-    // sources genuinely exercise the full-keep/cut/drop bin classes.
+    // two-phase selection (bin-offset join + per-(stratum, bin) fine
+    // window); the oracle replays the naive running-sum definition the
+    // binned form is row-for-row equal to. binBits=4 at this scale so
+    // bins genuinely split each source's docs.
     Q("q105_token_budget",
       (s, dir) => {
         val d = tbl(s, dir, "documents")
