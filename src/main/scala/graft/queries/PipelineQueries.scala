@@ -473,7 +473,8 @@ object PipelineQueries {
                                                  ELSE 400 END)
         SELECT source, COUNT(*) AS n_docs,
           CAST(SUM(n_tokens) AS BIGINT) AS toks_kept
-        FROM kept GROUP BY source ORDER BY source""")),
+        FROM kept GROUP BY source ORDER BY source"""),
+      bench = true),
 
     // ---- concat-and-chop sequence packing (Sampling.packSequences):
     // each doc's token span in its shard's concatenated stream, and the

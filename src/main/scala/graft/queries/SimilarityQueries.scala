@@ -391,7 +391,8 @@ object SimilarityQueries {
         SELECT DISTINCT c.vec_id FROM c JOIN r ON c.bk = r.bk
         WHERE ROUND(LIST_DOT_PRODUCT(c.v, r.v) /
           (SQRT(LIST_DOT_PRODUCT(c.v, c.v)) * SQRT(LIST_DOT_PRODUCT(r.v, r.v))), 6) >= 0.3
-        ORDER BY c.vec_id""")),
+        ORDER BY c.vec_id"""),
+      bench = true),
 
     // ---- SemDeDup (Dedup.semDedup, arXiv:2303.09540): k-means-cell
     // bucketing bounds the pairwise stage, cosine >= τ pairs form
