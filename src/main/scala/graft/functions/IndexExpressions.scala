@@ -273,6 +273,50 @@ case class LshSignature(
     copy(child = newChild)
 }
 
+/** Dense projection against a broadcast plane table: output component j
+  * = round(Σ_i v_i · planes(j)(i), roundDp) — the Johnson–Lindenstrauss
+  * dimensionality-reduction kernel (and, with learned planes, a PCA/OPQ
+  * rotation apply step). One fused toDim×fromDim loop per row; the plan
+  * stays O(1) in the matrix size (same contract as [[LshSignature]],
+  * which is this expression's sign-only specialization). */
+case class ProjectVec(
+    child: Expression,
+    bc: Broadcast[Array[Array[Double]]],
+    roundDp: Int)
+  extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "project_vec"
+
+  def compute(v: ArrayData): ArrayData = {
+    val planes = bc.value
+    val out = new Array[Double](planes.length)
+    var j = 0
+    while (j < planes.length) {
+      val p = planes(j)
+      val n = math.min(v.numElements(), p.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += v.getDouble(i) * p(i); i += 1 }
+      out(j) = IndexExpressions.roundTo(roundDp, s)
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val ref = ctx.addReferenceObj("projVec", this, classOf[ProjectVec].getName)
+      s"${ev.value} = $ref.compute($v);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ProjectVec =
+    copy(child = newChild)
+}
+
 /** Column builders over already-created broadcast handles (one broadcast
   * per operator invocation — [[graft.ops.Similarity]] shares a handle
   * across the corpus and query sides of a join). */
@@ -295,4 +339,8 @@ object IndexExpr {
 
   def lshSignature(v: Column, bc: Broadcast[Array[Array[Double]]]): Column =
     ColumnBridge.column(LshSignature(ColumnBridge.expression(v), bc))
+
+  def projectVec(v: Column, bc: Broadcast[Array[Array[Double]]],
+      roundDp: Int): Column =
+    ColumnBridge.column(ProjectVec(ColumnBridge.expression(v), bc, roundDp))
 }

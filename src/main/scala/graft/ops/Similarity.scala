@@ -85,6 +85,39 @@ object Similarity {
       vecCol.cast("array<double>"), bcOf(planes))
   }
 
+  /** Johnson–Lindenstrauss random projection: map a `fromDim` embedding
+    * to `toDim` components y_j = Σ_i v_i · P(j)(i) / √toDim — the
+    * standard embedding-compression step before ANN at scale (JL: for
+    * toDim = O(log n / ε²) pairwise distances are preserved within
+    * 1 ± ε, so a 1024-dim corpus can rank candidates on a 64-dim shadow
+    * at 1/16 the scan bytes and rerank survivors on the full vectors).
+    *
+    * The plane families mirror [[lshBucket]] (this is its raw-valued
+    * generalization — lshBucket keeps only the projection SIGNS):
+    * seedless sin(i·131 + j·523) planes are SQL-expressible for
+    * cross-engine oracles; `seed = Some(s)` gives i.i.d. gaussians
+    * (java.util.Random.nextGaussian, algorithm-specified — bit-identical
+    * planes on any JVM). Planes ship via ONE broadcast read by the
+    * native [[graft.functions.ProjectVec]] (fused toDim×fromDim loop in
+    * codegen, plan O(1) in the matrix size). Components are rounded to
+    * `roundDp` (cross-engine exactness rule). */
+  def randomProject(vecCol: Column, fromDim: Int, toDim: Int,
+      seed: Option[Long] = None, roundDp: Int = 6): Column = {
+    require(fromDim >= 1 && toDim >= 1,
+      s"dims must be >= 1, got fromDim=$fromDim toDim=$toDim")
+    val rng = seed.map(s => new java.util.Random(s))
+    val scale = 1.0 / math.sqrt(toDim.toDouble)
+    val planes: Array[Array[Double]] = Array.tabulate(toDim) { j =>
+      rng match {
+        case Some(r) => Array.fill(fromDim)(r.nextGaussian() * scale)
+        case None =>
+          Array.tabulate(fromDim)(i => math.sin(i * 131.0 + j * 523.0) * scale)
+      }
+    }
+    graft.functions.IndexExpr.projectVec(
+      vecCol.cast("array<double>"), bcOf(planes), roundDp)
+  }
+
   /** Approximate top-k via shared LSH buckets + exact rerank.
     *
     * `probeHamming = 1` turns on bit-flip multi-probe: each query also

@@ -369,6 +369,27 @@ object SimilarityQueries {
         GROUP BY node ORDER BY node"""),
       bench = true),
 
+    // ---- Johnson–Lindenstrauss random projection (Similarity
+    // .randomProject): 64-dim embeddings → 8-dim shadows via the
+    // seedless sin-plane family scaled by 1/√8 — the compression step
+    // that lets 100 TB ANN rank candidates on 1/8 the scan bytes. The
+    // native ProjectVec is lshBucket's raw-valued generalization; the
+    // oracle recomputes every component (rounded 6 dp, same fold).
+    Q("q107_random_project",
+      (s, dir) =>
+        tbl(s, dir, "embeddings")
+          .select(col("vec_id"), posexplode(
+            graft.ops.Similarity.randomProject(
+              col("embedding"), fromDim = 64, toDim = 8)))
+          .toDF("vec_id", "j", "proj")
+          .orderBy("vec_id", "j"),
+      Some("""SELECT vec_id, CAST(j AS INTEGER) AS j,
+          ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(0, 64),
+            i -> (embedding::DOUBLE[])[i+1] *
+                 (SIN(i * 131.0 + j * 523.0) * (1.0 / SQRT(8.0))))), 6) AS proj
+        FROM embeddings, UNNEST(RANGE(0, 8)) AS tj(j)
+        ORDER BY vec_id, j""")),
+
     // ---- semantic decontamination (Dedup.cosineContaminated): corpus
     // rows whose embedding is cosine-close to ANY eval-set row — the
     // paraphrase-leak complement of q86's n-gram decontamination.

@@ -82,6 +82,28 @@ class IndexExpressionsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("projectVec matches the composed fold; lshSignature is its sign bits") {
+    import spark.implicits._
+    val planes = Array(Array(0.5, -0.3, 0.1), Array(-0.2, 0.8, -0.6))
+    val df = Seq(Tuple1(Seq(0.25, 0.35, -0.4)), Tuple1(Seq(-0.1, 0.9, 0.2)),
+      Tuple1(Seq(0.0, 0.0, 0.0))).toDF("v")
+    val rows = df.select(
+        IndexExpr.projectVec(col("v"), bc(planes), 6).as("p"),
+        IndexExpr.lshSignature(col("v"), bc(planes)).as("sig"))
+      .collect()
+    for (r <- rows) {
+      val p = r.getSeq[Double](0)
+      // sign-bit consistency: bucket bit j set iff projection j > 0
+      val sig = p.zipWithIndex.collect { case (x, j) if x > 0 => 1 << j }.sum
+      assert(r.getInt(1) == sig, s"sig mismatch for $p")
+    }
+    // exact values vs a driver-side fold (same accumulation order)
+    val v0 = Seq(0.25, 0.35, -0.4)
+    val want = planes.map(pl =>
+      IndexExpressions.roundTo(6, v0.zip(pl).foldLeft(0.0) { case (s, (a, b)) => s + a * b }))
+    assert(rows(0).getSeq[Double](0) == want.toSeq)
+  }
+
   test("interpreted eval agrees with codegen for every index expression") {
     import spark.implicits._
     val cents = Array(Array(0.1, 0.2), Array(0.3, 0.1), Array(0.2, 0.4))
@@ -92,7 +114,8 @@ class IndexExpressionsSpec extends AnyFunSuite {
       IndexExpr.ivfCell(col("v"), bc(cents), 6),
       IndexExpr.ivfCells(col("v"), bc(cents), 2, 6),
       IndexExpr.pqCodes(col("v"), bc(cbs), 6),
-      IndexExpr.lshSignature(col("v"), bc(planes)))
+      IndexExpr.lshSignature(col("v"), bc(planes)),
+      IndexExpr.projectVec(col("v"), bc(planes), 6))
     val gen = cols(df).collect().map(_.toString)
     val was = spark.conf.getOption("spark.sql.codegen.wholeStage")
     val factoryWas = spark.conf.getOption("spark.sql.codegen.factoryMode")
