@@ -640,6 +640,50 @@ object Similarity {
       .select(col("q_id"), col("rk"), col("c_id"), col("cos"))
   }
 
+  /** Two-phase JL-projected ANN: rank every (query, corpus) pair on the
+    * cosine of their [[randomProject]] shadows (toDim components instead
+    * of dim — the phase-1 scan reads/computes toDim/dim of the work),
+    * keep the top `mult`·k per query, then rerank survivors on the exact
+    * full-dimension cosine.
+    *
+    * Regime honesty — when the shadow prefilter works: JL preserves
+    * distances within 1±ε for ε ≈ √(log n / toDim), so the shadow can
+    * only separate neighbors whose cosine GAPS exceed ε. Real embedding
+    * corpora (low intrinsic dimension, cluster structure) clear that
+    * bar at toDim 8–32 — the recall spec measures ≥0.9 on clustered
+    * data. An ISOTROPIC corpus (uniform random directions, all pairwise
+    * cosines ≈ 0 ± 1/√dim) is the worst case: no projection can rank
+    * what full precision barely separates, and recall degrades to the
+    * candidate-pool fraction. Size toDim to the corpus, not the table.
+    * Same zero-norm and rounded-tie discipline as [[int8TopK]] — both
+    * phases cross-engine exact at fixed planes. */
+  def jlTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      fromDim: Int, toDim: Int, k: Int, mult: Int = 4,
+      seed: Option[Long] = None, roundDp: Int = 6): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(mult >= 1, s"mult must be >= 1, got $mult")
+    val proj = randomProject(col(vecCol), fromDim, toDim, seed, roundDp)
+    val c = corpus.select(col(idCol).as("c_id"),
+      col(vecCol).cast("array<double>").as("cv"), proj.as("cp"))
+    val q = queries.select(col(idCol).as("q_id"),
+      col(vecCol).cast("array<double>").as("qv"), proj.as("qp"))
+    import graft.functions.MathFunctions.cosineSim
+    val w1 = Window.partitionBy(col("q_id")).orderBy(col("acos").desc, col("c_id").asc)
+    val cands = c.crossJoin(broadcast(q))
+      .select(col("q_id"), col("c_id"), col("qv"), col("cv"),
+        round(cosineSim(col("qp"), col("cp")), roundDp).as("acos"))
+      .filter(!isnan(col("acos"))) // zero-norm shadow guard
+      .withColumn("ark", row_number().over(w1)).filter(col("ark") <= mult * k)
+    val w2 = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id").asc)
+    cands
+      .select(col("q_id"), col("c_id"),
+        round(cosineSim(col("qv"), col("cv")), roundDp).as("cos"))
+      .filter(!isnan(col("cos")))
+      .withColumn("rk", row_number().over(w2)).filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("c_id"), col("cos"))
+  }
+
   /** Train per-subspace PQ codebooks: Lloyd k-means on each of the `m`
     * subvector slices, reusing [[trainIvfCentroids]]'s seeded
     * treeAggregate trainer (deterministic per seed; subspace `s` seeds

@@ -714,6 +714,46 @@ object SimilarityQueries {
             CAST(ROW_NUMBER() OVER (PARTITION BY q_id
               ORDER BY cos DESC, c_id ASC) AS INTEGER) AS rk
           FROM phase2)
+        WHERE rk <= 3 ORDER BY q_id, rk""")),
+
+    // ---- two-phase JL-projected ANN (Similarity.jlTopK): phase 1 ranks
+    // on the cosine of 8-dim q107 shadows (1/8 the scan bytes), phase 2
+    // reranks the top mult·k survivors on the exact 64-dim cosine. Both
+    // phases rounded + id-tiebroken, so the oracle replays them exactly.
+    Q("q108_jl_ann",
+      (s, dir) => {
+        val e = tbl(s, dir, "embeddings")
+        graft.ops.Similarity.jlTopK(
+            e.filter(col("vec_id") >= 5), e.filter(col("vec_id") < 5),
+            "vec_id", "embedding", fromDim = 64, toDim = 8, k = 3, mult = 4)
+          .orderBy("q_id", "rk")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        sh AS (
+          SELECT vec_id, v,
+            LIST_TRANSFORM(RANGE(0, 8), j ->
+              ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(0, 64),
+                i -> v[i+1] * (SIN(i * 131.0 + j * 523.0) * (1.0 / SQRT(8.0))))), 6)) AS p
+          FROM e),
+        c AS (SELECT * FROM sh WHERE vec_id >= 5),
+        q AS (SELECT vec_id AS q_id, v AS qv, p AS qp FROM sh WHERE vec_id < 5),
+        phase1 AS (
+          SELECT q_id, c.vec_id AS c_id, qv, v,
+            ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+              ROUND(LIST_DOT_PRODUCT(qp, p) /
+                (SQRT(LIST_DOT_PRODUCT(qp, qp)) * SQRT(LIST_DOT_PRODUCT(p, p))), 6) DESC,
+              c.vec_id ASC) AS ark
+          FROM c, q),
+        phase2 AS (
+          SELECT q_id, c_id,
+            ROUND(LIST_DOT_PRODUCT(qv, v) /
+              (SQRT(LIST_DOT_PRODUCT(qv, qv)) * SQRT(LIST_DOT_PRODUCT(v, v))), 6) AS cos
+          FROM phase1 WHERE ark <= 12)
+        SELECT q_id, rk, c_id, cos FROM (
+          SELECT q_id, c_id, cos,
+            CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+              ORDER BY cos DESC, c_id ASC) AS INTEGER) AS rk
+          FROM phase2)
         WHERE rk <= 3 ORDER BY q_id, rk"""))
   )
 }

@@ -189,6 +189,47 @@ class PqSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall")
   }
 
+  test("JL two-phase rerank: >=0.9 recall on clustered data, honest on isotropic") {
+    import spark.implicits._
+    // clustered corpus — the real-embedding regime the jlTopK scaladoc
+    // claims: 10 well-separated unit centers, members = center + small
+    // noise, so exact top-5 are cluster-mates and an 8-dim shadow must
+    // keep clusters apart (JL gap >> eps)
+    val rnd = new scala.util.Random(7)
+    def unit(): Array[Double] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val centers = Array.fill(10)(unit())
+    val rows = for (i <- 0 until 200) yield {
+      val c = centers(i % 10)
+      (i.toLong, c.map(_ + rnd.nextGaussian() * 0.05).toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 10)
+    val corpus = df.filter(col("vec_id") >= 10)
+    def pairs(d: org.apache.spark.sql.DataFrame) =
+      d.select("q_id", "c_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(corpus, queries,
+      "vec_id", "embedding", k = 5))
+    val approx = pairs(Similarity.jlTopK(corpus, queries,
+      "vec_id", "embedding", fromDim = 64, toDim = 8, k = 5, mult = 4,
+      seed = Some(42L)))
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"clustered recall $recall")
+    // isotropic corpus (the parquet table): all cosines ~0 +- 1/sqrt(64),
+    // gaps below any shadow's resolution — the documented worst case.
+    // Assert the op still returns exactly k valid rows per query (the
+    // contract that survives) rather than pretending recall does.
+    val e = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val iso = Similarity.jlTopK(e.filter(col("vec_id") >= 10),
+      e.filter(col("vec_id") < 10), "vec_id", "embedding",
+      fromDim = 64, toDim = 8, k = 5, mult = 4, seed = Some(42L))
+    val perQ = iso.groupBy("q_id").count().collect().map(_.getLong(1))
+    assert(perQ.length == 10 && perQ.forall(_ == 5))
+  }
+
   test("zero-norm corpus rows never outrank true neighbors (NaN guard)") {
     // cos(q, 0) = 0/0 = NaN, and NaN sorts FIRST under DESC ordering —
     // without the guard one all-zero embedding would take rank 1 for
@@ -204,7 +245,9 @@ class PqSpec extends AnyFunSuite {
       Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", k = 3),
       Similarity.lshTopK(corpus, queries, "vec_id", "embedding",
         dim = 64, k = 3, nBits = 2),
-      Similarity.int8TopK(corpus, queries, "vec_id", "embedding", k = 3))
+      Similarity.int8TopK(corpus, queries, "vec_id", "embedding", k = 3),
+      Similarity.jlTopK(corpus, queries, "vec_id", "embedding",
+        fromDim = 64, toDim = 8, k = 3))
     rankers.foreach { df =>
       val ids = df.select("c_id").collect().map(_.getLong(0)).toSet
       assert(!ids.contains(100000L), s"zero vector ranked: $ids")
