@@ -247,6 +247,23 @@ class OpsSpec extends AnyFunSuite {
       .columns.toSeq == Seq("id", "vec"))
   }
 
+  test("semDedup composes with trained centroids, rerun-deterministic") {
+    // the scale configuration: k-means centroids trained on the corpus
+    // itself (k grows with n), not the fixed oracle centroids. The
+    // contract that must survive arbitrary training: output is a subset
+    // of the input, and a rerun with the same seed keeps the SAME rows.
+    val e = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val cents = Similarity.trainIvfCentroids(e, "embedding", kCells = 8,
+      iters = 3, seed = 1L)
+    def run() = Dedup.semDedup(e, "vec_id", "embedding", cents,
+        threshold = 0.3).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val kept = run()
+    val all = e.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept.subsetOf(all) && kept.nonEmpty && kept.size < all.size)
+    assert(run() == kept)
+  }
+
   test("cosineContaminated flags bucket-mates above threshold only") {
     import spark.implicits._
     // bucketCol comes straight from a data column so the collision set
