@@ -7,8 +7,11 @@ import org.apache.spark.sql.functions._
 /** Runnable tour of the training-data-pipeline surface (the north-star
   * operators beyond the reference's GLM scope): corpus curation —
   * quality gate → exact dedup → MinHash-LSH near-dup removal → SimHash
-  * fingerprints — then embedding similarity (brute force vs multi-table
-  * LSH vs IVF with persisted centroids) and multimodal decode.
+  * fingerprints → n-gram + embedding-cosine decontamination → SemDeDup
+  * semantic dedup → source mixing with per-source token budgets →
+  * sequence packing — then embedding similarity (brute force vs
+  * multi-table LSH vs IVF with persisted centroids) and multimodal
+  * decode.
   *
   * Run: sbt "runMain graft.examples.CurationPipeline [sfDir]"
   */
@@ -77,13 +80,33 @@ object CurationPipeline {
       .withColumn("text", Redact.redactPii(col("text")))
     println(s"[curate] decontaminate: ${leaked.count()} leaked -> ${clean.count()} clean redacted docs")
 
+    // 4b'. SEMANTIC passes over the embedding space: SemDeDup-style
+    // dedup (k-means cells bound the pairwise stage, one representative
+    // per cosine-component) and embedding decontamination (cosine
+    // against the eval slice catches PARAPHRASED leaks no 3-gram sees)
+    val cents = Similarity.trainIvfCentroids(emb, "embedding", kCells = 4, iters = 3)
+    val semKept = Dedup.semDedup(emb, "vec_id", "embedding", cents, threshold = 0.3)
+    val semLeaked = Dedup.cosineContaminated(
+      emb.filter(col("vec_id") >= 20), emb.filter(col("vec_id") < 20),
+      "vec_id", "embedding", threshold = 0.3,
+      bucketCol = Similarity.lshBucket(col("embedding"), dim = 64, nBits = 2))
+    println(s"[curate] semantic: semdedup ${emb.count()} -> ${semKept.count()} " +
+      s"embeddings, cosine-decontaminate flags ${semLeaked.count()}")
+
     // 4c. corpus assembly: reweight sources (keep all of src0, half of
-    // src1, 30% of the rest), then lay the mix out as 4 packed token
-    // streams — every selection keyed on doc_id so a rerun ships
-    // byte-identical shards
-    val mixed = Sampling.stratifiedHashSample(clean, col("source"),
+    // src1, 30% of the rest) AND cap every source at a token budget —
+    // docs taken in keyed-hash order until the budget is spent; then lay
+    // the mix out as 4 packed token streams — every selection keyed on
+    // doc_id so a rerun ships byte-identical shards
+    val mixed0 = Sampling.stratifiedHashSample(clean, col("source"),
       col("doc_id"), rates = Map("src0" -> 1.0, "src1" -> 0.5),
       defaultRate = 0.3, seed = 7L)
+    val mixed = Sampling.tokenBudgetCap(
+      mixed0.withColumn("n_tok", size(split(col("text"), " +"))),
+      col("source"), col("doc_id"), col("n_tok"),
+      budgets = Map.empty, defaultBudget = 60L, seed = 7L, binBits = 4)
+      .drop("n_tok")
+    println(s"[assemble] token budget (60/source): ${mixed0.count()} -> ${mixed.count()} docs")
     val packed = Sampling.packSequences(
       mixed.withColumn("n_tok", size(split(col("text"), " +"))),
       "doc_id", col("n_tok"), ctxLen = 512, shards = 4, seed = 7L)
