@@ -261,6 +261,44 @@ class PlanSpec extends AnyFunSuite {
     assert(collectInMem(plan).isEmpty, "q98 must not leave cached state")
   }
 
+  test("tokenBudgetCap plan: TWO scans, no union, broadcast bin offsets") {
+    import org.apache.spark.sql.functions.{col, size, split}
+    // the single-branch shape the op's scaladoc promises: one full
+    // corpus scan for the row pass + one pruned scan for the bin
+    // aggregate, the bin-offset frame broadcast back, the fine window
+    // partitioned on (stratum, bin) — never a per-branch recompute
+    // (the first-cut classify-then-union shape scanned the corpus 4x)
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " +")).as("n_tok"))
+    val df = graft.ops.Sampling.tokenBudgetCap(docs, col("source"),
+      col("doc_id"), col("n_tok"), budgets = Map.empty,
+      defaultBudget = 100L, seed = 7L, binBits = 4)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    assert(countScans(plan) == 2,
+      s"${countScans(plan)} scans, expected exactly 2")
+    assert(!plan.toString.contains("Union"), "must stay single-branch")
+    assert(plan.toString.contains("BroadcastHashJoin"),
+      "bin offsets must broadcast")
+  }
+
+  test("q106 cosine decontamination: ONE corpus scan, broadcast semi-join") {
+    val df = Queries.byName("q106_cosine_decontaminate")
+      .spark(spark, TestSpark.sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val s = plan.toString
+    // the reference (eval) side broadcasts; the corpus is scanned once
+    // and never shuffled before the semi-join (the final orderBy is the
+    // only exchange)
+    assert(s.contains("BroadcastHashJoin") && s.contains("LeftSemi"), s)
+    assert(countScans(plan) == 2, // corpus + broadcast-side eval scan
+      s"${countScans(plan)} scans, expected 2 (corpus + eval)")
+    assert(countShuffles(plan) <= 1,
+      s"${countShuffles(plan)} shuffles — corpus must reach the semi-join unshuffled")
+  }
+
   test("q99 PQ scan carries codes to a broadcast join — corpus is never shuffled") {
     val df = Queries.byName("q99_pq_ann").spark(spark, TestSpark.sf0001)
     df.collect()
