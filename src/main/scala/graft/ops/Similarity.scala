@@ -306,6 +306,12 @@ object Similarity {
     require(rows.nonEmpty, s"no centroids at $path")
     require(rows.map(_._1).toSeq == rows.indices.toSeq,
       s"centroid cells at $path are not a dense 0..${rows.length - 1} range")
+    // uniform dimensionality, same rule as loadCodebooks: NearestCell
+    // folds over min(vec, centroid) lengths, so a ragged table would
+    // silently assign wrong cells instead of failing here
+    val d = rows.head._2.length
+    require(d >= 1 && rows.forall(_._2.length == d),
+      s"ragged centroid table at $path: expected uniform dimension $d")
     rows.map(_._2)
   }
 

@@ -413,6 +413,17 @@ class OpsSpec extends AnyFunSuite {
       Similarity.ivfTopK(corpus, queries, "vec_id", "embedding", cs, k = 3)
         .select("q_id", "rk", "c_id").collect().map(_.toString).toSeq
     assert(probe(back) == probe(cents))
+    // a corrupt table with a truncated centroid must fail fast, not
+    // silently assign wrong cells (NearestCell folds over min lengths)
+    import org.apache.spark.sql.functions.{expr, when}
+    val dir2 = java.nio.file.Files.createTempDirectory("ivf_cents_bad").toString
+    spark.read.parquet(dir)
+      .withColumn("centroid", when(col("cell") === 2,
+        expr("slice(centroid, 1, 32)")).otherwise(col("centroid")))
+      .write.mode("overwrite").parquet(dir2)
+    val err = intercept[IllegalArgumentException](
+      Similarity.loadCentroids(spark, dir2))
+    assert(err.getMessage.contains("ragged"))
   }
 
   test("IVF centroids train and probe returns neighbors from own cell") {
