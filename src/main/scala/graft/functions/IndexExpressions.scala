@@ -116,6 +116,12 @@ case class NearestCells(
   def compute(v: ArrayData): ArrayData = {
     val cs = bc.value
     val k = cs.length
+    // Similarity.ivfCells guards this, but the expression is a public
+    // extension surface: copyOf past k would zero-pad, silently
+    // reporting cell 0 as the extra probes instead of failing
+    if (nprobe < 1 || nprobe > k)
+      throw new IllegalArgumentException(
+        s"nprobe $nprobe out of range [1, $k] for a $k-cell centroid table")
     val ds = new Array[Double](k)
     var c = 0
     while (c < k) {
@@ -163,12 +169,16 @@ case class PqEncodeExpr(
     while (s < cbs.length) {
       val cb = cbs(s)
       val off = s * dsub
+      // clamp to the elements that exist: a vector shorter than m·dsub
+      // folds over its truncated tail (the literal slice-form's rule) —
+      // an unclamped getDouble past numElements reads garbage bytes
+      val len = math.min(dsub, math.max(0, v.numElements() - off))
       var best = 0
       var bestD = Double.MaxValue
       var c = 0
       while (c < cb.length) {
         val d = IndexExpressions.roundTo(roundDp,
-          IndexExpressions.sqDistFrom(v, off, cb(c), dsub))
+          IndexExpressions.sqDistFrom(v, off, cb(c), len))
         if (d < bestD) { bestD = d; best = c }
         c += 1
       }
@@ -208,12 +218,26 @@ case class AdcDistExpr(
   def compute(qv: ArrayData, codes: ArrayData): Double = {
     val cbs = bc.value
     val dsub = cbs(0)(0).length
+    // fail fast on an index/codebook mismatch: a codes table encoded
+    // with a different m or ksub would otherwise read past the codes
+    // array or out of the codebook — garbage distances, not an error
+    if (codes.numElements() != cbs.length)
+      throw new IllegalArgumentException(
+        s"codes length ${codes.numElements()} != ${cbs.length} subspaces — " +
+          "codes table was encoded with different codebooks")
     var total = 0.0
     var s = 0
     while (s < cbs.length) {
-      val cw = cbs(s)(codes.getInt(s))
+      val code = codes.getInt(s)
+      if (code < 0 || code >= cbs(s).length)
+        throw new IllegalArgumentException(
+          s"code $code out of range [0, ${cbs(s).length}) in subspace $s — " +
+            "codes table was encoded with different codebooks")
+      val cw = cbs(s)(code)
+      val off = s * dsub
+      val len = math.min(dsub, math.max(0, qv.numElements() - off))
       total += IndexExpressions.roundTo(roundDp,
-        IndexExpressions.sqDistFrom(qv, s * dsub, cw, dsub))
+        IndexExpressions.sqDistFrom(qv, off, cw, len))
       s += 1
     }
     IndexExpressions.roundTo(roundDp, total)

@@ -436,7 +436,15 @@ object Dedup {
     * transitive clusters of `pairs` ([[clusterPairs]]) and anti-joins the
     * non-representative ids out of `df`. Rows in no pair survive
     * untouched — the end-to-end "pairs in, deduplicated corpus out"
-    * composition every curation pipeline runs. */
+    * composition every curation pipeline runs.
+    *
+    * Cache lifecycle: the label table [[clusterPairs]] persists stays
+    * cached for the life of the session (its lineage is truncated, so
+    * it cannot be unpersisted before the result is consumed). One-shot
+    * pipelines don't care; a long-lived session deduplicating many
+    * batches should call `clusterPairs` directly and unpersist the
+    * returned frame between batches (or `spark.catalog.clearCache()`) —
+    * the same contract as the banded candidate frames (object doc). */
   def keepOnePerCluster(df: DataFrame, idCol: String, pairs: DataFrame,
       idCol1: String = "id1", idCol2: String = "id2",
       maxIter: Int = 25): DataFrame = {
@@ -486,7 +494,11 @@ object Dedup {
     * Determinism: cell argmin and cosine are rounded to `roundDp` before
     * any comparison (the cross-engine exactness rule every similarity
     * query here follows), and the representative choice (min id) is
-    * order-free — reruns and other engines keep the same rows. */
+    * order-free — reruns and other engines keep the same rows.
+    *
+    * Cache lifecycle: inherits [[keepOnePerCluster]]'s contract — the
+    * cluster label table stays session-cached; batch loops should
+    * manage the [[clusterPairs]] handle directly. */
   def semDedup(emb: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Double]], threshold: Double,
       roundDp: Int = 6, maxIter: Int = 25): DataFrame = {

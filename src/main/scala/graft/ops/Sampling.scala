@@ -118,7 +118,14 @@ object Sampling {
     * stratum takes documents in deterministic pseudo-random order until
     * the budget is spent (one straddling doc may overshoot; a zero
     * budget keeps nothing). A pure function of (seed, key) — reruns,
-    * backfills, and other engines keep the same rows.
+    * backfills, and other engines keep the same rows — PROVIDED `keyCol`
+    * uniquely identifies rows: duplicate keys tie on the (hash, key)
+    * order and take arrival-order-dependent running sums at a budget
+    * edge (the same reason `hashSample` keys on a doc identity). Rows
+    * with a NULL stratum form their own stratum at `defaultBudget`
+    * (matching [[stratifiedHashSample]]'s null handling); rows with a
+    * NULL key are dropped (a null coin fails every comparison — the
+    * behavior every keyed operator here shares).
     *
     * 100 TB shape — the naive form is a running-sum window over each
     * stratum, and a handful of source strata would each funnel through
@@ -147,8 +154,15 @@ object Sampling {
         when(strataCol === lit(s), lit(b)).otherwise(acc)
       }
     val cols = df.columns
+    // null-safe stratum key: equi-joins never match NULL = NULL, so a
+    // bare cast would silently DROP every null-stratum row at the bin
+    // join. Prefix real values (collision-free vs the null token) and
+    // give null its own stratum — budgetCol's when-chain already routes
+    // null to defaultBudget.
+    val strataKey = when(strataCol.isNull, lit(" "))
+      .otherwise(concat(lit("v:"), strataCol.cast("string")))
     val t = df
-      .withColumn("__tbc_s", strataCol.cast("string"))
+      .withColumn("__tbc_s", strataKey)
       .withColumn("__tbc_h", hashU32(keyCol, seed))
       .withColumn("__tbc_k", keyCol.cast("string"))
       .withColumn("__tbc_tok", tokenCol.cast("long"))

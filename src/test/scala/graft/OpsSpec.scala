@@ -787,6 +787,37 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("tokenBudgetCap: null strata get the default budget, null keys drop") {
+    import spark.implicits._
+    // one null-source doc among real sources: it must form its own
+    // stratum at defaultBudget (stratifiedHashSample's null rule), not
+    // silently vanish at the bin join; a null key has no coin and drops
+    val df = Seq(
+      (1L, "a", 10), (2L, "a", 10), (3L, null.asInstanceOf[String], 10),
+      (4L, "b", 10)
+    ).toDF("id", "src", "tok")
+    def kept(d: org.apache.spark.sql.DataFrame, budget: Long) =
+      graft.ops.Sampling.tokenBudgetCap(d, col("src"), col("id"),
+          col("tok"), budgets = Map.empty, defaultBudget = budget,
+          seed = 7L, binBits = 4)
+        .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept(df, 100L) == Set(1L, 2L, 3L, 4L)) // null stratum kept
+    // budget 5 < one doc: each stratum keeps exactly its first-by-hash
+    // doc (before-sum 0 < 5), so null forms its OWN stratum (one kept),
+    // not a merged bucket with "a" or "b"
+    val tight = kept(df, 5L)
+    assert(tight.size == 3 && tight.contains(3L) && tight.contains(4L), tight.toString)
+    assert(kept(df, 0L).isEmpty) // zero budget drops all strata incl. null
+    // null KEY: no coin → dropped (every keyed operator's rule)
+    val withNullKey = Seq((java.lang.Long.valueOf(1L), "a", 10),
+      (null.asInstanceOf[java.lang.Long], "a", 10)).toDF("id", "src", "tok")
+    val got = graft.ops.Sampling.tokenBudgetCap(withNullKey, col("src"),
+        col("id"), col("tok"), budgets = Map.empty, defaultBudget = 100L,
+        seed = 7L, binBits = 4)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L))
+  }
+
   test("hashSample: deterministic, nested by rate, independent across seeds") {
     val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
     def ids(rate: Double, seed: Long) =

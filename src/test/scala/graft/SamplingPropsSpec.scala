@@ -125,10 +125,14 @@ object SamplingPropsSpec extends Properties("Sampling") {
       val firstSrc = rows.map(_._2).min
       def budgetOf(s: String) = if (s == firstSrc) c.budget0 else c.defBudget
       // serial reference: per stratum, take docs in (coin, key) order
-      // while the running before-sum stays under the budget
+      // while the running before-sum stays under the budget. The
+      // product tiebreaks hash collisions on the key's STRING form
+      // (keyCol.cast("string"), same as the q105 oracle's CAST) — the
+      // reference must sort "10" < "2", not 2 < 10
       val want = rows.groupBy(_._2).iterator.flatMap { case (src, rs) =>
         var cum = 0L
-        rs.sortBy { case (id, _, _) => (coinLocal(id.toString, c.seed), id) }
+        rs.sortBy { case (id, _, _) =>
+            (coinLocal(id.toString, c.seed), id.toString) }
           .flatMap { case (id, _, t) =>
             val keep = cum < budgetOf(src); cum += t
             if (keep) Some(id) else None
