@@ -145,7 +145,65 @@ case class ArrayCosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused int8 scalar quantization: ONE pass finds the max-abs scale,
+  * a second emits codes floor(x·127/scale + 0.5) — O(2d) per row. The
+  * Column-level composition (`transform` with the O(d) scale expression
+  * referenced inside the lambda) re-evaluates the scale PER ELEMENT
+  * under interpreted HOF evaluation: O(d²) per row, the jaccardVerify
+  * pitfall. Identical arithmetic to the composed form (same max
+  * comparison order, same floor/divide), floor(1e-30) floor as the
+  * zero-vector guard. Returns struct(codes array<int>, scale double). */
+case class QuantizeInt8Expr(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with ImplicitCastInputTypes {
+  import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+  override def inputTypes = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("codes", ArrayType(IntegerType, containsNull = false), nullable = false),
+    StructField("scale", DoubleType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "quantize_int8"
+
+  def compute(v: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = v.numElements()
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(v.getDouble(i))
+      if (a > maxAbs) maxAbs = a
+      i += 1
+    }
+    val scale = math.max(maxAbs, 1e-30)
+    val codes = new Array[Int](n)
+    i = 0
+    while (i < n) {
+      codes(i) = math.floor(v.getDouble(i) * 127 / scale + 0.5).toInt
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](
+        org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+          .fromPrimitiveArray(codes),
+        scale))
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val ref = ctx.addReferenceObj("quantInt8", this, classOf[QuantizeInt8Expr].getName)
+      s"${ev.value} = $ref.compute($v);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): QuantizeInt8Expr =
+    copy(child = newChild)
+}
+
 object ArrayMath {
+  def quantizeInt8(v: Column): Column =
+    ColumnBridge.column(QuantizeInt8Expr(ColumnBridge.expression(v)))
+
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(
       ArrayDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))

@@ -5,7 +5,7 @@ import java.util.regex.Pattern
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -31,8 +31,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * as an unsigned int, minima over h·(2i+1) + (i²+7) mod (2³¹−1).
   */
 case class MinHashSig(child: Expression, numHashes: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
 
+  // SQL-visible (`minhash_sig(...)`): without declared input types a
+  // non-string argument passes analysis and ClassCastExceptions mid-job
+  override def inputTypes = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
 
@@ -102,8 +105,10 @@ case class MinHashSig(child: Expression, numHashes: Int)
   * the token-hash array once per bit — 64× the md5 work); real `doGenCode`
   * keeps the projection inside whole-stage codegen. */
 case class SimHashFp(child: Expression, bits: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
 
+  // SQL-visible (`simhash_fp(...)`): see MinHashSig's inputTypes note
+  override def inputTypes = Seq(StringType)
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
 

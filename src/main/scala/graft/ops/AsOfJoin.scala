@@ -27,12 +27,20 @@ object AsOfJoin {
     * row's value, diverging from native ASOF semantics). Ties on
     * (key, rightTime) must be pre-deduplicated by the caller for
     * deterministic output.
+    *
+    * NULL times are excluded on both sides (native ASOF semantics:
+    * a null never satisfies `rightTime <= leftTime`). Without the
+    * filter, ascending-nulls-first ordering would treat a null-time
+    * right row as "before everything" and carry its payload into left
+    * rows that should have no match.
     */
   def asOf(
       left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
       rightPayload: Seq[String]): DataFrame = {
+    val leftNn = left.filter(col(leftTime).isNotNull)
+    val right0 = right.filter(col(rightTime).isNotNull)
     val lCols = left.columns.toSeq
     val payloadType = org.apache.spark.sql.types.StructType(
       rightPayload.map(c => right.schema(c).copy(name = c)))
@@ -40,13 +48,13 @@ object AsOfJoin {
       Seq(col(leftKey).as("__k"), col(leftTime).as("__t"),
         lit(1).as("__isLeft"), lit(null).cast(payloadType).as("__rp")) ++
         lCols.map(c => col(c).as(s"l_$c"))
-    val l = left.select(lSel: _*)
+    val l = leftNn.select(lSel: _*)
     val rSel: Seq[org.apache.spark.sql.Column] =
       Seq(col(rightKey).as("__k"), col(rightTime).as("__t"),
         lit(0).as("__isLeft"),
         struct(rightPayload.map(c => col(c).as(c)): _*).cast(payloadType).as("__rp")) ++
         lCols.map(c => lit(null).cast(left.schema(c).dataType).as(s"l_$c"))
-    val r = right.select(rSel: _*)
+    val r = right0.select(rSel: _*)
     // right rows sort BEFORE left rows at equal time (asof is inclusive)
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__t").asc, col("__isLeft").asc)

@@ -352,6 +352,18 @@ object Dedup {
   def clusterPairs(pairs: DataFrame, idCol1: String = "id1",
       idCol2: String = "id2", maxIter: Int = 25): DataFrame = {
     import org.apache.spark.sql.graftbridge.PlanBridge.truncateLineage
+    // the exact convergence probe below sums labels in decimal — that is
+    // only sound for NUMERIC ids (string labels cast to null, the sum
+    // never moves, and the loop would declare convergence after one
+    // round with silently incomplete clusters). Fail fast; string-keyed
+    // corpora should map ids to dense longs first (one join the caller
+    // controls) rather than pay a per-round hash probe here.
+    for (c <- Seq(idCol1, idCol2)) {
+      val dt = pairs.schema(c).dataType
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"clusterPairs requires numeric id columns (the exact label-sum " +
+          s"convergence probe); $c is $dt — map ids to dense longs first")
+    }
     val edgesCache = pairs.select(col(idCol1).as("a"), col(idCol2).as("b"))
       .union(pairs.select(col(idCol2).as("a"), col(idCol1).as("b")))
       .distinct()

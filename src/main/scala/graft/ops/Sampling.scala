@@ -169,6 +169,11 @@ object Sampling {
       .withColumn("__tbc_b", budgetCol)
       .withColumn("__tbc_bin",
         shiftright(col("__tbc_h"), 32 - binBits).cast("int"))
+      // dropped means GONE: a null-key row has no coin, and letting it
+      // reach phase 1 would pour its tokens into a null bin that sorts
+      // FIRST in the prefix window — silently eating the stratum's
+      // budget for rows that can never be emitted
+      .filter(col("__tbc_h").isNotNull)
     // phase 1: tokens-before-each-bin — a frame of at most
     // nStrata·2^binBits COUNT rows, never corpus rows
     val binW = Window.partitionBy(col("__tbc_s")).orderBy(col("__tbc_bin"))

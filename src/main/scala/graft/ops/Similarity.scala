@@ -70,6 +70,10 @@ object Similarity {
     * (cross-engine oracle exactness). */
   def lshBucket(vecCol: Column, dim: Int, nBits: Int = 8,
       seed: Option[Long] = None, planeOffset: Int = 0): Column = {
+    // the signature packs bits into an Int and Java's << masks the shift
+    // to 5 bits — nBits > 32 would silently alias plane j onto j-32
+    require(nBits >= 1 && nBits <= 32,
+      s"nBits must be in [1, 32] (Int signature), got $nBits")
     val rng = seed.map(s => new java.util.Random(s))
     val planes: Array[Array[Double]] = Array.tabulate(nBits) { j =>
       rng match {
@@ -181,6 +185,12 @@ object Similarity {
         (Array.fill(k0)(new Array[Double](d0)), new Array[Long](k0)))(
         seqOp = { case ((sums, counts), v) =>
           val cs = bc.value
+          // a ragged corpus must fail loudly here, not AIOOBE on a
+          // shorter row or silently truncate a longer one into skewed
+          // centroids (loadCentroids enforces the same uniformity)
+          if (v.length != d0)
+            throw new IllegalArgumentException(
+              s"ragged corpus: vector of dim ${v.length}, expected $d0")
           var best = 0; var bestD = Double.MaxValue
           var c = 0
           while (c < cs.length) {
@@ -222,9 +232,13 @@ object Similarity {
     * oracle exactness — same rule as lshBucket). Ties break to the
     * lowest cell id on both engines (struct (d, cell) lexicographic). */
   def ivfCell(vecCol: Column, centroids: Array[Array[Double]],
-      roundDp: Int = -1): Column =
+      roundDp: Int = -1): Column = {
+    // NearestCell's argmin over zero cells would emit cell 0 for every
+    // row — a degenerate full-bucket join downstream, not an error
+    require(centroids.nonEmpty, "centroids must be non-empty")
     graft.functions.IndexExpr.ivfCell(
       vecCol.cast("array<double>"), bcOf(centroids), roundDp)
+  }
 
   /** Multi-table LSH top-k: OR-amplification across `nTables` independent
     * hash tables (seeded gaussian hyperplanes, table t seeded `seed + t`),
@@ -246,16 +260,20 @@ object Similarity {
       dim: Int, k: Int, nBits: Int = 8, nTables: Int = 4,
       seed: Option[Long] = Some(42L), roundDp: Int = -1): DataFrame = {
     require(nTables >= 1, s"nTables must be >= 1, got $nTables")
-    def keyed(df: DataFrame, idAs: String, vecAs: String) = {
-      val tables = (0 until nTables).map { t =>
-        // table t: gaussian planes from seed+t, or (seedless) the
-        // disjoint sin-family planes [t·nBits, (t+1)·nBits)
-        val bk = seed match {
-          case Some(s) => lshBucket(col(vecCol), dim, nBits, Some(s + t))
-          case None => lshBucket(col(vecCol), dim, nBits, None, t * nBits)
-        }
-        struct(lit(t).as("tbl"), bk.as("bk"))
+    // build each table's bucket Column ONCE and reuse it on both sides
+    // of the join: one broadcast plane table per LSH table (the file's
+    // one-handle-per-invocation contract), not 2·nTables, and corpus and
+    // query provably hash against the identical planes
+    val tables = (0 until nTables).map { t =>
+      // table t: gaussian planes from seed+t, or (seedless) the
+      // disjoint sin-family planes [t·nBits, (t+1)·nBits)
+      val bk = seed match {
+        case Some(s) => lshBucket(col(vecCol), dim, nBits, Some(s + t))
+        case None => lshBucket(col(vecCol), dim, nBits, None, t * nBits)
       }
+      struct(lit(t).as("tbl"), bk.as("bk"))
+    }
+    def keyed(df: DataFrame, idAs: String, vecAs: String) = {
       df.select(col(idCol).as(idAs),
         col(vecCol).cast("array<double>").as(vecAs),
         explode(array(tables: _*)).as("tb"))
@@ -582,13 +600,8 @@ object Similarity {
     * loss is too coarse. Rounding is floor(x+0.5) (round-half-up) rather
     * than ROUND so both JVM and SQL engines agree on every half-step
     * boundary. Returns struct(codes array<int>, scale double). */
-  def quantizeInt8(vecCol: Column): Column = {
-    val v = vecCol.cast("array<double>")
-    val scale = greatest(array_max(transform(v, x => abs(x))), lit(1e-30))
-    struct(
-      transform(v, x => floor(x * 127 / scale + 0.5).cast("int")).as("codes"),
-      scale.as("scale"))
-  }
+  def quantizeInt8(vecCol: Column): Column =
+    graft.functions.ArrayMath.quantizeInt8(vecCol.cast("array<double>"))
 
   /** Inverse of [[quantizeInt8]]: recon[i] = codes[i]·scale/127. */
   def dequantizeInt8(quantCol: Column): Column =

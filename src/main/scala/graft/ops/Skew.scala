@@ -15,7 +15,8 @@ object Skew {
     * `nSalts` buckets; phase 2 merges per key — the hot key's rows spread
     * over `nSalts` reducers instead of one. */
   def saltedAgg(
-      df: DataFrame, key: Column, value: Column, nSalts: Int): DataFrame =
+      df: DataFrame, key: Column, value: Column, nSalts: Int): DataFrame = {
+    require(nSalts >= 1, s"nSalts must be >= 1, got $nSalts")
     df.select(key.as("__k"), value.as("__v"),
         (pmod(spark_partition_id() + monotonically_increasing_id(), lit(nSalts)))
           .as("__salt"))
@@ -24,6 +25,7 @@ object Skew {
       .groupBy(col("__k"))
       .agg(sum(col("__pn")).cast("long").as("n"), sum(col("__ps")).as("total"))
       .withColumnRenamed("__k", "key")
+  }
 
   /** Salted join for a skewed left side against a small-ish right side
     * that is still too big to broadcast whole: replicate each right row
@@ -31,6 +33,9 @@ object Skew {
   def saltedJoin(
       left: DataFrame, right: DataFrame, leftKey: String, rightKey: String,
       nSalts: Int): DataFrame = {
+    // nSalts = 0 silently returns ZERO rows (null pmod never equals any
+    // exploded salt) instead of erroring — validate like every other op
+    require(nSalts >= 1, s"nSalts must be >= 1, got $nSalts")
     val saltedLeft = left.withColumn("__salt",
       pmod(spark_partition_id() + monotonically_increasing_id(), lit(nSalts)))
     val explodedRight = right

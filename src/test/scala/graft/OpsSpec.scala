@@ -545,6 +545,32 @@ class OpsSpec extends AnyFunSuite {
     assert(out(0).getString(out(0).fieldIndex("venue")) == "B")
   }
 
+  test("as-of join: NULL-time rows never match (native ASOF semantics)") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // a dirty right row with a NULL time would sort "before everything"
+    // (asc nulls first) and leak its payload into left rows that predate
+    // every real quote; a NULL-time left row has no as-of instant at all
+    val trades = Seq(
+      (1L, 10L, Some(ts("2020-01-01 09:00:00"))), // before all real quotes
+      (2L, 10L, None: Option[java.sql.Timestamp]))
+      .toDF("trade_id", "sym", "t")
+    val quotes = Seq(
+      (10L, None: Option[java.sql.Timestamp], 666.0),
+      (10L, Some(ts("2020-01-01 10:00:00")), 100.0))
+      .toDF("qsym", "qt", "price")
+    val out = graft.ops.AsOfJoin.asOf(trades, quotes, "sym", "qsym", "t", "qt",
+      Seq("price")).collect()
+    assert(out.isEmpty, out.mkString(","))
+  }
+
+  test("clusterPairs rejects non-numeric id columns (label-sum probe contract)") {
+    import spark.implicits._
+    val strPairs = Seq(("a", "b")).toDF("id1", "id2")
+    val err = intercept[IllegalArgumentException](Dedup.clusterPairs(strPairs))
+    assert(err.getMessage.contains("numeric"))
+  }
+
   test("bucketed range join: exact overlap set, each pair emitted once") {
     import spark.implicits._
     val left = Seq(
