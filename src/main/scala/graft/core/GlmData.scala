@@ -60,6 +60,14 @@ final class GlmData(
     new GlmData(rows.map { case (x, y) =>
       val appended: MlVector = x match {
         case d: MlDense =>
+          // fail loudly on a ragged row: copyOf would silently ZERO-PAD
+          // a short row (missing features become 0.0 in the fit) or
+          // TRUNCATE a long one — numFeatures is inferred from the
+          // first row only, so one malformed row corrupts the model
+          // with no error
+          if (d.values.length != p)
+            throw new IllegalArgumentException(
+              s"ragged row: vector of dim ${d.values.length}, expected $p")
           val out = java.util.Arrays.copyOf(d.values, p + 1)
           out(p) = 1.0
           new MlDense(out)

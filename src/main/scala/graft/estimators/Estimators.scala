@@ -115,9 +115,8 @@ class LogisticRegression(params: GlmParams = GlmParams()) extends GLM(params) {
     .withColumn("prediction", col("probability") > 0.5)
 
   /** Accuracy (utils.py:176-177). */
-  def score(df: DataFrame): Double = transform(df)
-    .select(avg((col(params.labelCol).cast("boolean") === col("prediction")).cast("double")))
-    .head().getDouble(0)
+  def score(df: DataFrame): Double =
+    Metrics.accuracyScore(transform(df), col(params.labelCol), col("prediction"))
 }
 
 /** OLS linear regression; `score` is MSE, NOT R² (estimators.py:203-204). */
@@ -129,9 +128,8 @@ class LinearRegression(params: GlmParams = GlmParams()) extends GLM(params) {
   def transform(df: DataFrame): DataFrame =
     df.withColumn("prediction", predictCol(featureExpr(df)))
 
-  def score(df: DataFrame): Double = transform(df)
-    .select(avg(pow(col(params.labelCol) - col("prediction"), 2)))
-    .head().getDouble(0)
+  def score(df: DataFrame): Double =
+    Metrics.meanSquaredError(transform(df), col(params.labelCol), col("prediction"))
 }
 
 /** Poisson regression; deviance uses the reference's `log1p` form
@@ -144,9 +142,6 @@ class PoissonRegression(params: GlmParams = GlmParams()) extends GLM(params) {
   def transform(df: DataFrame): DataFrame =
     df.withColumn("prediction", predictCol(featureExpr(df)))
 
-  def getDeviance(df: DataFrame): Double = transform(df)
-    .select(sum(
-      (col(params.labelCol) * log1p(col(params.labelCol) / col("prediction"))
-        - (col(params.labelCol) - col("prediction"))) * 2.0))
-    .head().getDouble(0)
+  def getDeviance(df: DataFrame): Double =
+    Metrics.poissonDeviance(transform(df), col(params.labelCol), col("prediction"))
 }

@@ -25,16 +25,16 @@ sealed trait Family extends Serializable {
 
 object Family {
   /** Numerically stable log(1 + e^{-x}) + max(x, 0).
-    * The reference's literal `Xbeta + log1p(exp(-Xbeta))` overflows to +Inf
-    * for very negative margins (families.py:24-25 tolerates it via IEEE inf
-    * arithmetic); the stable two-branch form is algebraically identical and
-    * finite everywhere. Controlled by `stableLoglike` for parity testing.
-    */
-  @volatile var stableLoglike: Boolean = true
-
+    * The reference's literal `Xbeta + log1p(exp(-Xbeta))` overflows to
+    * +Inf for very negative margins (families.py:24-25 tolerates it via
+    * IEEE inf arithmetic); the stable two-branch form is algebraically
+    * identical and finite everywhere. Parity runs that want the literal
+    * overflowing form use [[LogisticUnstable]] explicitly — behavior is
+    * intrinsic to the family value, which serializes to executors (a
+    * driver-side mutable flag would silently no-op on a real cluster:
+    * the object re-initializes per executor JVM). */
   @inline def log1pExpNeg(xb: Double): Double =
-    if (stableLoglike) math.max(xb, 0.0) + math.log1p(math.exp(-math.abs(xb)))
-    else xb + math.log1p(math.exp(-xb))
+    math.max(xb, 0.0) + math.log1p(math.exp(-math.abs(xb)))
 
   @inline def sigmoid(x: Double): Double = 1.0 / (1.0 + math.exp(-x))
 
@@ -51,6 +51,23 @@ case object Logistic extends Family {
   val name = "logistic"
   @inline def loss(xb: Double, y: Double): Double =
     Family.log1pExpNeg(xb) - y * xb
+  @inline def dLoss(xb: Double, y: Double): Double =
+    Family.sigmoid(xb) - y
+  @inline def d2Loss(xb: Double, y: Double): Double = {
+    val s = Family.sigmoid(xb)
+    s * (1.0 - s)
+  }
+}
+
+/** Parity twin of [[Logistic]] with the reference's LITERAL loglike form
+  * `xb + log1p(exp(-xb))` (families.py:24-25), which overflows to +Inf
+  * for very negative margins exactly as the reference does — for
+  * reproducing reference behavior bit-for-bit in parity studies. Not
+  * registered in [[Family.apply]]; production code uses [[Logistic]]. */
+case object LogisticUnstable extends Family {
+  val name = "logistic_unstable"
+  @inline def loss(xb: Double, y: Double): Double =
+    xb + math.log1p(math.exp(-xb)) - y * xb
   @inline def dLoss(xb: Double, y: Double): Double =
     Family.sigmoid(xb) - y
   @inline def d2Loss(xb: Double, y: Double): Double = {

@@ -78,6 +78,12 @@ object Kernels {
   @inline private[graft] def dot(x: MlVector, b: Array[Double]): Double = x match {
     case d: MlDense =>
       val v = d.values
+      // one predictable branch per row: a short ragged row would
+      // otherwise contribute a silent PARTIAL dot (wrong fit, no error)
+      // and a long one an unhelpful AIOOBE on b
+      if (v.length != b.length)
+        throw new IllegalArgumentException(
+          s"ragged row: vector of dim ${v.length}, expected ${b.length}")
       var s = 0.0
       var i = 0
       while (i < v.length) { s += v(i) * b(i); i += 1 }
@@ -96,6 +102,9 @@ object Kernels {
     x match {
       case d: MlDense =>
         val v = d.values
+        if (v.length != g.length)
+          throw new IllegalArgumentException(
+            s"ragged row: vector of dim ${v.length}, expected ${g.length}")
         var i = 0
         while (i < v.length) { g(i) += w * v(i); i += 1 }
       case s: MlSparse =>
@@ -244,29 +253,66 @@ object Kernels {
       })
   }
 
-  /** Column mean/std in one pass: (count, Σx, Σx²) per column — the A4
-    * stats kernel behind `@normalize` (utils.py:19). Population std
-    * (ddof=0) to match `np.std`. Sparse rows contribute zeros implicitly
-    * (only active entries touch the sums). */
+  /** Column mean/std in one pass — the A4 stats kernel behind
+    * `@normalize` (utils.py:19). Population std (ddof=0) to match
+    * `np.std`.
+    *
+    * Numerically STABLE: per-partition Welford (count, mean, M2)
+    * merged with Chan's pairwise formula, in partition order
+    * (deterministic). The naive E[x²]−E[x]² one-pass form
+    * catastrophically cancels for large-mean columns (epoch-second
+    * timestamps: mean² ≈ 2.5e18 swallows a σ² of 25, the clamp calls
+    * the column CONSTANT, and Normalize either throws
+    * "Multiple constant columns" on valid data or silently treats the
+    * column as the intercept) — numpy's std is stable, so the naive
+    * form was also a reference-parity gap. Sparse rows contribute
+    * zeros implicitly: active entries run Welford; the (n − nnz)
+    * zero block folds in at the end as one Chan merge with a
+    * (count=z, mean=0, M2=0) block. */
   def colStats(data: GlmData): (DenseVector[Double], DenseVector[Double]) = {
     val p = data.numFeatures
-    val (n, s1, s2) = partitionAggregate(data)(
-      () => (0L, new Array[Double](p), new Array[Double](p)))(
-      { case ((n, s1, s2), x, _) =>
-        x.foreachActive { (i, v) => s1(i) += v; s2(i) += v * v }
-        (n + 1, s1, s2)
+    val (n, cnt, mu, m2) = partitionAggregate(data)(
+      () => (0L, new Array[Long](p), new Array[Double](p), new Array[Double](p)))(
+      { case ((n, cnt, mu, m2), x, _) =>
+        x.foreachActive { (i, v) =>
+          cnt(i) += 1
+          val d = v - mu(i)
+          mu(i) += d / cnt(i)
+          m2(i) += d * (v - mu(i))
+        }
+        (n + 1, cnt, mu, m2)
       },
-      { case ((n1, a1, b1), (n2, a2, b2)) =>
+      { case ((n1, c1, u1, s1), (n2, c2, u2, s2)) =>
         var i = 0
-        while (i < p) { a1(i) += a2(i); b1(i) += b2(i); i += 1 }
-        (n1 + n2, a1, b1)
+        while (i < p) {
+          if (c2(i) > 0) {
+            if (c1(i) == 0) { c1(i) = c2(i); u1(i) = u2(i); s1(i) = s2(i) }
+            else {
+              val tot = c1(i) + c2(i)
+              val d = u2(i) - u1(i)
+              u1(i) += d * c2(i) / tot
+              s1(i) += s2(i) + d * d * c1(i).toDouble * c2(i).toDouble / tot
+              c1(i) = tot
+            }
+          }
+          i += 1
+        }
+        (n1 + n2, c1, u1, s1)
       })
+    require(n > 0,
+      "colStats on an empty dataset (0 rows reached the stats kernel)")
     val mean = new Array[Double](p)
     val std = new Array[Double](p)
     var i = 0
     while (i < p) {
-      mean(i) = s1(i) / n
-      val v = s2(i) / n - mean(i) * mean(i)
+      val z = n - cnt(i) // implicit sparse zeros
+      val (m, s) =
+        if (cnt(i) == 0) (0.0, 0.0)
+        else if (z == 0) (mu(i), m2(i))
+        else (mu(i) * cnt(i) / n,
+          m2(i) + mu(i) * mu(i) * cnt(i).toDouble * z.toDouble / n)
+      mean(i) = m
+      val v = s / n
       std(i) = if (v > 0) math.sqrt(v) else 0.0
       i += 1
     }

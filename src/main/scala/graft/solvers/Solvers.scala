@@ -178,10 +178,17 @@ object Solvers {
       normalize: Boolean = true): DenseVector[Double] =
     Normalize(data, normalize) { d =>
       val p = d.numFeatures
-      val pureL1 = regularizer != null && regularizer.isInstanceOf[graft.regularizers.L1] &&
-        !regularizer.isInstanceOf[graft.regularizers.ElasticNet]
+      // exact-class test: OWLQN owns the L1 term only for PLAIN l1 —
+      // a subclass (hypothetically ElasticNet, which today extends
+      // Regularizer directly) must take the smooth-composition path
+      val pureL1 = regularizer != null &&
+        regularizer.getClass == classOf[graft.regularizers.L1]
       val diff = new DiffFunction[DenseVector[Double]] {
         def calculate(beta: DenseVector[Double]): (Double, DenseVector[Double]) = {
+          // same arithmetic as Regularizer.addRegF/addRegGrad (the
+          // reference's add_reg_* closures), inlined because lossGrad
+          // fuses loss+grad into ONE distributed pass — the helpers
+          // compose separate loss and grad closures and would scan twice
           val (l, g) = Kernels.lossGrad(d, beta, family)
           if (regularizer == null || pureL1) (l, g) // OWLQN owns the L1 term
           else
@@ -369,12 +376,19 @@ object Solvers {
       rho: Double,
       family: Family): Array[DenseVector[Double]] = {
     val p = d.numFeatures
-    val betasArr = betas.map(_.toArray)
-    val uArr = u.map(_.toArray)
+    // per-chunk state rides a per-iteration TORRENT BROADCAST, not the
+    // task closure: each task reads only its own index, but a closure
+    // capture would serialize ALL of (betas, u) — O(nchunks·p) — into
+    // every task binary of every iteration (at 10⁴ chunks × p=10³
+    // that's 160 MB per stage, the exact scheduler-latency failure the
+    // GlmData.persist doc warns about). The broadcast ships once per
+    // executor and is released right after the collect.
+    val bcState = d.rows.sparkContext.broadcast(
+      (betas.map(_.toArray), u.map(_.toArray)))
     val zArr = z.toArray
     val fam = family
     val sparse = d.isSparse
-    d.rows
+    try d.rows
       .mapPartitionsWithIndex { (idx, it) =>
         val rows = it.toArray
         val n = rows.length
@@ -393,6 +407,9 @@ object Solvers {
           while (r < n) {
             rows(r)._1 match {
               case d: org.apache.spark.ml.linalg.DenseVector =>
+                if (d.values.length != p)
+                  throw new IllegalArgumentException(
+                    s"ragged row: vector of dim ${d.values.length}, expected $p")
                 System.arraycopy(d.values, 0, a, r * p, p)
               case s: org.apache.spark.ml.linalg.SparseVector =>
                 val base = r * p
@@ -406,8 +423,8 @@ object Solvers {
         var ri = 0
         while (ri < n) { ys(ri) = rows(ri)._2; ri += 1 }
         val zL = DenseVector(zArr)
-        val uL = DenseVector(uArr(idx))
-        val init = DenseVector(betasArr(idx).clone())
+        val uL = DenseVector(bcState.value._2(idx))
+        val init = DenseVector(bcState.value._1(idx).clone())
         val diff = new DiffFunction[DenseVector[Double]] {
           def calculate(beta: DenseVector[Double]): (Double, DenseVector[Double]) = {
             val b = beta.toArray
@@ -446,6 +463,7 @@ object Solvers {
       .collect()
       .sortBy(_._1)
       .map { case (_, b) => DenseVector(b) }
+    finally bcState.unpersist(blocking = false)
   }
 
   /** Name → solver registry (algorithms.py:508-514), estimator-kwarg style. */

@@ -84,6 +84,22 @@ object KernelsPropsSpec extends Properties("Kernels") {
       }
     }: _*)
 
+  property("colStats is stable for large-mean columns (no cancellation)") =
+    forAll(Gen.choose(1.0e9, 2.0e9), Gen.choose(1.0, 10.0)) { (base, sigma) =>
+      // epoch-second-like column: mean² ≈ 2.5e18 swallows σ² ≈ 25 under
+      // the naive E[x²]−E[x]² form (one ulp at that scale is 512), which
+      // would clamp std to 0 and make Normalize call the column CONSTANT
+      val vals = (0 until 8).map(i => base + sigma * (i - 3.5))
+      val fx = Fx(vals.map(v => (Array(v), 0.0)), Array(0.0))
+      val (mean, std) = Kernels.colStats(toData(fx))
+      val mu = vals.sum / vals.length
+      val varp = vals.map(v => (v - mu) * (v - mu)).sum / vals.length
+      Prop(std(0) > 0.0 &&
+        math.abs(std(0) - math.sqrt(varp)) <= 1e-6 * math.sqrt(varp) &&
+        math.abs(mean(0) - mu) <= 1e-6) :|
+        s"std=${std(0)} want=${math.sqrt(varp)} mean=${mean(0)} want=$mu"
+    }
+
   property("colStats matches population mean and std") =
     forAll(fxGen(Gen.const(0.0))) { fx =>
       val (mean, std) = Kernels.colStats(toData(fx))
