@@ -70,8 +70,12 @@ object Datasets {
     val x = baseX(spark, nSamples, nFeatures, chunksize, seed)
     val (idx, beta) = informativeBeta(nFeatures, nInformative, scale, seed)
     val z0 = z0Col(idx, beta)
+    // label seed offset is NEGATIVE: feature column j draws from
+    // seed + j, so any positive label offset collides with feature
+    // x_offset once nFeatures exceeds it (the label "noise" would share
+    // an RNG stream with a feature and show spurious predictive power)
     maybeSparse(x.withColumn("label",
-        (rand(seed + 7919) < lit(1.0) / (lit(1.0) + exp(-z0))).cast("double"))
+        (rand(seed - 7919) < lit(1.0) / (lit(1.0) + exp(-z0))).cast("double"))
       .withColumn("features", array((0 until nFeatures).map(j => col(s"x$j")): _*))
       .select("id", "features", "label"), isSparse)
   }
@@ -87,7 +91,7 @@ object Datasets {
       seed: Long = 42,
       isSparse: Boolean = false): DataFrame = {
     val x = baseX(spark, nSamples, nFeatures, chunksize, seed)
-    maybeSparse(x.withColumn("label", rand(seed + 7919))
+    maybeSparse(x.withColumn("label", rand(seed - 7919))
       .withColumn("features", array((0 until nFeatures).map(j => col(s"x$j")): _*))
       .select("id", "features", "label"), isSparse)
   }
@@ -110,7 +114,11 @@ object Datasets {
     // Knuth-style Poisson sampler driven by a seeded uniform per row:
     // deterministic given (seed, id); rates here are O(1) so the loop is
     // short. Codegen-unfriendly UDF acceptable for a test-data generator.
-    val poissonUdf = udf { (rate: Double, u: Double) =>
+    // Rates are clamped at 700: exp(-rate) underflows to exactly 0.0
+    // past ~745, which would pin every such label to the 10000-iteration
+    // loop cap regardless of u (silently wrong labels at large `scale`).
+    val poissonUdf = udf { (rate0: Double, u: Double) =>
+      val rate = math.min(rate0, 700.0)
       var k = 0
       var cdf = math.exp(-rate)
       var p = cdf
@@ -121,7 +129,7 @@ object Datasets {
       }
       k.toDouble
     }
-    maybeSparse(x.withColumn("label", poissonUdf(exp(z0), rand(seed + 7919)))
+    maybeSparse(x.withColumn("label", poissonUdf(exp(z0), rand(seed - 7919)))
       .withColumn("features", array((0 until nFeatures).map(j => col(s"x$j")): _*))
       .select("id", "features", "label"), isSparse)
   }
@@ -129,11 +137,12 @@ object Datasets {
   /** `make_y` test helper: y = U(0,1) < σ(X·β), default β=[1.5,−3]
     * (utils.py:165-169). */
   def makeY(df: DataFrame, beta: Array[Double] = Array(1.5, -3.0), seed: Long = 42): DataFrame = {
-    val z0 = aggregate(
-      zip_with(col("features"), typedLit(beta.toSeq), (a, b) => a * b),
-      lit(0.0), (acc, v) => acc + v)
+    // fused ArrayDot — same left fold as the zip_with+aggregate
+    // composition (bit-identical, see Estimators.marginCol), one dot
+    // formulation to reason about instead of two
+    val z0 = graft.functions.MathFunctions.dotConst(col("features"), beta.toSeq)
     df.withColumn("label",
-      (rand(seed + 104729) < lit(1.0) / (lit(1.0) + exp(-z0))).cast("double"))
+      (rand(seed - 104729) < lit(1.0) / (lit(1.0) + exp(-z0))).cast("double"))
   }
 
   /** `make_intercept_data` (test_algos_families.py:21-37): X ~ U(0,1),

@@ -100,12 +100,12 @@ class GraftGlm(override val uid: String)
 
   override def copy(extra: ParamMap): GraftGlm = defaultCopy(extra)
 
-  override def transformSchema(schema: StructType): StructType = {
-    val withPred = schema.add("prediction",
-      if ($(family) == "logistic") BooleanType else DoubleType)
-    if ($(family) == "logistic") withPred.add("probability", DoubleType)
-    else withPred
-  }
+  override def transformSchema(schema: StructType): StructType =
+    // field ORDER must match transform's withColumn order (probability
+    // first for logistic) — ordinal-binding consumers read positionally
+    if ($(family) == "logistic")
+      schema.add("probability", DoubleType).add("prediction", BooleanType)
+    else schema.add("prediction", DoubleType)
 }
 
 object GraftGlm extends DefaultParamsReadable[GraftGlm]
@@ -122,31 +122,44 @@ class GraftGlmModel(
   override def copy(extra: ParamMap): GraftGlmModel =
     copyValues(new GraftGlmModel(uid, inner, familyName)).setParent(parent)
 
-  override def transformSchema(schema: StructType): StructType = {
-    val withPred = schema.add("prediction",
-      if (familyName == "logistic") BooleanType else DoubleType)
-    if (familyName == "logistic") withPred.add("probability", DoubleType)
-    else withPred
-  }
+  override def transformSchema(schema: StructType): StructType =
+    // same order as transform: probability before prediction (logistic)
+    if (familyName == "logistic")
+      schema.add("probability", DoubleType).add("prediction", BooleanType)
+    else schema.add("prediction", DoubleType)
 
   def coefficients: Array[Double] = inner.coef.toArray
   def intercept: Double = inner.intercept
 
-  /** Model persistence (sklearn-pickle analog, spark.ml idiom): one
-    * parquet row holding the fitted state — family, the coefficient
+  /** Model persistence (sklearn-pickle analog, spark.ml idiom): the
+    * standard metadata/ + data/ layout — `metadata` carries the spark.ml
+    * class-resolution JSON (PipelineModel/CrossValidatorModel persistence
+    * loads each stage through `path/metadata`'s className, so a bare
+    * parquet file would break fitted-pipeline save/load), `data` one
+    * parquet row holding the fitted state: family, the coefficient
     * vector (intercept-last raw form), and the transform-relevant params.
     */
   override def write: MLWriter = new MLWriter {
     override protected def saveImpl(path: String): Unit = {
       val spark = sparkSession
+      val sc = spark.sparkContext
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(sc.hadoopConfiguration)
+      if (shouldOverwrite) fs.delete(root, true)
+      val metadata = s"""{"class":"${classOf[GraftGlmModel].getName}",""" +
+        s""""timestamp":${System.currentTimeMillis()},""" +
+        s""""sparkVersion":"${sc.version}","uid":"$uid",""" +
+        s""""paramMap":{},"defaultParamMap":{}}"""
+      sc.parallelize(Seq(metadata), 1)
+        .saveAsTextFile(new org.apache.hadoop.fs.Path(root, "metadata").toString)
       import spark.implicits._
       Seq((uid, familyName, inner.rawCoef.toArray.toSeq,
           inner.params.fitIntercept, inner.params.featuresCol,
           inner.params.labelCol))
         .toDF("uid", "family", "rawCoef", "fitIntercept", "featuresCol", "labelCol")
         .repartition(1)
-        .write.mode(if (shouldOverwrite) "overwrite" else "errorifexists")
-        .parquet(path)
+        .write.mode("errorifexists")
+        .parquet(new org.apache.hadoop.fs.Path(root, "data").toString)
     }
   }
 }
@@ -154,7 +167,14 @@ class GraftGlmModel(
 object GraftGlmModel extends MLReadable[GraftGlmModel] {
   override def read: MLReader[GraftGlmModel] = new MLReader[GraftGlmModel] {
     override def load(path: String): GraftGlmModel = {
-      val row = sparkSession.read.parquet(path).head()
+      // standard layout puts the state row under data/; models saved by
+      // the pre-metadata writer were a bare parquet dir — read either
+      val root = new org.apache.hadoop.fs.Path(path)
+      val dataPath = new org.apache.hadoop.fs.Path(root, "data")
+      val fs = root.getFileSystem(
+        sparkSession.sparkContext.hadoopConfiguration)
+      val src = if (fs.exists(dataPath)) dataPath.toString else path
+      val row = sparkSession.read.parquet(src).head()
       val params = GlmParams(
         fitIntercept = row.getAs[Boolean]("fitIntercept"),
         featuresCol = row.getAs[String]("featuresCol"),

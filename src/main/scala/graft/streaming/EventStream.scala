@@ -26,11 +26,11 @@ object EventStream {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** Exact decimal sum of `value`, surfaced as double — the SAME
-    * precision/scale as the shared dsum/dsumSql contract (Queries.scala),
-    * so the q60 DuckDB oracle and this aggregation round identically. */
+  /** Exact decimal sum of `value`, surfaced as double — DELEGATES to the
+    * shared dsum so this aggregation and the q60 DuckDB oracle
+    * (dsumSql) can never drift apart on precision/scale. */
   private def valueTotal =
-    sum(col("value").cast("decimal(30,4)")).cast("double").as("total")
+    graft.queries.Queries.dsum(col("value")).as("total")
 
   /** Batch tumbling window: 5-minute buckets keyed by event_type. */
   def tumblingCounts(events: DataFrame): DataFrame =
@@ -40,10 +40,24 @@ object EventStream {
         col("event_type"))
       .agg(count(lit(1)).as("n"), valueTotal)
 
-  /** Streaming twin of [[tumblingCounts]] with a 10-minute watermark. */
-  def streamingTumblingCounts(spark: SparkSession, path: String): DataFrame =
+  /** Streaming twin of [[tumblingCounts]] with a 10-minute watermark,
+    * reading the project's events fixture layout directly: `ts` is
+    * stored as TIMESTAMP(NANOS), which Spark 4 reads only as a raw
+    * nanosecond long (legacy nanosAsLong conf — same handling as
+    * `Queries.eventsTbl`), so the stream schema declares LongType and
+    * converts to a microsecond timestamp before windowing. Declaring
+    * TimestampType here would fail the read against the very table the
+    * batch twin consumes. */
+  def streamingTumblingCounts(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val nsSchema = StructType(eventSchema.map {
+      case f if f.name == "ts" => f.copy(dataType = LongType)
+      case f => f
+    })
     tumblingCountsStreaming(
-      spark.readStream.schema(eventSchema).parquet(path))
+      spark.readStream.schema(nsSchema).parquet(path)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+  }
 
   def tumblingCountsStreaming(events: DataFrame): DataFrame =
     events
@@ -145,8 +159,21 @@ object EventStream {
       var cur = state.getOption
       sorted.foreach { e =>
         cur match {
+          case Some(s) if e.tsUs < s.startUs - gapUs =>
+            // late event older than gap-before-start: not mergeable into
+            // the current session — emit it as its own completed session
+            // (the batch twin would have closed it before this one)
+            out ::= SessionOut(userId, 1L, e.tsUs, e.tsUs)
           case Some(s) if e.tsUs - s.endUs <= gapUs =>
-            cur = Some(SessionState(s.n + e0(e), s.startUs, e.tsUs))
+            // min/max, NOT assignment: a LATE (within-watermark) event
+            // from a previous micro-batch can precede the stored span —
+            // overwriting endUs would shrink the session backward (the
+            // next event then measures its gap against the shrunk end
+            // and wrongly splits), and an event before startUs would
+            // emit end < start. The batch twin's window sort makes this
+            // impossible there; the stream must handle it explicitly.
+            cur = Some(SessionState(s.n + 1L,
+              math.min(s.startUs, e.tsUs), math.max(s.endUs, e.tsUs)))
           case Some(s) =>
             out ::= SessionOut(userId, s.n, s.startUs, s.endUs)
             cur = Some(SessionState(1L, e.tsUs, e.tsUs))
@@ -160,7 +187,6 @@ object EventStream {
       }
       out.reverseIterator
     }
-    def e0(e: Event): Long = 1L
 
     events
       .withWatermark("ts", s"$gapMinutes minutes")

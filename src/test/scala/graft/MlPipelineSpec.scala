@@ -191,4 +191,31 @@ class MlPipelineSpec extends AnyFunSuite {
     assert(estLoaded.getOrDefault(estLoaded.solver) == "lbfgs")
     assert(estLoaded.getOrDefault(estLoaded.lamduh) == 0.3)
   }
+
+  test("FITTED PipelineModel containing GraftGlmModel saves and loads") {
+    // PipelineModel persistence resolves each stage through the stage
+    // dir's metadata/ JSON — a bare-parquet model writer breaks exactly
+    // this path (the direct GraftGlmModel.load round-trip above passes
+    // regardless, so only a full-pipeline test catches it)
+    import spark.implicits._
+    val li = spark.read.parquet(s"${TestSpark.sf0001}/lineitem.parquet")
+    val df = li.select(
+      array(col("l_quantity"), col("l_discount")).as("features"),
+      (col("l_returnflag") === "R").cast("double").as("label"))
+    val pipe = new org.apache.spark.ml.Pipeline().setStages(
+      Array(new GraftGlm().setSolver("newton").setMaxIter(10)))
+    val fitted = pipe.fit(df)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pipe").toString + "/p"
+    fitted.write.overwrite().save(dir)
+    val loaded = org.apache.spark.ml.PipelineModel.load(dir)
+    val before = fitted.transform(df).select("probability")
+      .limit(50).collect().map(_.getDouble(0)).toSeq
+    val after = loaded.transform(df).select("probability")
+      .limit(50).collect().map(_.getDouble(0)).toSeq
+    assert(before == after)
+    // declared output schema matches the real output (field order too)
+    val declared = fitted.transformSchema(df.schema).fieldNames.toSeq
+    val actual = fitted.transform(df).schema.fieldNames.toSeq
+    assert(declared == actual, s"$declared vs $actual")
+  }
 }

@@ -344,6 +344,71 @@ class PipelineOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionize: late within-watermark event extends, never shrinks, a session") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, minute: Int): graft.streaming.Event = {
+      val t = java.sql.Timestamp.valueOf(f"2020-01-01 10:$minute%02d:00")
+      graft.streaming.Event(id, t, t.getTime * 1000L, 1L, "click", 1.0)
+    }
+    val input = MemoryStream[graft.streaming.Event]
+    val q = graft.streaming.EventStream
+      .sessionizeStreaming(input.toDS(), gapMinutes = 30)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_late_out").start()
+    try {
+      // batch 1 establishes a session ending 10:20
+      input.addData(ev(1, 0), ev(2, 20))
+      q.processAllAvailable()
+      // batch 2: a LATE event at 10:10 (within watermark) must merge
+      // WITHOUT shrinking end back to 10:10; then 10:45 — 25 min from
+      // the true end 10:20 — must still extend the same session (the
+      // shrink bug would measure 35 min from 10:10 and wrongly split)
+      input.addData(ev(3, 10), ev(4, 45))
+      q.processAllAvailable()
+      // push the watermark far past the session so it closes
+      input.addData(ev(5, 130).copy(event_id = 5))
+      q.processAllAvailable()
+      input.addData(ev(6, 250))
+      q.processAllAvailable()
+      val out = spark.table("sess_late_out")
+        .select("user_id", "n_events", "start_us", "end_us").collect()
+      def us(minute: Int) =
+        java.sql.Timestamp.valueOf(f"2020-01-01 10:$minute%02d:00").getTime * 1000L
+      val first = out.find(_.getLong(2) == us(0))
+      assert(first.isDefined, out.mkString(","))
+      assert(first.get.getLong(1) == 4L, s"split session: ${first.get}") // 4 events, one session
+      assert(first.get.getLong(3) == us(45), s"wrong end: ${first.get}")
+      assert(out.forall(r => r.getLong(2) <= r.getLong(3)), "end < start emitted")
+    } finally q.stop()
+  }
+
+  test("streamingTumblingCounts public path reads the events fixture directly") {
+    // the convenience entry point must consume the SAME nanosecond-long
+    // parquet layout its batch twin reads (a TimestampType schema here
+    // fails the read) — drive it end-to-end against a staged fixture dir
+    val dir = TestSpark.sf0001
+    val tmp = java.nio.file.Files.createTempDirectory("events_pub")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      tmp.resolve("events.parquet"))
+    val q = graft.streaming.EventStream
+      .streamingTumblingCounts(spark, tmp.toString)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("pub_tumbling_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("pub_tumbling_out")
+        .orderBy("win_start", "event_type").collect()
+      val batch = graft.streaming.EventStream
+        .tumblingCounts(graft.queries.Queries.eventsTbl(spark, dir))
+        .orderBy("win_start", "event_type").collect()
+      assert(streamed.length == batch.length)
+      assert(streamed.map(_.toString).sameElements(batch.map(_.toString)))
+    } finally q.stop()
+  }
+
   test("watermark drops events later than the threshold (late-data path)") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
