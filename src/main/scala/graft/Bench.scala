@@ -35,7 +35,10 @@ object Bench {
       System.gc()
       Thread.sleep(100)
       val t0 = System.nanoTime()
-      try f catch { case e: Throwable => System.err.println(s"[bench] ${e.getMessage}") }
+      // a failing query must FAIL the bench (non-zero exit, no JSON), not
+      // record its elapsed-to-failure as a timing — a swallowed error
+      // here reads as a speedup in the round-over-round comparison
+      f
       (System.nanoTime() - t0) / 1e9
     }
 
@@ -44,6 +47,7 @@ object Bench {
     // measures), reported separately so a verdict can tell "this query
     // got slower" from "its neighbors got noisier".
     def timeStats(reps: Int)(f: => Unit): (Double, Double) = {
+      require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
       val samples = Array.fill(reps)(time(f)).sorted
       (samples(reps / 2), samples(0))
     }
@@ -63,7 +67,12 @@ object Bench {
         try q.spark(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
       }
-    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    // touch EVERY table the headline set scans (not just lineitem) so
+    // first-open parquet footer/metadata reads never land in a timed rep
+    for (t <- Seq("lineitem", "documents", "embeddings", "events",
+        "orders", "customer", "nation", "region", "supplier", "part"))
+      try spark.read.parquet(s"$sfDir/$t.parquet").count()
+      catch { case _: Throwable => () } // optional table absent at this SF
 
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
@@ -95,10 +104,14 @@ object Bench {
     results("glm_fit") = fitMed
     mins("glm_fit") = fitMin
 
+    // Locale.ROOT: the f-interpolator is locale-sensitive — a
+    // comma-decimal JVM locale would print invalid JSON
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def jmap(m: scala.collection.Map[String, Double]): String =
-      m.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      m.map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
     val total = results.values.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jmap(results)},"queries_min":${jmap(mins)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${jmap(results)},"queries_min":${jmap(mins)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

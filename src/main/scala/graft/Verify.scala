@@ -8,7 +8,14 @@ object Verify {
     // args: sfDir outDir [comma-separated query-name filter (dev only)]
     val sfDir = args(0); val outDir = args(1)
     val nameFilter: String => Boolean =
-      if (args.length > 2) args(2).split(",").toSet else (_: String) => true
+      if (args.length > 2) {
+        val wanted = args(2).split(",").map(_.trim).filter(_.nonEmpty).toSet
+        // a typo'd name must not read as a clean (empty) verify run
+        val unknown = wanted -- SparkEntry.queries.keySet
+        require(unknown.isEmpty,
+          s"unknown query name(s) in filter: ${unknown.mkString(", ")}")
+        wanted
+      } else (_: String) => true
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -138,14 +138,43 @@ object GlmQueries {
           CAST(ROUND(SUM(resid + resid), 6) AS DOUBLE) AS g_intercept
         FROM r""")),
 
-    // ---- Normal loss (SSE, the reference's unscaled form) at fixed β
+    // ---- Normal loss (SSE, the reference's unscaled form) at fixed β.
+    // Same exact-decimal strategy as q23: the residual is computed IN
+    // decimal from clean base-column casts (a double residual cast to
+    // decimal would hit the engine-dependent messy-double rounding this
+    // file's header documents as the round-1 failure), losslessly
+    // downcast — |resid| < 100, scale 8 unchanged, so the value is
+    // exact under EITHER declared width. The widths deliberately differ
+    // per engine: Spark uses (18,8) (its (p1+p2+1)-digit square must
+    // stay ≤ 38 or Spark rounds with precision loss), DuckDB (19,8)
+    // (it computes ≤18-digit products in int64 and overflows; 19 forces
+    // int128). Both squares are exact, so the sums agree bit-for-bit:
+    // exact sum → ROUND 6 → DOUBLE.
     Q("q24_sse_loss",
       (s, dir) => {
-        val r = labelCol - marginCol
-        tbl(s, dir, "lineitem").agg(dsum(r * r, 38, 6).as("sse"))
+        val li = tbl(s, dir, "lineitem")
+        def dec(v: String) = lit(new java.math.BigDecimal(v))
+        val qd = col("l_quantity").cast("decimal(4,2)")
+        val pd = col("l_extendedprice").cast("decimal(9,2)")
+        val dd = col("l_discount").cast("decimal(3,2)")
+        val ld = (col("l_returnflag") === "R").cast("int").cast("decimal(1,0)")
+        val resid = (dec("0.8") * qd - pd * dec("0.000013") +
+          dec("2.1") * dd + dec("0.25") - ld).cast("decimal(18,8)")
+        li.agg(round(sum(resid * resid), 6).cast("double").as("sse"))
       },
-      Some(s"""SELECT ${dsumSql(s"($labelSql - ($marginSql)) * ($labelSql - ($marginSql))", 38, 6)} AS sse
-        FROM lineitem""")),
+      Some("""WITH t AS (
+          SELECT CAST(l_quantity AS DECIMAL(4,2)) AS qd,
+            CAST(l_extendedprice AS DECIMAL(9,2)) AS pd,
+            CAST(l_discount AS DECIMAL(3,2)) AS dd,
+            CAST(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS DECIMAL(1,0)) AS ld
+          FROM lineitem),
+        r AS (
+          SELECT CAST(
+            CAST(0.8 AS DECIMAL(2,1)) * qd - pd * CAST(0.000013 AS DECIMAL(6,6))
+              + CAST(2.1 AS DECIMAL(2,1)) * dd + CAST(0.25 AS DECIMAL(3,2)) - ld
+            AS DECIMAL(19,8)) AS resid
+          FROM t)
+        SELECT CAST(ROUND(SUM(resid * resid), 6) AS DOUBLE) AS sse FROM r""")),
 
     // ---- Gram matrix XᵀX upper triangle at fixed features (A3 kernel,
     // β-independent — the Normal-family Hessian / 2). Same exact-decimal

@@ -69,8 +69,9 @@ object PipelineQueries {
           FROM (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(text, ' +') AS toks FROM documents))
         SELECT doc_id,
           LIST_AGGREGATE(LIST_TRANSFORM(RANGE(0, $NH), i ->
-            CAST(LIST_MIN(LIST_TRANSFORM(hashes,
-              x -> (x * (2 * i + 1) + (i * i + 7)) % $P)) AS VARCHAR)), 'string_agg', ',') AS sig
+            CAST(COALESCE(LIST_MIN(LIST_TRANSFORM(hashes,
+              x -> (x * (2 * i + 1) + (i * i + 7)) % $P)),
+              9223372036854775807) AS VARCHAR)), 'string_agg', ',') AS sig
         FROM h ORDER BY doc_id"""),
       bench = true),
 

@@ -122,7 +122,7 @@ object SimilarityQueries {
             SELECT q_id, CAST(ROW_NUMBER() OVER (
               PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rk,
               vec_id, cos
-            FROM scored)
+            FROM scored WHERE cos IS NOT NULL)
         SELECT q_id, rk, vec_id, cos FROM ranked WHERE rk <= 5
         ORDER BY q_id, rk"""),
       bench = true),
@@ -220,7 +220,7 @@ object SimilarityQueries {
           SELECT q_id, CAST(ROW_NUMBER() OVER (
             PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rk,
             vec_id, cos
-          FROM scored)
+          FROM scored WHERE cos IS NOT NULL)
         SELECT q_id, rk, vec_id, cos FROM ranked WHERE rk <= 3
         ORDER BY q_id, rk""")),
 
@@ -267,7 +267,7 @@ object SimilarityQueries {
           SELECT q_id, CAST(ROW_NUMBER() OVER (
             PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS INTEGER) AS rk,
             c_id, cos
-          FROM scored)
+          FROM scored WHERE cos IS NOT NULL)
         SELECT q_id, rk, c_id, cos FROM ranked WHERE rk <= 3
         ORDER BY q_id, rk""")),
 
@@ -512,7 +512,7 @@ object SimilarityQueries {
           SELECT q_id, CAST(ROW_NUMBER() OVER (
             PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS INTEGER) AS rk,
             c_id, cos
-          FROM scored)
+          FROM scored WHERE cos IS NOT NULL)
         SELECT q_id, rk, c_id, cos FROM ranked WHERE rk <= 3
         ORDER BY q_id, rk"""),
       bench = true),
@@ -558,7 +558,7 @@ object SimilarityQueries {
           SELECT q_id, CAST(ROW_NUMBER() OVER (
             PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS INTEGER) AS rk,
             c_id, cos
-          FROM scored)
+          FROM scored WHERE cos IS NOT NULL)
         SELECT q_id, rk, c_id, cos FROM ranked WHERE rk <= 3
         ORDER BY q_id, rk""")),
 
@@ -713,7 +713,7 @@ object SimilarityQueries {
           SELECT q_id, c_id, cos,
             CAST(ROW_NUMBER() OVER (PARTITION BY q_id
               ORDER BY cos DESC, c_id ASC) AS INTEGER) AS rk
-          FROM phase2)
+          FROM phase2 WHERE cos IS NOT NULL)
         WHERE rk <= 3 ORDER BY q_id, rk""")),
 
     // ---- two-phase JL-projected ANN (Similarity.jlTopK): phase 1 ranks
@@ -753,7 +753,7 @@ object SimilarityQueries {
           SELECT q_id, c_id, cos,
             CAST(ROW_NUMBER() OVER (PARTITION BY q_id
               ORDER BY cos DESC, c_id ASC) AS INTEGER) AS rk
-          FROM phase2)
+          FROM phase2 WHERE cos IS NOT NULL)
         WHERE rk <= 3 ORDER BY q_id, rk"""))
   )
 }
