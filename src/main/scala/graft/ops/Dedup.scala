@@ -473,18 +473,44 @@ object Dedup {
     * The cosine is rounded to `roundDp` decimals BEFORE the threshold
     * test: the dot product is a sequential fold of doubles, and a
     * last-ulp wobble at the threshold boundary must not flip membership
-    * (the same rule every cross-engine-checked similarity query uses). */
+    * (the same rule every cross-engine-checked similarity query uses).
+    *
+    * Hot-bucket guard (object doc): buckets above `maxBucket` degrade
+    * from all-pairs to star pairs around the bucket's min-id row, with
+    * the SAME rounded-cosine filter on each star pair — a semantic-
+    * duplicate flood (the dominant real case: boilerplate embeddings)
+    * lands millions of rows in one bucket/cell, and all-pairs there is
+    * O(cnt²) while the star is O(cnt). True-dup floods keep their
+    * connectivity through the representative, so [[clusterPairs]] over
+    * the output is unchanged for them. The marked frame is persisted
+    * (feeds both join sides + the star branch; ids + vectors + bucket
+    * keys only, never text) — same cache contract as the banded frames. */
   def cosineNearDups(
       emb: DataFrame, idCol: String, vecCol: String, threshold: Double,
-      bucketCol: Column, roundDp: Int = 6): DataFrame = {
+      bucketCol: Column, roundDp: Int = 6,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     import graft.functions.MathFunctions.cosineSim
-    val e = emb.select(col(idCol).as("__id"),
-      col(vecCol).cast("array<double>").as("__v"), bucketCol.as("__bk"))
-    val l = e.as("l"); val r = e.as("r")
-    l.join(r, col("l.__bk") === col("r.__bk") && col("l.__id") < col("r.__id"))
-      .withColumn("cos", round(cosineSim(col("l.__v"), col("r.__v")), roundDp))
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
+    // struct-min carries the representative's vector with its id (ids are
+    // unique, so struct order is id order — the simhashNearDups pattern)
+    val w = Window.partitionBy("__bk")
+    val marked = emb.select(col(idCol).as("__id"),
+        col(vecCol).cast("array<double>").as("__v"), bucketCol.as("__bk"))
+      .withColumn("__cnt", count(lit(1)).over(w))
+      .withColumn("__rep", min(struct(col("__id"), col("__v"))).over(w))
+      .persist(MEMORY_AND_DISK)
+    val small = marked.filter(col("__cnt") <= maxBucket)
+    val l = small.as("l"); val r = small.as("r")
+    val allPairs = l.join(r,
+        col("l.__bk") === col("r.__bk") && col("l.__id") < col("r.__id"))
+      .select(col("l.__id").as("id1"), col("r.__id").as("id2"),
+        round(cosineSim(col("l.__v"), col("r.__v")), roundDp).as("cos"))
+    val hotStar = marked
+      .filter(col("__cnt") > maxBucket && col("__id") =!= col("__rep.__id"))
+      .select(col("__rep.__id").as("id1"), col("__id").as("id2"),
+        round(cosineSim(col("__rep.__v"), col("__v")), roundDp).as("cos"))
+    allPairs.union(hotStar)
       .filter(col("cos") >= threshold)
-      .select(col("l.__id").as("id1"), col("r.__id").as("id2"), col("cos"))
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
@@ -510,15 +536,70 @@ object Dedup {
     *
     * Cache lifecycle: inherits [[keepOnePerCluster]]'s contract — the
     * cluster label table stays session-cached; batch loops should
-    * manage the [[clusterPairs]] handle directly. */
+    * manage the [[clusterPairs]] handle directly.
+    *
+    * Hot cells inherit [[cosineNearDups]]'s `maxBucket` star degrade —
+    * SemDeDup's own motivating case is a boilerplate-embedding flood,
+    * which lands in ONE cell; the star keeps the flood's components
+    * intact while bounding the within-cell join at O(cnt). */
   def semDedup(emb: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Double]], threshold: Double,
-      roundDp: Int = 6, maxIter: Int = 25): DataFrame = {
+      roundDp: Int = 6, maxIter: Int = 25,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(centroids.nonEmpty, "centroids must be non-empty")
     val cell = graft.ops.Similarity.ivfCell(
       col(vecCol).cast("array<double>"), centroids, roundDp)
-    val pairs = cosineNearDups(emb, idCol, vecCol, threshold, cell, roundDp)
+    val pairs =
+      cosineNearDups(emb, idCol, vecCol, threshold, cell, roundDp, maxBucket)
     keepOnePerCluster(emb, idCol, pairs, maxIter = maxIter)
+  }
+
+  /** Incremental (asymmetric) semantic dedup — the daily-ingest twin of
+    * [[semDedup]], completing the incremental family ([[exactMatchesAgainst]],
+    * [[minhashCandidatesAgainst]]) for the embedding path: (new_id,
+    * ref_id, cos) pairs where a NEW-batch row has cosine >= `threshold`
+    * to a REFERENCE-corpus row sharing its k-means cell. A pipeline
+    * anti-joins `new_id` out of the batch (drop near-dups of existing
+    * data) or feeds the pairs to policy code (e.g. replace-if-newer).
+    *
+    * 100 TB shape: both sides take their cell from ONE shared broadcast
+    * centroid table (a single codegen'd argmin projection per side —
+    * the reference side's cells are recomputed here for self-containment;
+    * a production loop persists the reference (id, cell, vec) projection
+    * once and reuses it across batches). The join is cell-bucketed, so
+    * pairwise work is bounded by cell occupancy, and shuffles carry ids +
+    * vectors only.
+    *
+    * Hot-cell guard (asymmetric, the [[minhashCandidatesAgainst]]
+    * pattern): the REFERENCE side keeps only its `maxBucket` lowest-id
+    * rows per cell — a boilerplate flood in the reference otherwise
+    * multiplies every matching new row by the whole flood. Each new row
+    * still meets up to `maxBucket` reference members (any retained member
+    * of a true-dup flood matches, so the duplicate-or-not verdict
+    * survives); the NEW side is never capped — every incoming row must
+    * get its verdict. Cosine is rounded to `roundDp` before the
+    * threshold test (cross-engine exactness). */
+  def semDedupAgainst(
+      newDf: DataFrame, refDf: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], threshold: Double,
+      roundDp: Int = 6, maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    import graft.functions.MathFunctions.cosineSim
+    require(centroids.nonEmpty, "centroids must be non-empty")
+    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
+    val cell = graft.ops.Similarity.ivfCell(
+      col(vecCol).cast("array<double>"), centroids, roundDp)
+    val n = newDf.select(col(idCol).as("__nid"),
+      col(vecCol).cast("array<double>").as("__nv"), cell.as("__cell")).as("n")
+    val wr = Window.partitionBy("__cell").orderBy("__rid")
+    val r = refDf.select(col(idCol).as("__rid"),
+        col(vecCol).cast("array<double>").as("__rv"), cell.as("__cell"))
+      .withColumn("__rn", row_number().over(wr))
+      .filter(col("__rn") <= maxBucket)
+      .drop("__rn").as("r")
+    n.join(r, col("n.__cell") === col("r.__cell"))
+      .select(col("__nid").as("new_id"), col("__rid").as("ref_id"),
+        round(cosineSim(col("__nv"), col("__rv")), roundDp).as("cos"))
+      .filter(col("cos") >= threshold)
   }
 
   /** Semantic benchmark decontamination — the embedding twin of

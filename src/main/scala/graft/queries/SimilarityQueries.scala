@@ -456,6 +456,47 @@ object SimilarityQueries {
         SELECT vec_id FROM e WHERE vec_id NOT IN (SELECT node FROM drops)
         ORDER BY vec_id""")),
 
+    // ---- incremental semantic dedup (Dedup.semDedupAgainst): NEW batch
+    // (vec_id >= 50) vs REFERENCE corpus (vec_id < 50), cell-bucketed on
+    // the shared q66/q104 centroids. maxBucket pinned LOW (5) so the
+    // asymmetric reference-side cap — keep the 5 lowest-id ref rows per
+    // cell — is itself oracle-checked, not just the uncapped join.
+    Q("q109_semdedup_against",
+      (s, dir) => {
+        val e = tbl(s, dir, "embeddings")
+        graft.ops.Dedup.semDedupAgainst(
+            e.filter(col("vec_id") >= 50), e.filter(col("vec_id") < 50),
+            "vec_id", "embedding", ivfCentroids, threshold = 0.3,
+            roundDp = 6, maxBucket = 5)
+          .orderBy("new_id", "ref_id")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cents AS (SELECT * FROM (VALUES $centroidSqlValues) t(cell, cv)),
+        dist AS (
+          SELECT vec_id, cell,
+            ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(0, 64),
+              i -> (v[i+1] - cv[i+1]) * (v[i+1] - cv[i+1]))), 6) AS d
+          FROM e, cents),
+        cellass AS (
+          SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn
+            FROM dist) WHERE rn = 1),
+        ev AS (SELECT e.vec_id, v, cell FROM e JOIN cellass ON e.vec_id = cellass.vec_id),
+        n AS (SELECT * FROM ev WHERE vec_id >= 50),
+        refcap AS (SELECT vec_id, v, cell FROM (
+            SELECT vec_id, v, cell,
+              ROW_NUMBER() OVER (PARTITION BY cell ORDER BY vec_id) AS rn
+            FROM ev WHERE vec_id < 50) WHERE rn <= 5),
+        scored AS (
+          SELECT n.vec_id AS new_id, refcap.vec_id AS ref_id,
+            ROUND(LIST_DOT_PRODUCT(n.v, refcap.v) /
+              (SQRT(LIST_DOT_PRODUCT(n.v, n.v)) *
+               SQRT(LIST_DOT_PRODUCT(refcap.v, refcap.v))), 6) AS cos
+          FROM n JOIN refcap ON n.cell = refcap.cell)
+        SELECT new_id, ref_id, cos FROM scored WHERE cos >= 0.3
+        ORDER BY new_id, ref_id""")),
+
     // ---- embedding-cosine near-dup pairs (Dedup.cosineNearDups): LSH
     // buckets bound the pairwise work; cosine rounded BEFORE the
     // threshold test so the boundary cannot flip on a fold ulp

@@ -471,6 +471,58 @@ class OpsSpec extends AnyFunSuite {
     assert(rows.forall(_.getDouble(2) >= 0.5))
   }
 
+  test("hot-bucket guard: embedding flood emits linear star pairs (cosine/semDedup)") {
+    import spark.implicits._
+    // one flooded cell (40 copies of the same vector — the boilerplate-
+    // embedding case SemDeDup exists for) plus one small cell
+    val flood = Seq.tabulate(40)(i => (i.toLong, Seq(1.0, 0.01)))
+    val small = Seq((100L, Seq(0.0, 1.0)), (101L, Seq(0.01, 1.0)),
+      (102L, Seq(0.0, 0.99)))
+    val emb = (flood ++ small).toDF("id", "vec")
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val cell = Similarity.ivfCell(col("vec").cast("array<double>"), cents)
+    val pairs = Dedup.cosineNearDups(emb, "id", "vec", threshold = 0.9,
+      bucketCol = cell, maxBucket = 8).collect()
+    // flooded cell: star around min-id 0 → 39 pairs (all-pairs would be
+    // 780 = O(cnt²)); the star pairs keep the exact cosine column
+    val floodPairs = pairs.filter(_.getLong(1) < 100L)
+    assert(floodPairs.length == 39, s"${floodPairs.length} flood pairs")
+    assert(floodPairs.forall(r => r.getLong(0) == 0L))
+    assert(floodPairs.forall(r => math.abs(r.getDouble(2) - 1.0) < 1e-9))
+    // small cell stays exact all-pairs
+    assert(pairs.count(_.getLong(0) >= 100L) == 3)
+    // cluster membership unchanged for the true-dup flood: semDedup
+    // still keeps exactly one representative per semantic group
+    val kept = Dedup.semDedup(emb, "id", "vec", cents, threshold = 0.9,
+      maxBucket = 8).select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 100L), kept.toString)
+  }
+
+  test("semDedupAgainst: asymmetric cap keeps every new-row verdict") {
+    import spark.implicits._
+    // reference flood: 20 copies in cell 0 with maxBucket=4 → each new
+    // row in that cell still matches (any retained member suffices);
+    // new side never capped — all 6 new rows get verdicts
+    val ref = Seq.tabulate(20)(i => (i.toLong, Seq(1.0, 0.01))) ++
+      Seq((50L, Seq(0.0, 1.0)))
+    val nw = Seq.tabulate(6)(i => (100L + i, Seq(0.99, 0.0))) ++
+      Seq((200L, Seq(0.02, 1.0)), (201L, Seq(-1.0, -0.5)))
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val pairs = Dedup.semDedupAgainst(nw.toDF("id", "vec"),
+        ref.toDF("id", "vec"), "id", "vec", cents, threshold = 0.9,
+        maxBucket = 4).collect()
+    val byNew = pairs.groupBy(_.getLong(0))
+    // each of the 6 flood-adjacent new rows matched ≤4 capped ref rows
+    for (i <- 0 until 6) {
+      val m = byNew(100L + i)
+      assert(m.length == 4, s"new ${100 + i}: ${m.length} matches")
+      assert(m.forall(r => r.getLong(1) < 4L)) // 4 lowest-id ref rows kept
+    }
+    // cell-1 new row matches its single ref neighbor; anti-aligned row none
+    assert(byNew(200L).map(_.getLong(1)).toSeq == Seq(50L))
+    assert(!byNew.contains(201L))
+  }
+
   test("exact dedup: NULL placement is part of the key") {
     import spark.implicits._
     val df = Seq(
