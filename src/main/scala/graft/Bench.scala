@@ -26,13 +26,6 @@ object Bench {
       // first rep's cache and time only the warm path — clear between
       // samples so every rep pays the full cost it claims to measure
       spark.sharedState.cacheManager.clearCache()
-      // settle before starting the clock: collect the PREVIOUS sample's
-      // garbage now so a heavy neighbor (q87's propagation rounds, q80's
-      // band frames) doesn't bill its young-gen debt to this sample — r5
-      // showed 3-5x phantom "regressions" on sub-second queries that an
-      // isolated re-run didn't reproduce (cross-query JVM contamination,
-      // not code). GC time is deliberately OUTSIDE the timed region.
-      System.gc()
       Thread.sleep(100)
       val t0 = System.nanoTime()
       // a failing query must FAIL the bench (non-zero exit, no JSON), not
@@ -42,14 +35,33 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // Median-of-N plus min: the median absorbs one bad sample; the min is
-    // the contamination-free floor (closest to what an isolated run
-    // measures), reported separately so a verdict can tell "this query
-    // got slower" from "its neighbors got noisier".
-    def timeStats(reps: Int)(f: => Unit): (Double, Double) = {
+    // Median-of-N plus min plus the RAW samples in run order: the median
+    // absorbs one bad sample; the min is the contamination-free floor
+    // (closest to what an isolated run measures); the run-order samples
+    // make contamination self-evident without a re-run — a [4.5, 14.9,
+    // 15.1] row says "the first rep was clean and the JVM then degraded",
+    // where a bare median 14.9 reads as a regression.
+    def timeStats(reps: Int)(f: => Unit): (Double, Double, Array[Double]) = {
       require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
-      val samples = Array.fill(reps)(time(f)).sorted
-      (samples(reps / 2), samples(0))
+      // Settle ONCE per query, before its rep sequence: collect the
+      // previous QUERY's garbage so a heavy neighbor (q87's propagation
+      // rounds, q80's band frames) doesn't bill its young-gen debt to
+      // this query's samples — r5 showed 3-5x phantom "regressions" on
+      // sub-second queries from exactly that cross-query contamination.
+      // Deliberately NOT per rep: a full GC also drops warm JVM state
+      // (JIT profiles / soft-referenced scan machinery), and per-rep GC
+      // made every rep pay a ~0.3s cold-start tax on q01 (measured r7:
+      // 1.33s median per-rep-GC vs 0.97s steady-state, both isolated).
+      // The post-GC re-warm decays over ~2-3 reps, so one DISCARDED warm
+      // rep runs first (same clearCache path as a timed rep) and the
+      // reported samples measure steady state only. Reps of the SAME
+      // query generate symmetric garbage, so timed samples stay
+      // comparable; GC sits OUTSIDE every timed region either way.
+      System.gc()
+      time(f) // discarded warm rep
+      val samples = Array.fill(reps)(time(f))
+      val sorted = samples.sorted
+      (sorted(reps / 2), sorted(0), samples)
     }
 
     // SPARK_GRAFT_BENCH_ONLY=q87,q80 restricts the run to the named
@@ -77,12 +89,55 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     val mins = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val raw = scala.collection.mutable.LinkedHashMap[String, Array[Double]]()
+    def record(name: String, stats: (Double, Double, Array[Double])): Unit = {
+      results(name) = stats._1; mins(name) = stats._2; raw(name) = stats._3
+    }
+    // Heavy multi-job queries (iterative component formation, the dedup
+    // pipeline, the production semDedup shape) show occasional 3-6x
+    // outlier reps from in-JVM neighbors; a median-of-3 lets ONE such rep
+    // own the reported number, so they get the glm_fit treatment
+    // (median-of-at-least-5). Cheap sub-second queries stay at `reps`.
+    val heavy = Set("q87_dedup_clusters", "q80_curation_pipeline",
+      "semdedup_k64")
+    def repsFor(name: String): Int =
+      if (heavy(name)) math.max(reps, 5) else reps
     headline.foreach { q =>
-      val (med, mn) = timeStats(reps) {
+      record(q.name, timeStats(repsFor(q.name)) {
         q.spark(spark, sfDir).write.format("noop").mode("overwrite").save()
-      }
-      results(q.name) = med
-      mins(q.name) = mn
+      })
+    }
+
+    // Production-shape semantic dedup: the oracle-checked q104 pins k=4
+    // centroids (cell assignment must be SQL-replayable), which says
+    // nothing about the path's real cost — at scale k grows with the
+    // corpus like an IVF cell count. Bench the shape a pipeline runs:
+    // k=64 TRAINED centroids over the full sf embeddings, threshold 0.3.
+    // Training is the amortized index-build step (one-time per corpus) —
+    // kept OUTSIDE the timed region, which measures cell assignment +
+    // within-cell pairs + component formation + the keep-one anti-join.
+    if (only.forall(_.exists("semdedup_k64".startsWith))) {
+      // JIT warmup for the path's codegen (ivfCell argmin, cosine fold,
+      // clusterPairs rounds) on the small dir — q104 is not in the
+      // headline set, so the headline warmup never touches these classes
+      if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
+        try {
+          val we = spark.read.parquet(s"$warmDir/embeddings.parquet")
+          val wc = graft.ops.Similarity.trainIvfCentroids(
+            we, "embedding", kCells = 16, iters = 2, seed = 7L)
+          graft.ops.Dedup.semDedup(we, "vec_id", "embedding", wc,
+              threshold = 0.3)
+            .write.format("noop").mode("overwrite").save()
+          spark.sharedState.cacheManager.clearCache()
+        } catch { case _: Throwable => () }
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val cents = graft.ops.Similarity.trainIvfCentroids(
+        emb, "embedding", kCells = 64, iters = 5, seed = 7L)
+      record("semdedup_k64", timeStats(repsFor("semdedup_k64")) {
+        graft.ops.Dedup.semDedup(emb, "vec_id", "embedding", cents,
+            threshold = 0.3)
+          .write.format("noop").mode("overwrite").save()
+      })
     }
 
     // GLM fit benchmark: the baseline-comparable fit (admm logistic,
@@ -90,7 +145,7 @@ object Bench {
     // elsewhere): this is the headline number against BASELINE.md and
     // drifted ±7% round-over-round on unchanged code — two extra samples
     // tighten the median enough to tell real regressions from noise.
-    val (fitMed, fitMin) = timeStats(math.max(reps, 5)) {
+    record("glm_fit", timeStats(math.max(reps, 5)) {
       import graft.estimators.{GlmParams, LogisticRegression}
       import org.apache.spark.sql.functions._
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
@@ -100,9 +155,7 @@ object Bench {
         (col("l_returnflag") === "R").cast("double").as("label"))
       new LogisticRegression(GlmParams(solver = "admm", maxIter = 20,
         nPartitions = cpus.toInt, admmWarmStart = true)).fit(df)
-    }
-    results("glm_fit") = fitMed
-    mins("glm_fit") = fitMin
+    })
 
     // Locale.ROOT: the f-interpolator is locale-sensitive — a
     // comma-decimal JVM locale would print invalid JSON
@@ -110,8 +163,12 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def jmap(m: scala.collection.Map[String, Double]): String =
       m.map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
+    def jsamples(m: scala.collection.Map[String, Array[Double]]): String =
+      m.map { case (k, vs) =>
+        "\"" + k + "\":" + vs.map(num).mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
     val total = results.values.sum
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${jmap(results)},"queries_min":${jmap(mins)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${jmap(results)},"queries_min":${jmap(mins)},"samples":${jsamples(raw)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

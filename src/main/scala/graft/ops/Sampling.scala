@@ -159,7 +159,7 @@ object Sampling {
     // join. Prefix real values (collision-free vs the null token) and
     // give null its own stratum — budgetCol's when-chain already routes
     // null to defaultBudget.
-    val strataKey = when(strataCol.isNull, lit(" "))
+    val strataKey = when(strataCol.isNull, lit("\u0000"))
       .otherwise(concat(lit("v:"), strataCol.cast("string")))
     val t = df
       .withColumn("__tbc_s", strataKey)
