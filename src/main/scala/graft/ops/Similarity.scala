@@ -722,6 +722,161 @@ object Similarity {
     }.toArray
   }
 
+  /** Apply a learned d×d rotation to an embedding column: out = R·v,
+    * with `rotation(j)` the j-th OUTPUT component's weights — exactly
+    * [[graft.functions.ProjectVec]]'s plane layout (its scaladoc already
+    * positions it as the rotation-apply step), so the rotation ships as
+    * ONE broadcast and the projection is a fused codegen'd loop with an
+    * O(1) plan. */
+  def rotateVec(vecCol: Column, rotation: Array[Array[Double]],
+      roundDp: Int = -1): Column = {
+    require(rotation.nonEmpty, "empty rotation matrix")
+    graft.functions.IndexExpr.projectVec(
+      vecCol.cast("array<double>"), bcOf(rotation), roundDp)
+  }
+
+  /** OPQ-style learned rotation for PQ (Ge et al., CVPR 2013, "Optimized
+    * Product Quantization" — the non-parametric alternation): PQ's
+    * subspace independence assumption fails when variance is unevenly
+    * spread across the fixed coordinate split (a clustered corpus
+    * concentrates energy in a few directions, so some subspaces carry
+    * everything and quantize poorly). OPQ learns an orthogonal R and
+    * quantizes R·x instead, alternating:
+    *
+    *  (a) train PQ codebooks on the rotated corpus ([[trainPqCodebooks]]);
+    *  (b) with codes fixed, the optimal rotation is the orthogonal
+    *      Procrustes solution min_R Σ‖R·xᵢ − yᵢ‖² (yᵢ = the quantized
+    *      reconstruction of R·xᵢ): R = V·Uᵀ from the SVD U·S·Vᵀ of the
+    *      correlation M = Σ xᵢ·yᵢᵀ.
+    *
+    * 100 TB shape: step (b)'s only distributed work is M — one
+    * treeAggregate pass accumulating a d×d outer product per row (the
+    * [[trainIvfCentroids]] pattern; driver state is O(d²), never O(n));
+    * the SVD runs driver-side on the d×d matrix (breeze, shipped with
+    * Spark). Training is the amortized index-build step; per-query cost
+    * of [[opqTopK]] is plain PQ plus one broadcast-rotation projection.
+    *
+    * Returns (rotation, codebooks) trained AS A PAIR — the final
+    * codebooks are fit to the final rotation (the loop ends on (a), not
+    * (b), so the pair is never stale). Deterministic for a fixed seed. */
+  def trainOpqRotation(
+      corpus: DataFrame, vecCol: String, dim: Int, m: Int, ksub: Int,
+      iters: Int = 5, opqIters: Int = 3, seed: Long = 42L)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    require(opqIters >= 1, s"opqIters must be >= 1, got $opqIters")
+    val raw = corpus.select(col(vecCol).cast("array<double>").as("__v"))
+    raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var rot = Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+      var cbs: Array[Array[Array[Double]]] = null
+      var it = 0
+      while (it < opqIters) {
+        val rotated = raw.select(rotateVec(col("__v"), rot).as("__rv"))
+        cbs = trainPqCodebooks(rotated, "__rv", dim, m, ksub, iters, seed)
+        if (it < opqIters - 1) rot = procrustes(correlation(raw, rot, cbs, dim))
+        it += 1
+      }
+      (rot, cbs)
+    } finally { raw.unpersist(false); () }
+  }
+
+  /** [[pqTopK]] in the learned rotated space: both sides rotate through
+    * the shared broadcast R (rotation is an isometry, so ADC in rotated
+    * coordinates approximates the ORIGINAL squared L2), then the
+    * standard codes-scan ranking. */
+  def opqTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      rotation: Array[Array[Double]], codebooks: Array[Array[Array[Double]]],
+      k: Int, roundDp: Int = -1): DataFrame = {
+    validateCodebooks(codebooks)
+    val bcR = bcOf(rotation) // ONE handle for both sides
+    def rotated(df: DataFrame): DataFrame =
+      df.select(col(idCol), graft.functions.IndexExpr.projectVec(
+        col(vecCol).cast("array<double>"), bcR, roundDp).as("__opq_rv"))
+    pqTopK(rotated(corpus), rotated(queries), idCol, "__opq_rv",
+      codebooks, k, roundDp)
+  }
+
+  /** The OPQ correlation M = Σ xᵢ·yᵢᵀ (x = raw row, y = quantized
+    * reconstruction of R·x): one treeAggregate with O(d²) state. */
+  private def correlation(raw: DataFrame, rot: Array[Array[Double]],
+      cbs: Array[Array[Array[Double]]], dim: Int): Array[Array[Double]] = {
+    val sc = raw.sparkSession.sparkContext
+    val bcR = sc.broadcast(rot)
+    val bcB = sc.broadcast(cbs)
+    val flat = raw.rdd.map(_.getSeq[Double](0).toArray)
+      .treeAggregate(Array.ofDim[Double](dim * dim))(
+        (acc, x) => {
+          val y = reconstructRotated(bcB.value, applyRotation(bcR.value, x))
+          var i = 0
+          while (i < dim && i < x.length) {
+            val xi = x(i); var j = 0
+            while (j < dim) { acc(i * dim + j) += xi * y(j); j += 1 }
+            i += 1
+          }
+          acc
+        },
+        (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a })
+    bcR.destroy(); bcB.destroy()
+    Array.tabulate(dim, dim)((i, j) => flat(i * dim + j))
+  }
+
+  /** Driver/executor-side R·x (same layout as [[rotateVec]]). */
+  private def applyRotation(rot: Array[Array[Double]],
+      x: Array[Double]): Array[Double] = {
+    val out = new Array[Double](rot.length)
+    var j = 0
+    while (j < rot.length) {
+      val row = rot(j); val n = math.min(row.length, x.length)
+      var s = 0.0; var i = 0
+      while (i < n) { s += row(i) * x(i); i += 1 }
+      out(j) = s; j += 1
+    }
+    out
+  }
+
+  /** Quantized reconstruction in rotated space: per subspace, the
+    * nearest codeword (plain argmin, lowest code on ties — training-side
+    * twin of the codegen'd encode+decode). */
+  private def reconstructRotated(cbs: Array[Array[Array[Double]]],
+      rx: Array[Double]): Array[Double] = {
+    val dsub = cbs(0)(0).length
+    val out = new Array[Double](rx.length)
+    var s = 0
+    while (s < cbs.length && s * dsub < rx.length) {
+      val book = cbs(s)
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < book.length) {
+        val cw = book(c); var d = 0.0; var i = 0
+        val n = math.min(dsub, rx.length - s * dsub)
+        while (i < n) {
+          val t = rx(s * dsub + i) - cw(i); d += t * t; i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      val cw = book(best)
+      var i = 0
+      val n = math.min(dsub, rx.length - s * dsub)
+      while (i < n) { out(s * dsub + i) = cw(i); i += 1 }
+      s += 1
+    }
+    out
+  }
+
+  /** Orthogonal Procrustes: R = V·Uᵀ for M = U·S·Vᵀ — the rotation
+    * maximizing tr(R·M), i.e. minimizing Σ‖R·x − y‖² over orthogonal R.
+    * d×d driver-side SVD (breeze ships on Spark's classpath). */
+  private def procrustes(mMat: Array[Array[Double]]): Array[Array[Double]] = {
+    val d = mMat.length
+    val bm = breeze.linalg.DenseMatrix.tabulate(d, d)((i, j) => mMat(i)(j))
+    val s = breeze.linalg.svd(bm)
+    val r = s.Vt.t * s.U.t
+    Array.tabulate(d, d)((i, j) => r(i, j))
+  }
+
   /** One Lloyd refinement step over an existing centroid table, in the
     * DataFrame plane: assign each corpus vector to its nearest cell
     * ([[ivfCell]] — the codegen'd literal-table argmin), then recompute

@@ -230,6 +230,77 @@ class PqSpec extends AnyFunSuite {
     assert(perQ.length == 10 && perQ.forall(_ == 5))
   }
 
+  test("OPQ learned rotation beats plain PQ on subspace-misaligned clusters") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // 10 cluster centers whose variance lives ENTIRELY in the first 16
+    // coordinates — i.e. inside subspace 0 of the m=4 split. Plain PQ
+    // must then encode all cluster identity with ONE ksub=4 codebook
+    // (4 codewords < 10 centers → forced collisions) while subspaces
+    // 1-3 quantize pure noise; a learned rotation spreads the center
+    // variance across all four codebooks (4^4 = 256 product cells).
+    // This is exactly the misalignment OPQ (Ge et al. 2013) targets.
+    def unit16() = {
+      val v = Array.fill(16)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val centers = Array.fill(10)(unit16() ++ Array.fill(48)(0.0))
+    val rows = for (i <- 0 until 300) yield {
+      val c = centers(i % 10)
+      (i.toLong, c.map(_ + rnd.nextGaussian() * 0.03).toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 20)
+    val corpus = df.filter(col("vec_id") >= 20)
+    // exact L2 top-10 (the metric ADC approximates), computed directly
+    val vecs = rows.toMap.map { case (i, v) => i -> v.toArray }
+    def l2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val exact = (0L until 20L).map { q =>
+      q -> vecs.keys.filter(_ >= 20L).toSeq
+        .sortBy(c => (l2(vecs(q), vecs(c)), c)).take(10).toSet
+    }.toMap
+    def recallOf(ranked: org.apache.spark.sql.DataFrame): Double = {
+      val got = ranked.select("q_id", "c_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (q, ps) => q -> ps.map(_._2).toSet }
+      exact.map { case (q, ex) =>
+        (ex intersect got.getOrElse(q, Set.empty)).size.toDouble / ex.size
+      }.sum / exact.size
+    }
+    val cbs = Similarity.trainPqCodebooks(corpus, "embedding", dim = 64,
+      m = 4, ksub = 4, iters = 3, seed = 5L)
+    val (rot, ocbs) = Similarity.trainOpqRotation(corpus, "embedding",
+      dim = 64, m = 4, ksub = 4, iters = 3, opqIters = 3, seed = 5L)
+    val pqRecall = recallOf(Similarity.pqTopK(corpus, queries,
+      "vec_id", "embedding", cbs, k = 10))
+    val opqRecall = recallOf(Similarity.opqTopK(corpus, queries,
+      "vec_id", "embedding", rot, ocbs, k = 10))
+    info(s"recall@10: pq=$pqRecall opq=$opqRecall")
+    // the rotation is orthogonal (R·Rᵀ = I)
+    val d = rot.length
+    for (i <- 0 until d; j <- 0 until d) {
+      val dot = (0 until d).map(k => rot(i)(k) * rot(j)(k)).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-8,
+        s"R·Rᵀ[$i][$j]=$dot")
+    }
+    // deterministic fixture + seeds: measured 0.21 vs 0.34 — gate a
+    // real margin, not a tie-break (wobble room left below the measured
+    // 0.13 gap)
+    assert(opqRecall >= pqRecall + 0.05,
+      s"OPQ recall $opqRecall should beat plain PQ $pqRecall by >= 0.05")
+  }
+
+  test("trainOpqRotation is deterministic per seed") {
+    val e = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    def run() = Similarity.trainOpqRotation(e, "embedding", dim = 64,
+      m = 4, ksub = 4, iters = 2, opqIters = 2, seed = 9L)
+    val (r1, c1) = run(); val (r2, c2) = run()
+    assert(r1.zip(r2).forall { case (a, b) => a.sameElements(b) })
+    assert(c1.zip(c2).forall { case (sa, sb) =>
+      sa.zip(sb).forall { case (ca, cb) => ca.sameElements(cb) } })
+  }
+
   test("zero-norm corpus rows never outrank true neighbors (NaN guard)") {
     // cos(q, 0) = 0/0 = NaN, and NaN sorts FIRST under DESC ordering —
     // without the guard one all-zero embedding would take rank 1 for
