@@ -23,15 +23,34 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * calls reach them): `ImplicitCastInputTypes` coerces e.g. array<int>
   * to array<double> for free and rejects non-array inputs at analysis
   * time — without it, `ArrayData.getDouble` on an int-backed UnsafeArray
-  * would reinterpret bytes and return silently wrong doubles. Elements
-  * must be non-null; unequal lengths fold over the common prefix.
-  */
+  * would reinterpret bytes and return silently wrong doubles. Unequal
+  * lengths fold over the common prefix.
+  *
+  * Null ELEMENTS propagate to a NULL result — matching the HOF
+  * compositions these replace (`aggregate` over a null element is null),
+  * so dirty data surfaces as null scores (which every ranker here
+  * filters) instead of silently folding a garbage 0.0. The per-element
+  * `isNullAt` probe is emitted ONLY when the input schema admits null
+  * elements (`containsNull`); arrays declared element-non-null keep the
+  * branch-free loop. */
+object ArrayFoldExpression {
+  private[functions] def mayHaveNullElems(e: Expression): Boolean =
+    e.dataType match {
+      case ArrayType(_, cn) => cn
+      case _ => true
+    }
+}
+
 abstract class ArrayFoldExpression extends BinaryExpression with ImplicitCastInputTypes {
+  import ArrayFoldExpression.mayHaveNullElems
   // inferred Seq[ArrayType] — AbstractDataType is private[sql] in Spark 4,
   // so the signature can't be named outside org.apache.spark.sql
   override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  protected lazy val chkA: Boolean = mayHaveNullElems(left)
+  protected lazy val chkB: Boolean = mayHaveNullElems(right)
+  override def nullable: Boolean = super.nullable || chkA || chkB
 
   /** Java source for one accumulation step given element exprs `x`, `y`. */
   protected def stepJava(x: String, y: String): String
@@ -43,7 +62,11 @@ abstract class ArrayFoldExpression extends BinaryExpression with ImplicitCastInp
     val n = math.min(a.numElements(), b.numElements())
     var s = 0.0
     var i = 0
-    while (i < n) { s += stepEval(a.getDouble(i), b.getDouble(i)); i += 1 }
+    while (i < n) {
+      if ((chkA && a.isNullAt(i)) || (chkB && b.isNullAt(i))) return null
+      s += stepEval(a.getDouble(i), b.getDouble(i))
+      i += 1
+    }
     s
   }
 
@@ -52,14 +75,33 @@ abstract class ArrayFoldExpression extends BinaryExpression with ImplicitCastInp
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
-      s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        double $s = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          $s += ${stepJava(s"$a.getDouble($i)", s"$b.getDouble($i)")};
-        }
-        ${ev.value} = $s;
-      """
+      val bad = ctx.freshName("bad")
+      val step = s"$s += ${stepJava(s"$a.getDouble($i)", s"$b.getDouble($i)")};"
+      if (chkA || chkB) {
+        // nullable is true here, so ev.isNull is a real assignable local
+        val probe = Seq(
+          if (chkA) Some(s"$a.isNullAt($i)") else None,
+          if (chkB) Some(s"$b.isNullAt($i)") else None).flatten.mkString(" || ")
+        s"""
+          int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+          double $s = 0.0;
+          boolean $bad = false;
+          for (int $i = 0; $i < $n; $i++) {
+            if ($probe) { $bad = true; break; }
+            $step
+          }
+          if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $s; }
+        """
+      } else {
+        s"""
+          int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+          double $s = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            $step
+          }
+          ${ev.value} = $s;
+        """
+      }
     })
 }
 
@@ -92,10 +134,14 @@ case class ArraySqDist(left: Expression, right: Expression) extends ArrayFoldExp
   * but one array traversal per row instead of three. */
 case class ArrayCosineSim(left: Expression, right: Expression)
   extends BinaryExpression with ImplicitCastInputTypes {
+  import ArrayFoldExpression.mayHaveNullElems
   override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "array_cosine_sim"
+  private lazy val chkA: Boolean = mayHaveNullElems(left)
+  private lazy val chkB: Boolean = mayHaveNullElems(right)
+  override def nullable: Boolean = super.nullable || chkA || chkB
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
@@ -105,13 +151,20 @@ case class ArrayCosineSim(left: Expression, right: Expression)
     var ab = 0.0; var aa = 0.0; var bb = 0.0
     var i = 0
     while (i < n) {
+      if ((chkA && a.isNullAt(i)) || (chkB && b.isNullAt(i))) return null
       val x = a.getDouble(i); val y = b.getDouble(i)
       ab += x * y; aa += x * x; bb += y * y
       i += 1
     }
-    while (i < na) { val x = a.getDouble(i); aa += x * x; i += 1 }
+    while (i < na) {
+      if (chkA && a.isNullAt(i)) return null
+      val x = a.getDouble(i); aa += x * x; i += 1
+    }
     var j = n
-    while (j < nb) { val y = b.getDouble(j); bb += y * y; j += 1 }
+    while (j < nb) {
+      if (chkB && b.isNullAt(j)) return null
+      val y = b.getDouble(j); bb += y * y; j += 1
+    }
     ab / (java.lang.Math.sqrt(aa) * java.lang.Math.sqrt(bb))
   }
 
@@ -123,21 +176,63 @@ case class ArrayCosineSim(left: Expression, right: Expression)
       val ab = ctx.freshName("ab"); val aa = ctx.freshName("aa")
       val bb = ctx.freshName("bb")
       val x = ctx.freshName("x"); val y = ctx.freshName("y")
-      s"""
-        int $na = $a.numElements();
-        int $nb = $b.numElements();
-        int $n = java.lang.Math.min($na, $nb);
-        double $ab = 0.0; double $aa = 0.0; double $bb = 0.0;
-        int $i = 0;
-        for (; $i < $n; $i++) {
-          double $x = $a.getDouble($i);
-          double $y = $b.getDouble($i);
-          $ab += $x * $y; $aa += $x * $x; $bb += $y * $y;
-        }
-        for (; $i < $na; $i++) { double $x = $a.getDouble($i); $aa += $x * $x; }
-        for (int $j = $n; $j < $nb; $j++) { double $y = $b.getDouble($j); $bb += $y * $y; }
-        ${ev.value} = $ab / (java.lang.Math.sqrt($aa) * java.lang.Math.sqrt($bb));
-      """
+      val bad = ctx.freshName("bad")
+      if (chkA || chkB) {
+        // null element → null result (ev.isNull is a real local: see
+        // the nullable override). Probes emitted only for the sides
+        // whose schema admits null elements.
+        val probeBoth = Seq(
+          if (chkA) Some(s"$a.isNullAt($i)") else None,
+          if (chkB) Some(s"$b.isNullAt($i)") else None).flatten.mkString(" || ")
+        val probeTailA =
+          if (chkA) s"if ($a.isNullAt($i)) { $bad = true; break; }" else ""
+        val probeTailB =
+          if (chkB) s"if ($b.isNullAt($j)) { $bad = true; break; }" else ""
+        s"""
+          int $na = $a.numElements();
+          int $nb = $b.numElements();
+          int $n = java.lang.Math.min($na, $nb);
+          double $ab = 0.0; double $aa = 0.0; double $bb = 0.0;
+          boolean $bad = false;
+          int $i = 0;
+          for (; $i < $n; $i++) {
+            if ($probeBoth) { $bad = true; break; }
+            double $x = $a.getDouble($i);
+            double $y = $b.getDouble($i);
+            $ab += $x * $y; $aa += $x * $x; $bb += $y * $y;
+          }
+          if (!$bad) {
+            for (; $i < $na; $i++) {
+              $probeTailA
+              double $x = $a.getDouble($i); $aa += $x * $x;
+            }
+          }
+          if (!$bad) {
+            for (int $j = $n; $j < $nb; $j++) {
+              $probeTailB
+              double $y = $b.getDouble($j); $bb += $y * $y;
+            }
+          }
+          if ($bad) { ${ev.isNull} = true; }
+          else { ${ev.value} = $ab / (java.lang.Math.sqrt($aa) * java.lang.Math.sqrt($bb)); }
+        """
+      } else {
+        s"""
+          int $na = $a.numElements();
+          int $nb = $b.numElements();
+          int $n = java.lang.Math.min($na, $nb);
+          double $ab = 0.0; double $aa = 0.0; double $bb = 0.0;
+          int $i = 0;
+          for (; $i < $n; $i++) {
+            double $x = $a.getDouble($i);
+            double $y = $b.getDouble($i);
+            $ab += $x * $y; $aa += $x * $x; $bb += $y * $y;
+          }
+          for (; $i < $na; $i++) { double $x = $a.getDouble($i); $aa += $x * $x; }
+          for (int $j = $n; $j < $nb; $j++) { double $y = $b.getDouble($j); $bb += $y * $y; }
+          ${ev.value} = $ab / (java.lang.Math.sqrt($aa) * java.lang.Math.sqrt($bb));
+        """
+      }
     })
 
   override protected def withNewChildrenInternal(
@@ -163,12 +258,19 @@ case class QuantizeInt8Expr(child: Expression)
     StructField("scale", DoubleType, nullable = false)))
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "quantize_int8"
+  private lazy val chkNull: Boolean = ArrayFoldExpression.mayHaveNullElems(child)
+  override def nullable: Boolean = super.nullable || chkNull
 
+  /** Null element → null row (the `transform` composition this replaces
+    * propagated element nulls); probe skipped when the schema says
+    * elements are non-null. Returns null for that case — the codegen
+    * below branches on it. */
   def compute(v: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
     val n = v.numElements()
     var maxAbs = 0.0
     var i = 0
     while (i < n) {
+      if (chkNull && v.isNullAt(i)) return null
       val a = math.abs(v.getDouble(i))
       if (a > maxAbs) maxAbs = a
       i += 1
@@ -193,7 +295,17 @@ case class QuantizeInt8Expr(child: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, v => {
       val ref = ctx.addReferenceObj("quantInt8", this, classOf[QuantizeInt8Expr].getName)
-      s"${ev.value} = $ref.compute($v);"
+      if (chkNull) {
+        // compute() returns null on a null element (nullable is true
+        // here, so ev.isNull is a real local)
+        val r = ctx.freshName("r")
+        s"""
+          InternalRow $r = $ref.compute($v);
+          if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+        """
+      } else {
+        s"${ev.value} = $ref.compute($v);"
+      }
     })
 
   override protected def withNewChildInternal(newChild: Expression): QuantizeInt8Expr =

@@ -59,6 +59,26 @@ object IndexExpressions {
     while (i < len) { val t = v.getDouble(off + i) - cw(i); s += t * t; i += 1 }
     s
   }
+
+  /** Fail fast on a NULL element. These kernels compute INDEX STATE
+    * (cells, codes, signatures): `getDouble` on a null slot reads a
+    * garbage 0.0, which would silently misassign the row (e.g. to
+    * whatever cell is nearest the zero-patched vector) rather than
+    * surface as a filterable null score the way the similarity folds do.
+    * Callers skip the probe statically when the input schema declares
+    * elements non-null ([[ArrayFoldExpression.mayHaveNullElems]]). */
+  private[functions] def requireNoNullElems(v: ArrayData, what: String): Unit = {
+    val n = v.numElements()
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"$what: input array has a NULL element at index $i — index " +
+            "expressions require dense non-null vectors (filter or impute " +
+            "upstream)")
+      i += 1
+    }
+  }
 }
 
 /** Index of the nearest centroid (rounded-distance argmin, ties to the
@@ -72,9 +92,17 @@ case class NearestCell(
   override def dataType: DataType = IntegerType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "ivf_cell"
+  private lazy val chkNull = ArrayFoldExpression.mayHaveNullElems(child)
 
   def compute(v: ArrayData): Int = {
     val cs = bc.value
+    // Similarity.ivfCell guards this too, but the expression is a public
+    // extension surface: an argmin over zero cells would silently emit
+    // cell 0 for every row (a degenerate full-bucket join downstream)
+    if (cs.isEmpty)
+      throw new IllegalArgumentException(
+        "ivf_cell: empty centroid table — train or load centroids first")
+    if (chkNull) IndexExpressions.requireNoNullElems(v, prettyName)
     var best = 0
     var bestD = Double.MaxValue
     var c = 0
@@ -112,6 +140,7 @@ case class NearestCells(
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "ivf_cells"
+  private lazy val chkNull = ArrayFoldExpression.mayHaveNullElems(child)
 
   def compute(v: ArrayData): ArrayData = {
     val cs = bc.value
@@ -122,6 +151,7 @@ case class NearestCells(
     if (nprobe < 1 || nprobe > k)
       throw new IllegalArgumentException(
         s"nprobe $nprobe out of range [1, $k] for a $k-cell centroid table")
+    if (chkNull) IndexExpressions.requireNoNullElems(v, prettyName)
     val ds = new Array[Double](k)
     var c = 0
     while (c < k) {
@@ -160,10 +190,12 @@ case class PqEncodeExpr(
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "pq_codes"
+  private lazy val chkNull = ArrayFoldExpression.mayHaveNullElems(child)
 
   def compute(v: ArrayData): ArrayData = {
     val cbs = bc.value
     val dsub = cbs(0)(0).length
+    if (chkNull) IndexExpressions.requireNoNullElems(v, prettyName)
     val out = new Array[Int](cbs.length)
     var s = 0
     while (s < cbs.length) {
@@ -214,10 +246,14 @@ case class AdcDistExpr(
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "adc_distance"
+  private lazy val chkQ = ArrayFoldExpression.mayHaveNullElems(left)
+  private lazy val chkC = ArrayFoldExpression.mayHaveNullElems(right)
 
   def compute(qv: ArrayData, codes: ArrayData): Double = {
     val cbs = bc.value
     val dsub = cbs(0)(0).length
+    if (chkQ) IndexExpressions.requireNoNullElems(qv, prettyName)
+    if (chkC) IndexExpressions.requireNoNullElems(codes, prettyName)
     // fail fast on an index/codebook mismatch: a codes table encoded
     // with a different m or ksub would otherwise read past the codes
     // array or out of the codebook — garbage distances, not an error
@@ -268,9 +304,11 @@ case class LshSignature(
   override def dataType: DataType = IntegerType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "lsh_signature"
+  private lazy val chkNull = ArrayFoldExpression.mayHaveNullElems(child)
 
   def compute(v: ArrayData): Int = {
     val planes = bc.value
+    if (chkNull) IndexExpressions.requireNoNullElems(v, prettyName)
     var sig = 0
     var j = 0
     while (j < planes.length) {
@@ -312,9 +350,11 @@ case class ProjectVec(
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "project_vec"
+  private lazy val chkNull = ArrayFoldExpression.mayHaveNullElems(child)
 
   def compute(v: ArrayData): ArrayData = {
     val planes = bc.value
+    if (chkNull) IndexExpressions.requireNoNullElems(v, prettyName)
     val out = new Array[Double](planes.length)
     var j = 0
     while (j < planes.length) {

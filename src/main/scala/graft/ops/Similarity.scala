@@ -28,7 +28,19 @@ object Similarity {
     * hundreds of MB of plan for every query. The broadcast handle keeps
     * plans O(1) in k·d (PlanSpec gates this) and ships the table to each
     * executor once. One broadcast per operator invocation, shared across
-    * the corpus and query sides of the join. */
+    * the corpus and query sides of the join.
+    *
+    * Lifecycle: each builder call creates a fresh broadcast whose
+    * executor-side blocks are reclaimed by the ContextCleaner once the
+    * returned plan (which holds the only reference) is garbage-collected
+    * — the same deferred-release contract as the dedup band caches. The
+    * builder cannot unpersist eagerly: the DataFrame it returns is lazy
+    * and may be acted on any number of times. A long-lived session
+    * constructing MANY index queries against the SAME index state should
+    * instead create one handle (`spark.sparkContext.broadcast(state)`),
+    * build columns via [[graft.functions.IndexExpr]] directly, and
+    * `destroy()` it when done — that is exactly the seam these builders
+    * compose from. */
   private def bcOf[T](v: T)(implicit ct: scala.reflect.ClassTag[T])
       : org.apache.spark.broadcast.Broadcast[T] =
     org.apache.spark.sql.SparkSession.active.sparkContext.broadcast(v)

@@ -154,38 +154,38 @@ object EventStream {
         state.remove()
         return Iterator.single(SessionOut(userId, s.n, s.startUs, s.endUs))
       }
-      val sorted = it.toArray.sortBy(e => (e.tsUs, e.event_id))
-      var out = List.empty[SessionOut]
-      var cur = state.getOption
-      sorted.foreach { e =>
-        cur match {
-          case Some(s) if e.tsUs < s.startUs - gapUs =>
-            // late event older than gap-before-start: not mergeable into
-            // the current session — emit it as its own completed session
-            // (the batch twin would have closed it before this one)
-            out ::= SessionOut(userId, 1L, e.tsUs, e.tsUs)
-          case Some(s) if e.tsUs - s.endUs <= gapUs =>
-            // min/max, NOT assignment: a LATE (within-watermark) event
-            // from a previous micro-batch can precede the stored span —
-            // overwriting endUs would shrink the session backward (the
-            // next event then measures its gap against the shrunk end
-            // and wrongly splits), and an event before startUs would
-            // emit end < start. The batch twin's window sort makes this
-            // impossible there; the stream must handle it explicitly.
-            cur = Some(SessionState(s.n + 1L,
-              math.min(s.startUs, e.tsUs), math.max(s.endUs, e.tsUs)))
-          case Some(s) =>
-            out ::= SessionOut(userId, s.n, s.startUs, s.endUs)
-            cur = Some(SessionState(1L, e.tsUs, e.tsUs))
-          case None =>
-            cur = Some(SessionState(1L, e.tsUs, e.tsUs))
+      // ONE ascending gap-merge (island) pass over the batch's events
+      // PLUS the stored open-session interval — exactly the batch twin's
+      // gap-and-island on what this executor can see. This subsumes the
+      // former per-event cases: a late (within-watermark) event inside or
+      // gap-adjacent to the stored span merges (min/max — the span never
+      // shrinks backward); late events older than gap-before-start merge
+      // WITH EACH OTHER into their own earlier sessions (the old code
+      // emitted each as a singleton, splitting a session the batch twin
+      // would keep whole); and an event > gap past the open session
+      // closes it. Islands before the last are final — any later event
+      // in THIS batch is > gap away; a later micro-batch could still
+      // bridge one in principle, which is the same inherent stream-vs-
+      // batch approximation the singleton emit had. The LAST island
+      // stays open as state.
+      val items =
+        (it.map(e => (1L, e.tsUs, e.tsUs)) ++
+          state.getOption.map(s => (s.n, s.startUs, s.endUs)))
+          .toArray.sortBy(x => (x._2, x._3))
+      if (items.isEmpty) return Iterator.empty
+      var islands = List.empty[(Long, Long, Long)] // newest first
+      items.foreach { case (n, s0, e0) =>
+        islands match {
+          case (pn, ps, pe) :: rest if s0 - pe <= gapUs =>
+            islands = (pn + n, ps, math.max(pe, e0)) :: rest
+          case _ => islands = (n, s0, e0) :: islands
         }
       }
-      cur.foreach { s =>
-        state.update(s)
-        state.setTimeoutTimestamp(s.endUs / 1000L, s"$gapMinutes minutes")
-      }
-      out.reverseIterator
+      val open = islands.head
+      state.update(SessionState(open._1, open._2, open._3))
+      state.setTimeoutTimestamp(open._3 / 1000L, s"$gapMinutes minutes")
+      islands.tail.reverseIterator
+        .map { case (n, s0, e0) => SessionOut(userId, n, s0, e0) }
     }
 
     events

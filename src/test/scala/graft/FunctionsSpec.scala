@@ -20,6 +20,51 @@ class FunctionsSpec extends AnyFunSuite {
     assert(rows(4).getDouble(2) == 800.0) // large-x asymptote
   }
 
+  test("null array ELEMENTS propagate to null scores; index kernels fail fast") {
+    // the HOF compositions the native folds replaced returned NULL for a
+    // null element; getDouble on a null slot would fold a garbage 0.0.
+    // Score expressions (dot/sqdist/cosine/quantize) propagate null —
+    // every ranker filters null/NaN scores; INDEX kernels (cells, codes,
+    // signatures, projections) throw — a zero-patched vector would be
+    // silently misassigned, not filterably wrong.
+    val df = Seq(
+      (1L, Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](1.0, 1.0)),
+      (2L, Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](1.0, 1.0))
+    ).toDF("id", "a", "b")
+    val out = df.select(col("id"),
+        graft.functions.ArrayMath.dot(col("a"), col("b")).as("d"),
+        graft.functions.ArrayMath.sqDist(col("a"), col("b")).as("s"),
+        graft.functions.ArrayMath.cosineSim(col("a"), col("b")).as("c"),
+        graft.ops.Similarity.quantizeInt8(col("a")).as("q"))
+      .orderBy("id").collect()
+    assert(out(0).getDouble(1) == 3.0 && !out(0).isNullAt(2) &&
+      !out(0).isNullAt(3) && !out(0).isNullAt(4))
+    assert(out(1).isNullAt(1) && out(1).isNullAt(2) && out(1).isNullAt(3) &&
+      out(1).isNullAt(4))
+    // tail-loop null (beyond the common prefix) also nulls the cosine
+    val tail = Seq((Seq[java.lang.Double](1.0), Seq[java.lang.Double](1.0, null)))
+      .toDF("a", "b")
+      .select(graft.functions.ArrayMath.cosineSim(col("a"), col("b")).as("c"))
+      .head()
+    assert(tail.isNullAt(0))
+    val dirty = df.filter(col("id") === 2)
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    // local mode may surface the kernel's IllegalArgumentException bare
+    // or wrapped in a SparkException — match by message through the chain
+    def chainHas(t: Throwable, msg: String): Boolean =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(5)
+        .exists(e => Option(e.getMessage).exists(_.contains(msg)))
+    val err = intercept[Exception] {
+      dirty.select(graft.ops.Similarity.ivfCell(col("a"), cents)).collect()
+    }
+    assert(chainHas(err, "NULL element"), err.toString)
+    val err2 = intercept[Exception] {
+      dirty.select(graft.ops.Similarity.randomProject(col("a"),
+        fromDim = 2, toDim = 2)).collect()
+    }
+    assert(chainHas(err2, "NULL element"), err2.toString)
+  }
+
   test("arrayDot / norm / cosine") {
     val df = Seq((Array(1.0, 2.0, 2.0), Array(2.0, 0.0, 1.0))).toDF("a", "b")
     val r = df.select(
