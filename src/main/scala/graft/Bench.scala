@@ -167,7 +167,13 @@ object Bench {
       m.map { case (k, vs) =>
         "\"" + k + "\":" + vs.map(num).mkString("[", ",", "]")
       }.mkString("{", ",", "}")
-    val total = results.values.sum
+    // bench-only extra rows (not registry queries) are excluded from the
+    // headline total so it stays comparable round-over-round — adding a
+    // new extra row must not read as a regression on unchanged queries
+    val extras = Set("semdedup_k64")
+    val total = results.collect {
+      case (k, v) if !extras(k) => v
+    }.sum
     println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${jmap(results)},"queries_min":${jmap(mins)},"samples":${jsamples(raw)},"sf":"$sfDir"}""")
     spark.stop()
   }

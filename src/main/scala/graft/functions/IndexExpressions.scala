@@ -60,6 +60,39 @@ object IndexExpressions {
     s
   }
 
+  /** Shared per-subspace nearest-codeword encode (the PQ quantizer):
+    * rounded-distance argmin per subspace, ties to the lowest code id,
+    * vectors shorter than m·dsub fold over their truncated tail. Both
+    * the codegen'd [[PqEncodeExpr]] and OPQ training's driver-side
+    * reconstruction ([[graft.ops.Similarity.trainOpqRotation]]) call
+    * THIS — a rounding/tie-rule change in one place cannot silently
+    * make training optimize against a different quantizer than queries
+    * use. */
+  private[graft] def pqEncode(cbs: Array[Array[Array[Double]]],
+      v: ArrayData, roundDp: Int): Array[Int] = {
+    val dsub = cbs(0)(0).length
+    val out = new Array[Int](cbs.length)
+    var s = 0
+    while (s < cbs.length) {
+      val cb = cbs(s)
+      val off = s * dsub
+      // clamp to the elements that exist: an unclamped getDouble past
+      // numElements reads garbage bytes
+      val len = math.min(dsub, math.max(0, v.numElements() - off))
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cb.length) {
+        val d = roundTo(roundDp, sqDistFrom(v, off, cb(c), len))
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    out
+  }
+
   /** Fail fast on a NULL element. These kernels compute INDEX STATE
     * (cells, codes, signatures): `getDouble` on a null slot reads a
     * garbage 0.0, which would silently misassign the row (e.g. to
@@ -193,31 +226,9 @@ case class PqEncodeExpr(
   private lazy val chkNull = ArrayFoldExpression.mayHaveNullElems(child)
 
   def compute(v: ArrayData): ArrayData = {
-    val cbs = bc.value
-    val dsub = cbs(0)(0).length
     if (chkNull) IndexExpressions.requireNoNullElems(v, prettyName)
-    val out = new Array[Int](cbs.length)
-    var s = 0
-    while (s < cbs.length) {
-      val cb = cbs(s)
-      val off = s * dsub
-      // clamp to the elements that exist: a vector shorter than m·dsub
-      // folds over its truncated tail (the literal slice-form's rule) —
-      // an unclamped getDouble past numElements reads garbage bytes
-      val len = math.min(dsub, math.max(0, v.numElements() - off))
-      var best = 0
-      var bestD = Double.MaxValue
-      var c = 0
-      while (c < cb.length) {
-        val d = IndexExpressions.roundTo(roundDp,
-          IndexExpressions.sqDistFrom(v, off, cb(c), len))
-        if (d < bestD) { bestD = d; best = c }
-        c += 1
-      }
-      out(s) = best
-      s += 1
-    }
-    UnsafeArrayData.fromPrimitiveArray(out)
+    UnsafeArrayData.fromPrimitiveArray(
+      IndexExpressions.pqEncode(bc.value, v, roundDp))
   }
 
   override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])

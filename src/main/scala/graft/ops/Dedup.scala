@@ -475,40 +475,73 @@ object Dedup {
     * last-ulp wobble at the threshold boundary must not flip membership
     * (the same rule every cross-engine-checked similarity query uses).
     *
-    * Hot-bucket guard (object doc): buckets above `maxBucket` degrade
-    * from all-pairs to star pairs around the bucket's min-id row, with
-    * the SAME rounded-cosine filter on each star pair — a semantic-
-    * duplicate flood (the dominant real case: boilerplate embeddings)
-    * lands millions of rows in one bucket/cell, and all-pairs there is
-    * O(cnt²) while the star is O(cnt). True-dup floods keep their
-    * connectivity through the representative, so [[clusterPairs]] over
-    * the output is unchanged for them. The marked frame is persisted
-    * (feeds both join sides + the star branch; ids + vectors + bucket
-    * keys only, never text) — same cache contract as the banded frames. */
+    * Hot-bucket guard — cell-aware, unlike the minhash/simhash star: a
+    * SIGNATURE bucket implies its members are mutual near-dup candidates,
+    * so a single min-id star preserves flood connectivity there; a
+    * k-means CELL (the [[semDedup]] bucketing) holds DISSIMILAR rows by
+    * design, so a cell-wide star around an arbitrary min-id row would
+    * miss every flood not similar to it. Buckets above `maxBucket` are
+    * therefore SUB-BUCKETED by an 8-bit LSH sign key (similar rows — a
+    * boilerplate flood — share it; distinct floods split): sub-buckets
+    * at or under `maxBucket` run exact all-pairs, larger ones degrade to
+    * a star around the SUB-bucket's min-id row (which is a flood member,
+    * so connectivity survives and [[clusterPairs]] output is unchanged
+    * for true-dup floods). What the degrade gives up: pairs BETWEEN
+    * sub-buckets of a hot bucket — a borderline near-dup pair split by
+    * one sign bit — the standard LSH recall trade, taken only on
+    * flood-shaped buckets. Total pair cost per hot bucket is O(cnt·
+    * maxBucket) worst-case, O(cnt) for floods.
+    *
+    * Rows with a NULL bucket key never pair (the equi-join rule) — made
+    * explicit up front so the hot-branch windowing cannot resurrect
+    * them. The marked frame is persisted (feeds both join sides + the
+    * star branch; ids + vectors + scalar keys only, never text; the
+    * per-sub-bucket representative VECTOR is joined back for hot rows
+    * only, so the cache does not duplicate vectors) — same contract as
+    * the banded frames. */
   def cosineNearDups(
       emb: DataFrame, idCol: String, vecCol: String, threshold: Double,
       bucketCol: Column, roundDp: Int = 6,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
     import graft.functions.MathFunctions.cosineSim
     require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
-    // struct-min carries the representative's vector with its id (ids are
-    // unique, so struct order is id order — the simhashNearDups pattern)
-    val w = Window.partitionBy("__bk")
+    // 8-bit seedless sign key; the plane family tolerates any dim up to
+    // the oversized plane length (projection folds the common prefix)
+    val subKey = graft.ops.Similarity.lshBucket(
+      col("__v"), dim = 4096, nBits = 8)
+    val wb = Window.partitionBy("__bk")
+    val ws = Window.partitionBy("__bk", "__sb")
     val marked = emb.select(col(idCol).as("__id"),
         col(vecCol).cast("array<double>").as("__v"), bucketCol.as("__bk"))
-      .withColumn("__cnt", count(lit(1)).over(w))
-      .withColumn("__rep", min(struct(col("__id"), col("__v"))).over(w))
+      .filter(col("__bk").isNotNull)
+      .withColumn("__cnt", count(lit(1)).over(wb))
+      // small buckets share one sentinel sub-bucket (= the whole bucket),
+      // so ONE equi-join on (__bk, __sb) serves both regimes; the LSH
+      // key is computed only for hot-bucket rows
+      .withColumn("__sb",
+        when(col("__cnt") > maxBucket, subKey).otherwise(lit(-1)))
+      .withColumn("__scnt", count(lit(1)).over(ws))
+      .withColumn("__repid", min(col("__id")).over(ws))
       .persist(MEMORY_AND_DISK)
-    val small = marked.filter(col("__cnt") <= maxBucket)
+    val small = marked.filter(col("__scnt") <= maxBucket)
     val l = small.as("l"); val r = small.as("r")
     val allPairs = l.join(r,
-        col("l.__bk") === col("r.__bk") && col("l.__id") < col("r.__id"))
+        col("l.__bk") === col("r.__bk") && col("l.__sb") === col("r.__sb")
+          && col("l.__id") < col("r.__id"))
       .select(col("l.__id").as("id1"), col("r.__id").as("id2"),
         round(cosineSim(col("l.__v"), col("r.__v")), roundDp).as("cos"))
+    // hot sub-buckets: star around the sub-bucket's min-id member, whose
+    // vector is joined back from the ONE representative row per group
+    // (scalars-only windows above keep the cache free of duplicate
+    // vectors; this join shuffles hot rows only)
+    val reps = marked
+      .filter(col("__scnt") > maxBucket && col("__id") === col("__repid"))
+      .select(col("__bk"), col("__sb"), col("__v").as("__repv"))
     val hotStar = marked
-      .filter(col("__cnt") > maxBucket && col("__id") =!= col("__rep.__id"))
-      .select(col("__rep.__id").as("id1"), col("__id").as("id2"),
-        round(cosineSim(col("__rep.__v"), col("__v")), roundDp).as("cos"))
+      .filter(col("__scnt") > maxBucket && col("__id") =!= col("__repid"))
+      .join(reps, Seq("__bk", "__sb"))
+      .select(col("__repid").as("id1"), col("__id").as("id2"),
+        round(cosineSim(col("__repv"), col("__v")), roundDp).as("cos"))
     allPairs.union(hotStar)
       .filter(col("cos") >= threshold)
   }
@@ -538,10 +571,12 @@ object Dedup {
     * cluster label table stays session-cached; batch loops should
     * manage the [[clusterPairs]] handle directly.
     *
-    * Hot cells inherit [[cosineNearDups]]'s `maxBucket` star degrade —
-    * SemDeDup's own motivating case is a boilerplate-embedding flood,
-    * which lands in ONE cell; the star keeps the flood's components
-    * intact while bounding the within-cell join at O(cnt). */
+    * Hot cells inherit [[cosineNearDups]]'s cell-aware `maxBucket`
+    * degrade (LSH sub-buckets, then per-sub-bucket star) — SemDeDup's
+    * own motivating case is a boilerplate-embedding flood, which lands
+    * in ONE cell; sub-bucketing keeps EVERY flood's components intact
+    * (not just the one containing the cell's min-id row) while bounding
+    * the within-cell join. */
   def semDedup(emb: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Double]], threshold: Double,
       roundDp: Int = 6, maxIter: Int = 25,
@@ -571,14 +606,20 @@ object Dedup {
     * vectors only.
     *
     * Hot-cell guard (asymmetric, the [[minhashCandidatesAgainst]]
-    * pattern): the REFERENCE side keeps only its `maxBucket` lowest-id
-    * rows per cell — a boilerplate flood in the reference otherwise
-    * multiplies every matching new row by the whole flood. Each new row
-    * still meets up to `maxBucket` reference members (any retained member
-    * of a true-dup flood matches, so the duplicate-or-not verdict
-    * survives); the NEW side is never capped — every incoming row must
-    * get its verdict. Cosine is rounded to `roundDp` before the
-    * threshold test (cross-engine exactness). */
+    * pattern made cell-aware): the REFERENCE side keeps only its
+    * `maxBucket` lowest-id rows per (cell, 8-bit LSH sub-bucket) — a
+    * boilerplate flood in the reference otherwise multiplies every
+    * matching new row by the whole flood. The cap is per SUB-bucket,
+    * not per cell, because a k-means cell holds dissimilar rows by
+    * design: a per-cell lowest-id cap could retain only flood A and
+    * silently drop every member of flood B sharing the cell — a new
+    * row duplicating B would then get NO pair. Similar rows share the
+    * sign key, so every flood keeps up to `maxBucket` members and every
+    * new row's duplicate-or-not verdict survives; the NEW side is never
+    * capped. Worst-case retained rows per cell are 256·maxBucket (a
+    * cell spanning all sign patterns is diverse, not a flood). Cosine
+    * is rounded to `roundDp` before the threshold test (cross-engine
+    * exactness). */
   def semDedupAgainst(
       newDf: DataFrame, refDf: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Double]], threshold: Double,
@@ -590,12 +631,15 @@ object Dedup {
       col(vecCol).cast("array<double>"), centroids, roundDp)
     val n = newDf.select(col(idCol).as("__nid"),
       col(vecCol).cast("array<double>").as("__nv"), cell.as("__cell")).as("n")
-    val wr = Window.partitionBy("__cell").orderBy("__rid")
+    val subKey = graft.ops.Similarity.lshBucket(
+      col("__rv"), dim = 4096, nBits = 8)
+    val wr = Window.partitionBy("__cell", "__sb").orderBy("__rid")
     val r = refDf.select(col(idCol).as("__rid"),
         col(vecCol).cast("array<double>").as("__rv"), cell.as("__cell"))
+      .withColumn("__sb", subKey)
       .withColumn("__rn", row_number().over(wr))
       .filter(col("__rn") <= maxBucket)
-      .drop("__rn").as("r")
+      .drop("__rn", "__sb").as("r")
     n.join(r, col("n.__cell") === col("r.__cell"))
       .select(col("__nid").as("new_id"), col("__rid").as("ref_id"),
         round(cosineSim(col("__nv"), col("__rv")), roundDp).as("cos"))

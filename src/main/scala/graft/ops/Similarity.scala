@@ -848,31 +848,24 @@ object Similarity {
     out
   }
 
-  /** Quantized reconstruction in rotated space: per subspace, the
-    * nearest codeword (plain argmin, lowest code on ties — training-side
-    * twin of the codegen'd encode+decode). */
+  /** Quantized reconstruction in rotated space: encode through the SAME
+    * quantizer the query path uses ([[graft.functions.IndexExpressions
+    * .pqEncode]] — one argmin implementation, shared so training cannot
+    * diverge from [[opqTopK]]'s codes), then place each codeword. */
   private def reconstructRotated(cbs: Array[Array[Array[Double]]],
       rx: Array[Double]): Array[Double] = {
+    val codes = graft.functions.IndexExpressions.pqEncode(cbs,
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(rx), -1)
     val dsub = cbs(0)(0).length
     val out = new Array[Double](rx.length)
     var s = 0
-    while (s < cbs.length && s * dsub < rx.length) {
-      val book = cbs(s)
-      var best = 0; var bestD = Double.MaxValue
-      var c = 0
-      while (c < book.length) {
-        val cw = book(c); var d = 0.0; var i = 0
-        val n = math.min(dsub, rx.length - s * dsub)
-        while (i < n) {
-          val t = rx(s * dsub + i) - cw(i); d += t * t; i += 1
-        }
-        if (d < bestD) { bestD = d; best = c }
-        c += 1
-      }
-      val cw = book(best)
+    while (s < codes.length && s * dsub < rx.length) {
+      val cw = cbs(s)(codes(s))
+      val off = s * dsub
+      val n = math.min(dsub, rx.length - off)
       var i = 0
-      val n = math.min(dsub, rx.length - s * dsub)
-      while (i < n) { out(s * dsub + i) = cw(i); i += 1 }
+      while (i < n) { out(off + i) = cw(i); i += 1 }
       s += 1
     }
     out

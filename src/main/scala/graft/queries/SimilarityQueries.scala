@@ -457,17 +457,20 @@ object SimilarityQueries {
         ORDER BY vec_id""")),
 
     // ---- incremental semantic dedup (Dedup.semDedupAgainst): NEW batch
-    // (vec_id >= 50) vs REFERENCE corpus (vec_id < 50), cell-bucketed on
-    // the shared q66/q104 centroids. maxBucket pinned LOW (5) so the
-    // asymmetric reference-side cap — keep the 5 lowest-id ref rows per
-    // cell — is itself oracle-checked, not just the uncapped join.
+    // (vec_id >= 200) vs REFERENCE corpus (vec_id < 200), cell-bucketed
+    // on the shared q66/q104 centroids. maxBucket pinned to 1 so the
+    // cell-aware reference cap — ONE lowest-id ref row per (cell, 8-bit
+    // LSH sub-bucket) — binds on every (cell, sb) collision in the 200
+    // reference rows, oracle-checking both the sub-bucket computation
+    // (the q65 sin-plane replay at 8 bits) and the cap, not just the
+    // cell join.
     Q("q109_semdedup_against",
       (s, dir) => {
         val e = tbl(s, dir, "embeddings")
         graft.ops.Dedup.semDedupAgainst(
-            e.filter(col("vec_id") >= 50), e.filter(col("vec_id") < 50),
+            e.filter(col("vec_id") >= 200), e.filter(col("vec_id") < 200),
             "vec_id", "embedding", ivfCentroids, threshold = 0.3,
-            roundDp = 6, maxBucket = 5)
+            roundDp = 6, maxBucket = 1)
           .orderBy("new_id", "ref_id")
       },
       Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -483,11 +486,21 @@ object SimilarityQueries {
               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn
             FROM dist) WHERE rn = 1),
         ev AS (SELECT e.vec_id, v, cell FROM e JOIN cellass ON e.vec_id = cellass.vec_id),
-        n AS (SELECT * FROM ev WHERE vec_id >= 50),
+        n AS (SELECT * FROM ev WHERE vec_id >= 200),
+        r0 AS (SELECT * FROM ev WHERE vec_id < 200),
+        sbp AS (
+          SELECT vec_id, j,
+            ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(0, 64),
+              i -> v[i+1] * SIN(i * 131.0 + j * 523.0))), 6) AS p
+          FROM r0, UNNEST(RANGE(0, 8)) AS tj(j)),
+        sb AS (
+          SELECT vec_id,
+            SUM(CASE WHEN p > 0 THEN CAST(POWER(2, j) AS BIGINT) ELSE 0 END) AS sb
+          FROM sbp GROUP BY vec_id),
         refcap AS (SELECT vec_id, v, cell FROM (
-            SELECT vec_id, v, cell,
-              ROW_NUMBER() OVER (PARTITION BY cell ORDER BY vec_id) AS rn
-            FROM ev WHERE vec_id < 50) WHERE rn <= 5),
+            SELECT r0.vec_id, v, cell, sb.sb,
+              ROW_NUMBER() OVER (PARTITION BY cell, sb.sb ORDER BY r0.vec_id) AS rn
+            FROM r0 JOIN sb ON r0.vec_id = sb.vec_id) WHERE rn <= 1),
         scored AS (
           SELECT n.vec_id AS new_id, refcap.vec_id AS ref_id,
             ROUND(LIST_DOT_PRODUCT(n.v, refcap.v) /

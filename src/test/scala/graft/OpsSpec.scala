@@ -498,6 +498,38 @@ class OpsSpec extends AnyFunSuite {
     assert(kept == Set(0L, 100L), kept.toString)
   }
 
+  test("hot-cell multi-flood: sub-bucketed degrade catches every flood, not just min-id's") {
+    import spark.implicits._
+    // one k-means cell, three populations: a LOW-ID outlier (id 0,
+    // dissimilar to both floods but nearest the same centroid), flood A
+    // (40 copies, ids 1-40), flood B (40 copies, ids 100-139,
+    // dissimilar to A). A cell-wide star around min-id 0 would emit
+    // only cos(outlier, ·) pairs — all below threshold — and MISS BOTH
+    // floods; the LSH sub-bucketed degrade stars each flood around its
+    // own min-id member.
+    // vectors chosen so the three populations land in DISTINCT 8-bit
+    // sign sub-buckets (sigs 51 / 102 / 49) while sharing cell 0:
+    // cos(A,B)=0.18, cos(outlier,·) <= 0.83 — all below the 0.9 bar
+    val outlier = Seq((0L, Seq(1.0, -0.9, -0.9, 0.0)))
+    val floodA = Seq.tabulate(40)(i => (1L + i, Seq(1.0, 0.8, 0.0, 0.0)))
+    val floodB = Seq.tabulate(40)(i => (100L + i, Seq(1.0, -0.8, -0.4, 0.8)))
+    val emb = (outlier ++ floodA ++ floodB).toDF("id", "vec")
+    val cents = Array(Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 1.0, 0.0, 0.0))
+    val cell = Similarity.ivfCell(col("vec").cast("array<double>"), cents)
+    val pairs = Dedup.cosineNearDups(emb, "id", "vec", threshold = 0.9,
+      bucketCol = cell, maxBucket = 8).collect()
+    val aPairs = pairs.filter(_.getLong(1) <= 40L)
+    val bPairs = pairs.filter(_.getLong(1) >= 100L)
+    assert(aPairs.length == 39 && aPairs.forall(_.getLong(0) == 1L),
+      s"flood A: ${aPairs.length} pairs")
+    assert(bPairs.length == 39 && bPairs.forall(_.getLong(0) == 100L),
+      s"flood B: ${bPairs.length} pairs (cell-wide star would emit 0)")
+    assert(pairs.length == 78, s"${pairs.length} total pairs")
+    val kept = Dedup.semDedup(emb, "id", "vec", cents, threshold = 0.9,
+      maxBucket = 8).select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 1L, 100L), kept.toString)
+  }
+
   test("semDedupAgainst: asymmetric cap keeps every new-row verdict") {
     import spark.implicits._
     // reference flood: 20 copies in cell 0 with maxBucket=4 → each new
