@@ -274,29 +274,13 @@ object Dedup {
     val bandBits = bits / bands
     require(bandBits <= 32, s"band keys must fit 32 bits, got $bandBits")
     require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
-    val mask = (1L << bandBits) - 1
-    val sim = simhash(df, idCol, textCol, bits)
-      .select(col(idCol).as("__id"), col("simhash"))
-    // ONE fingerprint projection then an explode fan-out (a union of
-    // per-band selects would re-plan the scan + per-token md5 once per
-    // band — 4× the text I/O for the default split). Arithmetic shift +
-    // mask extracts each band identically on any engine (sign-extension
-    // bits die under the mask).
-    val bandStructs = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask)).as("key"))
-    }
     // persisted: feeds both join sides + the hot-star branch, so the
     // fingerprint projection runs once; the cache holds (id, fp, band,
     // key) longs only. The struct-min carries the representative's
     // fingerprint alongside its id (ids are unique, so the struct order
     // is the id order).
     val w = Window.partitionBy("__band", "__key")
-    val marked = sim
-      .select(col("__id"), col("simhash"),
-        explode(array(bandStructs: _*)).as("__bk"))
-      .select(col("__id"), col("simhash"),
-        col("__bk.band").as("__band"), col("__bk.key").as("__key"))
+    val marked = simhashBanded(df, idCol, textCol, bits, bands)
       .withColumn("__cnt", count(lit(1)).over(w))
       .withColumn("__rep", min(struct(col("__id"), col("simhash"))).over(w))
       .persist(MEMORY_AND_DISK)
@@ -315,6 +299,65 @@ object Dedup {
       .select(col("__rep.__id").as("id1"), col("__id").as("id2"),
         expr("bit_count(__rep.simhash ^ simhash)").cast("int").as("hamming"))
     allPairs.union(hotStar)
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Shared banded SimHash frame: ONE fingerprint projection then an
+    * explode fan-out to (__id, simhash, __band, __key) — a union of
+    * per-band selects would re-plan the scan + per-token md5 once per
+    * band (4× the text I/O for the default split). Arithmetic shift +
+    * mask extracts each band identically on any engine (sign-extension
+    * bits die under the mask). */
+  private def simhashBanded(df: DataFrame, idCol: String, textCol: String,
+      bits: Int, bands: Int): DataFrame = {
+    val bandBits = bits / bands
+    val mask = (1L << bandBits) - 1
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask)).as("key"))
+    }
+    simhash(df, idCol, textCol, bits)
+      .select(col(idCol).as("__id"), col("simhash"),
+        explode(array(bandStructs: _*)).as("__bk"))
+      .select(col("__id"), col("simhash"),
+        col("__bk.band").as("__band"), col("__bk.key").as("__key"))
+  }
+
+  /** Incremental (asymmetric) SimHash near-dups: match a NEW batch
+    * against an existing REFERENCE corpus — the daily-ingest twin of
+    * [[simhashNearDups]], completing the incremental family (exact →
+    * [[exactMatchesAgainst]], MinHash → [[minhashCandidatesAgainst]],
+    * embedding → [[semDedupAgainst]]). Returns (new_id, ref_id, hamming)
+    * for pairs sharing ANY hamming band with fingerprint distance at
+    * most `maxHamming`.
+    *
+    * Hot-bucket guard (asymmetric): the REFERENCE side keeps its
+    * `maxBucket` lowest-id rows per (band, key). A (band, key) bucket is
+    * a SIGNATURE bucket — membership implies candidate similarity — so
+    * the per-bucket lowest-id cap is sound here (any retained member of
+    * a true near-dup flood still matches each new doc; contrast the
+    * k-means-cell caps in [[semDedupAgainst]], which need LSH
+    * sub-bucketing). The NEW side is never capped — every incoming doc
+    * gets its verdict. */
+  def simhashNearDupsAgainst(
+      newDf: DataFrame, refDf: DataFrame, idCol: String, textCol: String,
+      bits: Int = 64, bands: Int = 4, maxHamming: Int = 3,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    require(bands >= 1 && bands <= bits && bits % bands == 0,
+      s"bands must tile the $bits-bit fingerprint exactly, got $bands")
+    require(bits / bands <= 32, s"band keys must fit 32 bits, got ${bits / bands}")
+    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
+    val n = simhashBanded(newDf, idCol, textCol, bits, bands).as("n")
+    val wr = Window.partitionBy("__band", "__key").orderBy("__id")
+    val r = simhashBanded(refDf, idCol, textCol, bits, bands)
+      .withColumn("__rn", row_number().over(wr))
+      .filter(col("__rn") <= maxBucket)
+      .drop("__rn").as("r")
+    n.join(r, col("n.__band") === col("r.__band")
+        && col("n.__key") === col("r.__key"))
+      .select(col("n.__id").as("new_id"), col("r.__id").as("ref_id"),
+        expr("bit_count(n.simhash ^ r.simhash)").cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }

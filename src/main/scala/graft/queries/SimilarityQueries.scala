@@ -336,6 +336,35 @@ object SimilarityQueries {
         ORDER BY d1, d2"""),
       bench = true),
 
+    // ---- incremental SimHash near-dups (Dedup.simhashNearDupsAgainst):
+    // NEW batch (doc_id >= 400) vs REFERENCE corpus (doc_id < 400) —
+    // the daily-ingest twin of q69. maxBucket pinned to 1 so the
+    // reference-side per-(band, key) lowest-id cap binds on every
+    // reference bucket collision and is itself oracle-checked.
+    Q("q110_simhash_incremental",
+      (s, dir) =>
+        graft.ops.Dedup.simhashNearDupsAgainst(
+            tbl(s, dir, "documents").filter(col("doc_id") >= 400),
+            tbl(s, dir, "documents").filter(col("doc_id") < 400),
+            "doc_id", "text", bits = 64, bands = 4, maxHamming = 3,
+            maxBucket = 1)
+          .orderBy("new_id", "ref_id"),
+      Some(s"""WITH $sim64Sql,
+        bands AS (
+          SELECT doc_id, simhash, band, (simhash >> (16 * band)) & 65535 AS key
+          FROM sim, UNNEST(RANGE(0, 4)) AS t(band)),
+        n AS (SELECT * FROM bands WHERE doc_id >= 400),
+        refcap AS (SELECT doc_id, simhash, band, key FROM (
+            SELECT doc_id, simhash, band, key,
+              ROW_NUMBER() OVER (PARTITION BY band, key ORDER BY doc_id) AS rn
+            FROM bands WHERE doc_id < 400) WHERE rn <= 1),
+        cand AS (
+          SELECT DISTINCT n.doc_id AS new_id, refcap.doc_id AS ref_id,
+            CAST(BIT_COUNT(XOR(n.simhash, refcap.simhash)) AS INTEGER) AS hamming
+          FROM n JOIN refcap ON n.band = refcap.band AND n.key = refcap.key)
+        SELECT new_id, ref_id, hamming FROM cand WHERE hamming <= 3
+        ORDER BY new_id, ref_id""")),
+
     // ---- dedup clusters (Dedup.clusterPairs): connected components over
     // the 64-bit SimHash near-dup pairs — the step that turns pairwise
     // evidence into groups with one representative each. Spark side runs

@@ -498,6 +498,29 @@ class OpsSpec extends AnyFunSuite {
     assert(kept == Set(0L, 100L), kept.toString)
   }
 
+  test("incremental simhash: reference flood capped, every new doc still matched") {
+    import spark.implicits._
+    val text = "graft spark dedup engine builds banded simhash fingerprints quickly"
+    // 30 identical reference docs (a boilerplate flood) + one unrelated;
+    // 3 new docs duplicating the flood + one unrelated
+    val ref = Seq.tabulate(30)(i => (i.toLong, text)) :+
+      (50L, "completely different content about weather forecasts and rain")
+    val nw = Seq.tabulate(3)(i => (100L + i, text)) :+
+      (200L, "unrelated new content about gardening tomatoes in summer heat")
+    val pairs = Dedup.simhashNearDupsAgainst(nw.toDF("id", "text"),
+        ref.toDF("id", "text"), "id", "text", maxBucket = 4).collect()
+    val byNew = pairs.groupBy(_.getLong(0))
+    // each flood-duplicating new doc matches only the ≤4 retained
+    // lowest-id flood members per band — identical fingerprints share
+    // every band, so the distinct ref ids are exactly ids 0-3
+    for (i <- 0 until 3) {
+      val m = byNew(100L + i).map(_.getLong(1)).toSet
+      assert(m == Set(0L, 1L, 2L, 3L), s"new ${100 + i}: $m")
+    }
+    assert(!byNew.contains(200L), "unrelated new doc matched")
+    assert(pairs.forall(_.getInt(2) == 0)) // identical docs → hamming 0
+  }
+
   test("hot-cell multi-flood: sub-bucketed degrade catches every flood, not just min-id's") {
     import spark.implicits._
     // one k-means cell, three populations: a LOW-ID outlier (id 0,
