@@ -69,22 +69,40 @@ object IndexExpressions {
     * make training optimize against a different quantizer than queries
     * use. */
   private[graft] def pqEncode(cbs: Array[Array[Array[Double]]],
-      v: ArrayData, roundDp: Int): Array[Int] = {
+      v: ArrayData, roundDp: Int): Array[Int] =
+    pqEncodeImpl(cbs, v.numElements(), v.getDouble, roundDp)
+
+  /** [[pqEncode]] over a plain Array — the OPQ-training hot loop calls
+    * this per corpus row per iteration, so it must not pay an
+    * UnsafeArrayData copy just to satisfy the ArrayData signature. */
+  private[graft] def pqEncode(cbs: Array[Array[Array[Double]]],
+      v: Array[Double], roundDp: Int): Array[Int] =
+    pqEncodeImpl(cbs, v.length, v(_), roundDp)
+
+  // Int => Double is @specialized, so the accessor indirection costs a
+  // (bimorphic) call, not boxing; both public forms reduce through THIS
+  // loop — one argmin implementation, one set of rounding/tie rules.
+  private def pqEncodeImpl(cbs: Array[Array[Array[Double]]],
+      n: Int, elem: Int => Double, roundDp: Int): Array[Int] = {
     val dsub = cbs(0)(0).length
     val out = new Array[Int](cbs.length)
     var s = 0
     while (s < cbs.length) {
       val cb = cbs(s)
       val off = s * dsub
-      // clamp to the elements that exist: an unclamped getDouble past
-      // numElements reads garbage bytes
-      val len = math.min(dsub, math.max(0, v.numElements() - off))
+      // clamp to the elements that exist: an unclamped read past the
+      // array end reads garbage bytes (ArrayData) or throws (Array)
+      val len = math.min(dsub, math.max(0, n - off))
       var best = 0
       var bestD = Double.MaxValue
       var c = 0
       while (c < cb.length) {
-        val d = roundTo(roundDp, sqDistFrom(v, off, cb(c), len))
-        if (d < bestD) { bestD = d; best = c }
+        val cw = cb(c)
+        var d = 0.0
+        var i = 0
+        while (i < len) { val t = elem(off + i) - cw(i); d += t * t; i += 1 }
+        val rd = roundTo(roundDp, d)
+        if (rd < bestD) { bestD = rd; best = c }
         c += 1
       }
       out(s) = best

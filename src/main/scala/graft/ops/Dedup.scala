@@ -548,10 +548,16 @@ object Dedup {
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
     import graft.functions.ArrayMath
     require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
-    // 8-bit seedless sign key; the plane family tolerates any dim up to
-    // the oversized plane length (projection folds the common prefix)
+    // 8-bit seedless sign key at planeOffset 32: callers commonly pass a
+    // seedless lshBucket as bucketCol (q65 does), and the seedless family
+    // depends only on (i, j + offset) — offset 0 would make the sub-key
+    // bits a SUBSET of such a bucket key's bits (constant within every
+    // bucket ⇒ the degrade silently reverts to one cell-wide star).
+    // Offset 32 is disjoint from any offset-0 bucketCol (nBits ≤ 32).
+    // The plane family tolerates any dim up to the oversized plane
+    // length (projection folds the common prefix).
     val subKey = graft.ops.Similarity.lshBucket(
-      col("__v"), dim = 4096, nBits = 8)
+      col("__v"), dim = 4096, nBits = 8, planeOffset = 32)
     val wb = Window.partitionBy("__bk")
     val ws = Window.partitionBy("__bk", "__sb")
     // each row's norm is computed ONCE here: the pair join below touches
@@ -573,9 +579,14 @@ object Dedup {
       .withColumn("__scnt", count(lit(1)).over(ws))
       .withColumn("__repid", min(col("__id")).over(ws))
       .persist(MEMORY_AND_DISK)
-    // zero-norm guard: a bare ANSI `/` would throw on 0/0 where the
-    // fused cosine yielded NaN; the when() yields null instead, and the
-    // threshold filter drops null exactly as it dropped NaN
+    // zero-norm guard: a bare ANSI `/` would throw on 0/0; the when()
+    // yields null, which the threshold filter DROPS. This is a
+    // deliberate behavior change from the fused-cosine form, whose NaN
+    // compared GREATER than the threshold (Spark nanSafeCompare) and so
+    // emitted pairs for two zero-norm vectors sharing a bucket — the
+    // null path matches the DuckDB oracles (0/0 → NULL, dropped) and
+    // the "a zero vector is similar to nothing" semantics every ranker
+    // here uses.
     def cosOf(dot: Column, na: Column, nb: Column): Column =
       round(when(na * nb =!= 0.0, dot / (na * nb)), roundDp)
     val small = marked.filter(col("__scnt") <= maxBucket)
@@ -689,15 +700,24 @@ object Dedup {
       col(vecCol).cast("array<double>"), centroids, roundDp)
     val n = newDf.select(col(idCol).as("__nid"),
       col(vecCol).cast("array<double>").as("__nv"), cell.as("__cell")).as("n")
+    // same disjoint plane family as cosineNearDups' sub-key (offset 32);
+    // computed only for rows in cells ABOVE the cap — in a cell at or
+    // under maxBucket no (cell, sb) group can exceed the cap either, so
+    // the retained set is provably identical and the 8-projection key
+    // would be pure waste on the (100 TB-scale) reference corpus. Both
+    // windows cluster by __cell, so the gate count shares one exchange.
     val subKey = graft.ops.Similarity.lshBucket(
-      col("__rv"), dim = 4096, nBits = 8)
+      col("__rv"), dim = 4096, nBits = 8, planeOffset = 32)
+    val wc = Window.partitionBy("__cell")
     val wr = Window.partitionBy("__cell", "__sb").orderBy("__rid")
     val r = refDf.select(col(idCol).as("__rid"),
         col(vecCol).cast("array<double>").as("__rv"), cell.as("__cell"))
-      .withColumn("__sb", subKey)
+      .withColumn("__ccnt", count(lit(1)).over(wc))
+      .withColumn("__sb",
+        when(col("__ccnt") > maxBucket, subKey).otherwise(lit(-1)))
       .withColumn("__rn", row_number().over(wr))
       .filter(col("__rn") <= maxBucket)
-      .drop("__rn", "__sb").as("r")
+      .drop("__rn", "__sb", "__ccnt").as("r")
     n.join(r, col("n.__cell") === col("r.__cell"))
       .select(col("__nid").as("new_id"), col("__rid").as("ref_id"),
         round(cosineSim(col("__nv"), col("__rv")), roundDp).as("cos"))

@@ -770,10 +770,17 @@ object Similarity {
     *
     * Returns (rotation, codebooks) trained AS A PAIR — the final
     * codebooks are fit to the final rotation (the loop ends on (a), not
-    * (b), so the pair is never stale). Deterministic for a fixed seed. */
+    * (b), so the pair is never stale). Deterministic for a fixed seed.
+    *
+    * Pass the SAME `roundDp` you will query with ([[opqTopK]]'s): the
+    * reconstruction step encodes through the shared quantizer at this
+    * roundDp, so training optimizes against exactly the codes the query
+    * path will assign (a near-tie subspace can encode differently under
+    * rounded vs unrounded argmin). */
   def trainOpqRotation(
       corpus: DataFrame, vecCol: String, dim: Int, m: Int, ksub: Int,
-      iters: Int = 5, opqIters: Int = 3, seed: Long = 42L)
+      iters: Int = 5, opqIters: Int = 3, seed: Long = 42L,
+      roundDp: Int = -1)
       : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
     require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
     require(opqIters >= 1, s"opqIters must be >= 1, got $opqIters")
@@ -784,9 +791,10 @@ object Similarity {
       var cbs: Array[Array[Array[Double]]] = null
       var it = 0
       while (it < opqIters) {
-        val rotated = raw.select(rotateVec(col("__v"), rot).as("__rv"))
+        val rotated = raw.select(rotateVec(col("__v"), rot, roundDp).as("__rv"))
         cbs = trainPqCodebooks(rotated, "__rv", dim, m, ksub, iters, seed)
-        if (it < opqIters - 1) rot = procrustes(correlation(raw, rot, cbs, dim))
+        if (it < opqIters - 1)
+          rot = procrustes(correlation(raw, rot, cbs, dim, roundDp))
         it += 1
       }
       (rot, cbs)
@@ -813,14 +821,16 @@ object Similarity {
   /** The OPQ correlation M = Σ xᵢ·yᵢᵀ (x = raw row, y = quantized
     * reconstruction of R·x): one treeAggregate with O(d²) state. */
   private def correlation(raw: DataFrame, rot: Array[Array[Double]],
-      cbs: Array[Array[Array[Double]]], dim: Int): Array[Array[Double]] = {
+      cbs: Array[Array[Array[Double]]], dim: Int,
+      roundDp: Int): Array[Array[Double]] = {
     val sc = raw.sparkSession.sparkContext
     val bcR = sc.broadcast(rot)
     val bcB = sc.broadcast(cbs)
     val flat = raw.rdd.map(_.getSeq[Double](0).toArray)
       .treeAggregate(Array.ofDim[Double](dim * dim))(
         (acc, x) => {
-          val y = reconstructRotated(bcB.value, applyRotation(bcR.value, x))
+          val y = reconstructRotated(bcB.value,
+            applyRotation(bcR.value, x), roundDp)
           var i = 0
           while (i < dim && i < x.length) {
             val xi = x(i); var j = 0
@@ -851,12 +861,12 @@ object Similarity {
   /** Quantized reconstruction in rotated space: encode through the SAME
     * quantizer the query path uses ([[graft.functions.IndexExpressions
     * .pqEncode]] — one argmin implementation, shared so training cannot
-    * diverge from [[opqTopK]]'s codes), then place each codeword. */
+    * diverge from [[opqTopK]]'s codes — at the caller's `roundDp`, via
+    * the Array overload: no per-row ArrayData copy in the hot loop),
+    * then place each codeword. */
   private def reconstructRotated(cbs: Array[Array[Array[Double]]],
-      rx: Array[Double]): Array[Double] = {
-    val codes = graft.functions.IndexExpressions.pqEncode(cbs,
-      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-        .fromPrimitiveArray(rx), -1)
+      rx: Array[Double], roundDp: Int): Array[Double] = {
+    val codes = graft.functions.IndexExpressions.pqEncode(cbs, rx, roundDp)
     val dsub = cbs(0)(0).length
     val out = new Array[Double](rx.length)
     var s = 0

@@ -490,9 +490,9 @@ object SimilarityQueries {
     // on the shared q66/q104 centroids. maxBucket pinned to 1 so the
     // cell-aware reference cap — ONE lowest-id ref row per (cell, 8-bit
     // LSH sub-bucket) — binds on every (cell, sb) collision in the 200
-    // reference rows, oracle-checking both the sub-bucket computation
-    // (the q65 sin-plane replay at 8 bits) and the cap, not just the
-    // cell join.
+    // reference rows, oracle-checking the hot-cell gate, the sub-bucket
+    // computation (sin planes at offset 32 — disjoint from any offset-0
+    // bucket family), and the cap, not just the cell join.
     Q("q109_semdedup_against",
       (s, dir) => {
         val e = tbl(s, dir, "embeddings")
@@ -516,19 +516,22 @@ object SimilarityQueries {
             FROM dist) WHERE rn = 1),
         ev AS (SELECT e.vec_id, v, cell FROM e JOIN cellass ON e.vec_id = cellass.vec_id),
         n AS (SELECT * FROM ev WHERE vec_id >= 200),
-        r0 AS (SELECT * FROM ev WHERE vec_id < 200),
+        r0 AS (SELECT ev.*, COUNT(*) OVER (PARTITION BY cell) AS ccnt
+          FROM ev WHERE vec_id < 200),
         sbp AS (
           SELECT vec_id, j,
             ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(0, 64),
-              i -> v[i+1] * SIN(i * 131.0 + j * 523.0))), 6) AS p
+              i -> v[i+1] * SIN(i * 131.0 + (j + 32) * 523.0))), 6) AS p
           FROM r0, UNNEST(RANGE(0, 8)) AS tj(j)),
         sb AS (
           SELECT vec_id,
             SUM(CASE WHEN p > 0 THEN CAST(POWER(2, j) AS BIGINT) ELSE 0 END) AS sb
           FROM sbp GROUP BY vec_id),
         refcap AS (SELECT vec_id, v, cell FROM (
-            SELECT r0.vec_id, v, cell, sb.sb,
-              ROW_NUMBER() OVER (PARTITION BY cell, sb.sb ORDER BY r0.vec_id) AS rn
+            SELECT r0.vec_id, v, cell,
+              ROW_NUMBER() OVER (PARTITION BY cell,
+                CASE WHEN r0.ccnt > 1 THEN sb.sb ELSE -1 END
+                ORDER BY r0.vec_id) AS rn
             FROM r0 JOIN sb ON r0.vec_id = sb.vec_id) WHERE rn <= 1),
         scored AS (
           SELECT n.vec_id AS new_id, refcap.vec_id AS ref_id,
