@@ -168,6 +168,51 @@ object Dedup {
       .distinct()
   }
 
+  /** Persist a corpus's banded MinHash signatures as an (id, band,
+    * bucket) parquet table — the index-build step of the incremental
+    * path (the [[graft.ops.Similarity.pqEncode]] pattern for text): a
+    * production pipeline shingles + hashes the reference corpus ONCE,
+    * then each daily batch joins [[minhashCandidatesAgainstBands]]
+    * against the table and never re-reads the reference TEXT. Same
+    * banding, sentinel, and width rules as [[minhashCandidates]]. */
+  def writeBandedSignatures(df: DataFrame, idCol: String, textCol: String,
+      path: String, bands: Int = 4, numHashes: Int = 8): Unit = {
+    require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
+    require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
+      s"bands must tile the $numHashes-hash signature exactly, got $bands")
+    banded(df, idCol, textCol, bands, numHashes)
+      .select(col("__id").as(idCol), col("__band").as("band"),
+        col("__bucket").as("bucket"))
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** [[minhashCandidatesAgainst]] against an already-banded reference
+    * table (a [[writeBandedSignatures]] output read back): identical
+    * pairs, zero reference-text reads — only the NEW batch shingles.
+    * `bandsDf` must carry (idCol, band, bucket) at the SAME bands/
+    * numHashes the new side uses (different widths silently produce
+    * disjoint buckets = zero candidates, so match them). */
+  def minhashCandidatesAgainstBands(
+      newDf: DataFrame, bandsDf: DataFrame, idCol: String, textCol: String,
+      bands: Int = 4, numHashes: Int = 8,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
+    require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
+      s"bands must tile the $numHashes-hash signature exactly, got $bands")
+    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
+    val n = banded(newDf, idCol, textCol, bands, numHashes).as("n")
+    val wr = Window.partitionBy("__band", "__bucket").orderBy("__id")
+    val r = bandsDf.select(col(idCol).as("__id"),
+        col("band").as("__band"), col("bucket").as("__bucket"))
+      .withColumn("__rn", row_number().over(wr))
+      .filter(col("__rn") <= maxBucket)
+      .drop("__rn").as("r")
+    n.join(r, col("n.__band") === col("r.__band")
+        && col("n.__bucket") === col("r.__bucket"))
+      .select(col("n.__id").as("new_id"), col("r.__id").as("ref_id"))
+      .distinct()
+  }
+
   /** Shared banded-signature frame: ONE native-MinHashSig projection (an
     * explode fan-out, not a union of per-band selects that would re-plan
     * the scan + shingle hashing per band), with the short-doc sentinel

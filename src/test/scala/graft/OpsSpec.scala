@@ -498,6 +498,22 @@ class OpsSpec extends AnyFunSuite {
     assert(kept == Set(0L, 100L), kept.toString)
   }
 
+  test("persisted banded signatures reproduce minhashCandidatesAgainst (build-once path)") {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val ref = docs.filter(col("doc_id") < 400)
+    val nw = docs.filter(col("doc_id") >= 400)
+    val dir = java.nio.file.Files.createTempDirectory("mh_bands").toString
+    Dedup.writeBandedSignatures(ref, "doc_id", "text", dir)
+    val bandsDf = spark.read.parquet(dir)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val onBands = pairs(Dedup.minhashCandidatesAgainstBands(
+      nw, bandsDf, "doc_id", "text", maxBucket = 2))
+    val direct = pairs(Dedup.minhashCandidatesAgainst(
+      nw, ref, "doc_id", "text", maxBucket = 2))
+    assert(onBands == direct && onBands.nonEmpty, s"${onBands.size} pairs")
+  }
+
   test("incremental simhash: reference flood capped, every new doc still matched") {
     import spark.implicits._
     val text = "graft spark dedup engine builds banded simhash fingerprints quickly"
