@@ -1,0 +1,87 @@
+package graft.examples
+
+import graft.ops.{Dedup, Similarity}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Runnable tour of the DAILY-INGEST surface: a production pipeline
+  * rarely deduplicates from scratch — it holds a curated reference
+  * corpus plus build-once index artifacts, and each incoming batch is
+  * checked against them. This example builds the reference artifacts
+  * (banded MinHash signature table, IVF centroid table) once, then runs
+  * a new batch through the full incremental family:
+  *
+  *   1. exact      — [[Dedup.exactMatchesAgainst]] (bloom-eligible semi-join)
+  *   2. MinHash    — [[Dedup.minhashCandidatesAgainstBands]] against the
+  *                   PERSISTED signature table (zero reference-text reads)
+  *   3. SimHash    — [[Dedup.simhashNearDupsAgainst]] (hamming bands)
+  *   4. semantic   — [[Dedup.semDedupAgainst]] (shared broadcast
+  *                   centroids, per-(cell, sub-bucket) reference cap)
+  *
+  * and anti-joins the flagged ids out — the admit/reject decision a
+  * curation loop makes per batch. Every step's reference side is capped
+  * asymmetrically (a reference boilerplate flood cannot multiply the
+  * batch) while the NEW side is never capped (every incoming row gets
+  * its verdict).
+  *
+  * Run: sbt "runMain graft.examples.IncrementalIngest [sfDir]"
+  */
+object IncrementalIngest {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-incremental-ingest")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // reference = the curated corpus on disk; batch = today's crawl
+    val refDocs = docs.filter(col("doc_id") < 400)
+    val batchDocs = docs.filter(col("doc_id") >= 400)
+    val refEmb = emb.filter(col("vec_id") < 400)
+    val batchEmb = emb.filter(col("vec_id") >= 400)
+
+    // ---- index build (once per reference corpus, not per batch) ----
+    val tmp = java.nio.file.Files.createTempDirectory("ingest_idx").toString
+    Dedup.writeBandedSignatures(refDocs, "doc_id", "text", s"$tmp/mh_bands")
+    val cents = Similarity.trainIvfCentroids(refEmb, "embedding",
+      kCells = 8, iters = 3, seed = 11L)
+    Similarity.saveCentroids(spark, cents, s"$tmp/centroids")
+    println(s"[ingest] built reference artifacts under $tmp")
+
+    // ---- per-batch checks ----
+    val exactIds = Dedup.exactMatchesAgainst(batchDocs, refDocs,
+      "doc_id", Seq("text"))
+    println(s"[ingest] exact duplicates of reference: ${exactIds.count()}")
+
+    val bands = spark.read.parquet(s"$tmp/mh_bands")
+    val mhPairs = Dedup.minhashCandidatesAgainstBands(batchDocs, bands,
+      "doc_id", "text")
+    println(s"[ingest] minhash candidates vs signature table: ${mhPairs.count()}")
+
+    val shPairs = Dedup.simhashNearDupsAgainst(batchDocs, refDocs,
+      "doc_id", "text", maxHamming = 3)
+    println(s"[ingest] simhash near-dups (hamming <= 3): ${shPairs.count()}")
+
+    val loaded = Similarity.loadCentroids(spark, s"$tmp/centroids")
+    val semPairs = Dedup.semDedupAgainst(batchEmb, refEmb,
+      "vec_id", "embedding", loaded, threshold = 0.3, roundDp = 6)
+    println(s"[ingest] semantic near-dups (cos >= 0.3): ${semPairs.count()}")
+
+    // ---- admit decision: drop any batch doc flagged by a text check,
+    // any batch embedding flagged semantically ----
+    val flaggedDocs = exactIds
+      .union(mhPairs.select(col("new_id").as("doc_id")))
+      .union(shPairs.select(col("new_id").as("doc_id")))
+      .distinct()
+    val admitted = batchDocs.join(flaggedDocs, Seq("doc_id"), "left_anti")
+    println(s"[ingest] admitted ${admitted.count()} of ${batchDocs.count()} " +
+      s"batch docs (${flaggedDocs.count()} flagged)")
+
+    spark.stop()
+  }
+}
