@@ -23,9 +23,10 @@ import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
   * floods they all verify against the representative anyway).
   *
   * Cache lifecycle: the banded/pair operators ([[minhashCandidates]],
-  * [[simhashNearDups]], [[jaccardVerify]]) persist compact intermediate
-  * frames (band keys / id pairs — never corpus text) so a multi-consumer
-  * pipeline evaluates each signature once. Those entries live in the
+  * [[simhashNearDups]], [[jaccardVerify]], [[cosineNearDups]]) persist
+  * compact intermediate frames (band keys / id pairs / id+vector+bucket
+  * scalars — never corpus text) so a multi-consumer pipeline evaluates
+  * each signature once. Those entries live in the
   * session cache manager until released: a long-lived session that runs
   * many dedup pipelines should call `spark.catalog.clearCache()` between
   * them (or unpersist the returned frame's cached ancestors via
