@@ -53,31 +53,40 @@ object IncrementalIngest {
     Similarity.saveCentroids(spark, cents, s"$tmp/centroids")
     println(s"[ingest] built reference artifacts under $tmp")
 
-    // ---- per-batch checks ----
+    // ---- per-batch checks. Each pair frame is persisted: it feeds its
+    // own count AND the flagged-id union below, and without the persist
+    // each downstream action would re-run the full shingling/banding/
+    // fingerprinting pipeline (the multi-consumer contract the Dedup
+    // object doc spells out) ----
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val exactIds = Dedup.exactMatchesAgainst(batchDocs, refDocs,
-      "doc_id", Seq("text"))
+      "doc_id", Seq("text")).persist(MEMORY_AND_DISK)
     println(s"[ingest] exact duplicates of reference: ${exactIds.count()}")
 
     val bands = spark.read.parquet(s"$tmp/mh_bands")
     val mhPairs = Dedup.minhashCandidatesAgainstBands(batchDocs, bands,
-      "doc_id", "text")
+      "doc_id", "text").persist(MEMORY_AND_DISK)
     println(s"[ingest] minhash candidates vs signature table: ${mhPairs.count()}")
 
     val shPairs = Dedup.simhashNearDupsAgainst(batchDocs, refDocs,
-      "doc_id", "text", maxHamming = 3)
+      "doc_id", "text", maxHamming = 3).persist(MEMORY_AND_DISK)
     println(s"[ingest] simhash near-dups (hamming <= 3): ${shPairs.count()}")
 
     val loaded = Similarity.loadCentroids(spark, s"$tmp/centroids")
     val semPairs = Dedup.semDedupAgainst(batchEmb, refEmb,
       "vec_id", "embedding", loaded, threshold = 0.3, roundDp = 6)
+      .persist(MEMORY_AND_DISK)
     println(s"[ingest] semantic near-dups (cos >= 0.3): ${semPairs.count()}")
 
-    // ---- admit decision: drop any batch doc flagged by a text check,
-    // any batch embedding flagged semantically ----
+    // ---- admit decision: drop any batch doc flagged by a text check
+    // OR whose embedding was flagged semantically (vec_id keys the same
+    // documents in this corpus) ----
     val flaggedDocs = exactIds
       .union(mhPairs.select(col("new_id").as("doc_id")))
       .union(shPairs.select(col("new_id").as("doc_id")))
+      .union(semPairs.select(col("new_id").as("doc_id")))
       .distinct()
+      .persist(MEMORY_AND_DISK)
     val admitted = batchDocs.join(flaggedDocs, Seq("doc_id"), "left_anti")
     println(s"[ingest] admitted ${admitted.count()} of ${batchDocs.count()} " +
       s"batch docs (${flaggedDocs.count()} flagged)")

@@ -153,20 +153,12 @@ object Dedup {
       newDf: DataFrame, refDf: DataFrame, idCol: String, textCol: String,
       bands: Int = 4, numHashes: Int = 8,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
-    require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
-      s"bands must tile the $numHashes-hash signature exactly, got $bands")
+    requireBandWidths(bands, numHashes)
     require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
-    val n = banded(newDf, idCol, textCol, bands, numHashes).as("n")
-    val wr = Window.partitionBy("__band", "__bucket").orderBy("__id")
-    val r = banded(refDf, idCol, textCol, bands, numHashes)
-      .withColumn("__rn", row_number().over(wr))
-      .filter(col("__rn") <= maxBucket)
-      .drop("__rn").as("r")
-    n.join(r, col("n.__band") === col("r.__band")
-        && col("n.__bucket") === col("r.__bucket"))
-      .select(col("n.__id").as("new_id"), col("r.__id").as("ref_id"))
-      .distinct()
+    candidatesAgainstBanded(
+      banded(newDf, idCol, textCol, bands, numHashes),
+      banded(refDf, idCol, textCol, bands, numHashes),
+      maxBucket)
   }
 
   /** Persist a corpus's banded MinHash signatures as an (id, band,
@@ -178,33 +170,65 @@ object Dedup {
     * banding, sentinel, and width rules as [[minhashCandidates]]. */
   def writeBandedSignatures(df: DataFrame, idCol: String, textCol: String,
       path: String, bands: Int = 4, numHashes: Int = 8): Unit = {
-    require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
-    require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
-      s"bands must tile the $numHashes-hash signature exactly, got $bands")
+    requireBandWidths(bands, numHashes)
+    // bands/num_hashes ride along as constant columns (RLE — free in
+    // parquet) so the reader can FAIL FAST on a width mismatch instead
+    // of silently joining disjoint bucket strings to zero candidates
     banded(df, idCol, textCol, bands, numHashes)
       .select(col("__id").as(idCol), col("__band").as("band"),
-        col("__bucket").as("bucket"))
+        col("__bucket").as("bucket"),
+        lit(bands).as("bands"), lit(numHashes).as("num_hashes"))
       .write.mode("overwrite").parquet(path)
   }
 
   /** [[minhashCandidatesAgainst]] against an already-banded reference
     * table (a [[writeBandedSignatures]] output read back): identical
     * pairs, zero reference-text reads — only the NEW batch shingles.
-    * `bandsDf` must carry (idCol, band, bucket) at the SAME bands/
-    * numHashes the new side uses (different widths silently produce
-    * disjoint buckets = zero candidates, so match them). */
+    * The table's recorded bands/num_hashes must match the reader's
+    * (validated against one row — different widths would silently
+    * produce disjoint buckets = zero candidates for every batch). */
   def minhashCandidatesAgainstBands(
       newDf: DataFrame, bandsDf: DataFrame, idCol: String, textCol: String,
       bands: Int = 4, numHashes: Int = 8,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    requireBandWidths(bands, numHashes)
+    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
+    require(bandsDf.columns.contains("bands") &&
+      bandsDf.columns.contains("num_hashes"),
+      "bandsDf is not a writeBandedSignatures table (bands/num_hashes " +
+        "columns missing) — rebuild it, or band the reference yourself " +
+        "and call minhashCandidatesAgainst")
+    // one-row eager probe (the loadCentroids/loadCodebooks loader
+    // precedent): an empty table validates trivially (zero candidates)
+    bandsDf.select(col("bands").cast("int"), col("num_hashes").cast("int"))
+      .head(1).foreach { r =>
+        require(r.getInt(0) == bands && r.getInt(1) == numHashes,
+          s"bands table was written at bands=${r.getInt(0)}/" +
+            s"numHashes=${r.getInt(1)}, caller passed $bands/$numHashes — " +
+            "mismatched widths never collide (zero candidates)")
+      }
+    candidatesAgainstBanded(
+      banded(newDf, idCol, textCol, bands, numHashes),
+      bandsDf.select(col(idCol).as("__id"),
+        col("band").as("__band"), col("bucket").as("__bucket")),
+      maxBucket)
+  }
+
+  private def requireBandWidths(bands: Int, numHashes: Int): Unit = {
     require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
     require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
       s"bands must tile the $numHashes-hash signature exactly, got $bands")
-    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
-    val n = banded(newDf, idCol, textCol, bands, numHashes).as("n")
+  }
+
+  /** Shared core of the incremental MinHash joins: asymmetric reference
+    * cap (lowest `maxBucket` ids per (band, bucket); the NEW side never
+    * caps), band-bucket equi-join, distinct (new_id, ref_id). BOTH
+    * public forms reduce through this — one copy of the cap semantics. */
+  private def candidatesAgainstBanded(nBanded: DataFrame,
+      rBanded: DataFrame, maxBucket: Int): DataFrame = {
+    val n = nBanded.as("n")
     val wr = Window.partitionBy("__band", "__bucket").orderBy("__id")
-    val r = bandsDf.select(col(idCol).as("__id"),
-        col("band").as("__band"), col("bucket").as("__bucket"))
+    val r = rBanded
       .withColumn("__rn", row_number().over(wr))
       .filter(col("__rn") <= maxBucket)
       .drop("__rn").as("r")

@@ -512,6 +512,19 @@ class OpsSpec extends AnyFunSuite {
     val direct = pairs(Dedup.minhashCandidatesAgainst(
       nw, ref, "doc_id", "text", maxBucket = 2))
     assert(onBands == direct && onBands.nonEmpty, s"${onBands.size} pairs")
+    // width mismatch fails fast instead of silently joining disjoint
+    // bucket strings to zero candidates
+    val err = intercept[IllegalArgumentException] {
+      Dedup.minhashCandidatesAgainstBands(nw, bandsDf, "doc_id", "text",
+        bands = 4, numHashes = 16)
+    }
+    assert(err.getMessage.contains("mismatched widths"), err.getMessage)
+    // a frame that is not a writeBandedSignatures table is rejected
+    val err2 = intercept[IllegalArgumentException] {
+      Dedup.minhashCandidatesAgainstBands(nw,
+        bandsDf.drop("bands", "num_hashes"), "doc_id", "text")
+    }
+    assert(err2.getMessage.contains("writeBandedSignatures"), err2.getMessage)
   }
 
   test("incremental simhash: reference flood capped, every new doc still matched") {

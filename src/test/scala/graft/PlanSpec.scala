@@ -285,22 +285,25 @@ class PlanSpec extends AnyFunSuite {
 
   test("q65 cosine near-dup plan: one scan behind the cached frame, one window exchange") {
     val df = Queries.byName("q65_cosine_neardup").spark(spark, TestSpark.sf0001)
-    df.collect()
-    val plan = df.queryExecution.executedPlan
-    // the marked frame is persisted and feeds every branch (all-pairs
-    // sides + hot-star legs): the embeddings parquet must be scanned
-    // exactly once UNDER the cache, and the two windows — partitionBy
-    // (bk) and (bk, sb) — must share ONE exchange (hash(bk) satisfies
-    // (bk, sb) clustering), so the cached plan carries a single shuffle
-    val inMem = collectInMem(plan)
-    assert(inMem.nonEmpty, "marked frame must be cached")
-    val cached = inMem.head.relation.cachedPlan
-    assert(countScans(cached) == 1,
-      s"${countScans(cached)} scans under the cache, expected 1")
-    assert(countShuffles(cached) == 1,
-      s"${countShuffles(cached)} shuffles under the cache — the two " +
-        "windows must share one exchange")
-    spark.catalog.clearCache() // don't leak the band cache to other specs
+    try {
+      df.collect()
+      val plan = df.queryExecution.executedPlan
+      // the marked frame is persisted and feeds every branch (all-pairs
+      // sides + hot-star legs): the embeddings parquet must be scanned
+      // exactly once UNDER the cache, and the two windows — partitionBy
+      // (bk) and (bk, sb) — must share ONE exchange (hash(bk) satisfies
+      // (bk, sb) clustering), so the cached plan carries a single shuffle
+      val inMem = collectInMem(plan)
+      assert(inMem.nonEmpty, "marked frame must be cached")
+      val cached = inMem.head.relation.cachedPlan
+      assert(countScans(cached) == 1,
+        s"${countScans(cached)} scans under the cache, expected 1")
+      assert(countShuffles(cached) == 1,
+        s"${countShuffles(cached)} shuffles under the cache — the two " +
+          "windows must share one exchange")
+    } finally {
+      spark.catalog.clearCache() // never leak the band cache to other specs
+    }
   }
 
   test("q106 cosine decontamination: ONE corpus scan, broadcast semi-join") {
