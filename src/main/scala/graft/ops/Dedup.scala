@@ -461,9 +461,27 @@ object Dedup {
     * pathological chain-shaped corpora. The fixpoint is unique, hence
     * deterministic under any execution order. Returns (node, cluster),
     * persisted and materialized — callers may `.unpersist()` it when
-    * done. */
+    * done.
+    *
+    * Bounded local endgame: when the symmetrized edge set has at most
+    * `localEdgeThreshold` rows, labels are computed with a driver-side
+    * union-find instead of the job loop. Each distributed round pays a
+    * fixed scheduling latency (two shuffles + a probe action) that
+    * dwarfs the actual work below driver scale, and near-dup pair
+    * graphs are orders of magnitude smaller than their corpora — small
+    * enough that production dedup pipelines build their clusters on a
+    * single machine outright (Lee et al. 2021, arXiv:2107.06499, §3).
+    * The threshold bounds driver memory (at most `localEdgeThreshold`
+    * two-id rows are ever collected; the default ~1M edges is tens of
+    * MB); above it the distributed loop runs unchanged, so a 100 TB
+    * corpus whose pair graph outgrows the driver degrades to the
+    * scalable path, not to an OOM. Both paths compute the same unique
+    * fixpoint — min reachable id per node — and a spec pins their
+    * equivalence. `localEdgeThreshold = 0` forces the distributed
+    * loop. */
   def clusterPairs(pairs: DataFrame, idCol1: String = "id1",
-      idCol2: String = "id2", maxIter: Int = 25): DataFrame = {
+      idCol2: String = "id2", maxIter: Int = 25,
+      localEdgeThreshold: Long = 1000000L): DataFrame = {
     import org.apache.spark.sql.graftbridge.PlanBridge.truncateLineage
     // the exact convergence probe below sums labels in decimal — that is
     // only sound for NUMERIC ids (string labels cast to null, the sum
@@ -481,6 +499,57 @@ object Dedup {
       .union(pairs.select(col(idCol2).as("a"), col(idCol1).as("b")))
       .distinct()
       .persist(MEMORY_AND_DISK)
+    // the count both materializes the cache and routes small graphs to
+    // the local endgame (see scaladoc); the distributed seed below reads
+    // the already-cached edges, so the extra job is one cache scan
+    val edgeCount = edgesCache.count()
+    if (edgeCount <= localEdgeThreshold) {
+      val idType = edgesCache.schema("a").dataType
+      val rows = edgesCache.collect()
+      edgesCache.unpersist(false)
+      // index-compress ids, then union-find with path halving. All
+      // values of one Spark NumericType share a runtime class, so
+      // Comparable ordering is safe and agrees with least()/min().
+      val idx = new java.util.HashMap[Any, Integer]()
+      val vals = scala.collection.mutable.ArrayBuffer.empty[Any]
+      val parent = scala.collection.mutable.ArrayBuffer.empty[Int]
+      def ix(v: Any): Int = {
+        val got = idx.get(v)
+        if (got != null) got.intValue
+        else {
+          idx.put(v, Integer.valueOf(vals.length))
+          vals += v; parent += parent.length; vals.length - 1
+        }
+      }
+      def find(x0: Int): Int = {
+        var x = x0
+        while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+        x
+      }
+      var i = 0
+      while (i < rows.length) {
+        val ra = find(ix(rows(i).get(0)))
+        val rb = find(ix(rows(i).get(1)))
+        if (ra != rb) parent(rb) = ra
+        i += 1
+      }
+      def lt(x: Any, y: Any): Boolean =
+        x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+      val minOf = new java.util.HashMap[Integer, Any]()
+      for (j <- vals.indices) {
+        val r = Integer.valueOf(find(j))
+        val cur = minOf.get(r)
+        if (cur == null || lt(vals(j), cur)) minOf.put(r, vals(j))
+      }
+      val out = new java.util.ArrayList[org.apache.spark.sql.Row](vals.length)
+      for (j <- vals.indices)
+        out.add(org.apache.spark.sql.Row(
+          vals(j), minOf.get(Integer.valueOf(find(j)))))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node", idType),
+        org.apache.spark.sql.types.StructField("cluster", idType)))
+      return pairs.sparkSession.createDataFrame(out, schema)
+    }
     // Convergence probe: per-node labels are MONOTONICALLY non-increasing
     // (each round takes min(own, offers)), so the label table changed iff
     // its total label sum changed. Summing in decimal(38,0) is exact for
@@ -572,8 +641,10 @@ object Dedup {
     * the same contract as the banded candidate frames (object doc). */
   def keepOnePerCluster(df: DataFrame, idCol: String, pairs: DataFrame,
       idCol1: String = "id1", idCol2: String = "id2",
-      maxIter: Int = 25): DataFrame = {
-    val drops = clusterPairs(pairs, idCol1, idCol2, maxIter)
+      maxIter: Int = 25,
+      localEdgeThreshold: Long = 1000000L): DataFrame = {
+    val drops = clusterPairs(pairs, idCol1, idCol2, maxIter,
+      localEdgeThreshold)
       .filter(col("node") =!= col("cluster"))
       .select(col("node").as(idCol))
     df.join(drops, Seq(idCol), "left_anti")

@@ -86,15 +86,34 @@ class JobCountSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     val jobs = try countJobs {
-      val out = graft.ops.Dedup.clusterPairs(pairs)
+      // localEdgeThreshold=0 forces the distributed loop — this spec pins
+      // the per-round job contract of the at-scale path
+      val out = graft.ops.Dedup.clusterPairs(pairs, localEdgeThreshold = 0L)
       assert(out.collect().forall(_.getLong(1) == 1L))
       out.unpersist()
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcWas)
     }
-    // 1 init + 2 rounds + 1 final collect (reads the cache)
-    assert(jobs <= 4, s"jobs=$jobs, expected ≤ 4 (1 init + 2 rounds + 1 read)")
+    // 1 edge count + 1 init + 2 rounds + 1 final collect (reads the cache)
+    assert(jobs <= 5,
+      s"jobs=$jobs, expected ≤ 5 (1 count + 1 init + 2 rounds + 1 read)")
+  }
+
+  test("clusterPairs local endgame: constant jobs, no round loop") {
+    import spark.implicits._
+    // a 64-link chain — the distributed loop would need ~7 pointer-jump
+    // rounds; the local union-find path pays two jobs total (edge
+    // count + collect) regardless of diameter, and the returned local
+    // relation collects without launching any
+    val pairs = (1L until 64L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val jobs = try countJobs {
+      val out = graft.ops.Dedup.clusterPairs(pairs)
+      assert(out.collect().forall(_.getLong(1) == 1L))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    assert(jobs <= 3, s"jobs=$jobs, expected ≤ 3 (edge count + collect)")
   }
 
   test("empty input raises a clear error") {

@@ -214,6 +214,32 @@ class OpsSpec extends AnyFunSuite {
     val noPairs = Seq.empty[(Long, Long)].toDF("id1", "id2")
     assert(Dedup.clusterPairs(noPairs).count() == 0)
     assert(Dedup.keepOnePerCluster(df, "id", noPairs).count() == 2)
+    // the forced-distributed loop handles empty too (null-sum converge)
+    assert(Dedup.clusterPairs(noPairs, localEdgeThreshold = 0L).count() == 0)
+  }
+
+  test("clusterPairs: local endgame and distributed loop agree on a random graph") {
+    import spark.implicits._
+    // seeded sparse random graph over 400 nodes — mixed component
+    // shapes (chains, merged blobs, isolated edges). The local
+    // union-find (default threshold) and the forced-distributed
+    // pointer-jumping loop must produce the identical fixpoint:
+    // min reachable id per node.
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(300)((rnd.nextInt(400).toLong, rnd.nextInt(400).toLong))
+      .filter { case (a, b) => a != b }
+    val pairs = edges.toDF("id1", "id2")
+    val local = Dedup.clusterPairs(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Dedup.clusterPairs(pairs, localEdgeThreshold = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == dist,
+      s"local/distributed divergence: ${(local.toSet diff dist.toSet).take(5)}")
+    // and on INT ids (non-Long numeric type follows the same ordering)
+    val intPairs = Seq((5, 3), (3, 9), (20, 21)).toDF("id1", "id2")
+    val outInt = Dedup.clusterPairs(intPairs).collect()
+      .map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(outInt == Map(5 -> 3, 3 -> 3, 9 -> 3, 20 -> 20, 21 -> 20))
   }
 
   test("keepOnePerCluster keeps cluster minima and untouched rows") {
