@@ -459,9 +459,7 @@ object Dedup {
     * `localCheckpoint`). Near-dup clusters are small and shallow, so the
     * label diameter — and the round count — is tiny; raise `maxIter` for
     * pathological chain-shaped corpora. The fixpoint is unique, hence
-    * deterministic under any execution order. Returns (node, cluster),
-    * persisted and materialized — callers may `.unpersist()` it when
-    * done.
+    * deterministic under any execution order.
     *
     * Bounded local endgame: when the symmetrized edge set has at most
     * `localEdgeThreshold` rows, labels are computed with a driver-side
@@ -471,17 +469,28 @@ object Dedup {
     * graphs are orders of magnitude smaller than their corpora — small
     * enough that production dedup pipelines build their clusters on a
     * single machine outright (Lee et al. 2021, arXiv:2107.06499, §3).
-    * The threshold bounds driver memory (at most `localEdgeThreshold`
-    * two-id rows are ever collected; the default ~1M edges is tens of
-    * MB); above it the distributed loop runs unchanged, so a 100 TB
-    * corpus whose pair graph outgrows the driver degrades to the
-    * scalable path, not to an OOM. Both paths compute the same unique
-    * fixpoint — min reachable id per node — and a spec pins their
-    * equivalence. `localEdgeThreshold = 0` forces the distributed
-    * loop. */
+    * The threshold bounds driver memory: at most `localEdgeThreshold`
+    * two-id rows are collected, the boxed-id index and output hold at
+    * most 2×threshold entries, so the default 100k edges is a few tens
+    * of MB transient and the returned local relation (≤ 2×threshold
+    * rows) stays well under broadcast-join size — the downstream
+    * anti-join broadcasts it rather than embedding it in task
+    * binaries. Above the threshold the distributed loop runs
+    * unchanged, so a 100 TB corpus whose pair graph outgrows the
+    * driver degrades to the scalable path, not to an OOM. Both paths
+    * compute the same unique fixpoint — min reachable id per node —
+    * and a spec pins their equivalence; both fail fast on NULL ids
+    * (checked by the same aggregate that routes between them).
+    * `localEdgeThreshold = 0` forces the distributed loop (even on an
+    * empty edge set).
+    *
+    * Returns (node, cluster). The distributed path's result is
+    * persisted and materialized — callers may `.unpersist()` it when
+    * done; the local path's is an in-memory local relation
+    * (`unpersist` is a harmless no-op). */
   def clusterPairs(pairs: DataFrame, idCol1: String = "id1",
       idCol2: String = "id2", maxIter: Int = 25,
-      localEdgeThreshold: Long = 1000000L): DataFrame = {
+      localEdgeThreshold: Long = 100000L): DataFrame = {
     import org.apache.spark.sql.graftbridge.PlanBridge.truncateLineage
     // the exact convergence probe below sums labels in decimal — that is
     // only sound for NUMERIC ids (string labels cast to null, the sum
@@ -499,11 +508,26 @@ object Dedup {
       .union(pairs.select(col(idCol2).as("a"), col(idCol1).as("b")))
       .distinct()
       .persist(MEMORY_AND_DISK)
-    // the count both materializes the cache and routes small graphs to
-    // the local endgame (see scaladoc); the distributed seed below reads
-    // the already-cached edges, so the extra job is one cache scan
-    val edgeCount = edgesCache.count()
-    if (edgeCount <= localEdgeThreshold) {
+    // ONE aggregate materializes the cache, routes small graphs to the
+    // local endgame (see scaladoc), and rejects NULL ids on both paths:
+    // count(col) skips nulls, so total == count(a) == count(b) iff the
+    // edge set is null-free. A null id would NPE the local Comparable
+    // ordering and silently vanish from least()/min() in the
+    // distributed rounds — neither is a sane cluster label; candidate
+    // generators join on non-null keys, so fail loudly on the contract
+    // breach instead of picking a path-dependent wrong answer. The
+    // distributed seed below reads the already-cached edges, so the
+    // extra job is one cache scan.
+    val routeRow = edgesCache
+      .agg(count(lit(1)).as("n"), count(col("a")).as("na"),
+        count(col("b")).as("nb"))
+      .head()
+    val edgeCount = routeRow.getLong(0)
+    require(routeRow.getLong(1) == edgeCount && routeRow.getLong(2) == edgeCount,
+      s"clusterPairs requires non-null ids: of $edgeCount edges, " +
+        s"${edgeCount - routeRow.getLong(1)} have null $idCol1/$idCol2 " +
+        "values — filter or repair the pair set first")
+    if (localEdgeThreshold > 0 && edgeCount <= localEdgeThreshold) {
       val idType = edgesCache.schema("a").dataType
       val rows = edgesCache.collect()
       edgesCache.unpersist(false)
@@ -632,17 +656,20 @@ object Dedup {
     * untouched — the end-to-end "pairs in, deduplicated corpus out"
     * composition every curation pipeline runs.
     *
-    * Cache lifecycle: the label table [[clusterPairs]] persists stays
-    * cached for the life of the session (its lineage is truncated, so
-    * it cannot be unpersisted before the result is consumed). One-shot
-    * pipelines don't care; a long-lived session deduplicating many
-    * batches should call `clusterPairs` directly and unpersist the
-    * returned frame between batches (or `spark.catalog.clearCache()`) —
-    * the same contract as the banded candidate frames (object doc). */
+    * Cache lifecycle: on the distributed path (pair graphs above
+    * `localEdgeThreshold`), the label table [[clusterPairs]] persists
+    * stays cached for the life of the session (its lineage is
+    * truncated, so it cannot be unpersisted before the result is
+    * consumed). One-shot pipelines don't care; a long-lived session
+    * deduplicating many batches should call `clusterPairs` directly
+    * and unpersist the returned frame between batches (or
+    * `spark.catalog.clearCache()`) — the same contract as the banded
+    * candidate frames (object doc). The local endgame returns a plain
+    * local relation: nothing cached, nothing to release. */
   def keepOnePerCluster(df: DataFrame, idCol: String, pairs: DataFrame,
       idCol1: String = "id1", idCol2: String = "id2",
       maxIter: Int = 25,
-      localEdgeThreshold: Long = 1000000L): DataFrame = {
+      localEdgeThreshold: Long = 100000L): DataFrame = {
     val drops = clusterPairs(pairs, idCol1, idCol2, maxIter,
       localEdgeThreshold)
       .filter(col("node") =!= col("cluster"))
@@ -778,8 +805,9 @@ object Dedup {
     * order-free — reruns and other engines keep the same rows.
     *
     * Cache lifecycle: inherits [[keepOnePerCluster]]'s contract — the
-    * cluster label table stays session-cached; batch loops should
-    * manage the [[clusterPairs]] handle directly.
+    * cluster label table stays session-cached on the distributed path
+    * (none is cached on the local endgame); batch loops should manage
+    * the [[clusterPairs]] handle directly.
     *
     * Hot cells inherit [[cosineNearDups]]'s cell-aware `maxBucket`
     * degrade (LSH sub-buckets, then per-sub-bucket star) — SemDeDup's

@@ -218,6 +218,21 @@ class OpsSpec extends AnyFunSuite {
     assert(Dedup.clusterPairs(noPairs, localEdgeThreshold = 0L).count() == 0)
   }
 
+  test("clusterPairs rejects null ids on both routing paths") {
+    import spark.implicits._
+    // a null id is not a usable cluster label: the local ordering would
+    // NPE and the distributed least()/min() silently skips nulls —
+    // fail-fast (from the same aggregate that routes between paths)
+    // beats a path-dependent wrong answer
+    val withNull = Seq((Some(1L), Some(2L)), (None: Option[Long], Some(5L)))
+      .toDF("id1", "id2")
+    for (thr <- Seq(100000L, 0L)) {
+      val err = intercept[IllegalArgumentException](
+        Dedup.clusterPairs(withNull, localEdgeThreshold = thr))
+      assert(err.getMessage.contains("non-null ids"), err.getMessage)
+    }
+  }
+
   test("clusterPairs: local endgame and distributed loop agree on a random graph") {
     import spark.implicits._
     // seeded sparse random graph over 400 nodes — mixed component
