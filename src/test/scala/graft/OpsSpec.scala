@@ -255,6 +255,14 @@ class OpsSpec extends AnyFunSuite {
     val outInt = Dedup.clusterPairs(intPairs).collect()
       .map(r => r.getInt(0) -> r.getInt(1)).toMap
     assert(outInt == Map(5 -> 3, 3 -> 3, 9 -> 3, 20 -> 20, 21 -> 20))
+    // and on DECIMAL ids (one DecimalType means one scale, so the
+    // java.math.BigDecimal Comparable/equals pair the local index and
+    // ordering rely on is consistent with SQL equality)
+    val decPairs = intPairs.select(
+      col("id1").cast("decimal(10,0)"), col("id2").cast("decimal(10,0)"))
+    val outDec = Dedup.clusterPairs(decPairs).collect()
+      .map(r => r.getDecimal(0).longValue -> r.getDecimal(1).longValue).toMap
+    assert(outDec == Map(5L -> 3L, 3L -> 3L, 9L -> 3L, 20L -> 20L, 21L -> 20L))
   }
 
   test("keepOnePerCluster keeps cluster minima and untouched rows") {
