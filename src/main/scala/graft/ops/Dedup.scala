@@ -510,23 +510,27 @@ object Dedup {
       .persist(MEMORY_AND_DISK)
     // ONE aggregate materializes the cache, routes small graphs to the
     // local endgame (see scaladoc), and rejects NULL ids on both paths:
-    // count(col) skips nulls, so total == count(a) == count(b) iff the
-    // edge set is null-free. A null id would NPE the local Comparable
-    // ordering and silently vanish from least()/min() in the
-    // distributed rounds — neither is a sane cluster label; candidate
-    // generators join on non-null keys, so fail loudly on the contract
-    // breach instead of picking a path-dependent wrong answer. The
-    // distributed seed below reads the already-cached edges, so the
-    // extra job is one cache scan.
+    // a null id would NPE the local Comparable ordering and silently
+    // vanish from least()/min() in the distributed rounds — neither is
+    // a sane cluster label; candidate generators join on non-null keys,
+    // so fail loudly on the contract breach instead of picking a
+    // path-dependent wrong answer. The distributed seed below reads the
+    // already-cached edges, so the extra job is one cache scan.
     val routeRow = edgesCache
-      .agg(count(lit(1)).as("n"), count(col("a")).as("na"),
-        count(col("b")).as("nb"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("a").isNotNull && col("b").isNotNull, 1)).as("ok"))
       .head()
     val edgeCount = routeRow.getLong(0)
-    require(routeRow.getLong(1) == edgeCount && routeRow.getLong(2) == edgeCount,
-      s"clusterPairs requires non-null ids: of $edgeCount edges, " +
-        s"${edgeCount - routeRow.getLong(1)} have null $idCol1/$idCol2 " +
-        "values — filter or repair the pair set first")
+    val nullEdges = edgeCount - routeRow.getLong(1)
+    if (nullEdges > 0) {
+      // release the routing cache before throwing: batch loops that
+      // catch-and-skip bad batches must not accumulate orphaned blocks
+      edgesCache.unpersist(false)
+      throw new IllegalArgumentException(
+        s"clusterPairs requires non-null ids: $nullEdges of $edgeCount " +
+          s"symmetrized edges have a null $idCol1/$idCol2 side — filter " +
+          "or repair the pair set first")
+    }
     if (localEdgeThreshold > 0 && edgeCount <= localEdgeThreshold) {
       val idType = edgesCache.schema("a").dataType
       val rows = edgesCache.collect()
@@ -645,8 +649,12 @@ object Dedup {
       prevSum = s
       iter += 1
     }
-    require(converged, s"clusterPairs did not converge in $maxIter rounds")
+    // release caches BEFORE the convergence require: a caller that
+    // catches the failure (and retries with a higher maxIter) must not
+    // inherit orphaned blocks from the failed attempt
     edgesCache.unpersist(false)
+    if (!converged) labelsCache.unpersist(false)
+    require(converged, s"clusterPairs did not converge in $maxIter rounds")
     labelsCache
   }
 
