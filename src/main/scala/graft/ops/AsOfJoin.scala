@@ -32,15 +32,19 @@ object AsOfJoin {
     * a null never satisfies `rightTime <= leftTime`). Without the
     * filter, ascending-nulls-first ordering would treat a null-time
     * right row as "before everything" and carry its payload into left
-    * rows that should have no match.
+    * rows that should have no match. NULL keys are excluded for the
+    * same reason: the window's partitionBy groups all null keys into
+    * ONE partition, so a null-key left row would receive a null-key
+    * right row's payload — a fabricated match no equi-keyed ASOF join
+    * (NULL never equals NULL) would produce.
     */
   def asOf(
       left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
       rightPayload: Seq[String]): DataFrame = {
-    val leftNn = left.filter(col(leftTime).isNotNull)
-    val right0 = right.filter(col(rightTime).isNotNull)
+    val leftNn = left.filter(col(leftTime).isNotNull && col(leftKey).isNotNull)
+    val right0 = right.filter(col(rightTime).isNotNull && col(rightKey).isNotNull)
     val lCols = left.columns.toSeq
     val payloadType = org.apache.spark.sql.types.StructType(
       rightPayload.map(c => right.schema(c).copy(name = c)))

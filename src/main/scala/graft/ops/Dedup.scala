@@ -301,9 +301,16 @@ object Dedup {
     candidates
       .join(sh.withColumnRenamed("__id", "id1").withColumnRenamed("__sh", "__sh1"), "id1")
       .join(sh.withColumnRenamed("__id", "id2").withColumnRenamed("__sh", "__sh2"), "id2")
+      // empty-set guard: a pair where BOTH docs are under 3 tokens has
+      // two empty shingle sets, and 0.0/0 = NaN would pass >= threshold
+      // (Spark compares NaN greater than any number) — two unrelated
+      // short docs are NOT near-dups. The union size is materialized as
+      // a real column so the when() doesn't re-evaluate it per row leg.
+      .withColumn("__u", size(array_union(col("__sh1"), col("__sh2"))))
       .withColumn("jaccard",
-        size(array_intersect(col("__sh1"), col("__sh2"))).cast("double") /
-          size(array_union(col("__sh1"), col("__sh2"))))
+        when(col("__u") > 0,
+          size(array_intersect(col("__sh1"), col("__sh2"))).cast("double") /
+            col("__u")))
       .filter(col("jaccard") >= threshold)
       .select("id1", "id2", "jaccard")
   }
@@ -897,7 +904,14 @@ object Dedup {
       .drop("__rn", "__sb", "__ccnt").as("r")
     n.join(r, col("n.__cell") === col("r.__cell"))
       .select(col("__nid").as("new_id"), col("__rid").as("ref_id"),
-        round(cosineSim(col("__nv"), col("__rv")), roundDp).as("cos"))
+        // zero-norm guard (the cosineNearDups contract): cosineSim is
+        // NaN on 0/0 and Spark compares NaN GREATER than any number, so
+        // an unguarded >= would mark a zero-embedding row as duplicate
+        // of every retained reference row in its cell; nanvl(_, null)
+        // makes the filter drop it — "a zero vector is similar to
+        // nothing", and DuckDB's 0/0 → NULL agrees
+        nanvl(round(cosineSim(col("__nv"), col("__rv")), roundDp),
+          lit(null).cast("double")).as("cos"))
       .filter(col("cos") >= threshold)
   }
 
@@ -929,7 +943,13 @@ object Dedup {
       col(vecCol).cast("array<double>").as("__rv"), bucketCol.as("__rbk"))
     c.join(broadcast(r),
         col("__bk") === col("__rbk") &&
-          round(cosineSim(col("__cv"), col("__rv")), roundDp) >= threshold,
+          // zero-norm guard: NaN cosine (0/0) compares GREATER than the
+          // threshold under Spark's nanSafeCompare, which would flag a
+          // zero-embedding corpus doc as contaminated by ANY bucket
+          // neighbor; nanvl(_, null) makes the predicate false instead
+          // (DuckDB's 0/0 → NULL agrees)
+          nanvl(round(cosineSim(col("__cv"), col("__rv")), roundDp),
+            lit(null).cast("double")) >= threshold,
         "left_semi")
       .select(col("__id").as(idCol))
   }

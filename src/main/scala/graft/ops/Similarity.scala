@@ -937,8 +937,12 @@ object Similarity {
     val e = emb.select(groupCol.as("group"),
         posexplode(vecCol.cast("array<double>")).as(Seq("pos", "v")))
     e.groupBy(col("group"), col("pos"))
+      // count(v), not count(lit(1)): sum() skips NULL elements, so a
+      // row-count denominator silently deflates the mean on any corpus
+      // with null vector elements — AVG semantics (skip nulls on both
+      // sides of the division) is what every SQL engine computes
       .agg(sum(col("v").cast(DecimalType(38, sumScale))).cast("double").as("s"),
-        count(lit(1)).as("n"))
+        count(col("v")).as("n"))
       .select(col("group"), col("pos"), (col("s") / col("n")).as("m"))
       .groupBy(col("group"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),

@@ -673,7 +673,7 @@ object SimilarityQueries {
         s AS (
           SELECT label, pos,
             CAST(SUM(CAST(v AS DECIMAL(38,7))) AS DOUBLE) AS sm,
-            COUNT(*) AS n
+            COUNT(v) AS n
           FROM e GROUP BY label, pos)
         SELECT label, pos, sm / n AS m FROM s
         ORDER BY label, pos""")),

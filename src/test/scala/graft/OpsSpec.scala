@@ -332,6 +332,68 @@ class OpsSpec extends AnyFunSuite {
     assert(hit == Set(10L), hit.toString)
   }
 
+  test("dirty-data guards: NaN cosine / empty shingle sets never pass a threshold") {
+    import spark.implicits._
+    // semDedupAgainst: a zero-embedding row (failed/padded encoder
+    // output) is similar to NOTHING — before the nanvl guard its 0/0
+    // NaN cosine compared greater than the threshold and paired it
+    // with every retained reference row in its cell
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val ref = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 0.0))).toDF("id", "vec")
+    val nw = Seq((10L, Seq(0.0, 0.0)), (11L, Seq(1.0, 0.0))).toDF("id", "vec")
+    val pairs = Dedup.semDedupAgainst(nw, ref, "id", "vec", cents,
+        threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((11L, 1L)), pairs.mkString(","))
+
+    // cosineContaminated: a zero-norm corpus doc sharing a bucket with
+    // an eval row must NOT be flagged
+    val refC = Seq((1L, Seq(1.0, 0.0), 0)).toDF("id", "vec", "bk")
+    val corpus = Seq((10L, Seq(0.0, 0.0), 0), (11L, Seq(1.0, 0.0), 0))
+      .toDF("id", "vec", "bk")
+    val hit = Dedup.cosineContaminated(corpus, refC, "id", "vec",
+        threshold = 0.3, bucketCol = col("bk"))
+      .collect().map(_.getLong(0)).toSet
+    assert(hit == Set(11L), hit.toString)
+
+    // jaccardVerify: a candidate pair of two sub-3-token docs has two
+    // EMPTY shingle sets — 0.0/0 NaN must not verify them as near-dups
+    val docs = Seq((1L, "hello world"), (2L, "buy now"),
+      (3L, "a b c d e"), (4L, "a b c d e")).toDF("id", "text")
+    val cands = Seq((1L, 2L), (3L, 4L)).toDF("id1", "id2")
+    val ver = Dedup.jaccardVerify(docs, cands, "id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ver.toSeq == Seq((3L, 4L)), ver.mkString(","))
+  }
+
+  test("asOf excludes NULL keys — no fabricated null-to-null matches") {
+    import spark.implicits._
+    // a null-key left row and a null-key right row share the window's
+    // null partition; an equi-keyed ASOF join (NULL never equals NULL)
+    // must not match them
+    val trades = Seq((1L, Option("A"), 5L), (2L, Option.empty[String], 5L))
+      .toDF("trade_id", "sym", "t")
+    val quotes = Seq((Option("A"), 3L, 100.0), (Option.empty[String], 3L, 666.0))
+      .toDF("qsym", "qt", "price")
+    val out = graft.ops.AsOfJoin.asOf(trades, quotes, "sym", "qsym", "t", "qt",
+        Seq("price")).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L), out.mkString(","))
+    assert(out(0).getDouble(3) == 100.0)
+  }
+
+  test("groupCentroids skips null vector elements (AVG semantics)") {
+    import spark.implicits._
+    // sum() skips the null element; the denominator must too — a
+    // row-count denominator would report 1.0 here instead of 2.0
+    val emb = Seq(("g", Seq(Option(2.0))), ("g", Seq(Option.empty[Double])))
+      .toDF("label", "embedding")
+    val cent = graft.ops.Similarity.groupCentroids(
+        emb, col("label"), col("embedding"))
+      .collect()
+    assert(cent.length == 1)
+    assert(cent(0).getSeq[Double](1) == Seq(2.0), cent(0).toString)
+  }
+
   test("simhashNearDups rejects band counts that do not tile the fingerprint") {
     import spark.implicits._
     val df = Seq((1L, "a b c")).toDF("id", "text")
