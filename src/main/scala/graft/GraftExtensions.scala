@@ -1,9 +1,9 @@
 package graft
 
-import graft.functions.{ArrayDot, ArraySqDist, MinHashSig, SimHashFp, TextHashFunctions}
+import graft.functions.{ArrayCosineSim, ArrayDot, ArrayMath, ArraySqDist, MinHashSig, SimHashFp, TextHashFunctions}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
 /** Session extensions: registers graft's native expressions so any
   * session started with
@@ -26,10 +26,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       new FunctionIdentifier("array_dot"),
       new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
-      (exprs: Seq[Expression]) => ArrayDot(exprs(0), exprs(1))))
+      ArrayMath.arrayDotBuilder))
     e.injectFunction((
       new FunctionIdentifier("array_sqdist"),
       new ExpressionInfo(classOf[ArraySqDist].getName, "array_sqdist"),
-      (exprs: Seq[Expression]) => ArraySqDist(exprs(0), exprs(1))))
+      ArrayMath.arraySqDistBuilder))
+    e.injectFunction((
+      new FunctionIdentifier("array_cosine_sim"),
+      new ExpressionInfo(classOf[ArrayCosineSim].getName, "array_cosine_sim"),
+      ArrayMath.arrayCosineSimBuilder))
   }
 }

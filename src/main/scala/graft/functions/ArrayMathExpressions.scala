@@ -24,7 +24,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * to array<double> for free and rejects non-array inputs at analysis
   * time — without it, `ArrayData.getDouble` on an int-backed UnsafeArray
   * would reinterpret bytes and return silently wrong doubles. Unequal
-  * lengths fold over the common prefix.
+  * lengths fold over the common prefix — NOTE this deliberately differs
+  * from the `zip_with` form, which null-pads the shorter side and so
+  * returns NULL for a ragged pair; the ops layer fails loudly on ragged
+  * corpora before these expressions ever see one, and the prefix rule
+  * is what [[NearestCell]]/[[graft.ops.Similarity]] specify for
+  * truncated-dimension index probes.
   *
   * Null ELEMENTS propagate to a NULL result — matching the HOF
   * compositions these replace (`aggregate` over a null element is null),
@@ -328,13 +333,30 @@ object ArrayMath {
     ColumnBridge.column(
       ArraySqDist(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** Exact-arity SQL builder: without the guard, `array_dot(a, b, w)`
+    * would silently drop `w` (a user expecting a weighted dot gets
+    * dot(a, b) with no error) and `array_dot(a)` would die with a bare
+    * IndexOutOfBoundsException at plan time. Shared by [[register]] and
+    * [[graft.GraftExtensions]]. */
+  private[graft] def binaryBuilder(name: String,
+      f: (Expression, Expression) => Expression): Seq[Expression] => Expression = {
+    case Seq(a, b) => f(a, b)
+    case exprs => throw new IllegalArgumentException(
+      s"$name(a, b) takes exactly 2 arguments, got ${exprs.length}")
+  }
+
+  private[graft] val arrayDotBuilder = binaryBuilder("array_dot", ArrayDot)
+  private[graft] val arraySqDistBuilder = binaryBuilder("array_sqdist", ArraySqDist)
+  private[graft] val arrayCosineSimBuilder =
+    binaryBuilder("array_cosine_sim", ArrayCosineSim)
+
   /** Register SQL-visible forms on a session (idempotent). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "array_dot", exprs => ArrayDot(exprs(0), exprs(1)), "built-in")
+      "array_dot", arrayDotBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "array_sqdist", exprs => ArraySqDist(exprs(0), exprs(1)), "built-in")
+      "array_sqdist", arraySqDistBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "array_cosine_sim", exprs => ArrayCosineSim(exprs(0), exprs(1)), "built-in")
+      "array_cosine_sim", arrayCosineSimBuilder, "built-in")
   }
 }

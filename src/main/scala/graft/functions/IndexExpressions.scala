@@ -79,11 +79,32 @@ object IndexExpressions {
       v: Array[Double], roundDp: Int): Array[Int] =
     pqEncodeImpl(cbs, v.length, v(_), roundDp)
 
+  /** Fail fast on a degenerate codebook table. Similarity's builders
+    * validate too, but [[PqEncodeExpr]]/[[AdcDistExpr]] are public
+    * extension surfaces: an empty table would die with a bare
+    * ArrayIndexOutOfBoundsException mid-job, and an empty SUBSPACE would
+    * silently emit code 0 for every row (the argmin loop never runs) — a
+    * persisted codes table full of garbage, not an error. */
+  private[functions] def requireCodebooks(
+      cbs: Array[Array[Array[Double]]], what: String): Unit = {
+    if (cbs.isEmpty)
+      throw new IllegalArgumentException(
+        s"$what: empty codebook table — train or load codebooks first")
+    var s = 0
+    while (s < cbs.length) {
+      if (cbs(s).isEmpty || cbs(s)(0).isEmpty)
+        throw new IllegalArgumentException(
+          s"$what: subspace $s has no codewords — codebook table is corrupt")
+      s += 1
+    }
+  }
+
   // Int => Double is @specialized, so the accessor indirection costs a
   // (bimorphic) call, not boxing; both public forms reduce through THIS
   // loop — one argmin implementation, one set of rounding/tie rules.
   private def pqEncodeImpl(cbs: Array[Array[Array[Double]]],
       n: Int, elem: Int => Double, roundDp: Int): Array[Int] = {
+    requireCodebooks(cbs, "pq_codes")
     val dsub = cbs(0)(0).length
     val out = new Array[Int](cbs.length)
     var s = 0
@@ -203,19 +224,33 @@ case class NearestCells(
       throw new IllegalArgumentException(
         s"nprobe $nprobe out of range [1, $k] for a $k-cell centroid table")
     if (chkNull) IndexExpressions.requireNoNullElems(v, prettyName)
-    val ds = new Array[Double](k)
+    // bounded selection: a size-nprobe insertion buffer ordered by
+    // (distance, cell id) ascending — O(k·nprobe) primitive work per row
+    // instead of a full boxed O(k log k) sort (at production k = 2^16
+    // the sort dominated the multi-probe hot path). Double.compare gives
+    // the same total order as Ordering.Double.TotalOrdering (NaN last,
+    // -0.0 < 0.0); scanning cells in ascending id order and inserting
+    // strictly-before-greater keeps equal distances in id order — the
+    // array_sort(struct(d, cell)) lexicographic rule, exactly.
+    val dist = new Array[Double](nprobe)
+    val ids = new Array[Int](nprobe)
+    var filled = 0
     var c = 0
     while (c < k) {
       val cw = cs(c)
-      ds(c) = IndexExpressions.roundTo(roundDp,
+      val d = IndexExpressions.roundTo(roundDp,
         IndexExpressions.sqDistFrom(v, 0, cw, math.min(v.numElements(), cw.length)))
+      if (filled < nprobe || java.lang.Double.compare(d, dist(filled - 1)) < 0) {
+        var p = if (filled < nprobe) filled else nprobe - 1
+        while (p > 0 && java.lang.Double.compare(dist(p - 1), d) > 0) {
+          dist(p) = dist(p - 1); ids(p) = ids(p - 1); p -= 1
+        }
+        dist(p) = d; ids(p) = c
+        if (filled < nprobe) filled += 1
+      }
       c += 1
     }
-    // stable sort by distance keeps ascending cell ids on ties — the
-    // array_sort(struct(d, cell)) lexicographic order
-    val idx = Array.range(0, k)
-      .sortBy(i => ds(i))(Ordering.Double.TotalOrdering)
-    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(idx, nprobe))
+    UnsafeArrayData.fromPrimitiveArray(ids)
   }
 
   override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
@@ -280,6 +315,7 @@ case class AdcDistExpr(
 
   def compute(qv: ArrayData, codes: ArrayData): Double = {
     val cbs = bc.value
+    IndexExpressions.requireCodebooks(cbs, prettyName)
     val dsub = cbs(0)(0).length
     if (chkQ) IndexExpressions.requireNoNullElems(qv, prettyName)
     if (chkC) IndexExpressions.requireNoNullElems(codes, prettyName)
@@ -337,6 +373,18 @@ case class LshSignature(
 
   def compute(v: ArrayData): Int = {
     val planes = bc.value
+    // Similarity.lshBucket enforces nBits ≤ 32 too, but the expression is
+    // a public extension surface: Java masks `1 << j` to 5 bits, so plane
+    // 32 would silently OR into bit 0 (corrupted buckets, no error), and
+    // an empty plane table would emit signature 0 for every row — a
+    // degenerate single-bucket join
+    if (planes.isEmpty)
+      throw new IllegalArgumentException(
+        "lsh_signature: empty plane table — generate or load planes first")
+    if (planes.length > 32)
+      throw new IllegalArgumentException(
+        s"lsh_signature: ${planes.length} planes exceed the 32-bit " +
+          "signature width — use at most 32 planes per table")
     if (chkNull) IndexExpressions.requireNoNullElems(v, prettyName)
     var sig = 0
     var j = 0

@@ -10,6 +10,28 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
+/** Oracle-critical hashing helpers shared by [[MinHashSig]] and
+  * [[SimHashFp]] — ONE copy of the tokenizer and the md5-bytes-to-
+  * unsigned-int packing, so a charset or byte-order change cannot
+  * desynchronize one expression from the DuckDB oracle while the other
+  * keeps the old contract. */
+private[functions] object TextHashKernels {
+  /** Java regex `split(" +", -1)` — same semantics as Spark's `split`. */
+  val splitter: Pattern = Pattern.compile(" +")
+
+  /** MessageDigest is stateful and not thread-safe; one per thread. */
+  val digest: ThreadLocal[MessageDigest] =
+    new ThreadLocal[MessageDigest] {
+      override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+    }
+
+  /** md5 bytes [off, off+4) as an unsigned 32-bit int — the value of
+    * `conv(substring(md5(s), 2*off+1, 8), 16, 10)` in the oracle SQL. */
+  @inline def unsignedInt(d: Array[Byte], off: Int): Long =
+    ((d(off) & 0xffL) << 24) | ((d(off + 1) & 0xffL) << 16) |
+      ((d(off + 2) & 0xffL) << 8) | (d(off + 3) & 0xffL)
+}
+
 /** Native Catalyst expressions for the text-hashing hot path.
   *
   * The composed higher-order-function form (split → transform → md5 →
@@ -40,20 +62,15 @@ case class MinHashSig(child: Expression, numHashes: Int)
   override def nullIntolerant: Boolean = true
 
   private val P = 2147483647L
-  @transient private lazy val splitter = Pattern.compile(" +")
-  @transient private lazy val digest =
-    new ThreadLocal[MessageDigest] {
-      override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
-    }
 
   /** The fused kernel; public so generated code can call it. */
   def computeSig(input: UTF8String): ArrayData = {
     val text = input.toString
-    val toks = splitter.split(text, -1)
+    val toks = TextHashKernels.splitter.split(text, -1)
     val minima = Array.fill(numHashes)(Long.MaxValue)
     if (toks.length >= 3) {
       val seen = new java.util.HashSet[String]()
-      val md = digest.get()
+      val md = TextHashKernels.digest.get()
       var i = 0
       while (i <= toks.length - 3) {
         val sh = toks(i) + " " + toks(i + 1) + " " + toks(i + 2)
@@ -61,8 +78,7 @@ case class MinHashSig(child: Expression, numHashes: Int)
           md.reset()
           val d = md.digest(sh.getBytes(java.nio.charset.StandardCharsets.UTF_8))
           // first 8 hex chars = first 4 bytes as unsigned 32-bit
-          val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-            ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+          val h = TextHashKernels.unsignedInt(d, 0)
           var k = 0
           while (k < numHashes) {
             val v = (h * (2L * k + 1) + (1L * k * k + 7)) % P
@@ -112,25 +128,17 @@ case class SimHashFp(child: Expression, bits: Int)
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
 
-  @transient private lazy val splitter = Pattern.compile(" +")
-  @transient private lazy val digest =
-    new ThreadLocal[MessageDigest] {
-      override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
-    }
-
   /** The fused kernel; public so generated code can call it. */
   def computeFp(input: UTF8String): Long = {
-    val toks = splitter.split(input.toString, -1)
+    val toks = TextHashKernels.splitter.split(input.toString, -1)
     val votes = new Array[Int](bits)
-    val md = digest.get()
+    val md = TextHashKernels.digest.get()
     var i = 0
     while (i < toks.length) {
       md.reset()
       val d = md.digest(toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      val h1 = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-      val h2 = ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
-        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+      val h1 = TextHashKernels.unsignedInt(d, 0)
+      val h2 = TextHashKernels.unsignedInt(d, 4)
       var b = 0
       while (b < bits) {
         val src = if (b < 32) h1 else h2
@@ -163,18 +171,34 @@ case class SimHashFp(child: Expression, bits: Int)
 
 object TextHashFunctions {
 
+  /** A foldable non-NULL integer literal, with a clean plan-time error
+    * for every misuse (`CAST(NULL AS INT)` would otherwise NPE and a
+    * string literal would ClassCastException deep in the builder). */
+  private def intLiteral(n: Expression, what: String): Int = {
+    require(n.foldable, s"$what must be a literal")
+    n.eval() match {
+      case null => throw new IllegalArgumentException(
+        s"$what must be a non-NULL integer literal")
+      case num: Number => num.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got '$other'")
+    }
+  }
+
   /** `minhash_sig(text[, numHashes])` — signature width defaults to 8
     * (the oracle-checked q44/q45 form); production near-dup at corpus
     * scale typically runs 128 hashes (`minhash_sig(text, 128)`). The
     * width argument must be a foldable integer literal (it sizes the
-    * per-row minima array at plan time). Shared by the temp-function
-    * path ([[register]]) and [[graft.GraftExtensions]]. */
+    * per-row minima array at plan time); bounded to [1, 4096] so a
+    * fat-fingered width fails at plan time instead of attempting a
+    * multi-GB per-row allocation on the executors. Shared by the
+    * temp-function path ([[register]]) and [[graft.GraftExtensions]]. */
   private[graft] val minhashSigBuilder: Seq[Expression] => Expression = {
     case Seq(text) => MinHashSig(text, 8)
     case Seq(text, n) =>
-      require(n.foldable, "minhash_sig: numHashes must be a literal")
-      val width = n.eval().asInstanceOf[Number].intValue()
-      require(width >= 1, s"minhash_sig: numHashes must be >= 1, got $width")
+      val width = intLiteral(n, "minhash_sig: numHashes")
+      require(width >= 1 && width <= 4096,
+        s"minhash_sig: numHashes must be in [1, 4096], got $width")
       MinHashSig(text, width)
     case exprs => throw new IllegalArgumentException(
       s"minhash_sig(text[, numHashes]) takes 1 or 2 arguments, got ${exprs.length}")
@@ -186,8 +210,7 @@ object TextHashFunctions {
   private[graft] val simhashFpBuilder: Seq[Expression] => Expression = {
     case Seq(text) => SimHashFp(text, 64)
     case Seq(text, n) =>
-      require(n.foldable, "simhash_fp: bits must be a literal")
-      val bits = n.eval().asInstanceOf[Number].intValue()
+      val bits = intLiteral(n, "simhash_fp: bits")
       require(bits >= 1 && bits <= 64,
         s"simhash_fp: bits must be in [1, 64], got $bits")
       SimHashFp(text, bits)

@@ -9,6 +9,12 @@ class FunctionsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  // local mode may surface a kernel's IllegalArgumentException bare or
+  // wrapped (SparkException / AnalysisException) — match through the chain
+  private def causeChainHas(t: Throwable, msg: String): Boolean =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(6)
+      .exists(e => Option(e.getMessage).exists(_.contains(msg)))
+
   test("sigmoid / log1pexp values and stability") {
     val df = Seq(-800.0, -10.0, 0.0, 10.0, 800.0).toDF("x")
     val rows = df.select(col("x"), sigmoid(col("x")).as("s"), log1pexp(col("x")).as("l"))
@@ -175,6 +181,99 @@ class FunctionsSpec extends AnyFunSuite {
     assert(sigs.toMap.apply(4L).forall(_ == Long.MaxValue))
     assert(sigs.toMap.apply(5L).forall(_ == Long.MaxValue))
     assert(sigs.toMap.apply(2L) != sigs.toMap.apply(3L))
+  }
+
+  test("SQL builders: exact arity and clean width-literal errors at plan time") {
+    graft.functions.ArrayMath.register(spark)
+    graft.functions.TextHashFunctions.register(spark)
+    Seq((Seq(1.0, 2.0), Seq(3.0, 4.0), "a b c d")).toDF("a", "b", "t")
+      .createOrReplaceTempView("arity_t")
+    // a third argument would otherwise be SILENTLY dropped (a user's
+    // weighted-dot attempt computing the unweighted dot with no error);
+    // a missing one died with a bare IndexOutOfBoundsException
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT array_dot(a, b, a) FROM arity_t").collect()
+    }
+    assert(causeChainHas(e1, "exactly 2 arguments"), e1.toString)
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT array_cosine_sim(a) FROM arity_t").collect()
+    }
+    assert(causeChainHas(e2, "exactly 2 arguments"), e2.toString)
+    // width literals: NULL NPE'd, a string ClassCastException'd, and an
+    // absurd width attempted a multi-GB per-row array on the executors
+    val e3 = intercept[Exception] {
+      spark.sql("SELECT minhash_sig(t, CAST(NULL AS INT)) FROM arity_t").collect()
+    }
+    assert(causeChainHas(e3, "non-NULL"), e3.toString)
+    val e4 = intercept[Exception] {
+      spark.sql("SELECT minhash_sig(t, 2000000000) FROM arity_t").collect()
+    }
+    assert(causeChainHas(e4, "[1, 4096]"), e4.toString)
+    val e5 = intercept[Exception] {
+      spark.sql("SELECT minhash_sig(t, '8') FROM arity_t").collect()
+    }
+    assert(causeChainHas(e5, "integer literal"), e5.toString)
+  }
+
+  test("lsh_signature / pq_codes public-surface guards on degenerate index state") {
+    val df = Seq(Tuple1(Seq(1.0, 2.0))).toDF("v")
+    val sc = spark.sparkContext
+    // empty planes → every row signature 0 (single-bucket join);
+    // >32 planes → Java masks 1<<j to 5 bits, plane 32 ORs into bit 0
+    val e1 = intercept[Exception] {
+      df.select(graft.functions.IndexExpr.lshSignature(col("v"),
+        sc.broadcast(Array.empty[Array[Double]]))).collect()
+    }
+    assert(causeChainHas(e1, "empty plane table"), e1.toString)
+    val e2 = intercept[Exception] {
+      df.select(graft.functions.IndexExpr.lshSignature(col("v"),
+        sc.broadcast(Array.fill(33)(Array(1.0, 0.0))))).collect()
+    }
+    assert(causeChainHas(e2, "32-bit"), e2.toString)
+    // empty codebooks → bare AIOOBE; an empty SUBSPACE would silently
+    // emit code 0 for every row (argmin loop never runs)
+    val e3 = intercept[Exception] {
+      df.select(graft.functions.IndexExpr.pqCodes(col("v"),
+        sc.broadcast(Array.empty[Array[Array[Double]]]), -1)).collect()
+    }
+    assert(causeChainHas(e3, "empty codebook table"), e3.toString)
+    val e4 = intercept[Exception] {
+      df.select(graft.functions.IndexExpr.pqCodes(col("v"),
+        sc.broadcast(Array(Array.empty[Array[Double]])), -1)).collect()
+    }
+    assert(causeChainHas(e4, "no codewords"), e4.toString)
+  }
+
+  test("ivfCells bounded selection ≡ full stable sort, including distance ties") {
+    import graft.functions.IndexExpressions.roundTo
+    val rnd = new scala.util.Random(42)
+    val half = Array.fill(25)(Array.fill(4)(rnd.nextDouble()))
+    // duplicate every centroid: distance ties MUST resolve to lower ids
+    val cents = half ++ half.map(_.clone)
+    val vecs = Seq.fill(20)(Seq.fill(4)(rnd.nextDouble()))
+    val df = vecs.map(Tuple1(_)).toDF("v")
+    for (nprobe <- Seq(1, 3, cents.length)) {
+      val got = df
+        .select(graft.ops.Similarity.ivfCells(col("v"), cents, nprobe, roundDp = 6)
+          .as("c"))
+        .collect().map(_.getSeq[Int](0).toList)
+      val expected = vecs.map { v =>
+        cents.zipWithIndex.map { case (c, i) =>
+          (roundTo(6, v.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum), i)
+        }.sortBy(t => t)(Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int))
+          .take(nprobe).map(_._2).toList
+      }
+      assert(got.toList == expected.toList, s"nprobe=$nprobe")
+    }
+  }
+
+  test("GlmLossGradAggregator fails loudly on ragged rows") {
+    import graft.functions.{GlmLossGradAggregator, GlmRow}
+    import graft.families.Logistic
+    val ds = Seq(GlmRow(Seq(1.0, 2.0), 1.0), GlmRow(Seq(1.0), 0.0)).toDS()
+    val agg = new GlmLossGradAggregator(Logistic, Array(0.1, 0.2))
+    val e = intercept[Exception] { ds.select(agg.toColumn).head() }
+    assert(causeChainHas(e, "ragged row"), e.toString)
   }
 
   test("GlmLossGradAggregator (UDAF facade) equals the RDD kernel") {
