@@ -17,6 +17,18 @@ import org.apache.spark.sql.functions._
   */
 object Datasets {
 
+  /** Spark's `rand`/`randn` initialize each partition's RNG as
+    * `XORShiftRandom(seed + partitionIndex)`, so two columns whose seeds
+    * differ by less than the partition count share identical streams at
+    * a partition offset: with `seed + j` per column, x_{j+1} in
+    * partition p equals x_j in partition p+1 row-for-row — the design
+    * matrix's columns become chunk-shifted copies of each other
+    * (spurious cross-column correlation, phantom predictive power for
+    * "noise" columns). Spacing the seeds by a prime stride ≫ any
+    * realistic partition count keeps every column (and the label) on a
+    * disjoint stream. */
+  private val SeedStride = 1000003L
+
   private def baseX(
       spark: SparkSession,
       nSamples: Long,
@@ -24,7 +36,7 @@ object Datasets {
       chunksize: Int,
       seed: Long): DataFrame = {
     val nParts = math.max(1, math.ceil(nSamples.toDouble / chunksize).toInt)
-    val cols = (0 until nFeatures).map(j => randn(seed + j).as(s"x$j"))
+    val cols = (0 until nFeatures).map(j => randn(seed + j * SeedStride).as(s"x$j"))
     spark.range(0, nSamples, 1, nParts).select(col("id") +: cols: _*)
   }
 
@@ -70,12 +82,13 @@ object Datasets {
     val x = baseX(spark, nSamples, nFeatures, chunksize, seed)
     val (idx, beta) = informativeBeta(nFeatures, nInformative, scale, seed)
     val z0 = z0Col(idx, beta)
-    // label seed offset is NEGATIVE: feature column j draws from
-    // seed + j, so any positive label offset collides with feature
-    // x_offset once nFeatures exceeds it (the label "noise" would share
-    // an RNG stream with a feature and show spurious predictive power)
+    // label seed offset is NEGATIVE and stride-scaled: feature column j
+    // draws from seed + j·stride, so the label stream (seed − 7919·stride)
+    // stays disjoint from every feature stream at any partition offset
+    // (the label "noise" would otherwise share an RNG stream with a
+    // feature and show spurious predictive power)
     maybeSparse(x.withColumn("label",
-        (rand(seed - 7919) < lit(1.0) / (lit(1.0) + exp(-z0))).cast("double"))
+        (rand(seed - 7919 * SeedStride) < lit(1.0) / (lit(1.0) + exp(-z0))).cast("double"))
       .withColumn("features", array((0 until nFeatures).map(j => col(s"x$j")): _*))
       .select("id", "features", "label"), isSparse)
   }
@@ -91,7 +104,7 @@ object Datasets {
       seed: Long = 42,
       isSparse: Boolean = false): DataFrame = {
     val x = baseX(spark, nSamples, nFeatures, chunksize, seed)
-    maybeSparse(x.withColumn("label", rand(seed - 7919))
+    maybeSparse(x.withColumn("label", rand(seed - 7919 * SeedStride))
       .withColumn("features", array((0 until nFeatures).map(j => col(s"x$j")): _*))
       .select("id", "features", "label"), isSparse)
   }
@@ -129,7 +142,7 @@ object Datasets {
       }
       k.toDouble
     }
-    maybeSparse(x.withColumn("label", poissonUdf(exp(z0), rand(seed - 7919)))
+    maybeSparse(x.withColumn("label", poissonUdf(exp(z0), rand(seed - 7919 * SeedStride)))
       .withColumn("features", array((0 until nFeatures).map(j => col(s"x$j")): _*))
       .select("id", "features", "label"), isSparse)
   }
@@ -141,15 +154,18 @@ object Datasets {
     // composition (bit-identical, see Estimators.marginCol), one dot
     // formulation to reason about instead of two
     val z0 = graft.functions.MathFunctions.dotConst(col("features"), beta.toSeq)
+    // stride-scaled like the generator seeds (see SeedStride): keeps the
+    // label draw off every feature column's RNG stream at any partition
+    // offset, and distinct from makeClassification's label stream
     df.withColumn("label",
-      (rand(seed - 104729) < lit(1.0) / (lit(1.0) + exp(-z0))).cast("double"))
+      (rand(seed - 104729 * SeedStride) < lit(1.0) / (lit(1.0) + exp(-z0))).cast("double"))
   }
 
   /** `make_intercept_data` (test_algos_families.py:21-37): X ~ U(0,1),
     * columns divided by their sums, last column = 1; y = make_y(X, β~U(0,1)). */
   def makeInterceptData(spark: SparkSession, n: Int, p: Int, seed: Long = 20009): GlmData = {
     val nParts = 5 // reference chunks (N/5, p+1)
-    val cols = (0 to p).map(j => rand(seed + j).as(s"x$j"))
+    val cols = (0 to p).map(j => rand(seed + j * SeedStride).as(s"x$j"))
     var df = spark.range(0, n, 1, nParts).select(col("id") +: cols: _*)
     df = df.withColumn(s"x$p", lit(1.0))
     val sums = df.select((0 to p).map(j => sum(col(s"x$j")).as(s"s$j")): _*).head()

@@ -141,11 +141,13 @@ class GraftGlmModel(
     */
   override def write: MLWriter = new MLWriter {
     override protected def saveImpl(path: String): Unit = {
+      // MLWriter.save handles overwrite/exists on `path` BEFORE calling
+      // saveImpl — no manual delete here (it could never see an existing
+      // path, and duplicating framework behavior would mask a real
+      // divergence if the semantics ever changed)
       val spark = sparkSession
       val sc = spark.sparkContext
       val root = new org.apache.hadoop.fs.Path(path)
-      val fs = root.getFileSystem(sc.hadoopConfiguration)
-      if (shouldOverwrite) fs.delete(root, true)
       val metadata = s"""{"class":"${classOf[GraftGlmModel].getName}",""" +
         s""""timestamp":${System.currentTimeMillis()},""" +
         s""""sparkVersion":"${sc.version}","uid":"$uid",""" +

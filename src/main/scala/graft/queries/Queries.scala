@@ -34,9 +34,15 @@ object Queries {
     * DuckDB's reader does), so downstream ops see a normal column. */
   def eventsTbl(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    nsTsToMicros(spark.read.parquet(s"$dir/events.parquet"))
   }
+
+  /** The ns-long→µs-timestamp half of the events read recipe, shared
+    * with the streaming twin ([[graft.streaming.EventStream
+    * .streamingTumblingCounts]]) so the batch/oracle path and the
+    * stream path cannot drift on the `ts` encoding. */
+  def nsTsToMicros(df: DataFrame): DataFrame =
+    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
   /** Exact decimal sum of a double column, surfaced as double. Scale is
     * chosen so the sum's UNSCALED value stays below 2^53: then both

@@ -55,8 +55,8 @@ object EventStream {
       case f => f
     })
     tumblingCountsStreaming(
-      spark.readStream.schema(nsSchema).parquet(path)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+      graft.queries.Queries.nsTsToMicros(
+        spark.readStream.schema(nsSchema).parquet(path)))
   }
 
   def tumblingCountsStreaming(events: DataFrame): DataFrame =
@@ -205,6 +205,11 @@ object EventStream {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
     val gapUs = gapMinutes * 60L * 1000000L
     events
+      // NULL keys/times drop (the intervalJoinBatch equi-join and asOf
+      // convention): a NULL user_id window partition would gap-merge
+      // DISTINCT unknown users into fabricated shared sessions, and a
+      // NULL ts sorts first, emitting degenerate NULL-bound sessions
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
       .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
       .withColumn("new_session",
         (col("prev_us").isNull ||

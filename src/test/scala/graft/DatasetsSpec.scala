@@ -39,6 +39,22 @@ class DatasetsSpec extends AnyFunSuite {
     }
   }
 
+  test("feature columns are independent streams, not partition-shifted copies") {
+    // Spark seeds each partition's RNG as XORShiftRandom(seed + partIdx),
+    // so per-column seeds spaced by 1 made x_{j+1}(row r) == x_j(row
+    // r + chunksize) exactly — the design matrix's columns were shifted
+    // copies of one another. The stride fix must leave NO such collision.
+    val n = 400; val chunk = 100
+    val rows = Datasets.makeClassification(spark, n, nFeatures = 3,
+        chunksize = chunk, seed = 42)
+      .select("id", "features").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).sortBy(_._1).map(_._2)
+    for (j <- 0 until 2; r <- 0 until (n - chunk)) {
+      assert(rows(r + chunk)(j) != rows(r)(j + 1),
+        s"x${j + 1}(row $r) duplicates x$j(row ${r + chunk}) — seed collision")
+    }
+  }
+
   test("same seed => bit-identical dataset; different seed differs") {
     def sig(seed: Long) = Datasets.makeClassification(spark, 200, 4, seed = seed)
       .select(md5(concat_ws(",", col("id"),

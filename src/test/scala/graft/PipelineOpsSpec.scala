@@ -478,6 +478,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(sessions(1).getLong(2) == 1)
   }
 
+  test("sessionize: NULL user_id / NULL ts rows drop instead of fabricating sessions") {
+    // a NULL user_id window partition would gap-merge DISTINCT unknown
+    // users into shared sessions; a NULL ts row would emit a degenerate
+    // NULL-bound singleton — both now drop, matching the asOf/interval-
+    // join convention on dirty keys/times
+    import spark.implicits._
+    val events = Seq(
+      (1L, Option(java.sql.Timestamp.valueOf("2020-01-01 00:00:00")), Option(7L)),
+      (2L, Option(java.sql.Timestamp.valueOf("2020-01-01 00:10:00")), Option(7L)),
+      (3L, Option(java.sql.Timestamp.valueOf("2020-01-01 00:05:00")), None),
+      (4L, Option(java.sql.Timestamp.valueOf("2020-01-01 00:06:00")), None),
+      (5L, None, Option(7L)))
+      .toDF("event_id", "ts", "user_id")
+    val sessions = EventStream.sessionizeBatch(events, gapMinutes = 30).collect()
+    assert(sessions.length == 1, sessions.mkString(","))
+    assert(sessions(0).getLong(0) == 7L && sessions(0).getLong(2) == 2)
+  }
+
   test("hashSample/hashSplit run unchanged on a STREAM and match the batch pick") {
     // the payoff of the keyed md5 coin over df.sample()/randomSplit: the
     // decision is a stateless pure function of the key, so the SAME code
