@@ -50,8 +50,26 @@ final class GlmData(
   }
   def unpersist(): this.type = { rows.unpersist(false); this }
   def numPartitions: Int = rows.getNumPartitions
-  def repartition(n: Int): GlmData =
-    new GlmData(rows.repartition(n), numFeatures, isSparse)
+
+  /** Deterministic repartition. RDD.repartition's round-robin scatter is
+    * deterministic, but the REDUCE side concatenates incoming blocks in
+    * fetch-arrival order — so within-partition row order (hence per-
+    * partition float accumulation order in every kernel) varies run to
+    * run, silently voiding the bit-determinism contract
+    * [[graft.linalg.Kernels.partitionAggregate]] documents. Keying rows
+    * by their global index and `repartitionAndSortWithinPartitions`
+    * restores a total order: assignment is `index mod n` (exactly the
+    * round-robin balance) and each partition is sorted by index. Costs
+    * one extra pass (zipWithIndex's partition-size count job) at
+    * repartition time only — no per-iteration cost. */
+  def repartition(n: Int): GlmData = {
+    require(n > 0, s"repartition: partition count must be positive, got $n")
+    val keyed = rows.zipWithIndex().map { case (r, i) => (i, r) }
+    val parted = keyed
+      .repartitionAndSortWithinPartitions(new org.apache.spark.HashPartitioner(n))
+      .map(_._2)
+    new GlmData(parted, numFeatures, isSparse)
+  }
 
   /** Appended-ones intercept, faithful to utils.py:139-162 (sparse stays
     * sparse — the reference concatenates a sparse ones column). */
@@ -72,6 +90,14 @@ final class GlmData(
           out(p) = 1.0
           new MlDense(out)
         case s: MlSparse =>
+          // same fail-loud contract as the dense arm: a short sparse row
+          // would otherwise pass SparseVector's own validation and be
+          // silently zero-padded to dim p+1 (missing features become 0.0
+          // in the fit); an oversized one would die on a misleading
+          // "decreasing indices" require from appending index p
+          if (s.size != p)
+            throw new IllegalArgumentException(
+              s"ragged row: sparse vector of dim ${s.size}, expected $p")
           val idx = java.util.Arrays.copyOf(s.indices, s.indices.length + 1)
           val vs = java.util.Arrays.copyOf(s.values, s.values.length + 1)
           idx(s.indices.length) = p
@@ -94,13 +120,41 @@ object GlmData {
       numFeatures: Int = -1): GlmData = {
     val isVectorUdt = df.schema(featuresCol).dataType.typeName == "vector"
     val selected = df.select(col(featuresCol), col(labelCol).cast("double"))
+    // fail-fast null hygiene: a NULL features cell would otherwise reach
+    // the kernels as a Scala null and die mid-job with an opaque
+    // MatchError; a NULL label or a NULL ELEMENT inside the array would
+    // NPE on unboxing — none of those stack traces says "your input had
+    // nulls". Same contract as the ops layer (drop or impute first).
+    def nullRow(r: org.apache.spark.sql.Row): Boolean =
+      r.isNullAt(0) || r.isNullAt(1)
+    val nullMsg =
+      s"null $featuresCol/$labelCol row reached GlmData — drop or impute NULLs before fitting"
     val rdd: RDD[(MlVector, Double)] =
       if (isVectorUdt)
-        selected.rdd.map(r => (r.getAs[MlVector](0), r.getDouble(1)))
+        selected.rdd.map { r =>
+          if (nullRow(r)) throw new IllegalArgumentException(nullMsg)
+          (r.getAs[MlVector](0), r.getDouble(1))
+        }
       else
         selected
           .select(col(featuresCol).cast("array<double>"), col(labelCol))
-          .rdd.map(r => (Vectors.dense(r.getSeq[Double](0).toArray), r.getDouble(1)))
+          .rdd.map { r =>
+            if (nullRow(r)) throw new IllegalArgumentException(nullMsg)
+            val seq = r.getSeq[java.lang.Double](0)
+            val arr = new Array[Double](seq.length)
+            var i = 0
+            val it = seq.iterator
+            while (it.hasNext) {
+              val v = it.next()
+              if (v == null)
+                throw new IllegalArgumentException(
+                  s"null element inside $featuresCol array — " +
+                    "drop or impute NULLs before fitting")
+              arr(i) = v.doubleValue()
+              i += 1
+            }
+            (Vectors.dense(arr), r.getDouble(1))
+          }
     val (p, sparse) =
       if (numFeatures > 0 && !isVectorUdt) (numFeatures, false)
       else {

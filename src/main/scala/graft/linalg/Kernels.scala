@@ -89,6 +89,13 @@ object Kernels {
       while (i < v.length) { s += v(i) * b(i); i += 1 }
       s
     case s: MlSparse =>
+      // same guard as the dense arm: a ragged sparse row would otherwise
+      // contribute a silent partial dot (its size never touches b), and
+      // SparseVector's constructor already guarantees indices < size, so
+      // one size comparison is the whole check
+      if (s.size != b.length)
+        throw new IllegalArgumentException(
+          s"ragged row: sparse vector of dim ${s.size}, expected ${b.length}")
       val idx = s.indices
       val vs = s.values
       var acc = 0.0
@@ -108,6 +115,9 @@ object Kernels {
         var i = 0
         while (i < v.length) { g(i) += w * v(i); i += 1 }
       case s: MlSparse =>
+        if (s.size != g.length)
+          throw new IllegalArgumentException(
+            s"ragged row: sparse vector of dim ${s.size}, expected ${g.length}")
         val idx = s.indices
         val vs = s.values
         var i = 0
@@ -146,14 +156,22 @@ object Kernels {
   /** Fused Hessian + gradient in one pass (the reference's
     * `da.compute(hess, grad)` shared traversal, algorithms.py:205).
     * H = Xᵀ diag(d2Loss) X via per-row rank-1 updates — active entries
-    * only for sparse rows. */
+    * only for sparse rows.
+    *
+    * Partials carry only the packed UPPER TRIANGLE — p(p+1)/2 doubles,
+    * row-major with (i, j≥i) at `i·p − i(i−1)/2 + (j−i)`. The strict
+    * lower triangle of a full p² buffer is identically zero until the
+    * driver-side symmetrize, so shipping it doubled every partial and
+    * the combine work for nothing (8 MB vs 4 MB per partial at p=10³
+    * through the tree combine). */
   def gradHess(data: GlmData, beta: DenseVector[Double], family: Family)
       : (DenseVector[Double], DenseMatrix[Double]) = {
     val b = beta.toArray
     val p = data.numFeatures
     val fam = family
+    val tri = p * (p + 1) / 2
     val (g, h) = partitionAggregate(data)(
-      () => (new Array[Double](p), new Array[Double](p * p)))(
+      () => (new Array[Double](p), new Array[Double](tri)))(
       { case ((g, h), x, y) =>
         val xb = dot(x, b)
         val w1 = fam.dLoss(xb, y)
@@ -165,8 +183,9 @@ object Kernels {
             var i = 0
             while (i < p) {
               val wxi = w2 * v(i)
+              var o = i * p - i * (i - 1) / 2
               var j = i
-              while (j < p) { h(i * p + j) += wxi * v(j); j += 1 }
+              while (j < p) { h(o) += wxi * v(j); j += 1; o += 1 }
               i += 1
             }
           case sv: MlSparse =>
@@ -178,7 +197,7 @@ object Kernels {
               var c = 0
               while (c < idx.length) {
                 val i = idx(a); val j = idx(c)
-                if (j >= i) h(i * p + j) += wxi * vs(c)
+                if (j >= i) h(i * p - i * (i - 1) / 2 + (j - i)) += wxi * vs(c)
                 c += 1
               }
               a += 1
@@ -190,14 +209,15 @@ object Kernels {
         var i = 0
         while (i < p) { g1(i) += g2(i); i += 1 }
         var k = 0
-        while (k < p * p) { h1(k) += h2(k); k += 1 }
+        while (k < h1.length) { h1(k) += h2(k); k += 1 }
         (g1, h1)
       })
     val H = new DenseMatrix[Double](p, p)
     var i = 0
+    var o = 0
     while (i < p) {
       var j = i
-      while (j < p) { H(i, j) = h(i * p + j); H(j, i) = h(i * p + j); j += 1 }
+      while (j < p) { H(i, j) = h(o); H(j, i) = h(o); j += 1; o += 1 }
       i += 1
     }
     (DenseVector(g), H)
@@ -274,6 +294,12 @@ object Kernels {
     val (n, cnt, mu, m2) = partitionAggregate(data)(
       () => (0L, new Array[Long](p), new Array[Double](p), new Array[Double](p)))(
       { case ((n, cnt, mu, m2), x, _) =>
+        // same fail-loud contract as dot/axpy: a ragged row here would
+        // die as an opaque ArrayIndexOutOfBoundsException (long row) or
+        // silently skew the implicit-zero folding (short sparse row)
+        if (x.size != p)
+          throw new IllegalArgumentException(
+            s"ragged row: vector of dim ${x.size}, expected $p")
         x.foreachActive { (i, v) =>
           cnt(i) += 1
           val d = v - mu(i)

@@ -412,6 +412,13 @@ object Solvers {
                     s"ragged row: vector of dim ${d.values.length}, expected $p")
                 System.arraycopy(d.values, 0, a, r * p, p)
               case s: org.apache.spark.ml.linalg.SparseVector =>
+                // same fail-loud contract as the dense arm above: an
+                // oversized sparse row would scatter actives into the
+                // NEIGHBORING row's flat region (two rows corrupted, no
+                // error) and a short one silently zero-pads
+                if (s.size != p)
+                  throw new IllegalArgumentException(
+                    s"ragged row: sparse vector of dim ${s.size}, expected $p")
                 val base = r * p
                 s.foreachActive((i, v) => a(base + i) = v)
             }
