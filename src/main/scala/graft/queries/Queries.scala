@@ -28,21 +28,40 @@ object Queries {
   def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
-    * Spark 4 only reads as raw longs (legacy nanosAsLong conf). Surface
-    * `ts` as a microsecond TIMESTAMP (truncated ns→µs exactly like
-    * DuckDB's reader does), so downstream ops see a normal column. */
+  /** Read the events table and surface `ts` as a microsecond TIMESTAMP
+    * regardless of which encoding the fixture generation used (see
+    * [[normalizeEventsTs]]). The legacy nanosAsLong conf is set
+    * unconditionally: it only affects TIMESTAMP(NANOS) files and is a
+    * no-op for the µs encoding. */
   def eventsTbl(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    nsTsToMicros(spark.read.parquet(s"$dir/events.parquet"))
+    normalizeEventsTs(spark.read.parquet(s"$dir/events.parquet"))
   }
 
-  /** The ns-long→µs-timestamp half of the events read recipe, shared
-    * with the streaming twin ([[graft.streaming.EventStream
+  /** Normalize the `ts` column of an events frame to a microsecond
+    * TIMESTAMP. Two fixture encodings exist across testdata generations:
+    *  - TIMESTAMP(NANOS) parquet, which Spark 4 reads only as a raw
+    *    nanosecond long (legacy nanosAsLong conf) → truncate ns→µs
+    *    exactly like DuckDB's reader does;
+    *  - TIMESTAMP(MICROS) without the UTC-adjusted flag, which Spark
+    *    reads as TIMESTAMP_NTZ → re-tag as TIMESTAMP. The session time
+    *    zone is pinned to UTC project-wide, so the cast preserves the
+    *    stored micros bit-exactly and agrees with DuckDB's naive
+    *    TIMESTAMP read of the same file.
+    * Shared with the streaming twin ([[graft.streaming.EventStream
     * .streamingTumblingCounts]]) so the batch/oracle path and the
-    * stream path cannot drift on the `ts` encoding. */
-  def nsTsToMicros(df: DataFrame): DataFrame =
-    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    * stream path cannot drift on the `ts` encoding. Any other `ts`
+    * type fails loudly rather than windowing garbage. */
+  def normalizeEventsTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case org.apache.spark.sql.types.TimestampType => df
+      case other => throw new IllegalArgumentException(
+        s"events.ts must be a nanosecond long or a timestamp, got $other")
+    }
 
   /** Exact decimal sum of a double column, surfaced as double. Scale is
     * chosen so the sum's UNSCALED value stays below 2^53: then both

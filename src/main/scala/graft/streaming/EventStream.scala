@@ -40,24 +40,32 @@ object EventStream {
         col("event_type"))
       .agg(count(lit(1)).as("n"), valueTotal)
 
-  /** Streaming twin of [[tumblingCounts]] with a 10-minute watermark,
-    * reading the project's events fixture layout directly: `ts` is
-    * stored as TIMESTAMP(NANOS), which Spark 4 reads only as a raw
-    * nanosecond long (legacy nanosAsLong conf — same handling as
-    * `Queries.eventsTbl`), so the stream schema declares LongType and
-    * converts to a microsecond timestamp before windowing. Declaring
-    * TimestampType here would fail the read against the very table the
-    * batch twin consumes. */
-  def streamingTumblingCounts(spark: SparkSession, path: String): DataFrame = {
+  /** Raw read schema of an events fixture file/directory: [[eventSchema]]
+    * with `ts` swapped to whatever the parquet actually stores — a raw
+    * nanosecond long for legacy TIMESTAMP(NANOS) fixtures, TIMESTAMP_NTZ
+    * for µs ones (see `Queries.normalizeEventsTs` for the two
+    * encodings). A file-stream source must declare its schema upfront,
+    * and declaring the wrong `ts` type fails the read against the very
+    * table the batch twin consumes — so probe the footer with a cheap
+    * driver-side batch read first. */
+  def rawEventsSchema(spark: SparkSession, path: String): StructType = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val nsSchema = StructType(eventSchema.map {
-      case f if f.name == "ts" => f.copy(dataType = LongType)
+    val tsType = spark.read.parquet(path).schema("ts").dataType
+    StructType(eventSchema.map {
+      case f if f.name == "ts" => f.copy(dataType = tsType)
       case f => f
     })
-    tumblingCountsStreaming(
-      graft.queries.Queries.nsTsToMicros(
-        spark.readStream.schema(nsSchema).parquet(path)))
   }
+
+  /** Streaming twin of [[tumblingCounts]] with a 10-minute watermark,
+    * reading the project's events fixture layout directly: the stream
+    * declares the probed raw schema ([[rawEventsSchema]]) and normalizes
+    * `ts` with the SAME recipe as the batch/oracle path
+    * (`Queries.normalizeEventsTs`), so the two cannot drift. */
+  def streamingTumblingCounts(spark: SparkSession, path: String): DataFrame =
+    tumblingCountsStreaming(
+      graft.queries.Queries.normalizeEventsTs(
+        spark.readStream.schema(rawEventsSchema(spark, path)).parquet(path)))
 
   def tumblingCountsStreaming(events: DataFrame): DataFrame =
     events

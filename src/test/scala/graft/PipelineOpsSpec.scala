@@ -97,12 +97,7 @@ class PipelineOpsSpec extends AnyFunSuite {
     val batch = EventStream.tumblingCounts(Queries.eventsTbl(spark, dir))
       .orderBy("win_start", "event_type").collect()
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    import org.apache.spark.sql.types._
-    val rawSchema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    val rawSchema = EventStream.rawEventsSchema(spark, s"$dir/events.parquet")
     // the file-stream source wants a directory; stage the parquet into one
     val tmp = java.nio.file.Files.createTempDirectory("events_stream")
     java.nio.file.Files.copy(
@@ -110,7 +105,7 @@ class PipelineOpsSpec extends AnyFunSuite {
       tmp.resolve("events.parquet"))
     val stream = spark.readStream.schema(rawSchema)
       .parquet(tmp.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(Queries.normalizeEventsTs)
     val q = EventStream.tumblingCountsStreaming(stream)
       .writeStream.outputMode("complete")
       .format("memory").queryName("tumbling_out").start()
@@ -127,19 +122,14 @@ class PipelineOpsSpec extends AnyFunSuite {
     val dir = TestSpark.sf0001
     val batch = EventStream.slidingCounts(Queries.eventsTbl(spark, dir))
       .orderBy("win_start", "event_type").collect()
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    import org.apache.spark.sql.types._
-    val rawSchema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    val rawSchema = EventStream.rawEventsSchema(spark, s"$dir/events.parquet")
     val tmp = java.nio.file.Files.createTempDirectory("events_slide")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       tmp.resolve("events.parquet"))
     val stream = spark.readStream.schema(rawSchema)
       .parquet(tmp.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(Queries.normalizeEventsTs)
     val q = EventStream.slidingCountsStreaming(stream)
       .writeStream.outputMode("complete")
       .format("memory").queryName("sliding_out").start()
@@ -242,12 +232,7 @@ class PipelineOpsSpec extends AnyFunSuite {
     val batch = EventStream.tumblingCounts(Queries.eventsTbl(spark, dir))
       .orderBy("win_start", "event_type").collect()
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    import org.apache.spark.sql.types._
-    val rawSchema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    val rawSchema = EventStream.rawEventsSchema(spark, s"$dir/events.parquet")
     val tmp = java.nio.file.Files.createTempDirectory("events_ckpt_src")
     val ckpt = java.nio.file.Files.createTempDirectory("events_ckpt_meta")
     java.nio.file.Files.copy(
@@ -255,7 +240,7 @@ class PipelineOpsSpec extends AnyFunSuite {
       tmp.resolve("events.parquet"))
     def run(): Unit = {
       val stream = spark.readStream.schema(rawSchema).parquet(tmp.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .transform(Queries.normalizeEventsTs)
       val q = EventStream.tumblingCountsStreaming(stream)
         .writeStream.outputMode("complete")
         .option("checkpointLocation", ckpt.toString)
@@ -275,12 +260,7 @@ class PipelineOpsSpec extends AnyFunSuite {
 
   test("streaming parquet SINK: file-to-file pipeline round-trips (append mode)") {
     val dir = TestSpark.sf0001
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    import org.apache.spark.sql.types._
-    val rawSchema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    val rawSchema = EventStream.rawEventsSchema(spark, s"$dir/events.parquet")
     val src = java.nio.file.Files.createTempDirectory("events_sink_src")
     val out = java.nio.file.Files.createTempDirectory("events_sink_out")
     val ckpt = java.nio.file.Files.createTempDirectory("events_sink_ckpt")
@@ -289,7 +269,7 @@ class PipelineOpsSpec extends AnyFunSuite {
       src.resolve("events.parquet"))
     // per-row projection pipeline (append-compatible): type-tagged value
     val stream = spark.readStream.schema(rawSchema).parquet(src.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(Queries.normalizeEventsTs)
       .select(col("event_id"), col("event_type"),
         (col("value") * 2.0).as("value2"))
     val q = stream.writeStream
@@ -309,20 +289,15 @@ class PipelineOpsSpec extends AnyFunSuite {
 
   test("stateful streaming sessionize emits sessions matching the batch twin") {
     import spark.implicits._
-    import org.apache.spark.sql.types._
     val dir = TestSpark.sf0001
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    val rawSchema = EventStream.rawEventsSchema(spark, s"$dir/events.parquet")
     val tmp = java.nio.file.Files.createTempDirectory("events_sess")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       tmp.resolve("events.parquet"))
     val stream = spark.readStream.schema(rawSchema).parquet(tmp.toString)
-      .withColumn("tsUs", expr("ts div 1000"))
-      .withColumn("ts", timestamp_micros(col("tsUs")))
+      .transform(Queries.normalizeEventsTs)
+      .withColumn("tsUs", unix_micros(col("ts")))
       .select("event_id", "ts", "tsUs", "user_id", "event_type", "value")
       .as[graft.streaming.Event]
     val q = graft.streaming.EventStream.sessionizeStreaming(stream, gapMinutes = 30)
