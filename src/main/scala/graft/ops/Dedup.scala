@@ -185,8 +185,10 @@ object Dedup {
     * table (a [[writeBandedSignatures]] output read back): identical
     * pairs, zero reference-text reads — only the NEW batch shingles.
     * The table's recorded bands/num_hashes must match the reader's
-    * (validated against one row — different widths would silently
-    * produce disjoint buckets = zero candidates for every batch). */
+    * (validated over the WHOLE table via a min/max probe — different
+    * widths would silently produce disjoint buckets = zero candidates
+    * for every batch, and a mixed-width table is exactly the corruption
+    * an append of a second write produces). */
   def minhashCandidatesAgainstBands(
       newDf: DataFrame, bandsDf: DataFrame, idCol: String, textCol: String,
       bands: Int = 4, numHashes: Int = 8,
@@ -198,15 +200,31 @@ object Dedup {
       "bandsDf is not a writeBandedSignatures table (bands/num_hashes " +
         "columns missing) — rebuild it, or band the reference yourself " +
         "and call minhashCandidatesAgainst")
-    // one-row eager probe (the loadCentroids/loadCodebooks loader
-    // precedent): an empty table validates trivially (zero candidates)
-    bandsDf.select(col("bands").cast("int"), col("num_hashes").cast("int"))
-      .head(1).foreach { r =>
-        require(r.getInt(0) == bands && r.getInt(1) == numHashes,
-          s"bands table was written at bands=${r.getInt(0)}/" +
-            s"numHashes=${r.getInt(1)}, caller passed $bands/$numHashes — " +
-            "mismatched widths never collide (zero candidates)")
-      }
+    // whole-table eager probe: min/max over the two RLE constant columns
+    // (one cheap two-column scan; the join below scans the full table
+    // anyway). A ONE-row probe would let a heterogeneous table — e.g.
+    // two writeBandedSignatures outputs at different widths appended to
+    // one path — pass validation while its mismatched-width rows
+    // silently never collide (duplicates admitted with no error). NULL
+    // widths (hand-built rows) are caught by the count compare; an
+    // empty table validates trivially (zero candidates).
+    val wr0 = bandsDf
+      .agg(count(lit(1)), count(col("bands")), count(col("num_hashes")),
+        min(col("bands").cast("int")), max(col("bands").cast("int")),
+        min(col("num_hashes").cast("int")), max(col("num_hashes").cast("int")))
+      .head()
+    if (wr0.getLong(0) > 0) {
+      require(wr0.getLong(1) == wr0.getLong(0) && wr0.getLong(2) == wr0.getLong(0),
+        s"bands table has NULL bands/num_hashes rows " +
+          s"(${wr0.getLong(0) - math.min(wr0.getLong(1), wr0.getLong(2))} of " +
+          s"${wr0.getLong(0)}) — rebuild it with writeBandedSignatures")
+      require(wr0.getInt(3) == bands && wr0.getInt(4) == bands &&
+        wr0.getInt(5) == numHashes && wr0.getInt(6) == numHashes,
+        s"bands table was written at bands=${wr0.getInt(3)}..${wr0.getInt(4)}/" +
+          s"numHashes=${wr0.getInt(5)}..${wr0.getInt(6)}, caller passed " +
+          s"$bands/$numHashes — mismatched widths never collide (zero " +
+          "candidates); a min≠max range means the table mixes two writes")
+    }
     candidatesAgainstBanded(
       banded(newDf, idCol, textCol, bands, numHashes),
       bandsDf.select(col(idCol).as("__id"),

@@ -829,8 +829,18 @@ object Similarity {
     val flat = raw.rdd.map(_.getSeq[Double](0).toArray)
       .treeAggregate(Array.ofDim[Double](dim * dim))(
         (acc, x) => {
-          val y = reconstructRotated(bcB.value,
-            applyRotation(bcR.value, x), roundDp)
+          // round each rotated COMPONENT exactly as the query path does
+          // (rotateVec → ProjectVec rounds before encoding): a near-tie
+          // subspace must encode to the same codeword here as in
+          // opqTopK, or Procrustes optimizes against codes the query
+          // path never assigns
+          val rx = applyRotation(bcR.value, x)
+          var r = 0
+          while (r < rx.length) {
+            rx(r) = graft.functions.IndexExpressions.roundTo(roundDp, rx(r))
+            r += 1
+          }
+          val y = reconstructRotated(bcB.value, rx, roundDp)
           var i = 0
           while (i < dim && i < x.length) {
             val xi = x(i); var j = 0

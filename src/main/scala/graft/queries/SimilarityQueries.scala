@@ -451,11 +451,13 @@ object SimilarityQueries {
     // the oracle replays cell argmin + pairs + a recursive-CTE closure.
     Q("q104_semdedup",
       (s, dir) =>
-        // maxBucket pinned ABOVE any test-SF cell count (sf0.1 cells
-        // hold ~10k rows > the 4096 default): the oracle replays exact
-        // within-cell all-pairs, so the oracle-checked config must be
-        // the exact regime at every SF — the hot-cell degrade is
-        // covered by its own flood specs and the bench row instead
+        // maxBucket pinned ABOVE any possible cell count: the oracle
+        // replays exact within-cell all-pairs, so the oracle-checked
+        // config must stay in the exact regime at every SF — today's
+        // fixtures (≤2000 embedding rows at sf0.1) never exceed the
+        // 4096 default, but the pin makes that independent of fixture
+        // regeneration; the hot-cell degrade is covered by its own
+        // flood specs and the bench row instead
         graft.ops.Dedup.semDedup(tbl(s, dir, "embeddings"),
             "vec_id", "embedding", ivfCentroids, threshold = 0.3,
             roundDp = 6, maxBucket = 1 << 20)

@@ -55,20 +55,15 @@ class FunctionsSpec extends AnyFunSuite {
     assert(tail.isNullAt(0))
     val dirty = df.filter(col("id") === 2)
     val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
-    // local mode may surface the kernel's IllegalArgumentException bare
-    // or wrapped in a SparkException — match by message through the chain
-    def chainHas(t: Throwable, msg: String): Boolean =
-      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(5)
-        .exists(e => Option(e.getMessage).exists(_.contains(msg)))
     val err = intercept[Exception] {
       dirty.select(graft.ops.Similarity.ivfCell(col("a"), cents)).collect()
     }
-    assert(chainHas(err, "NULL element"), err.toString)
+    assert(causeChainHas(err, "NULL element"), err.toString)
     val err2 = intercept[Exception] {
       dirty.select(graft.ops.Similarity.randomProject(col("a"),
         fromDim = 2, toDim = 2)).collect()
     }
-    assert(chainHas(err2, "NULL element"), err2.toString)
+    assert(causeChainHas(err2, "NULL element"), err2.toString)
   }
 
   test("arrayDot / norm / cosine") {
