@@ -636,6 +636,18 @@ class OpsSpec extends AnyFunSuite {
         bandsDf.drop("bands", "num_hashes"), "doc_id", "text")
     }
     assert(err2.getMessage.contains("writeBandedSignatures"), err2.getMessage)
+    // a HETEROGENEOUS table — two writes at different widths appended to
+    // one path — is rejected by the whole-table min/max probe; a one-row
+    // probe would accept whichever width it sampled and the other
+    // write's rows would silently never collide
+    val dir16 = java.nio.file.Files.createTempDirectory("mh_bands16").toString
+    Dedup.writeBandedSignatures(ref, "doc_id", "text", dir16,
+      bands = 4, numHashes = 16)
+    val mixed = bandsDf.unionByName(spark.read.parquet(dir16))
+    val err3 = intercept[IllegalArgumentException] {
+      Dedup.minhashCandidatesAgainstBands(nw, mixed, "doc_id", "text")
+    }
+    assert(err3.getMessage.contains("mixes two writes"), err3.getMessage)
   }
 
   test("incremental simhash: reference flood capped, every new doc still matched") {

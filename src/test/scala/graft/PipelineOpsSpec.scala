@@ -511,4 +511,31 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(streamSplit0 == batchSplit0)
     } finally { q1.stop(); q2.stop() }
   }
+
+  test("normalizeEventsTs: both fixture encodings land on identical micros") {
+    import spark.implicits._
+    // legacy encoding: TIMESTAMP(NANOS) parquet read as a raw ns long
+    val ns = Seq((1L, 1700000000123456789L)).toDF("event_id", "ts")
+    val a = Queries.normalizeEventsTs(ns)
+      .select(unix_micros(col("ts"))).head().getLong(0)
+    assert(a == 1700000000123456L, a.toString)
+    // current encoding: TIMESTAMP(MICROS) parquet read as TIMESTAMP_NTZ
+    // (session TZ is UTC, so the re-tag preserves the stored micros)
+    val ntz = ns.select(col("event_id"),
+      timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz").as("ts"))
+    assert(ntz.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    val b = Queries.normalizeEventsTs(ntz)
+      .select(unix_micros(col("ts"))).head().getLong(0)
+    assert(b == a, s"$b vs $a")
+    // an already-normalized frame passes through; anything else fails
+    // loudly instead of windowing garbage
+    val tz = Queries.normalizeEventsTs(ntz)
+    assert(Queries.normalizeEventsTs(tz).schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val err = intercept[IllegalArgumentException] {
+      Queries.normalizeEventsTs(Seq((1L, "x")).toDF("event_id", "ts"))
+    }
+    assert(err.getMessage.contains("events.ts"), err.getMessage)
+  }
 }
