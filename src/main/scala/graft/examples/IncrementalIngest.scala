@@ -22,7 +22,16 @@ import org.apache.spark.sql.functions._
   * curation loop makes per batch. Every step's reference side is capped
   * asymmetrically (a reference boilerplate flood cannot multiply the
   * batch) while the NEW side is never capped (every incoming row gets
-  * its verdict).
+  * its verdict). The admitted batch then maintains the index:
+  *
+  *   5. ANN index  — [[Similarity.ivfPqEncodeAppend]] appends the
+  *                   admitted embeddings to the persisted IVF-PQ codes
+  *                   table under the FROZEN build-time centroids +
+  *                   codebooks; queries keep running unchanged.
+  *
+  * The same pipeline runs as a STREAM: [[Dedup.minhashCleanStream]] is
+  * the per-micro-batch form of step 2 (stream-static anti-joins against
+  * the same signature table — see PipelineOpsSpec).
   *
   * Run: sbt "runMain graft.examples.IncrementalIngest [sfDir]"
   */
@@ -90,6 +99,22 @@ object IncrementalIngest {
     val admitted = batchDocs.join(flaggedDocs, Seq("doc_id"), "left_anti")
     println(s"[ingest] admitted ${admitted.count()} of ${batchDocs.count()} " +
       s"batch docs (${flaggedDocs.count()} flagged)")
+
+    // ---- index maintenance: the admitted docs join the corpus, so
+    // their embeddings are APPENDED to the persisted IVF-PQ index under
+    // the frozen build-time centroids/codebooks — never retrain at
+    // ingest time (a retrain renumbers cells/codes and corrupts every
+    // previously-written row; see ivfPqEncodeAppend's scaladoc) ----
+    val cbs = Similarity.trainPqCodebooks(refEmb, "embedding", dim = 64,
+      m = 4, ksub = 8, iters = 2)
+    Similarity.ivfPqEncode(refEmb, "vec_id", "embedding", cents, cbs,
+      s"$tmp/ivfpq")
+    val admittedEmb = batchEmb.join(
+      admitted.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+    Similarity.ivfPqEncodeAppend(admittedEmb, "vec_id", "embedding",
+      cents, cbs, s"$tmp/ivfpq")
+    println(s"[ingest] IVF-PQ index grew to " +
+      s"${spark.read.parquet(s"$tmp/ivfpq").count()} rows")
 
     spark.stop()
   }

@@ -505,6 +505,21 @@ object Similarity {
         pqCodes(col(vecCol), codebooks, roundDp).as("codes"))
       .write.mode("overwrite").parquet(path)
 
+  /** Append a NEW batch to an existing [[pqEncode]] codes table — the
+    * daily-ingest step of the PQ index lifecycle: encode ONLY the batch
+    * with the SAME frozen codebooks and parquet-append; queries keep
+    * running [[pqTopKOnCodes]] over the grown table unchanged. Codes are
+    * comparable across writes ONLY under the original build's codebooks
+    * and roundDp — load them back via [[loadCodebooks]] rather than
+    * retraining (a retrain renumbers centroids, silently corrupting ADC
+    * distances on every previously-written row). */
+  def pqEncodeAppend(newBatch: DataFrame, idCol: String, vecCol: String,
+      codebooks: Array[Array[Array[Double]]], path: String,
+      roundDp: Int = -1): Unit =
+    newBatch.select(col(idCol),
+        pqCodes(col(vecCol), codebooks, roundDp).as("codes"))
+      .write.mode("append").parquet(path)
+
   /** [[pqTopK]] against an already-encoded corpus (a [[pqEncode]] codes
     * table): identical ranking, zero raw-vector reads. */
   def pqTopKOnCodes(
@@ -529,16 +544,34 @@ object Similarity {
     * m bytes + an int per row. */
   def ivfPqEncode(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Double]], codebooks: Array[Array[Array[Double]]],
-      path: String, roundDp: Int = -1): Unit = {
+      path: String, roundDp: Int = -1): Unit =
+    ivfPqCodesFrame(corpus, idCol, vecCol, centroids, codebooks, roundDp)
+      .write.mode("overwrite").parquet(path)
+
+  /** [[pqEncodeAppend]]'s IVF-PQ twin: encode ONLY the new batch (cell
+    * assignment + codes, same frozen centroids/codebooks/roundDp as the
+    * original [[ivfPqEncode]] build) and parquet-append to the index
+    * table. Same freshness contract as pqEncodeAppend: retrained
+    * centroids or codebooks renumber cells/codes and corrupt every
+    * previously-written row — persist them with [[saveCentroids]] /
+    * [[saveCodebooks]] at build time and load them back here. */
+  def ivfPqEncodeAppend(newBatch: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], codebooks: Array[Array[Array[Double]]],
+      path: String, roundDp: Int = -1): Unit =
+    ivfPqCodesFrame(newBatch, idCol, vecCol, centroids, codebooks, roundDp)
+      .write.mode("append").parquet(path)
+
+  private def ivfPqCodesFrame(corpus: DataFrame, idCol: String,
+      vecCol: String, centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]], roundDp: Int): DataFrame = {
     validateCodebooks(codebooks)
     val bcC = bcOf(centroids)
     val bcB = bcOf(codebooks)
     corpus.select(col(idCol),
-        graft.functions.IndexExpr.ivfCell(
-          col(vecCol).cast("array<double>"), bcC, roundDp).as("cell"),
-        graft.functions.IndexExpr.pqCodes(
-          col(vecCol).cast("array<double>"), bcB, roundDp).as("codes"))
-      .write.mode("overwrite").parquet(path)
+      graft.functions.IndexExpr.ivfCell(
+        col(vecCol).cast("array<double>"), bcC, roundDp).as("cell"),
+      graft.functions.IndexExpr.pqCodes(
+        col(vecCol).cast("array<double>"), bcB, roundDp).as("codes"))
   }
 
   /** [[ivfPqTopK]] against an already-encoded (id, cell, codes) index

@@ -227,6 +227,47 @@ class PipelineOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("minhashCleanStream: streamed clean set is the exact batch complement") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val ref = docs.filter(col("doc_id") < 400)
+    val nw = docs.filter(col("doc_id") >= 400)
+      .select("doc_id", "text", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("mh_stream").toString
+    graft.ops.Dedup.writeBandedSignatures(ref, "doc_id", "text", dir)
+    val bandsDf = spark.read.parquet(dir)
+    // batch truth: new docs with >= 1 candidate pair are dups; the
+    // stream filter must pass exactly the complement
+    val dupIds = graft.ops.Dedup.minhashCandidatesAgainstBands(
+        nw, bandsDf, "doc_id", "text")
+      .select("new_id").collect().map(_.getLong(0)).toSet
+    val allIds = nw.select("doc_id").collect().map(_.getLong(0)).toSet
+    val newRows = nw.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2)))
+    val input = MemoryStream[(Long, String, String)]
+    val stream = graft.ops.Dedup.minhashCleanStream(
+      input.toDF().toDF("doc_id", "text", "lang"), bandsDf, "text")
+    val q = stream.writeStream.outputMode("append").format("memory")
+      .queryName("mh_clean_out").start()
+    try {
+      val (first, second) = newRows.splitAt(newRows.length / 2)
+      input.addData(first: _*)
+      q.processAllAvailable()
+      input.addData(second: _*) // second micro-batch: same static table
+      q.processAllAvailable()
+      val out = spark.table("mh_clean_out")
+      // all original columns pass through, one row per clean doc
+      assert(out.columns.toSeq == Seq("doc_id", "text", "lang"))
+      val got = out.collect().map(_.getLong(0)).toSeq
+      assert(got.distinct.size == got.size, "clean docs must not repeat")
+      assert(got.toSet == (allIds -- dupIds),
+        s"${got.size} streamed vs ${(allIds -- dupIds).size} batch-clean")
+      assert(dupIds.nonEmpty, "fixture must exercise the dup path")
+    } finally q.stop()
+  }
+
   test("file-source stream with checkpoint + AvailableNow trigger matches q60 batch twin") {
     val dir = TestSpark.sf0001
     val batch = EventStream.tumblingCounts(Queries.eventsTbl(spark, dir))

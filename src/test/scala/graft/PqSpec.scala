@@ -126,6 +126,39 @@ class PqSpec extends AnyFunSuite {
     assert(onCodes == direct)
   }
 
+  test("appended codes tables reproduce the one-shot encode (daily-ingest path)") {
+    val e = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val queries = e.filter(col("vec_id") < 5)
+    val corpus = e.filter(col("vec_id") >= 5)
+    val base = corpus.filter(col("vec_id") < 300)
+    val batch = corpus.filter(col("vec_id") >= 300)
+    val cbs = Similarity.trainPqCodebooks(corpus, "embedding", dim = 64, m = 4,
+      ksub = 8, iters = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "rk", "c_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // PQ: build on the base, append the batch, query the grown table
+    val dir = java.nio.file.Files.createTempDirectory("pq_append").toString
+    Similarity.pqEncode(base, "vec_id", "embedding", cbs, dir)
+    Similarity.pqEncodeAppend(batch, "vec_id", "embedding", cbs, dir)
+    val grown = rows(Similarity.pqTopKOnCodes(spark.read.parquet(dir),
+      queries, "vec_id", "embedding", cbs, k = 3))
+    val oneShot = rows(Similarity.pqTopK(corpus, queries, "vec_id",
+      "embedding", cbs, k = 3))
+    assert(grown == oneShot)
+    // IVF-PQ: same lifecycle over the (id, cell, codes) index table
+    val cents = Similarity.trainIvfCentroids(corpus, "embedding", kCells = 4,
+      iters = 3, seed = 7L)
+    val dir2 = java.nio.file.Files.createTempDirectory("ivfpq_append").toString
+    Similarity.ivfPqEncode(base, "vec_id", "embedding", cents, cbs, dir2)
+    Similarity.ivfPqEncodeAppend(batch, "vec_id", "embedding", cents, cbs, dir2)
+    val grown2 = rows(Similarity.ivfPqTopKOnCodes(spark.read.parquet(dir2),
+      queries, "vec_id", "embedding", cents, cbs, k = 3, nprobe = 2))
+    val oneShot2 = rows(Similarity.ivfPqTopK(corpus, queries, "vec_id",
+      "embedding", cents, cbs, k = 3, nprobe = 2))
+    assert(grown2 == oneShot2)
+  }
+
   test("persisted IVF-PQ index table reproduces ivfPqTopK (build-once query path)") {
     val e = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
     val queries = e.filter(col("vec_id") < 5)
