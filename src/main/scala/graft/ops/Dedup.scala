@@ -1037,6 +1037,40 @@ object Dedup {
       .select(col("__id").as(idCol))
   }
 
+  /** STREAMING twin of [[cosineContaminated]] — ingest-time semantic
+    * decontamination: pass through only the docs of a micro-batch
+    * stream whose embedding is NOT within cosine `threshold` of any
+    * reference (eval-set) row sharing `bucketCol`, keeping ALL their
+    * columns ([[minhashCleanStream]] is the text-side twin). Same
+    * candidate restriction and recall contract as the batch form, and
+    * the same zero-norm guard (NaN cosine → NULL predicate: a
+    * zero-embedding doc is similar to nothing and passes as clean).
+    *
+    * Why this is streaming-legal with no watermark: per-row bucketing
+    * is a stateless expression (e.g. [[graft.ops.Similarity.lshBucket]]
+    * reads its planes from a broadcast), and the verdict is ONE
+    * broadcast stream-static LEFT ANTI join — each micro-batch joins
+    * only its own rows against the broadcast eval set, every doc
+    * appears at most once, nothing is stateful. The static side is
+    * re-resolved per micro-batch, so a refreshed eval set is picked up
+    * without restarting the stream. */
+  def cosineCleanStream(newStream: DataFrame, reference: DataFrame,
+      vecCol: String, threshold: Double, bucketCol: Column,
+      roundDp: Int = 6): DataFrame = {
+    import graft.functions.MathFunctions.cosineSim
+    val r = reference.select(
+      col(vecCol).cast("array<double>").as("__rv"), bucketCol.as("__rbk"))
+    newStream
+      .withColumn("__cv", col(vecCol).cast("array<double>"))
+      .withColumn("__bk", bucketCol)
+      .join(broadcast(r),
+        col("__bk") === col("__rbk") &&
+          nanvl(round(cosineSim(col("__cv"), col("__rv")), roundDp),
+            lit(null).cast("double")) >= threshold,
+        "left_anti")
+      .drop("__cv", "__bk")
+  }
+
   /** Benchmark decontamination: ids of `corpus` docs that share ANY token
     * `n`-gram with any `reference` doc (the held-out benchmark / eval
     * set). A training pipeline anti-joins these ids out of the corpus so

@@ -268,6 +268,46 @@ class PipelineOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("cosineCleanStream: streamed clean set is the exact batch complement") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val e = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val ref = e.filter(col("vec_id") < 50)
+    val nw = e.filter(col("vec_id") >= 50)
+    def bucket = graft.ops.Similarity.lshBucket(
+      col("embedding"), dim = 64, nBits = 4)
+    // batch truth: the contaminated ids flagged by the semi-join form
+    val contaminated = graft.ops.Dedup.cosineContaminated(
+        nw, ref, "vec_id", "embedding", threshold = 0.3,
+        bucketCol = bucket, roundDp = 6)
+      .collect().map(_.getLong(0)).toSet
+    val allIds = nw.select("vec_id").collect().map(_.getLong(0)).toSet
+    val rows = nw.select(col("vec_id"),
+        col("embedding").cast("array<double>")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val input = MemoryStream[(Long, Seq[Double])]
+    val stream = graft.ops.Dedup.cosineCleanStream(
+      input.toDF().toDF("vec_id", "embedding"), ref,
+      "embedding", threshold = 0.3, bucketCol = bucket, roundDp = 6)
+    val q = stream.writeStream.outputMode("append").format("memory")
+      .queryName("cos_clean_out").start()
+    try {
+      val (first, second) = rows.splitAt(rows.length / 2)
+      input.addData(first: _*)
+      q.processAllAvailable()
+      input.addData(second: _*)
+      q.processAllAvailable()
+      val out = spark.table("cos_clean_out")
+      assert(out.columns.toSeq == Seq("vec_id", "embedding"))
+      val got = out.collect().map(_.getLong(0)).toSeq
+      assert(got.distinct.size == got.size, "clean docs must not repeat")
+      assert(got.toSet == (allIds -- contaminated),
+        s"${got.size} streamed vs ${(allIds -- contaminated).size} batch-clean")
+      assert(contaminated.nonEmpty, "fixture must exercise the flagged path")
+    } finally q.stop()
+  }
+
   test("file-source stream with checkpoint + AvailableNow trigger matches q60 batch twin") {
     val dir = TestSpark.sf0001
     val batch = EventStream.tumblingCounts(Queries.eventsTbl(spark, dir))
