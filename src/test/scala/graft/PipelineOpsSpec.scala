@@ -227,6 +227,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("quality classifier: featurize + glm fit separates boilerplate degrades") {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val degraded = docs.withColumn("text",
+      concat_ws(" ", flatten(array_repeat(
+        slice(split(col("text"), " +"), 1, 5), 8))))
+    val train = graft.examples.QualityClassifier.featurize(
+        docs.withColumn("label", lit(1.0))
+          .unionByName(degraded.withColumn("label", lit(0.0))), "text")
+      .select("features", "label")
+    val model = new graft.estimators.LogisticRegression(
+      graft.estimators.GlmParams(solver = "admm", regularizer = "l2",
+        lamduh = 0.1)).fit(train)
+    // template spam has collapsed type-token ratio: a linear model on
+    // the feature family separates it essentially perfectly
+    assert(model.score(train) >= 0.99, model.score(train).toString)
+    // the probability column is the quality score; clean docs all pass
+    // the GPT-3-style cut while their degraded twins all fail it
+    val scored = graft.examples.QualityClassifier.featurize(docs, "text")
+      .withColumn("q", model.predictProbaCol(col("features")))
+    assert(scored.filter(col("q") >= 0.5).count() == docs.count())
+    val scoredBad = graft.examples.QualityClassifier.featurize(degraded, "text")
+      .withColumn("q", model.predictProbaCol(col("features")))
+    assert(scoredBad.filter(col("q") >= 0.5).count() <= docs.count() / 100)
+  }
+
   test("minhashCleanStream: streamed clean set is the exact batch complement") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
