@@ -54,12 +54,20 @@ object IncrementalIngest {
     val refEmb = emb.filter(col("vec_id") < 400)
     val batchEmb = emb.filter(col("vec_id") >= 400)
 
-    // ---- index build (once per reference corpus, not per batch) ----
+    // ---- index build (once per reference corpus, not per batch):
+    // signature table, centroids, PQ codebooks, and the full-corpus
+    // IVF-PQ encode all happen HERE; every artifact is persisted so the
+    // per-batch section below only LOADS state and appends ----
     val tmp = java.nio.file.Files.createTempDirectory("ingest_idx").toString
     Dedup.writeBandedSignatures(refDocs, "doc_id", "text", s"$tmp/mh_bands")
     val cents = Similarity.trainIvfCentroids(refEmb, "embedding",
       kCells = 8, iters = 3, seed = 11L)
     Similarity.saveCentroids(spark, cents, s"$tmp/centroids")
+    val cbs = Similarity.trainPqCodebooks(refEmb, "embedding", dim = 64,
+      m = 4, ksub = 8, iters = 2)
+    Similarity.saveCodebooks(spark, cbs, s"$tmp/codebooks")
+    Similarity.ivfPqEncode(refEmb, "vec_id", "embedding", cents, cbs,
+      s"$tmp/ivfpq")
     println(s"[ingest] built reference artifacts under $tmp")
 
     // ---- per-batch checks. Each pair frame is persisted: it feeds its
@@ -102,17 +110,16 @@ object IncrementalIngest {
 
     // ---- index maintenance: the admitted docs join the corpus, so
     // their embeddings are APPENDED to the persisted IVF-PQ index under
-    // the frozen build-time centroids/codebooks — never retrain at
-    // ingest time (a retrain renumbers cells/codes and corrupts every
-    // previously-written row; see ivfPqEncodeAppend's scaladoc) ----
-    val cbs = Similarity.trainPqCodebooks(refEmb, "embedding", dim = 64,
-      m = 4, ksub = 8, iters = 2)
-    Similarity.ivfPqEncode(refEmb, "vec_id", "embedding", cents, cbs,
-      s"$tmp/ivfpq")
+    // the frozen build-time centroids/codebooks, LOADED back from the
+    // build artifacts — never retrain at ingest time (a retrain
+    // renumbers cells/codes and corrupts every previously-written row;
+    // the codes table's metadata columns make the query path fail loudly
+    // on exactly that mistake, see ivfPqEncodeAppend's scaladoc) ----
+    val loadedCbs = Similarity.loadCodebooks(spark, s"$tmp/codebooks")
     val admittedEmb = batchEmb.join(
       admitted.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
     Similarity.ivfPqEncodeAppend(admittedEmb, "vec_id", "embedding",
-      cents, cbs, s"$tmp/ivfpq")
+      loaded, loadedCbs, s"$tmp/ivfpq")
     println(s"[ingest] IVF-PQ index grew to " +
       s"${spark.read.parquet(s"$tmp/ivfpq").count()} rows")
 

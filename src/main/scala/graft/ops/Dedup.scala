@@ -209,6 +209,17 @@ object Dedup {
       s"bands must tile the $numHashes-hash signature exactly, got $bands")
   }
 
+  /** The band-b bucket key of a MinHash signature column: the
+    * ":"-joined decimal minima of the band's hash slice. ONE definition
+    * shared by the batch banding — and therefore by
+    * [[writeBandedSignatures]]'s on-disk `bucket` column — and the
+    * streaming per-band key derivation ([[minhashCleanStream]]), so the
+    * persisted format and the stream side cannot drift: a format change
+    * here changes BOTH, never one. */
+  private def bandBucketCol(sigCol: Column, b: Int, rowsPerBand: Int): Column =
+    concat_ws(":", (0 until rowsPerBand).map(r =>
+      element_at(sigCol, b * rowsPerBand + r + 1).cast("string")): _*)
+
   /** Eager validation that `bandsDf` is a homogeneous
     * [[writeBandedSignatures]] table at the caller's widths: a
     * whole-table min/max probe over the two RLE constant columns (one
@@ -226,14 +237,19 @@ object Dedup {
       "bandsDf is not a writeBandedSignatures table (bands/num_hashes " +
         "columns missing) — rebuild it, or band the reference yourself " +
         "and call minhashCandidatesAgainst")
+    // count the CAST columns: a non-numeric width (hand-built string
+    // table) casts to NULL, and counting the raw column instead would
+    // pass this guard only to NPE on getInt below — the opposite of
+    // failing loudly with a diagnosis
     val wr0 = bandsDf
-      .agg(count(lit(1)), count(col("bands")), count(col("num_hashes")),
+      .agg(count(lit(1)),
+        count(col("bands").cast("int")), count(col("num_hashes").cast("int")),
         min(col("bands").cast("int")), max(col("bands").cast("int")),
         min(col("num_hashes").cast("int")), max(col("num_hashes").cast("int")))
       .head()
     if (wr0.getLong(0) > 0) {
       require(wr0.getLong(1) == wr0.getLong(0) && wr0.getLong(2) == wr0.getLong(0),
-        s"bands table has NULL bands/num_hashes rows " +
+        s"bands table has NULL or non-numeric bands/num_hashes rows " +
           s"(${wr0.getLong(0) - math.min(wr0.getLong(1), wr0.getLong(2))} of " +
           s"${wr0.getLong(0)}) — rebuild it with writeBandedSignatures")
       require(wr0.getInt(3) == bands && wr0.getInt(4) == bands &&
@@ -270,13 +286,19 @@ object Dedup {
     * batch complement: the reference-side hot-bucket cap never empties
     * a bucket, so "shares ≥1 bucket" is cap-invariant.
     *
-    * 100 TB shape: each micro-batch joins ONLY its own rows against the
-    * static table (`bands` passes over it per trigger — for
-    * high-frequency triggers cache the projected keys side, or bucket
+    * 100 TB shape: each anti-join's static side is pre-filtered to its
+    * OWN band's rows (band-b keys can only match band-b rows, and the
+    * filter reaches the parquet scan), so a trigger reads each
+    * signature row once in total, not `bands` times; for
+    * high-frequency triggers cache the filtered keys sides, or bucket
     * the signature table by (band, bucket) to make each anti-join
-    * shuffle-free on the static side). The static relation is
-    * re-resolved per micro-batch, so a nightly signature rebuild is
-    * picked up without restarting the stream. */
+    * shuffle-free on the static side. The static relation is
+    * re-resolved per micro-batch, so a nightly signature REBUILD is
+    * picked up without restarting the stream — but width validation
+    * runs ONCE, at stream definition: a rebuild MUST keep the same
+    * bands/numHashes, because a width-changing rebuild would make every
+    * key miss (all docs pass as clean) with nothing left to catch it.
+    * Change widths only with a stream restart, which re-validates. */
   def minhashCleanStream(newStream: DataFrame, bandsDf: DataFrame,
       textCol: String, bands: Int = 4, numHashes: Int = 8): DataFrame = {
     requireBandWidths(bands, numHashes)
@@ -290,16 +312,12 @@ object Dedup {
     // it — an inline signature would re-shingle the doc per band key
     val keyed = (0 until bands).foldLeft(
       newStream.withColumn("__sig", sig)) { (d, b) =>
-      d.withColumn(s"__bk$b",
-        concat_ws(":", lit(b).cast("string") +:
-          (0 until rowsPerBand).map(r =>
-            element_at(col("__sig"), b * rowsPerBand + r + 1)
-              .cast("string")): _*))
+      d.withColumn(s"__bk$b", bandBucketCol(col("__sig"), b, rowsPerBand))
     }.drop("__sig")
-    val refKeys = bandsDf.select(concat_ws(":",
-      col("band").cast("string"), col("bucket")).as("__refkey"))
     (0 until bands).foldLeft(keyed) { (d, b) =>
-      d.join(refKeys, col(s"__bk$b") === col("__refkey"), "left_anti")
+      val refB = bandsDf.filter(col("band") === b)
+        .select(col("bucket").as("__refbucket"))
+      d.join(refB, col(s"__bk$b") === col("__refbucket"), "left_anti")
     }.drop((0 until bands).map(b => s"__bk$b"): _*)
   }
 
@@ -338,9 +356,7 @@ object Dedup {
       .filter(element_at(col("__sig"), 1) =!= Long.MaxValue)
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        concat_ws(":", (0 until rowsPerBand).map(r =>
-          element_at(col("__sig"), b * rowsPerBand + r + 1).cast("string")): _*)
-          .as("bucket"))
+        bandBucketCol(col("__sig"), b, rowsPerBand).as("bucket"))
     }
     sigd.select(col("__id"), explode(array(bandStructs: _*)).as("__bk"))
       .select(col("__id"), col("__bk.band").as("__band"),
@@ -1015,25 +1031,34 @@ object Dedup {
     * the corpus, no pair materialization (the semi-join short-circuits
     * on the first matching reference row). Cosine is rounded to
     * `roundDp` before the threshold test (cross-engine exactness). */
+  /** The reference-side projection and hit condition shared by
+    * [[cosineContaminated]] (semi-join) and [[cosineCleanStream]]
+    * (anti-join) — ONE copy of the zero-norm guard and rounding, so the
+    * two verdicts cannot drift: NaN cosine (0/0) compares GREATER than
+    * the threshold under Spark's nanSafeCompare, which would flag a
+    * zero-embedding doc as contaminated by ANY bucket neighbor;
+    * nanvl(_, null) makes the predicate false instead (DuckDB's
+    * 0/0 → NULL agrees). */
+  private def cosineRefSide(reference: DataFrame, vecCol: String,
+      bucketCol: Column): DataFrame =
+    reference.select(
+      col(vecCol).cast("array<double>").as("__rv"), bucketCol.as("__rbk"))
+
+  private def cosineHitCond(threshold: Double, roundDp: Int): Column = {
+    import graft.functions.MathFunctions.cosineSim
+    col("__bk") === col("__rbk") &&
+      nanvl(round(cosineSim(col("__cv"), col("__rv")), roundDp),
+        lit(null).cast("double")) >= threshold
+  }
+
   def cosineContaminated(
       corpus: DataFrame, reference: DataFrame, idCol: String,
       vecCol: String, threshold: Double, bucketCol: Column,
       roundDp: Int = 6): DataFrame = {
-    import graft.functions.MathFunctions.cosineSim
     val c = corpus.select(col(idCol).as("__id"),
       col(vecCol).cast("array<double>").as("__cv"), bucketCol.as("__bk"))
-    val r = reference.select(
-      col(vecCol).cast("array<double>").as("__rv"), bucketCol.as("__rbk"))
-    c.join(broadcast(r),
-        col("__bk") === col("__rbk") &&
-          // zero-norm guard: NaN cosine (0/0) compares GREATER than the
-          // threshold under Spark's nanSafeCompare, which would flag a
-          // zero-embedding corpus doc as contaminated by ANY bucket
-          // neighbor; nanvl(_, null) makes the predicate false instead
-          // (DuckDB's 0/0 → NULL agrees)
-          nanvl(round(cosineSim(col("__cv"), col("__rv")), roundDp),
-            lit(null).cast("double")) >= threshold,
-        "left_semi")
+    c.join(broadcast(cosineRefSide(reference, vecCol, bucketCol)),
+        cosineHitCond(threshold, roundDp), "left_semi")
       .select(col("__id").as(idCol))
   }
 
@@ -1056,20 +1081,13 @@ object Dedup {
     * without restarting the stream. */
   def cosineCleanStream(newStream: DataFrame, reference: DataFrame,
       vecCol: String, threshold: Double, bucketCol: Column,
-      roundDp: Int = 6): DataFrame = {
-    import graft.functions.MathFunctions.cosineSim
-    val r = reference.select(
-      col(vecCol).cast("array<double>").as("__rv"), bucketCol.as("__rbk"))
+      roundDp: Int = 6): DataFrame =
     newStream
       .withColumn("__cv", col(vecCol).cast("array<double>"))
       .withColumn("__bk", bucketCol)
-      .join(broadcast(r),
-        col("__bk") === col("__rbk") &&
-          nanvl(round(cosineSim(col("__cv"), col("__rv")), roundDp),
-            lit(null).cast("double")) >= threshold,
-        "left_anti")
+      .join(broadcast(cosineRefSide(reference, vecCol, bucketCol)),
+        cosineHitCond(threshold, roundDp), "left_anti")
       .drop("__cv", "__bk")
-  }
 
   /** Benchmark decontamination: ids of `corpus` docs that share ANY token
     * `n`-gram with any `reference` doc (the held-out benchmark / eval

@@ -498,11 +498,33 @@ object Similarity {
     * never touch the raw vectors again (the codes table is dim/m·8×
     * smaller, so at 100 TB of embeddings the scannable index is
     * RAM-cacheable). */
+  /** Content hash of index state (codebooks / centroids), written into
+    * every codes table as a constant column and re-checked at query
+    * time: `Double.hashCode` is bit-based and the nested-array walk is
+    * order-defined, so the value is deterministic across JVMs/runs for
+    * identical state and differs for any retrain. */
+  private def stateHash(a: Array[_]): Int =
+    java.util.Arrays.deepHashCode(a.asInstanceOf[Array[AnyRef]])
+
+  private def pqCodesFrame(corpus: DataFrame, idCol: String, vecCol: String,
+      codebooks: Array[Array[Array[Double]]], roundDp: Int): DataFrame =
+    corpus.select(col(idCol),
+      pqCodes(col(vecCol), codebooks, roundDp).as("codes"),
+      // self-describing metadata (the writeBandedSignatures pattern —
+      // RLE constant columns, free in parquet): an append under
+      // retrained codebooks or a different roundDp would produce codes
+      // that index the WRONG codewords — silently wrong neighbors, with
+      // nothing else to catch it. Query paths validate these against
+      // the caller's state before ranking.
+      lit(codebooks.length).as("m"),
+      lit(codebooks(0).length).as("ksub"),
+      lit(roundDp).as("round_dp"),
+      lit(stateHash(codebooks)).as("cb_hash"))
+
   def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
       codebooks: Array[Array[Array[Double]]], path: String,
       roundDp: Int = -1): Unit =
-    corpus.select(col(idCol),
-        pqCodes(col(vecCol), codebooks, roundDp).as("codes"))
+    pqCodesFrame(corpus, idCol, vecCol, codebooks, roundDp)
       .write.mode("overwrite").parquet(path)
 
   /** Append a NEW batch to an existing [[pqEncode]] codes table — the
@@ -516,16 +538,56 @@ object Similarity {
   def pqEncodeAppend(newBatch: DataFrame, idCol: String, vecCol: String,
       codebooks: Array[Array[Array[Double]]], path: String,
       roundDp: Int = -1): Unit =
-    newBatch.select(col(idCol),
-        pqCodes(col(vecCol), codebooks, roundDp).as("codes"))
+    pqCodesFrame(newBatch, idCol, vecCol, codebooks, roundDp)
       .write.mode("append").parquet(path)
 
+  /** Validate a persisted codes table's self-describing metadata against
+    * the caller's index state — whole-table min/max probe over the RLE
+    * constant columns (the bands-table pattern in [[graft.ops.Dedup]]):
+    * a mixed or stale table (an append under retrained codebooks, a
+    * different roundDp, or a pre-metadata write) fails loudly HERE
+    * instead of silently ranking with codes that index the wrong
+    * codewords. One extra two-to-five-column scan per query call — the
+    * ranking below scans the same table anyway. */
+  private def validateCodesTable(codes: DataFrame, what: String,
+      codebooks: Array[Array[Array[Double]]], roundDp: Int,
+      centroids: Option[Array[Array[Double]]]): Unit = {
+    val expected: Seq[(String, Int)] = Seq(
+      "m" -> codebooks.length, "ksub" -> codebooks(0).length,
+      "round_dp" -> roundDp, "cb_hash" -> stateHash(codebooks)) ++
+      centroids.map(c => "cent_hash" -> stateHash(c))
+    val missing = expected.map(_._1).filterNot(codes.columns.contains)
+    require(missing.isEmpty,
+      s"$what: codes table lacks metadata column(s) ${missing.mkString(", ")}" +
+        " — re-encode with pqEncode/ivfPqEncode (tables written before " +
+        "the self-describing format must be rebuilt)")
+    val aggs = expected.flatMap { case (c, _) => Seq(
+      min(col(c).cast("int")), max(col(c).cast("int")),
+      count(col(c).cast("int"))) }
+    val r = codes.agg(count(lit(1)), aggs: _*).head()
+    val total = r.getLong(0)
+    if (total > 0) expected.zipWithIndex.foreach { case ((name, want), i) =>
+      val mn = r.get(1 + i * 3)
+      val mx = r.get(2 + i * 3)
+      val cnt = r.getLong(3 + i * 3)
+      require(cnt == total && mn == want && mx == want,
+        s"$what: codes table $name is $mn..$mx over $cnt/$total rows but " +
+          s"the caller's index state expects $want — the table mixes " +
+          "writes from different index builds, or the caller loaded the " +
+          "wrong codebooks/centroids; rebuild or load the matching state")
+    }
+  }
+
   /** [[pqTopK]] against an already-encoded corpus (a [[pqEncode]] codes
-    * table): identical ranking, zero raw-vector reads. */
+    * table): identical ranking, zero raw-vector reads. The table's
+    * metadata is validated against `codebooks`/`roundDp` first —
+    * rankings computed under mismatched index state are silently wrong,
+    * never cheap. */
   def pqTopKOnCodes(
       codes: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       codebooks: Array[Array[Array[Double]]], k: Int,
       roundDp: Int = -1): DataFrame = {
+    validateCodesTable(codes, "pqTopKOnCodes", codebooks, roundDp, None)
     val c = codes.select(col(idCol).as("c_id"), col("codes"))
     val q = queries.select(col(idCol).as("q_id"),
       col(vecCol).cast("array<double>").as("qv"))
@@ -571,7 +633,15 @@ object Similarity {
       graft.functions.IndexExpr.ivfCell(
         col(vecCol).cast("array<double>"), bcC, roundDp).as("cell"),
       graft.functions.IndexExpr.pqCodes(
-        col(vecCol).cast("array<double>"), bcB, roundDp).as("codes"))
+        col(vecCol).cast("array<double>"), bcB, roundDp).as("codes"),
+      // same self-describing contract as [[pqCodesFrame]], plus the
+      // centroid hash: a retrained coarse quantizer renumbers cells,
+      // which silently mis-probes every previously-written row
+      lit(codebooks.length).as("m"),
+      lit(codebooks(0).length).as("ksub"),
+      lit(roundDp).as("round_dp"),
+      lit(stateHash(codebooks)).as("cb_hash"),
+      lit(stateHash(centroids)).as("cent_hash"))
   }
 
   /** [[ivfPqTopK]] against an already-encoded (id, cell, codes) index
@@ -586,6 +656,8 @@ object Similarity {
     require(nprobe >= 1 && nprobe <= centroids.length,
       s"nprobe must be in [1, ${centroids.length}], got $nprobe")
     validateCodebooks(codebooks)
+    validateCodesTable(codes, "ivfPqTopKOnCodes", codebooks, roundDp,
+      Some(centroids))
     val bcC = bcOf(centroids)
     val bcB = bcOf(codebooks)
     val c = codes.select(col(idCol).as("c_id"), col("cell"), col("codes"))

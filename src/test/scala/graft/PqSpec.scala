@@ -159,6 +159,48 @@ class PqSpec extends AnyFunSuite {
     assert(grown2 == oneShot2)
   }
 
+  test("codes-table metadata rejects mismatched or mixed index state") {
+    val e = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val queries = e.filter(col("vec_id") < 5)
+    val corpus = e.filter(col("vec_id") >= 5)
+    val cbs = Similarity.trainPqCodebooks(corpus, "embedding", dim = 64,
+      m = 4, ksub = 8, iters = 2, seed = 1L)
+    val retrained = Similarity.trainPqCodebooks(corpus, "embedding", dim = 64,
+      m = 4, ksub = 8, iters = 2, seed = 2L)
+    val dir = java.nio.file.Files.createTempDirectory("pq_meta").toString
+    Similarity.pqEncode(corpus, "vec_id", "embedding", cbs, dir)
+    val codes = spark.read.parquet(dir)
+    // querying under retrained codebooks would rank with codes that
+    // index the wrong codewords — the metadata hash fails it loudly
+    val err = intercept[IllegalArgumentException] {
+      Similarity.pqTopKOnCodes(codes, queries, "vec_id", "embedding",
+        retrained, k = 3)
+    }
+    assert(err.getMessage.contains("index"), err.getMessage)
+    // a mismatched roundDp is the same corruption class
+    val err2 = intercept[IllegalArgumentException] {
+      Similarity.pqTopKOnCodes(codes, queries, "vec_id", "embedding",
+        cbs, k = 3, roundDp = 6)
+    }
+    assert(err2.getMessage.contains("round_dp"), err2.getMessage)
+    // an append under retrained codebooks makes a MIXED table: the
+    // min/max probe rejects it for EITHER caller state
+    Similarity.pqEncodeAppend(corpus.limit(10), "vec_id", "embedding",
+      retrained, dir)
+    val mixed = spark.read.parquet(dir)
+    val err3 = intercept[IllegalArgumentException] {
+      Similarity.pqTopKOnCodes(mixed, queries, "vec_id", "embedding",
+        cbs, k = 3)
+    }
+    assert(err3.getMessage.contains("mixes"), err3.getMessage)
+    // pre-metadata tables are rejected with a rebuild pointer
+    val err4 = intercept[IllegalArgumentException] {
+      Similarity.pqTopKOnCodes(codes.drop("cb_hash"), queries, "vec_id",
+        "embedding", cbs, k = 3)
+    }
+    assert(err4.getMessage.contains("metadata"), err4.getMessage)
+  }
+
   test("persisted IVF-PQ index table reproduces ivfPqTopK (build-once query path)") {
     val e = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
     val queries = e.filter(col("vec_id") < 5)
