@@ -154,6 +154,27 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("partial"), plan) // map-side combine present
   }
 
+  test("minhashCleanStream static sides are band-pruned at the parquet scan") {
+    // the operator is a plain DataFrame transform, so the batch plan is
+    // exactly the per-micro-batch plan: each of the `bands` anti-joins
+    // must push its own band equality into the signature-table scan —
+    // dropping the filter re-reads the WHOLE table once per band per
+    // trigger on the streaming path
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("mh_plan").toString
+    graft.ops.Dedup.writeBandedSignatures(
+      docs.filter(col("doc_id") < 100), "doc_id", "text", dir)
+    val out = graft.ops.Dedup.minhashCleanStream(
+      docs.filter(col("doc_id") >= 100), spark.read.parquet(dir), "text")
+    val plan = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    (0 until 4).foreach { b =>
+      assert(plan.contains(s"EqualTo(band,$b)"),
+        s"band-$b filter not pushed to the signature scan:\n$plan")
+    }
+  }
+
   test("q44 minhash_sig stays inside whole-stage codegen (no fallback)") {
     graft.functions.TextHashFunctions.register(spark)
     val df = Queries.byName("q44_minhash").spark(spark, TestSpark.sf0001)
