@@ -14,7 +14,11 @@ import org.apache.spark.sql.functions._
   *   1. exact      — [[Dedup.exactMatchesAgainst]] (bloom-eligible semi-join)
   *   2. MinHash    — [[Dedup.minhashCandidatesAgainstBands]] against the
   *                   PERSISTED signature table (zero reference-text reads)
-  *   3. SimHash    — [[Dedup.simhashNearDupsAgainst]] (hamming bands)
+  *   3. SimHash    — [[Dedup.simhashNearDupsAgainst]] (hamming bands;
+  *                   [[Dedup.writeSimhashSignatures]] +
+  *                   [[Dedup.simhashNearDupsAgainstBands]] is the
+  *                   build-once form when the reference text should be
+  *                   fingerprinted only once)
   *   4. semantic   — [[Dedup.semDedupAgainst]] (shared broadcast
   *                   centroids, per-(cell, sub-bucket) reference cap)
   *

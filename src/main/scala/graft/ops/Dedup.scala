@@ -485,13 +485,20 @@ object Dedup {
     * band (4× the text I/O for the default split). Arithmetic shift +
     * mask extracts each band identically on any engine (sign-extension
     * bits die under the mask). */
+  /** The band-b key of a SimHash fingerprint column: the band's bit
+    * slice as a long. ONE definition shared by the batch banding — and
+    * therefore by [[writeSimhashSignatures]]'s on-disk `key` column —
+    * and the streaming per-band derivation ([[simhashCleanStream]]), so
+    * the persisted format and the stream side cannot drift. */
+  private def simhashBandKeyCol(fpCol: Column, b: Int, bandBits: Int): Column =
+    shiftright(fpCol, b * bandBits).bitwiseAND(lit((1L << bandBits) - 1))
+
   private def simhashBanded(df: DataFrame, idCol: String, textCol: String,
       bits: Int, bands: Int): DataFrame = {
     val bandBits = bits / bands
-    val mask = (1L << bandBits) - 1
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask)).as("key"))
+        simhashBandKeyCol(col("simhash"), b, bandBits).as("key"))
     }
     simhash(df, idCol, textCol, bits)
       .select(col(idCol).as("__id"), col("simhash"),
@@ -520,23 +527,149 @@ object Dedup {
       newDf: DataFrame, refDf: DataFrame, idCol: String, textCol: String,
       bits: Int = 64, bands: Int = 4, maxHamming: Int = 3,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    require(bands >= 1 && bands <= bits && bits % bands == 0,
-      s"bands must tile the $bits-bit fingerprint exactly, got $bands")
-    require(bits / bands <= 32, s"band keys must fit 32 bits, got ${bits / bands}")
+    requireSimhashWidths(bits, bands)
     require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
-    val n = simhashBanded(newDf, idCol, textCol, bits, bands).as("n")
+    simhashAgainstBanded(
+      simhashBanded(newDf, idCol, textCol, bits, bands),
+      simhashBanded(refDf, idCol, textCol, bits, bands),
+      maxHamming, maxBucket)
+  }
+
+  /** Shared core of the incremental SimHash joins (the
+    * [[candidatesAgainstBanded]] pattern): asymmetric reference cap,
+    * band-key equi-join, hamming filter, distinct (new_id, ref_id,
+    * hamming). Both public forms reduce through this. */
+  private def simhashAgainstBanded(nBanded: DataFrame,
+      rBanded: DataFrame, maxHamming: Int, maxBucket: Int): DataFrame = {
+    val n = nBanded.as("n")
     val wr = Window.partitionBy("__band", "__key").orderBy("__id")
-    val r = simhashBanded(refDf, idCol, textCol, bits, bands)
+    val r = rBanded
       .withColumn("__rn", row_number().over(wr))
       .filter(col("__rn") <= maxBucket)
       .drop("__rn").as("r")
     n.join(r, col("n.__band") === col("r.__band")
         && col("n.__key") === col("r.__key"))
       .select(col("n.__id").as("new_id"), col("r.__id").as("ref_id"),
-        expr("bit_count(n.simhash ^ r.simhash)").cast("int").as("hamming"))
+        bitCountXor(col("n.simhash"), col("r.simhash"))
+          .cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** Persist a corpus's banded SimHash fingerprints as an (id, simhash,
+    * band, key) parquet table — the fingerprint-side twin of
+    * [[writeBandedSignatures]]: a production pipeline fingerprints the
+    * reference corpus ONCE, then each daily batch joins
+    * [[simhashNearDupsAgainstBands]] (or streams through
+    * [[simhashCleanStream]]) against the table and never re-reads the
+    * reference TEXT. The full fingerprint rides along because the
+    * hamming verdict needs it, not just the band keys. Widths are
+    * recorded as RLE constant columns and re-validated whole-table at
+    * read time (the [[validateBandsTable]] contract). */
+  def writeSimhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      path: String, bits: Int = 64, bands: Int = 4): Unit = {
+    requireSimhashWidths(bits, bands)
+    simhashBanded(df, idCol, textCol, bits, bands)
+      .select(col("__id").as(idCol), col("simhash"),
+        col("__band").as("band"), col("__key").as("key"),
+        lit(bits).as("bits"), lit(bands).as("bands"))
+      .write.mode("overwrite").parquet(path)
+  }
+
+  private def requireSimhashWidths(bits: Int, bands: Int): Unit = {
+    require(bits >= 1 && bits <= 64, s"bits must be in [1, 64], got $bits")
+    require(bands >= 1 && bands <= bits && bits % bands == 0,
+      s"bands must tile the $bits-bit fingerprint exactly, got $bands")
+    require(bits / bands <= 32, s"band keys must fit 32 bits, got ${bits / bands}")
+  }
+
+  /** Whole-table width validation for a [[writeSimhashSignatures]]
+    * table — same probe and failure modes as [[validateBandsTable]]:
+    * mismatched or mixed widths mean the band keys never collide (all
+    * docs pass as clean / zero candidates) with nothing else to catch
+    * it. */
+  private def validateSimhashTable(sigDf: DataFrame, bits: Int,
+      bands: Int): Unit = {
+    require(Seq("simhash", "band", "key", "bits", "bands")
+        .forall(sigDf.columns.contains),
+      "sigDf is not a writeSimhashSignatures table (simhash/band/key/" +
+        "bits/bands columns missing) — rebuild it, or fingerprint the " +
+        "reference yourself and call simhashNearDupsAgainst")
+    val wr0 = sigDf
+      .agg(count(lit(1)),
+        count(col("bits").cast("int")), count(col("bands").cast("int")),
+        min(col("bits").cast("int")), max(col("bits").cast("int")),
+        min(col("bands").cast("int")), max(col("bands").cast("int")))
+      .head()
+    if (wr0.getLong(0) > 0) {
+      require(wr0.getLong(1) == wr0.getLong(0) && wr0.getLong(2) == wr0.getLong(0),
+        s"simhash table has NULL or non-numeric bits/bands rows " +
+          s"(${wr0.getLong(0) - math.min(wr0.getLong(1), wr0.getLong(2))} of " +
+          s"${wr0.getLong(0)}) — rebuild it with writeSimhashSignatures")
+      require(wr0.getInt(3) == bits && wr0.getInt(4) == bits &&
+        wr0.getInt(5) == bands && wr0.getInt(6) == bands,
+        s"simhash table was written at bits=${wr0.getInt(3)}..${wr0.getInt(4)}/" +
+          s"bands=${wr0.getInt(5)}..${wr0.getInt(6)}, caller passed " +
+          s"$bits/$bands — mismatched widths never collide; a min≠max " +
+          "range means the table mixes two writes")
+    }
+  }
+
+  /** [[simhashNearDupsAgainst]] against an already-fingerprinted
+    * reference table (a [[writeSimhashSignatures]] output read back):
+    * identical pairs, zero reference-text reads — only the NEW batch is
+    * fingerprinted. */
+  def simhashNearDupsAgainstBands(
+      newDf: DataFrame, sigDf: DataFrame, idCol: String, textCol: String,
+      bits: Int = 64, bands: Int = 4, maxHamming: Int = 3,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    requireSimhashWidths(bits, bands)
+    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
+    validateSimhashTable(sigDf, bits, bands)
+    simhashAgainstBanded(
+      simhashBanded(newDf, idCol, textCol, bits, bands),
+      sigDf.select(col(idCol).as("__id"), col("simhash"),
+        col("band").as("__band"), col("key").as("__key")),
+      maxHamming, maxBucket)
+  }
+
+  /** STREAMING near-dup filter against a persisted SimHash table: pass
+    * through only the docs of a micro-batch stream with NO reference
+    * fingerprint within `maxHamming` bits in ANY shared band bucket —
+    * the fingerprint-side twin of [[minhashCleanStream]] (same
+    * chained-anti-join shape, same static-side band pruning, same
+    * once-at-definition width validation and rebuild caveat), with the
+    * hamming test as the join's residual condition: an anti-join drops
+    * a doc only when key equality AND the hamming bound BOTH hold, so
+    * a same-key far-fingerprint neighbor does not evict a clean doc. */
+  def simhashCleanStream(newStream: DataFrame, sigDf: DataFrame,
+      textCol: String, bits: Int = 64, bands: Int = 4,
+      maxHamming: Int = 3): DataFrame = {
+    requireSimhashWidths(bits, bands)
+    validateSimhashTable(sigDf, bits, bands)
+    val bandBits = bits / bands
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val fp = ColumnBridge.column(graft.functions.SimHashFp(
+      ColumnBridge.expression(col(textCol)), bits))
+    val keyed = (0 until bands).foldLeft(
+      newStream.withColumn("__fp", fp)) { (d, b) =>
+      d.withColumn(s"__sk$b", simhashBandKeyCol(col("__fp"), b, bandBits))
+    }
+    (0 until bands).foldLeft(keyed) { (d, b) =>
+      val refB = sigDf.filter(col("band") === b)
+        .select(col("key").as("__refkey"), col("simhash").as("__reffp"))
+      d.join(refB,
+        col(s"__sk$b") === col("__refkey") &&
+          bitCountXor(col("__fp"), col("__reffp")) <= maxHamming,
+        "left_anti")
+    }.drop("__fp" +: (0 until bands).map(b => s"__sk$b"): _*)
+  }
+
+  /** bit_count(a ^ b) as a Column — the hamming distance between two
+    * 64-bit fingerprints, shared by the batch join core and the
+    * streaming residual condition. */
+  private def bitCountXor(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
 
   /** Connected components over a near-dup PAIR set: each node's cluster
     * id is the minimum id reachable through pair edges (min-label

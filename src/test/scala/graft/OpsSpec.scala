@@ -650,6 +650,42 @@ class OpsSpec extends AnyFunSuite {
     assert(err3.getMessage.contains("mixes two writes"), err3.getMessage)
   }
 
+  test("persisted simhash signatures reproduce simhashNearDupsAgainst (build-once path)") {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val ref = docs.filter(col("doc_id") < 400)
+    val nw = docs.filter(col("doc_id") >= 400)
+    val dir = java.nio.file.Files.createTempDirectory("sh_bands").toString
+    Dedup.writeSimhashSignatures(ref, "doc_id", "text", dir)
+    val sigDf = spark.read.parquet(dir)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val onBands = pairs(Dedup.simhashNearDupsAgainstBands(
+      nw, sigDf, "doc_id", "text", maxHamming = 20, maxBucket = 5))
+    val direct = pairs(Dedup.simhashNearDupsAgainst(
+      nw, ref, "doc_id", "text", maxHamming = 20, maxBucket = 5))
+    assert(onBands == direct && onBands.nonEmpty, s"${onBands.size} pairs")
+    // width mismatch and heterogeneous tables fail fast (the bands-table
+    // contract): mismatched keys never collide = silent all-clean
+    val err = intercept[IllegalArgumentException] {
+      Dedup.simhashNearDupsAgainstBands(nw, sigDf, "doc_id", "text",
+        bits = 64, bands = 8)
+    }
+    assert(err.getMessage.contains("mismatched widths"), err.getMessage)
+    val dir8 = java.nio.file.Files.createTempDirectory("sh_bands8").toString
+    Dedup.writeSimhashSignatures(ref, "doc_id", "text", dir8,
+      bits = 64, bands = 8)
+    val mixed = sigDf.unionByName(spark.read.parquet(dir8))
+    val err2 = intercept[IllegalArgumentException] {
+      Dedup.simhashNearDupsAgainstBands(nw, mixed, "doc_id", "text")
+    }
+    assert(err2.getMessage.contains("mixes two writes"), err2.getMessage)
+    val err3 = intercept[IllegalArgumentException] {
+      Dedup.simhashNearDupsAgainstBands(nw, sigDf.drop("bits", "bands"),
+        "doc_id", "text")
+    }
+    assert(err3.getMessage.contains("writeSimhashSignatures"), err3.getMessage)
+  }
+
   test("incremental simhash: reference flood capped, every new doc still matched") {
     import spark.implicits._
     val text = "graft spark dedup engine builds banded simhash fingerprints quickly"

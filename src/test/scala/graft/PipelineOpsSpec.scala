@@ -293,6 +293,46 @@ class PipelineOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("simhashCleanStream: streamed clean set is the exact batch complement") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val ref = docs.filter(col("doc_id") < 400)
+    val nw = docs.filter(col("doc_id") >= 400).select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("sh_stream").toString
+    graft.ops.Dedup.writeSimhashSignatures(ref, "doc_id", "text", dir)
+    val sigDf = spark.read.parquet(dir)
+    // batch truth at an UNCAPPED reference (the stream filter tests
+    // existence, which is cap-invariant only when no bucket is emptied —
+    // keep both sides uncapped for exactness)
+    val dupIds = graft.ops.Dedup.simhashNearDupsAgainst(
+        nw, ref, "doc_id", "text", maxHamming = 20,
+        maxBucket = Int.MaxValue)
+      .select("new_id").collect().map(_.getLong(0)).toSet
+    val allIds = nw.select("doc_id").collect().map(_.getLong(0)).toSet
+    val rows = nw.collect().map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String)]
+    val stream = graft.ops.Dedup.simhashCleanStream(
+      input.toDF().toDF("doc_id", "text"), sigDf, "text", maxHamming = 20)
+    val q = stream.writeStream.outputMode("append").format("memory")
+      .queryName("sh_clean_out").start()
+    try {
+      val (first, second) = rows.splitAt(rows.length / 2)
+      input.addData(first: _*)
+      q.processAllAvailable()
+      input.addData(second: _*)
+      q.processAllAvailable()
+      val out = spark.table("sh_clean_out")
+      assert(out.columns.toSeq == Seq("doc_id", "text"))
+      val got = out.collect().map(_.getLong(0)).toSeq
+      assert(got.distinct.size == got.size, "clean docs must not repeat")
+      assert(got.toSet == (allIds -- dupIds),
+        s"${got.size} streamed vs ${(allIds -- dupIds).size} batch-clean")
+      assert(dupIds.nonEmpty, "fixture must exercise the dup path")
+    } finally q.stop()
+  }
+
   test("cosineCleanStream: streamed clean set is the exact batch complement") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
