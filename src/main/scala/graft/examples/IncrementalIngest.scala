@@ -33,9 +33,12 @@ import org.apache.spark.sql.functions._
   *                   table under the FROZEN build-time centroids +
   *                   codebooks; queries keep running unchanged.
   *
-  * The same pipeline runs as a STREAM: [[Dedup.minhashCleanStream]] is
-  * the per-micro-batch form of step 2 (stream-static anti-joins against
-  * the same signature table — see PipelineOpsSpec).
+  * The same pipeline runs as a STREAM: [[Dedup.exactCleanStream]],
+  * [[Dedup.minhashCleanStream]], [[Dedup.simhashCleanStream]], and
+  * [[Dedup.cosineCleanStream]] are the per-micro-batch forms of steps
+  * 1-4 (stream-static anti-joins against the same persisted reference
+  * artifacts — each spec-pinned to its batch complement in
+  * PipelineOpsSpec).
   *
   * Run: sbt "runMain graft.examples.IncrementalIngest [sfDir]"
   */

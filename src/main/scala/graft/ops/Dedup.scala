@@ -86,6 +86,26 @@ object Dedup {
       .select(col(idCol))
   }
 
+  /** STREAMING exact filter against a reference corpus: pass through
+    * only the docs of a micro-batch stream whose key columns equal NO
+    * reference row's (the [[exactMatchesAgainst]] verdict, inverted and
+    * per-row) — the exact-match cell of the streaming filter family
+    * ([[minhashCleanStream]] / [[simhashCleanStream]] /
+    * [[cosineCleanStream]]). ONE stream-static LEFT ANTI equi-join on
+    * the md5 [[dupKey]]: per-row keying is a stateless codegen'd
+    * projection, so no watermark or aggregation is needed and every doc
+    * keeps all its columns. Only keys are compared, never payloads; at
+    * scale, pre-compute the reference keys once
+    * (`refDf.select(...)` cached or persisted) rather than re-deriving
+    * them from raw reference text every trigger. */
+  def exactCleanStream(newStream: DataFrame, refDf: DataFrame,
+      cols: Seq[String]): DataFrame = {
+    val k = dupKey(cols)
+    newStream.withColumn("__k", k)
+      .join(refDf.select(k.as("__k")), Seq("__k"), "left_anti")
+      .drop("__k")
+  }
+
   /** Case/punctuation/whitespace-insensitive dedup key: lowercase, fold
     * every non-[a-z0-9 ] char to a space, collapse runs, trim. Real
     * corpora duplicate up to this jitter (trailing punctuation, smart

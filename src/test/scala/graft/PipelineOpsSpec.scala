@@ -293,6 +293,42 @@ class PipelineOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("exactCleanStream: streamed clean set is the exact batch complement") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val ref = docs.filter(col("doc_id") < 250)
+    // make the dup path non-trivial: half the new batch shares ref text
+    val nw = docs.filter(col("doc_id") >= 250 && col("doc_id") < 400)
+      .select("doc_id", "text")
+      .unionByName(ref.limit(25)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    val dupIds = graft.ops.Dedup.exactMatchesAgainst(nw, ref,
+      "doc_id", Seq("text")).collect().map(_.getLong(0)).toSet
+    val allIds = nw.select("doc_id").collect().map(_.getLong(0)).toSet
+    val rows = nw.collect().map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String)]
+    val stream = graft.ops.Dedup.exactCleanStream(
+      input.toDF().toDF("doc_id", "text"), ref, Seq("text"))
+    val q = stream.writeStream.outputMode("append").format("memory")
+      .queryName("ex_clean_out").start()
+    try {
+      val (first, second) = rows.splitAt(rows.length / 2)
+      input.addData(first: _*)
+      q.processAllAvailable()
+      input.addData(second: _*)
+      q.processAllAvailable()
+      val out = spark.table("ex_clean_out")
+      assert(out.columns.toSeq == Seq("doc_id", "text"))
+      val got = out.collect().map(_.getLong(0)).toSeq
+      assert(got.distinct.size == got.size, "clean docs must not repeat")
+      assert(got.toSet == (allIds -- dupIds),
+        s"${got.size} streamed vs ${(allIds -- dupIds).size} batch-clean")
+      assert(dupIds.size >= 25, s"dup path underexercised: ${dupIds.size}")
+    } finally q.stop()
+  }
+
   test("simhashCleanStream: streamed clean set is the exact batch complement") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
