@@ -100,10 +100,26 @@ object Dedup {
     * them from raw reference text every trigger. */
   def exactCleanStream(newStream: DataFrame, refDf: DataFrame,
       cols: Seq[String]): DataFrame = {
+    requireNoReservedCols(newStream, Seq("__k"), "exactCleanStream")
     val k = dupKey(cols)
     newStream.withColumn("__k", k)
       .join(refDf.select(k.as("__k")), Seq("__k"), "left_anti")
       .drop("__k")
+  }
+
+  /** The streaming filters derive scratch columns on the stream frame;
+    * a pre-existing input column with a reserved name would be silently
+    * REPLACED by withColumn and then dropped on the way out — the
+    * output would lose a data column with no error, contradicting the
+    * "every doc keeps all its columns" contract. Fail loudly at
+    * definition instead. */
+  private def requireNoReservedCols(df: DataFrame, reserved: Seq[String],
+      what: String): Unit = {
+    val clash = df.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"$what: input already has column(s) ${clash.mkString(", ")} — " +
+        "these names are reserved scratch columns here; rename them " +
+        "first (they would be silently overwritten and dropped)")
   }
 
   /** Case/punctuation/whitespace-insensitive dedup key: lowercase, fold
@@ -322,6 +338,8 @@ object Dedup {
   def minhashCleanStream(newStream: DataFrame, bandsDf: DataFrame,
       textCol: String, bands: Int = 4, numHashes: Int = 8): DataFrame = {
     requireBandWidths(bands, numHashes)
+    requireNoReservedCols(newStream,
+      "__sig" +: (0 until bands).map(b => s"__bk$b"), "minhashCleanStream")
     validateBandsTable(bandsDf, bands, numHashes)
     val rowsPerBand = numHashes / bands
     import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -465,10 +483,7 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String, bits: Int = 64,
       bands: Int = 4, maxHamming: Int = 3,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    require(bands >= 1 && bands <= bits && bits % bands == 0,
-      s"bands must tile the $bits-bit fingerprint exactly, got $bands")
-    val bandBits = bits / bands
-    require(bandBits <= 32, s"band keys must fit 32 bits, got $bandBits")
+    requireSimhashWidths(bits, bands)
     require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
     // persisted: feeds both join sides + the hot-star branch, so the
     // fingerprint projection runs once; the cache holds (id, fp, band,
@@ -486,33 +501,35 @@ object Dedup {
         && col("a.__key") === col("b.__key")
         && col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("id1"), col("b.__id").as("id2"),
-        expr("bit_count(a.simhash ^ b.simhash)").cast("int").as("hamming"))
+        bitCountXor(col("a.simhash"), col("b.simhash"))
+          .cast("int").as("hamming"))
     // star pairs keep the exact hamming filter: a hot-bucket member is a
     // confirmed near-dup only if it sits within maxHamming of the
     // representative (the all-pairs guarantee narrows to rep-vs-member)
     val hotStar = marked
       .filter(col("__cnt") > maxBucket && col("__id") =!= col("__rep.__id"))
       .select(col("__rep.__id").as("id1"), col("__id").as("id2"),
-        expr("bit_count(__rep.simhash ^ simhash)").cast("int").as("hamming"))
+        bitCountXor(col("__rep.simhash"), col("simhash"))
+          .cast("int").as("hamming"))
     allPairs.union(hotStar)
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
 
-  /** Shared banded SimHash frame: ONE fingerprint projection then an
-    * explode fan-out to (__id, simhash, __band, __key) — a union of
-    * per-band selects would re-plan the scan + per-token md5 once per
-    * band (4× the text I/O for the default split). Arithmetic shift +
-    * mask extracts each band identically on any engine (sign-extension
-    * bits die under the mask). */
   /** The band-b key of a SimHash fingerprint column: the band's bit
-    * slice as a long. ONE definition shared by the batch banding — and
-    * therefore by [[writeSimhashSignatures]]'s on-disk `key` column —
-    * and the streaming per-band derivation ([[simhashCleanStream]]), so
-    * the persisted format and the stream side cannot drift. */
+    * slice as a long (arithmetic shift + mask — sign-extension bits die
+    * under the mask, so extraction is engine-identical). ONE definition
+    * shared by the batch banding — and therefore by
+    * [[writeSimhashSignatures]]'s on-disk `key` column — and the
+    * streaming per-band derivation ([[simhashCleanStream]]), so the
+    * persisted format and the stream side cannot drift. */
   private def simhashBandKeyCol(fpCol: Column, b: Int, bandBits: Int): Column =
     shiftright(fpCol, b * bandBits).bitwiseAND(lit((1L << bandBits) - 1))
 
+  /** Shared banded SimHash frame: ONE fingerprint projection then an
+    * explode fan-out to (__id, simhash, __band, __key) — a union of
+    * per-band selects would re-plan the scan + per-token md5 once per
+    * band (4× the text I/O for the default split). */
   private def simhashBanded(df: DataFrame, idCol: String, textCol: String,
       bits: Int, bands: Int): DataFrame = {
     val bandBits = bits / bands
@@ -661,11 +678,22 @@ object Dedup {
     * once-at-definition width validation and rebuild caveat), with the
     * hamming test as the join's residual condition: an anti-join drops
     * a doc only when key equality AND the hamming bound BOTH hold, so
-    * a same-key far-fingerprint neighbor does not evict a clean doc. */
+    * a same-key far-fingerprint neighbor does not evict a clean doc.
+    *
+    * Cap caveat — this is the UNCAPPED verdict: unlike MinHash bucket
+    * existence (cap-invariant, any retained member still matches), the
+    * hamming residual makes existence depend on WHICH rows survive a
+    * cap, so [[simhashNearDupsAgainstBands]] at its default `maxBucket`
+    * can admit a doc this filter drops (a flood bucket whose retained
+    * lowest-id rows are all hamming-far while an evicted row was
+    * close). Interchange the batch and stream forms only at
+    * `maxBucket = Int.MaxValue`; the spec pins equivalence there. */
   def simhashCleanStream(newStream: DataFrame, sigDf: DataFrame,
       textCol: String, bits: Int = 64, bands: Int = 4,
       maxHamming: Int = 3): DataFrame = {
     requireSimhashWidths(bits, bands)
+    requireNoReservedCols(newStream,
+      "__fp" +: (0 until bands).map(b => s"__sk$b"), "simhashCleanStream")
     validateSimhashTable(sigDf, bits, bands)
     val bandBits = bits / bands
     import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -1234,13 +1262,15 @@ object Dedup {
     * without restarting the stream. */
   def cosineCleanStream(newStream: DataFrame, reference: DataFrame,
       vecCol: String, threshold: Double, bucketCol: Column,
-      roundDp: Int = 6): DataFrame =
+      roundDp: Int = 6): DataFrame = {
+    requireNoReservedCols(newStream, Seq("__cv", "__bk"), "cosineCleanStream")
     newStream
       .withColumn("__cv", col(vecCol).cast("array<double>"))
       .withColumn("__bk", bucketCol)
       .join(broadcast(cosineRefSide(reference, vecCol, bucketCol)),
         cosineHitCond(threshold, roundDp), "left_anti")
       .drop("__cv", "__bk")
+  }
 
   /** Benchmark decontamination: ids of `corpus` docs that share ANY token
     * `n`-gram with any `reference` doc (the held-out benchmark / eval

@@ -300,9 +300,11 @@ class PipelineOpsSpec extends AnyFunSuite {
     val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
     val ref = docs.filter(col("doc_id") < 250)
     // make the dup path non-trivial: half the new batch shares ref text
+    // deterministic injected dupes (an unordered limit(25) could pick
+    // different ref rows on each of the three actions below)
     val nw = docs.filter(col("doc_id") >= 250 && col("doc_id") < 400)
       .select("doc_id", "text")
-      .unionByName(ref.limit(25)
+      .unionByName(ref.filter(col("doc_id") < 25)
         .select((col("doc_id") + 10000).as("doc_id"), col("text")))
     val dupIds = graft.ops.Dedup.exactMatchesAgainst(nw, ref,
       "doc_id", Seq("text")).collect().map(_.getLong(0)).toSet
