@@ -133,6 +133,47 @@ object PipelineQueries {
           AND n.doc_id >= 250 AND r.doc_id < 250
         ORDER BY new_id, ref_id""")),
 
+    // ---- streaming MinHash filter, BATCH mode (Dedup.minhashCleanStream
+    // is a plain transform, so the identical per-micro-batch plan runs
+    // here over a batch frame): docs passing share NO band bucket with
+    // the PERSISTED signature table — the complement of q88's candidate
+    // set. The query exercises the real production path end-to-end:
+    // writeBandedSignatures → read back → chained band-pruned anti-joins.
+    // PipelineOpsSpec separately pins stream-mode ≡ this batch verdict.
+    Q("q112_minhash_clean",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val sig = java.nio.file.Files.createTempDirectory("q112_bands").toString
+        graft.ops.Dedup.writeBandedSignatures(
+          docs.filter(col("doc_id") < 250), "doc_id", "text", sig,
+          bands = NH / 2, numHashes = NH)
+        graft.ops.Dedup.minhashCleanStream(
+            docs.filter(col("doc_id") >= 250).select("doc_id", "text"),
+            s.read.parquet(sig), "text", bands = NH / 2, numHashes = NH)
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some(s"""WITH h AS (
+          SELECT doc_id, $shingleHashesSql AS hashes
+          FROM (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(text, ' +') AS toks
+                FROM documents)),
+        sig AS (
+          SELECT doc_id, LIST_TRANSFORM(RANGE(0, $NH), i ->
+            LIST_MIN(LIST_TRANSFORM(hashes,
+              x -> (x * (2 * i + 1) + (i * i + 7)) % $P))) AS s
+          FROM h),
+        bands AS (
+          SELECT doc_id, band,
+            CAST(s[2 * band + 1] AS VARCHAR) || ':' || CAST(s[2 * band + 2] AS VARCHAR) AS bucket
+          FROM sig, UNNEST(RANGE(0, ${NH / 2})) AS t(band)),
+        hit AS (
+          SELECT DISTINCT n.doc_id
+          FROM bands n JOIN bands r
+            ON n.band = r.band AND n.bucket = r.bucket
+            AND n.doc_id >= 250 AND r.doc_id < 250)
+        SELECT doc_id FROM documents
+        WHERE doc_id >= 250 AND doc_id NOT IN (SELECT doc_id FROM hit)
+        ORDER BY doc_id""")),
+
     // ---- multimodal plumbing: binary payloads + metadata; oracle checks
     // the schema-visible parts (byte length, md5 of payload). The real
     // image decoder (javax.imageio) runs over every payload and yields
@@ -561,6 +602,25 @@ object PipelineQueries {
       },
       Some("""SELECT doc_id FROM documents a
         WHERE doc_id >= 100 AND EXISTS (
+          SELECT 1 FROM documents b WHERE b.doc_id < 100
+            AND b.lang IS NOT DISTINCT FROM a.lang
+            AND b.n_chars IS NOT DISTINCT FROM a.n_chars)
+        ORDER BY doc_id""")),
+
+    // ---- streaming exact filter, BATCH mode (Dedup.exactCleanStream is
+    // a plain transform): the complement of q97 — docs whose blocking
+    // key matches NO reference row pass through with all their columns.
+    Q("q111_exact_clean",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        graft.ops.Dedup.exactCleanStream(
+            docs.filter(col("doc_id") >= 100)
+              .select("doc_id", "lang", "n_chars"),
+            docs.filter(col("doc_id") < 100), Seq("lang", "n_chars"))
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some("""SELECT doc_id FROM documents a
+        WHERE doc_id >= 100 AND NOT EXISTS (
           SELECT 1 FROM documents b WHERE b.doc_id < 100
             AND b.lang IS NOT DISTINCT FROM a.lang
             AND b.n_chars IS NOT DISTINCT FROM a.n_chars)

@@ -365,6 +365,38 @@ object SimilarityQueries {
         SELECT new_id, ref_id, hamming FROM cand WHERE hamming <= 3
         ORDER BY new_id, ref_id""")),
 
+    // ---- streaming SimHash filter, BATCH mode (Dedup.simhashCleanStream
+    // is a plain transform): docs passing have NO reference fingerprint
+    // within hamming 3 in ANY shared band — the complement of the
+    // UNCAPPED q110 candidate set (existence under the hamming residual
+    // is not cap-invariant; the operator scaladoc spells this out). The
+    // real path end-to-end: writeSimhashSignatures → read back →
+    // band-pruned anti-joins with the hamming residual.
+    Q("q113_simhash_clean",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val sig = java.nio.file.Files.createTempDirectory("q113_sig").toString
+        graft.ops.Dedup.writeSimhashSignatures(
+          docs.filter(col("doc_id") < 400), "doc_id", "text", sig)
+        graft.ops.Dedup.simhashCleanStream(
+            docs.filter(col("doc_id") >= 400).select("doc_id", "text"),
+            s.read.parquet(sig), "text", maxHamming = 3)
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some(s"""WITH $sim64Sql,
+        bands AS (
+          SELECT doc_id, simhash, band, (simhash >> (16 * band)) & 65535 AS key
+          FROM sim, UNNEST(RANGE(0, 4)) AS t(band)),
+        hit AS (
+          SELECT DISTINCT n.doc_id
+          FROM bands n JOIN bands r
+            ON n.band = r.band AND n.key = r.key
+            AND n.doc_id >= 400 AND r.doc_id < 400
+          WHERE BIT_COUNT(XOR(n.simhash, r.simhash)) <= 3)
+        SELECT doc_id FROM documents
+        WHERE doc_id >= 400 AND doc_id NOT IN (SELECT doc_id FROM hit)
+        ORDER BY doc_id""")),
+
     // ---- dedup clusters (Dedup.clusterPairs): connected components over
     // the 64-bit SimHash near-dup pairs — the step that turns pairwise
     // evidence into groups with one representative each. Spark side runs
@@ -443,6 +475,32 @@ object SimilarityQueries {
           (SQRT(LIST_DOT_PRODUCT(c.v, c.v)) * SQRT(LIST_DOT_PRODUCT(r.v, r.v))), 6) >= 0.3
         ORDER BY c.vec_id"""),
       bench = true),
+
+    // ---- streaming semantic filter, BATCH mode (Dedup.cosineCleanStream
+    // is a plain transform): the exact complement of q106 — docs with no
+    // eval-set row within cosine 0.3 in the shared LSH bucket pass
+    // through. Zero-norm guard identical on both engines (NaN/0÷0 →
+    // NULL → not a hit → doc passes as clean).
+    Q("q114_cosine_clean",
+      (s, dir) => {
+        val e = tbl(s, dir, "embeddings")
+        val bucket = graft.ops.Similarity.lshBucket(
+          col("embedding"), dim = 64, nBits = 4)
+        graft.ops.Dedup.cosineCleanStream(
+            e.filter(col("vec_id") >= 50), e.filter(col("vec_id") < 50),
+            "embedding", threshold = 0.3, bucketCol = bucket, roundDp = 6)
+          .select("vec_id").orderBy("vec_id")
+      },
+      Some(s"""WITH $bucketed4Sql,
+        c AS (SELECT * FROM ev WHERE vec_id >= 50),
+        r AS (SELECT * FROM ev WHERE vec_id < 50),
+        hit AS (
+          SELECT DISTINCT c.vec_id FROM c JOIN r ON c.bk = r.bk
+          WHERE ROUND(LIST_DOT_PRODUCT(c.v, r.v) /
+            (SQRT(LIST_DOT_PRODUCT(c.v, c.v)) * SQRT(LIST_DOT_PRODUCT(r.v, r.v))), 6) >= 0.3)
+        SELECT vec_id FROM ev WHERE vec_id >= 50
+          AND vec_id NOT IN (SELECT vec_id FROM hit)
+        ORDER BY vec_id""")),
 
     // ---- SemDeDup (Dedup.semDedup, arXiv:2303.09540): k-means-cell
     // bucketing bounds the pairwise stage, cosine >= τ pairs form
