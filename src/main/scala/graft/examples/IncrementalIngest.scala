@@ -14,11 +14,10 @@ import org.apache.spark.sql.functions._
   *   1. exact      — [[Dedup.exactMatchesAgainst]] (bloom-eligible semi-join)
   *   2. MinHash    — [[Dedup.minhashCandidatesAgainstBands]] against the
   *                   PERSISTED signature table (zero reference-text reads)
-  *   3. SimHash    — [[Dedup.simhashNearDupsAgainst]] (hamming bands;
-  *                   [[Dedup.writeSimhashSignatures]] +
-  *                   [[Dedup.simhashNearDupsAgainstBands]] is the
-  *                   build-once form when the reference text should be
-  *                   fingerprinted only once)
+  *   3. SimHash    — [[Dedup.simhashNearDupsAgainstBands]] against the
+  *                   PERSISTED fingerprint table (zero reference-text
+  *                   reads; [[Dedup.simhashNearDupsAgainst]] is the
+  *                   recompute form)
   *   4. semantic   — [[Dedup.semDedupAgainst]] (shared broadcast
   *                   centroids, per-(cell, sub-bucket) reference cap)
   *
@@ -67,6 +66,7 @@ object IncrementalIngest {
     // per-batch section below only LOADS state and appends ----
     val tmp = java.nio.file.Files.createTempDirectory("ingest_idx").toString
     Dedup.writeBandedSignatures(refDocs, "doc_id", "text", s"$tmp/mh_bands")
+    Dedup.writeSimhashSignatures(refDocs, "doc_id", "text", s"$tmp/sh_sig")
     val cents = Similarity.trainIvfCentroids(refEmb, "embedding",
       kCells = 8, iters = 3, seed = 11L)
     Similarity.saveCentroids(spark, cents, s"$tmp/centroids")
@@ -92,8 +92,9 @@ object IncrementalIngest {
       "doc_id", "text").persist(MEMORY_AND_DISK)
     println(s"[ingest] minhash candidates vs signature table: ${mhPairs.count()}")
 
-    val shPairs = Dedup.simhashNearDupsAgainst(batchDocs, refDocs,
-      "doc_id", "text", maxHamming = 3).persist(MEMORY_AND_DISK)
+    val shPairs = Dedup.simhashNearDupsAgainstBands(batchDocs,
+      spark.read.parquet(s"$tmp/sh_sig"), "doc_id", "text",
+      maxHamming = 3).persist(MEMORY_AND_DISK)
     println(s"[ingest] simhash near-dups (hamming <= 3): ${shPairs.count()}")
 
     val loaded = Similarity.loadCentroids(spark, s"$tmp/centroids")
