@@ -1,0 +1,171 @@
+package graft.functions
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Character-n-gram language-model kernels for perplexity-based quality
+  * filtering (the CC-Net / "train a LM on a clean slice, keep documents
+  * the model finds unsurprising" recipe — Wenzek et al. 2019,
+  * arXiv:1911.00359; dask-glm has no text surface, this is north-star
+  * scope beyond the reference).
+  *
+  * Two expressions share one codepoint walk:
+  *
+  *  - [[CharTrigrams]] — the training-side extractor: every 3-codepoint
+  *    window of a string as an array of strings. Used once per model fit
+  *    (explode → count → bounded top-K), so the explode amplification is
+  *    paid on the TRAIN slice only, with map-side partial aggregation
+  *    bounding what shuffles to the distinct-trigram vocabulary.
+  *  - [[CharLmScore]] — the scoring-side kernel: one fused pass per
+  *    document summing fixed-point (nano-scaled) trigram log-probs from a
+  *    broadcast model. No explode, no shuffle, no join at score time —
+  *    scoring 100 TB is a single embarrassingly-parallel projection.
+  *
+  * Windows are CODEPOINT windows (`substr`/`LENGTH` semantics in both
+  * Spark and DuckDB), not Java char windows — a supplementary-plane
+  * character counts once, so the oracle's `substr(text, i, 3)` replay
+  * sees byte-identical trigrams.
+  *
+  * Determinism contract with the DuckDB oracle: per-trigram log-probs are
+  * rounded HALF-AWAY-FROM-ZERO to integer nanonats on the driver (matching
+  * `CAST(ROUND(LN(...) * 1e9) AS BIGINT)`), and documents sum LONGS —
+  * integer addition is associative-commutative, so partition order can
+  * never move a hash-checked result, unlike summing raw doubles.
+  */
+private[graft] object CharLmKernels {
+
+  /** Char-index boundaries of each codepoint in `s` (length cpCount+1,
+    * last element = s.length). One linear walk. */
+  def codepointBounds(s: String): Array[Int] = {
+    val n = s.length
+    val bounds = new Array[Int](s.codePointCount(0, n) + 1)
+    var ci = 0
+    var k = 0
+    while (ci < n) {
+      bounds(k) = ci
+      k += 1
+      ci += Character.charCount(s.codePointAt(ci))
+    }
+    bounds(k) = n
+    bounds
+  }
+}
+
+/** Every 3-codepoint window of a string, in order, as `array<string>`.
+  * `char_trigrams('abcd')` = `['abc','bcd']`; strings shorter than 3
+  * codepoints yield an empty array. Bit-compatible with the oracle's
+  * `substr(text, i, 3) FOR i IN 1..LENGTH(text)-2` replay. */
+case class CharTrigrams(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  /** The fused kernel; public so generated code can call it. */
+  def computeTris(input: UTF8String): ArrayData = {
+    val s = input.toString
+    val bounds = CharLmKernels.codepointBounds(s)
+    val cpn = bounds.length - 1
+    val out = new Array[AnyRef](math.max(cpn - 2, 0))
+    var j = 0
+    while (j + 3 <= cpn) {
+      out(j) = UTF8String.fromString(s.substring(bounds(j), bounds(j + 3)))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    computeTris(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("charTrigrams", this, classOf[CharTrigrams].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.computeTris($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharTrigrams =
+    copy(child = newChild)
+  override def prettyName: String = "char_trigrams"
+}
+
+/** Sum over a document's codepoint trigrams of the model's nano-scaled
+  * log-probability (unseen trigrams take the model's smoothed floor), as
+  * ONE signed 64-bit long. Empty / sub-3-codepoint strings sum to 0; the
+  * caller derives `n_tri = greatest(length(text) - 2, 0)` and the average
+  * NLL from the pair, keeping this kernel a pure fold.
+  *
+  * The model rides an explicit torrent [[Broadcast]] handle — plan size
+  * stays O(1) in vocabulary size (the index-state rule from
+  * [[graft.functions.IndexExpressions]]; PlanSpec gates the same property
+  * there). Overflow headroom: |logp| < 40 nats ⇒ ≤ 4e10 nanonats per
+  * trigram ⇒ a document needs ~2.3e8 codepoints (~hundreds of MB of
+  * text) to approach Long range — far beyond any row Spark can hold. */
+case class CharLmScore(child: Expression, bc: Broadcast[CharLmModel])
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  /** The fused kernel; public so generated code can call it. */
+  def computeSum(input: UTF8String): Long = {
+    val m = bc.value
+    val s = input.toString
+    val bounds = CharLmKernels.codepointBounds(s)
+    val cpn = bounds.length - 1
+    var sum = 0L
+    var j = 0
+    while (j + 3 <= cpn) {
+      val v = m.nanoLogp.get(s.substring(bounds(j), bounds(j + 3)))
+      sum += (if (v == null) m.unseenNano else v.longValue())
+      j += 1
+    }
+    sum
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    computeSum(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("charLmScore", this, classOf[CharLmScore].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.computeSum($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharLmScore =
+    copy(child = newChild)
+  override def prettyName: String = "charlm_score"
+}
+
+/** Fitted character-trigram model: trigram → nanonat log-prob plus the
+  * smoothed floor for unseen trigrams. Add-one smoothing over the KEPT
+  * vocabulary: p(t) = (c_t + 1) / (T + V + 1), p(unseen) = 1 / (T + V + 1)
+  * where T = Σ kept counts, V = kept vocabulary size. Values are
+  * `round(ln(p) * 1e9)` half-away-from-zero — the exact
+  * `CAST(ROUND(LN(...) * 1e9) AS BIGINT)` the oracle computes.
+  *
+  * Size is bounded by the fit's `maxVocab` (driver collect and broadcast
+  * are O(maxVocab), the same bounded-index-state discipline as
+  * [[graft.ops.Similarity]] codebook loads). */
+final class CharLmModel(
+    val nanoLogp: java.util.HashMap[String, java.lang.Long],
+    val unseenNano: Long) extends Serializable {
+  def vocabSize: Int = nanoLogp.size
+}
+
+object CharLmFunctions {
+
+  /** `char_trigrams(text)` as a Column. */
+  def charTrigrams(text: Column): Column =
+    ColumnBridge.column(CharTrigrams(ColumnBridge.expression(text)))
+
+  /** Nano-scaled trigram log-prob sum of `text` under a broadcast model. */
+  def charLmScore(text: Column, bc: Broadcast[CharLmModel]): Column =
+    ColumnBridge.column(CharLmScore(ColumnBridge.expression(text), bc))
+}

@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{CharLmFunctions, CharLmModel}
+
+/** Perplexity-based document quality filtering with a character-trigram
+  * language model — the CC-Net recipe (Wenzek et al. 2019,
+  * arXiv:1911.00359): fit a small LM on a trusted slice of the corpus,
+  * then score every document by how surprising the model finds it; low
+  * average negative-log-likelihood ≈ in-domain, fluent text, high ≈
+  * boilerplate, gibberish, or wrong-language. dask-glm has no text
+  * surface — this is north-star pipeline scope (SURVEY §2 addendum).
+  *
+  * Three stages, split exactly where a 100 TB run wants the boundaries:
+  *
+  *  1. [[trainCounts]] — LAZY plan: one scan of the training slice,
+  *     per-document trigram explode, count aggregation (map-side partial
+  *     combine bounds the shuffle at the distinct-trigram vocabulary,
+  *     which is charset-bounded, not corpus-bounded), then a
+  *     deterministic distributed top-K (`TakeOrderedAndProject` — no
+  *     single-partition window) capping the model at `maxVocab` rows.
+  *  2. [[fit]] — the bounded index build: collect ≤ maxVocab (tri, count)
+  *     rows to the driver (the same O(model) collect discipline as
+  *     [[Similarity]] codebook loads), convert to nanonat log-probs with
+  *     add-one smoothing, and wrap in a [[CharLmModel]].
+  *  3. [[score]] — LAZY plan again: a single embarrassingly-parallel
+  *     projection; the model rides ONE torrent broadcast and each
+  *     document is scored by the fused [[graft.functions.CharLmScore]]
+  *     codegen kernel (no explode, no join, no shuffle at score time).
+  *
+  * Determinism (hash-checked against the DuckDB oracle, q115):
+  *  - top-K vocabulary cut is totally ordered by (count DESC, trigram
+  *    ASC) — unique because trigrams are distinct;
+  *  - per-trigram log-probs are fixed to integer NANONATS on the driver
+  *    (`round(ln(p)·1e9)` half-away-from-zero = the oracle's
+  *    `CAST(ROUND(LN(...)*1e9) AS BIGINT)`), so documents sum `long`s —
+  *    partition order can never perturb a sum the way double addition
+  *    would;
+  *  - the final average NLL is ONE IEEE division + `round(_, 6)`, both
+  *    correctly-rounded operations computing identically in both engines.
+  *
+  * Broadcast lifecycle: [[score]] creates one broadcast per fitted model
+  * per call; callers scoring many batches against the same model should
+  * reuse the broadcast via the `(DataFrame, Broadcast)` overload and
+  * `destroy()` it when the model is retired (same lifecycle note as
+  * [[Similarity]] index broadcasts).
+  */
+object CharLm {
+
+  /** Default vocabulary cap — comfortably above any natural-language
+    * trigram vocabulary for one script, small enough that the driver
+    * collect and the broadcast stay trivially bounded. */
+  val DefaultMaxVocab: Int = 65536
+
+  /** Trigram counts of the training slice, capped to the `maxVocab` most
+    * frequent (ties broken by trigram ascending — a total order, so the
+    * cut is deterministic at any partitioning). Lazy; one scan. */
+  def trainCounts(
+      train: DataFrame, textCol: String = "text",
+      maxVocab: Int = DefaultMaxVocab): DataFrame = {
+    require(maxVocab >= 1, s"maxVocab must be >= 1, got $maxVocab")
+    train
+      .select(explode(CharLmFunctions.charTrigrams(col(textCol))).as("tri"))
+      .groupBy("tri").agg(count(lit(1)).as("c"))
+      // global sort + limit ⇒ TakeOrderedAndProject: per-partition top-K
+      // then a driver merge of K-row heads — NOT a single-partition sort
+      .orderBy(col("c").desc, col("tri").asc)
+      .limit(maxVocab)
+  }
+
+  /** Materialize a counts plan (from [[trainCounts]], or a persisted
+    * counts table re-read from parquet) into a scoring model. The collect
+    * is bounded by the cap baked into the counts plan. */
+  def fit(counts: DataFrame): CharLmModel = {
+    val rows = counts.select(col("tri").cast("string"), col("c").cast("long")).collect()
+    var t = 0L
+    rows.foreach(r => t += r.getLong(1))
+    val v = rows.length.toLong
+    val denom = (t + v + 1).toDouble
+    val m = new java.util.HashMap[String, java.lang.Long](rows.length * 2)
+    rows.foreach { r =>
+      m.put(r.getString(0), java.lang.Long.valueOf(nanoLn((r.getLong(1) + 1.0) / denom)))
+    }
+    new CharLmModel(m, nanoLn(1.0 / denom))
+  }
+
+  /** `round(ln(x)·1e9)` half-away-from-zero — the oracle's
+    * `CAST(ROUND(LN(x) * 1e9) AS BIGINT)`. */
+  private def nanoLn(x: Double): Long = {
+    val y = math.log(x) * 1e9
+    (if (y >= 0) math.floor(y + 0.5) else math.ceil(y - 0.5)).toLong
+  }
+
+  /** Score every document: `n_tri` (codepoint trigram count), `nll_nano`
+    * (negated model log-prob sum in integer nanonats — exact, orderable,
+    * thresholdable without any float), and `avg_nll` (nats per trigram,
+    * rounded to 6 dp; NULL for documents shorter than 3 codepoints).
+    * Lower avg_nll = more in-domain. One projection, no shuffle. */
+  def score(
+      docs: DataFrame, model: CharLmModel, textCol: String = "text"): DataFrame =
+    score(docs, bcOf(model), textCol)
+
+  /** [[score]] against an already-broadcast model — the reuse overload
+    * for scoring many batches without re-shipping the vocabulary. */
+  def score(
+      docs: DataFrame, bc: Broadcast[CharLmModel], textCol: String): DataFrame = {
+    val nTri = greatest(length(col(textCol)) - 2, lit(0)).cast("int")
+    docs
+      .withColumn("n_tri", nTri)
+      .withColumn("nll_nano", -CharLmFunctions.charLmScore(col(textCol), bc))
+      .withColumn("avg_nll", avgNll(col("nll_nano"), col("n_tri")))
+  }
+
+  /** `round(nll_nano / (n_tri · 1e9), 6)`, NULL when `n_tri` = 0. Exposed
+    * so persisted-score readers reconstruct the identical value. */
+  def avgNll(nllNano: Column, nTri: Column): Column =
+    when(nTri > 0,
+      round(nllNano.cast("double") / (nTri.cast("double") * lit(1e9)), 6))
+
+  /** One-call convenience: fit on `train`, score `docs`. */
+  def perplexityScore(
+      docs: DataFrame, train: DataFrame, textCol: String = "text",
+      maxVocab: Int = DefaultMaxVocab): DataFrame =
+    score(docs, fit(trainCounts(train, textCol, maxVocab)), textCol)
+
+  private def bcOf[T](v: T)(implicit ct: scala.reflect.ClassTag[T])
+      : Broadcast[T] =
+    org.apache.spark.sql.SparkSession.active.sparkContext.broadcast(v)
+}

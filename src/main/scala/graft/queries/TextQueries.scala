@@ -589,6 +589,50 @@ object TextQueries {
             AND COALESCE(n_common, 0) * 2 >= n_grams
             THEN 1 ELSE 0 END AS INTEGER) AS mostly_boilerplate
         FROM t LEFT JOIN agg USING (doc_id)
-        ORDER BY t.doc_id"""))
+        ORDER BY t.doc_id""")),
+
+    // ---- char-trigram LM perplexity scoring (CC-Net quality filter,
+    // ops.CharLm): fit add-one-smoothed trigram log-probs on the
+    // lang='en' slice (vocab capped at the 512 most frequent trigrams,
+    // ties by trigram ASC — the cap BITES at every SF so the
+    // deterministic top-K cut is itself oracle-exercised), then score
+    // every document. Log-probs are fixed to integer nanonats on the
+    // driver, documents sum longs (exact at any partition order), and
+    // the final avg is one IEEE division + round(6) — see the CharLm
+    // scaladoc for the full determinism contract.
+    Q("q115_charlm_perplexity",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val model = graft.ops.CharLm.fit(graft.ops.CharLm.trainCounts(
+          docs.filter(col("lang") === "en"), "text", maxVocab = 512))
+        graft.ops.CharLm.score(docs, model)
+          .select(col("doc_id"), col("n_tri"), col("nll_nano"), col("avg_nll"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tri_all AS (
+          SELECT substr(text, CAST(i AS INTEGER), 3) AS tri
+          FROM (SELECT text, UNNEST(GENERATE_SERIES(1, LENGTH(text) - 2)) AS i
+                FROM documents WHERE lang = 'en' AND LENGTH(text) >= 3)),
+        kept AS (
+          SELECT tri, COUNT(*) AS c FROM tri_all GROUP BY 1
+          QUALIFY ROW_NUMBER() OVER (ORDER BY c DESC, tri ASC) <= 512),
+        st AS (SELECT SUM(c) AS t, COUNT(*) AS v FROM kept),
+        doc_tri AS (
+          SELECT doc_id, substr(text, CAST(i AS INTEGER), 3) AS tri
+          FROM (SELECT doc_id, text, UNNEST(GENERATE_SERIES(1, LENGTH(text) - 2)) AS i
+                FROM documents WHERE LENGTH(text) >= 3)),
+        nano AS (
+          SELECT doc_id, COUNT(*) AS n_tri,
+            CAST(SUM(CAST(ROUND(LN((COALESCE(k.c, 0) + 1.0) / (st.t + st.v + 1)) * 1e9) AS BIGINT)) AS BIGINT) AS lp
+          FROM doc_tri dt LEFT JOIN kept k USING (tri) CROSS JOIN st
+          GROUP BY doc_id)
+        SELECT d.doc_id,
+          CAST(COALESCE(n.n_tri, 0) AS INTEGER) AS n_tri,
+          COALESCE(-n.lp, 0) AS nll_nano,
+          CASE WHEN n.n_tri > 0
+            THEN ROUND(CAST(-n.lp AS DOUBLE) / (CAST(n.n_tri AS DOUBLE) * 1e9), 6)
+            END AS avg_nll
+        FROM documents d LEFT JOIN nano n USING (doc_id)
+        ORDER BY d.doc_id"""))
   )
 }

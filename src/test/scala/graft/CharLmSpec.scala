@@ -1,0 +1,121 @@
+package graft
+
+import graft.functions.CharLmFunctions
+import graft.ops.CharLm
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Character-trigram LM perplexity scoring (ops.CharLm): extractor
+  * semantics, the deterministic vocab cap, hand-computed smoothing math,
+  * unseen handling, and scale-shape gates (no shuffle at score time). */
+class CharLmSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("char_trigrams: codepoint windows, short-string edge") {
+    import spark.implicits._
+    val out = Seq("abcd", "ab", "", "héllo", "你好世界")
+      .toDF("text")
+      .select(CharLmFunctions.charTrigrams(col("text")).as("t"))
+      .as[Seq[String]].collect()
+    assert(out(0) == Seq("abc", "bcd"))
+    assert(out(1) == Seq.empty)
+    assert(out(2) == Seq.empty)
+    assert(out(3) == Seq("hél", "éll", "llo"))
+    assert(out(4) == Seq("你好世", "好世界"))
+  }
+
+  test("char_trigrams: supplementary-plane chars count once") {
+    import spark.implicits._
+    // "a𝄞bc" is 5 Java chars but 4 codepoints -> windows a𝄞b, 𝄞bc
+    val s = "a" + new String(Character.toChars(0x1D11E)) + "bc"
+    val out = Seq(s).toDF("text")
+      .select(CharLmFunctions.charTrigrams(col("text")).as("t"))
+      .as[Seq[String]].collect().head
+    assert(out.length == 2)
+    assert(out(0) == s.substring(0, 4) && out(1) == s.substring(1))
+  }
+
+  test("fit + score match hand-computed add-one smoothing") {
+    import spark.implicits._
+    // train corpus "aaaa" -> trigrams aaa, aaa => vocab {aaa: 2}
+    // T = 2, V = 1, denom = 4; p(aaa) = 3/4, p(unseen) = 1/4
+    val train = Seq("aaaa").toDF("text")
+    val model = CharLm.fit(CharLm.trainCounts(train))
+    assert(model.vocabSize == 1)
+    val lpSeen = math.round(math.log(3.0 / 4.0) * 1e9)
+    val lpUnseen = math.round(math.log(1.0 / 4.0) * 1e9)
+    assert(model.nanoLogp.get("aaa") == lpSeen)
+    assert(model.unseenNano == lpUnseen)
+
+    val docs = Seq((1L, "aaaa"), (2L, "abc"), (3L, "x")).toDF("doc_id", "text")
+    val rows = CharLm.score(docs, model).orderBy("doc_id")
+      .select("doc_id", "n_tri", "nll_nano", "avg_nll").collect()
+    // doc 1: two seen trigrams
+    assert(rows(0).getInt(1) == 2 && rows(0).getLong(2) == -2 * lpSeen)
+    assert(rows(0).getDouble(3) ==
+      BigDecimal(-2.0 * lpSeen / (2 * 1e9))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // doc 2: one unseen trigram
+    assert(rows(1).getInt(1) == 1 && rows(1).getLong(2) == -lpUnseen)
+    // doc 3: shorter than 3 codepoints -> zero trigrams, NULL avg
+    assert(rows(2).getInt(1) == 0 && rows(2).getLong(2) == 0L && rows(2).isNullAt(3))
+  }
+
+  test("vocab cap keeps the most frequent trigrams, ties by trigram asc") {
+    import spark.implicits._
+    // counts: "aaa" x3 (from aaaaa), "bbb" x1, "ccc" x1 -> cap 2 keeps
+    // aaa (count 3) then bbb (tie 1 vs ccc, 'bbb' < 'ccc')
+    val train = Seq("aaaaa", "bbb", "ccc").toDF("text")
+    val kept = CharLm.trainCounts(train, maxVocab = 2)
+      .as[(String, Long)].collect().toMap
+    assert(kept == Map("aaa" -> 3L, "bbb" -> 1L))
+  }
+
+  test("in-domain text scores lower avg_nll than out-of-domain") {
+    import spark.implicits._
+    val english = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a stitch in time saves nine they say",
+      "all that glitters is not gold my friend").toDF("text")
+    val model = CharLm.fit(CharLm.trainCounts(english))
+    val docs = Seq(
+      (1L, "the quick brown dog jumps over a lazy fox"),
+      (2L, "zzqx jvwk pfft qqqq xxyz wvvw kkjj")).toDF("doc_id", "text")
+    val s = CharLm.score(docs, model).select("doc_id", "avg_nll")
+      .orderBy("doc_id").as[(Long, Double)].collect()
+    assert(s(0)._2 < s(1)._2,
+      s"in-domain ${s(0)._2} should beat gibberish ${s(1)._2}")
+  }
+
+  test("scale shape: scoring plan has no shuffle and an O(1) plan size") {
+    import spark.implicits._
+    val train = Seq("the quick brown fox the quick brown fox").toDF("text")
+    val model = CharLm.fit(CharLm.trainCounts(train))
+    val docs = Seq((1L, "the quick")).toDF("doc_id", "text")
+    val plan = CharLm.score(docs, model).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"score must not shuffle:\n$plan")
+    assert(plan.length < 20000, "plan must not embed the vocabulary")
+  }
+
+  test("trainCounts cap is a distributed top-K, not a global sort") {
+    import spark.implicits._
+    val train = Seq("aaaa", "bbbb").toDF("text").repartition(4)
+    val plan = CharLm.trainCounts(train, maxVocab = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"vocab cap should compile to TakeOrderedAndProject:\n$plan")
+  }
+
+  test("registry q115 shape: nll_nano is exact and rerun-stable") {
+    import spark.implicits._
+    val docs = (0L until 60L).map(i =>
+      (i, s"document number $i with some shared english text payload"))
+      .toDF("doc_id", "text")
+    val model = CharLm.fit(CharLm.trainCounts(docs, maxVocab = 128))
+    val a = CharLm.score(docs.repartition(7), model)
+      .select("doc_id", "nll_nano").as[(Long, Long)].collect().toMap
+    val b = CharLm.score(docs.repartition(3), model)
+      .select("doc_id", "nll_nano").as[(Long, Long)].collect().toMap
+    assert(a == b, "integer nanonat sums must not depend on partitioning")
+  }
+}
