@@ -120,6 +120,34 @@ object CharLm {
     when(nTri > 0,
       round(nllNano.cast("double") / (nTri.cast("double") * lit(1e9)), 6))
 
+  /** STREAMING perplexity quality filter — the LM cell of the streaming
+    * filter family ([[Dedup.exactCleanStream]] /
+    * [[Dedup.minhashCleanStream]] / [[Dedup.simhashCleanStream]] /
+    * [[Dedup.cosineCleanStream]]): pass through only the docs of a
+    * micro-batch stream the broadcast model finds fluent enough
+    * (`avg_nll` ≤ `maxAvgNll`, computed on the identical rounded form
+    * [[score]] publishes, so the stream's verdicts are bit-equal to a
+    * batch [[score]]+filter — q116 oracle-checks exactly that twin).
+    * Stateless projection + filter: no join, no watermark, no state
+    * store; docs shorter than 3 codepoints carry no trigram evidence and
+    * are DROPPED (a quality filter admits on evidence, not absence).
+    * Every admitted doc keeps all its columns. */
+  def qualityCleanStream(
+      newStream: DataFrame, bc: Broadcast[CharLmModel], maxAvgNll: Double,
+      textCol: String = "text"): DataFrame = {
+    val reserved = Seq("__n_tri", "__avg_nll")
+    val clash = newStream.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"qualityCleanStream: input already has column(s) ${clash.mkString(", ")} — " +
+        "these names are reserved scratch columns here; rename them first")
+    newStream
+      .withColumn("__n_tri", greatest(length(col(textCol)) - 2, lit(0)).cast("int"))
+      .withColumn("__avg_nll",
+        avgNll(-CharLmFunctions.charLmScore(col(textCol), bc), col("__n_tri")))
+      .filter(col("__n_tri") > 0 && col("__avg_nll") <= maxAvgNll)
+      .drop(reserved: _*)
+  }
+
   /** One-call convenience: fit on `train`, score `docs`. */
   def perplexityScore(
       docs: DataFrame, train: DataFrame, textCol: String = "text",

@@ -633,6 +633,46 @@ object TextQueries {
             THEN ROUND(CAST(-n.lp AS DOUBLE) / (CAST(n.n_tri AS DOUBLE) * 1e9), 6)
             END AS avg_nll
         FROM documents d LEFT JOIN nano n USING (doc_id)
-        ORDER BY d.doc_id"""))
+        ORDER BY d.doc_id""")),
+
+    // ---- streaming perplexity quality filter, batch-mode oracle (the
+    // LM cell of the q111-q114 streaming filter family): model fit on
+    // the lang='en' half of the doc_id<100 reference slice, stream =
+    // docs >= 100, keep avg_nll <= 5.365. The stream computes the same
+    // rounded avg_nll as q115's batch score, so the SQL replay is the
+    // q115 oracle with a train-slice predicate and a final filter.
+    Q("q116_charlm_clean",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val model = graft.ops.CharLm.fit(graft.ops.CharLm.trainCounts(
+          docs.filter(col("doc_id") < 100 && col("lang") === "en"),
+          "text", maxVocab = 512))
+        val bc = s.sparkContext.broadcast(model)
+        graft.ops.CharLm.qualityCleanStream(
+            docs.filter(col("doc_id") >= 100), bc, maxAvgNll = 5.365)
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some("""WITH tri_all AS (
+          SELECT substr(text, CAST(i AS INTEGER), 3) AS tri
+          FROM (SELECT text, UNNEST(GENERATE_SERIES(1, LENGTH(text) - 2)) AS i
+                FROM documents
+                WHERE doc_id < 100 AND lang = 'en' AND LENGTH(text) >= 3)),
+        kept AS (
+          SELECT tri, COUNT(*) AS c FROM tri_all GROUP BY 1
+          QUALIFY ROW_NUMBER() OVER (ORDER BY c DESC, tri ASC) <= 512),
+        st AS (SELECT SUM(c) AS t, COUNT(*) AS v FROM kept),
+        doc_tri AS (
+          SELECT doc_id, substr(text, CAST(i AS INTEGER), 3) AS tri
+          FROM (SELECT doc_id, text, UNNEST(GENERATE_SERIES(1, LENGTH(text) - 2)) AS i
+                FROM documents WHERE doc_id >= 100 AND LENGTH(text) >= 3)),
+        nano AS (
+          SELECT doc_id, COUNT(*) AS n_tri,
+            CAST(SUM(CAST(ROUND(LN((COALESCE(k.c, 0) + 1.0) / (st.t + st.v + 1)) * 1e9) AS BIGINT)) AS BIGINT) AS lp
+          FROM doc_tri dt LEFT JOIN kept k USING (tri) CROSS JOIN st
+          GROUP BY doc_id)
+        SELECT doc_id FROM nano
+        WHERE n_tri > 0
+          AND ROUND(CAST(-lp AS DOUBLE) / (CAST(n_tri AS DOUBLE) * 1e9), 6) <= 5.365
+        ORDER BY doc_id"""))
   )
 }

@@ -106,6 +106,45 @@ class CharLmSpec extends AnyFunSuite {
       s"vocab cap should compile to TakeOrderedAndProject:\n$plan")
   }
 
+  test("qualityCleanStream: streamed keep set is the exact batch complement") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val model = CharLm.fit(CharLm.trainCounts(
+      docs.filter(col("doc_id") < 25 && col("lang") === "en"), maxVocab = 512))
+    val bc = spark.sparkContext.broadcast(model)
+    val nw = docs.filter(col("doc_id") >= 25).select("doc_id", "text")
+      // a sub-3-codepoint doc must be dropped, not crash or pass
+      .unionByName(Seq((99990L, "ab")).toDF("doc_id", "text"))
+    val thr = 5.365
+    val batchKeep = CharLm.score(nw, bc, "text")
+      .filter(col("n_tri") > 0 && col("avg_nll") <= thr)
+      .select("doc_id").as[Long].collect().toSet
+    val rows = nw.collect().map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String)]
+    val stream = CharLm.qualityCleanStream(
+      input.toDF().toDF("doc_id", "text"), bc, thr)
+    val q = stream.writeStream.outputMode("append").format("memory")
+      .queryName("lm_clean_out").start()
+    try {
+      val (first, second) = rows.splitAt(rows.length / 2)
+      input.addData(first: _*)
+      q.processAllAvailable()
+      input.addData(second: _*)
+      q.processAllAvailable()
+      val out = spark.table("lm_clean_out")
+      assert(out.columns.toSeq == Seq("doc_id", "text"))
+      val got = out.select("doc_id").as[Long].collect().toSeq
+      assert(got.distinct.size == got.size, "kept docs must not repeat")
+      assert(got.toSet == batchKeep,
+        s"${got.size} streamed vs ${batchKeep.size} batch-kept")
+      assert(!got.contains(99990L), "evidence-free short doc must be dropped")
+      assert(batchKeep.nonEmpty && batchKeep.size < rows.length,
+        s"threshold underexercised: ${batchKeep.size}/${rows.length} kept")
+    } finally q.stop()
+  }
+
   test("registry q115 shape: nll_nano is exact and rerun-stable") {
     import spark.implicits._
     val docs = (0L until 60L).map(i =>
