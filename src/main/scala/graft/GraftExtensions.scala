@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{ArrayCosineSim, ArrayDot, ArrayMath, ArraySqDist, MinHashSig, SimHashFp, TextHashFunctions}
+import graft.functions.{ArrayCosineSim, ArrayDot, ArrayMath, ArraySqDist, CharLmFunctions, CharTrigrams, MinHashSig, SimHashFp, TextHashFunctions}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -35,5 +35,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("array_cosine_sim"),
       new ExpressionInfo(classOf[ArrayCosineSim].getName, "array_cosine_sim"),
       ArrayMath.arrayCosineSimBuilder))
+    e.injectFunction((
+      new FunctionIdentifier("char_trigrams"),
+      new ExpressionInfo(classOf[CharTrigrams].getName, "char_trigrams"),
+      CharLmFunctions.charTrigramsBuilder))
   }
 }

@@ -1,6 +1,6 @@
 package graft.examples
 
-import graft.ops.{Dedup, Similarity}
+import graft.ops.{CharLm, Dedup, Similarity}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -11,6 +11,9 @@ import org.apache.spark.sql.functions._
   * (banded MinHash signature table, IVF centroid table) once, then runs
   * a new batch through the full incremental family:
   *
+  *   0. quality    — [[CharLm.score]] perplexity gate under the model
+  *                   refit from the PERSISTED trigram-counts table
+  *                   (gibberish drops before any dedup work is spent)
   *   1. exact      — [[Dedup.exactMatchesAgainst]] (bloom-eligible semi-join)
   *   2. MinHash    — [[Dedup.minhashCandidatesAgainstBands]] against the
   *                   PERSISTED signature table (zero reference-text reads)
@@ -32,12 +35,13 @@ import org.apache.spark.sql.functions._
   *                   table under the FROZEN build-time centroids +
   *                   codebooks; queries keep running unchanged.
   *
-  * The same pipeline runs as a STREAM: [[Dedup.exactCleanStream]],
-  * [[Dedup.minhashCleanStream]], [[Dedup.simhashCleanStream]], and
-  * [[Dedup.cosineCleanStream]] are the per-micro-batch forms of steps
-  * 1-4 (stream-static anti-joins against the same persisted reference
+  * The same pipeline runs as a STREAM: [[CharLm.qualityCleanStream]],
+  * [[Dedup.exactCleanStream]], [[Dedup.minhashCleanStream]],
+  * [[Dedup.simhashCleanStream]], and [[Dedup.cosineCleanStream]] are
+  * the per-micro-batch forms of steps 0-4 (stateless scoring and
+  * stream-static anti-joins against the same persisted reference
   * artifacts — each spec-pinned to its batch complement in
-  * PipelineOpsSpec).
+  * PipelineOpsSpec / CharLmSpec).
   *
   * Run: sbt "runMain graft.examples.IncrementalIngest [sfDir]"
   */
@@ -75,7 +79,24 @@ object IncrementalIngest {
     Similarity.saveCodebooks(spark, cbs, s"$tmp/codebooks")
     Similarity.ivfPqEncode(refEmb, "vec_id", "embedding", cents, cbs,
       s"$tmp/ivfpq")
+    // the LM quality model persists as its counts table — refitting from
+    // the table is exact (CharLmSpec pins the round trip), so per-batch
+    // runs LOAD the counts instead of re-scanning reference text
+    CharLm.trainCounts(refDocs).write.parquet(s"$tmp/charlm_counts")
     println(s"[ingest] built reference artifacts under $tmp")
+
+    // ---- step 0, per batch: perplexity quality gate BEFORE any dedup
+    // work — dropping gibberish first shrinks every downstream check's
+    // input ([[CharLm.qualityCleanStream]] is the per-micro-batch form)
+    val lm = spark.sparkContext.broadcast(
+      CharLm.fit(spark.read.parquet(s"$tmp/charlm_counts")))
+    val batchScored = CharLm.score(batchDocs, lm, "text")
+    val batchClean = batchScored
+      .filter(col("n_tri") > 0 && col("avg_nll") <= 7.0)
+      .drop("n_tri", "nll_nano", "avg_nll")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"[ingest] quality gate admitted ${batchClean.count()} of " +
+      s"${batchDocs.count()} batch docs")
 
     // ---- per-batch checks. Each pair frame is persisted: it feeds its
     // own count AND the flagged-id union below, and without the persist
@@ -83,22 +104,24 @@ object IncrementalIngest {
     // fingerprinting pipeline (the multi-consumer contract the Dedup
     // object doc spells out) ----
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val exactIds = Dedup.exactMatchesAgainst(batchDocs, refDocs,
+    val exactIds = Dedup.exactMatchesAgainst(batchClean, refDocs,
       "doc_id", Seq("text")).persist(MEMORY_AND_DISK)
     println(s"[ingest] exact duplicates of reference: ${exactIds.count()}")
 
     val bands = spark.read.parquet(s"$tmp/mh_bands")
-    val mhPairs = Dedup.minhashCandidatesAgainstBands(batchDocs, bands,
+    val mhPairs = Dedup.minhashCandidatesAgainstBands(batchClean, bands,
       "doc_id", "text").persist(MEMORY_AND_DISK)
     println(s"[ingest] minhash candidates vs signature table: ${mhPairs.count()}")
 
-    val shPairs = Dedup.simhashNearDupsAgainstBands(batchDocs,
+    val shPairs = Dedup.simhashNearDupsAgainstBands(batchClean,
       spark.read.parquet(s"$tmp/sh_sig"), "doc_id", "text",
       maxHamming = 3).persist(MEMORY_AND_DISK)
     println(s"[ingest] simhash near-dups (hamming <= 3): ${shPairs.count()}")
 
     val loaded = Similarity.loadCentroids(spark, s"$tmp/centroids")
-    val semPairs = Dedup.semDedupAgainst(batchEmb, refEmb,
+    val cleanEmb = batchEmb.join(
+      batchClean.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+    val semPairs = Dedup.semDedupAgainst(cleanEmb, refEmb,
       "vec_id", "embedding", loaded, threshold = 0.3, roundDp = 6)
       .persist(MEMORY_AND_DISK)
     println(s"[ingest] semantic near-dups (cos >= 0.3): ${semPairs.count()}")
@@ -112,8 +135,8 @@ object IncrementalIngest {
       .union(semPairs.select(col("new_id").as("doc_id")))
       .distinct()
       .persist(MEMORY_AND_DISK)
-    val admitted = batchDocs.join(flaggedDocs, Seq("doc_id"), "left_anti")
-    println(s"[ingest] admitted ${admitted.count()} of ${batchDocs.count()} " +
+    val admitted = batchClean.join(flaggedDocs, Seq("doc_id"), "left_anti")
+    println(s"[ingest] admitted ${admitted.count()} of ${batchClean.count()} " +
       s"batch docs (${flaggedDocs.count()} flagged)")
 
     // ---- index maintenance: the admitted docs join the corpus, so
@@ -124,7 +147,7 @@ object IncrementalIngest {
     // the codes table's metadata columns make the query path fail loudly
     // on exactly that mistake, see ivfPqEncodeAppend's scaladoc) ----
     val loadedCbs = Similarity.loadCodebooks(spark, s"$tmp/codebooks")
-    val admittedEmb = batchEmb.join(
+    val admittedEmb = cleanEmb.join(
       admitted.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
     Similarity.ivfPqEncodeAppend(admittedEmb, "vec_id", "embedding",
       loaded, loadedCbs, s"$tmp/ivfpq")

@@ -165,6 +165,20 @@ object CharLmFunctions {
   def charTrigrams(text: Column): Column =
     ColumnBridge.column(CharTrigrams(ColumnBridge.expression(text)))
 
+  /** `char_trigrams(text)` SQL builder — shared by the temp-function
+    * path and [[graft.GraftExtensions]] (the scoring kernel is NOT
+    * SQL-registrable: it closes over a broadcast model handle). */
+  private[graft] val charTrigramsBuilder: Seq[Expression] => Expression = {
+    case Seq(text) => CharTrigrams(text)
+    case exprs => throw new IllegalArgumentException(
+      s"char_trigrams(text) takes exactly 1 argument, got ${exprs.length}")
+  }
+
+  /** Register SQL-visible functions on a session (idempotent). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "char_trigrams", charTrigramsBuilder, "built-in")
+
   /** Nano-scaled trigram log-prob sum of `text` under a broadcast model. */
   def charLmScore(text: Column, bc: Broadcast[CharLmModel]): Column =
     ColumnBridge.column(CharLmScore(ColumnBridge.expression(text), bc))

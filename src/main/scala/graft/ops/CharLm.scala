@@ -76,6 +76,12 @@ object CharLm {
     * is bounded by the cap baked into the counts plan. */
   def fit(counts: DataFrame): CharLmModel = {
     val rows = counts.select(col("tri").cast("string"), col("c").cast("long")).collect()
+    // an empty training slice would fit the degenerate model p(·) = 1
+    // (every doc scores avg_nll = 0 and every quality cut silently
+    // passes or drops EVERYTHING) — a config error, so fail loudly
+    require(rows.nonEmpty,
+      "CharLm.fit: no trigram counts — the training slice is empty or " +
+        "all its documents are shorter than 3 codepoints")
     var t = 0L
     rows.foreach(r => t += r.getLong(1))
     val v = rows.length.toLong

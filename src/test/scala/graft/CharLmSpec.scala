@@ -71,6 +71,27 @@ class CharLmSpec extends AnyFunSuite {
     assert(kept == Map("aaa" -> 3L, "bbb" -> 1L))
   }
 
+  test("char_trigrams SQL surface: registered function and arity check") {
+    graft.functions.CharLmFunctions.register(spark)
+    val got = spark.sql("SELECT char_trigrams('abcd') AS t")
+      .head().getSeq[String](0)
+    assert(got == Seq("abc", "bcd"))
+    intercept[Exception] {
+      spark.sql("SELECT char_trigrams('a', 'b')").collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT char_trigrams(array(1))").collect()
+    }
+  }
+
+  test("fit fails loudly on an empty training slice") {
+    import spark.implicits._
+    val e = intercept[IllegalArgumentException] {
+      CharLm.fit(CharLm.trainCounts(Seq("ab", "").toDF("text")))
+    }
+    assert(e.getMessage.contains("training slice is empty"))
+  }
+
   test("in-domain text scores lower avg_nll than out-of-domain") {
     import spark.implicits._
     val english = Seq(
@@ -143,6 +164,25 @@ class CharLmSpec extends AnyFunSuite {
       assert(batchKeep.nonEmpty && batchKeep.size < rows.length,
         s"threshold underexercised: ${batchKeep.size}/${rows.length} kept")
     } finally q.stop()
+  }
+
+  test("persisted counts table refits to an identical model") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val counts = CharLm.trainCounts(
+      docs.filter(col("lang") === "en"), maxVocab = 256)
+    val dir = java.nio.file.Files.createTempDirectory("charlm_counts").toString
+    counts.write.mode("overwrite").parquet(dir)
+    val direct = CharLm.fit(counts)
+    val refit = CharLm.fit(spark.read.parquet(dir))
+    assert(refit.unseenNano == direct.unseenNano)
+    assert(refit.nanoLogp == direct.nanoLogp)
+    // and the scores agree end-to-end (the ingest example's contract)
+    val a = CharLm.score(docs, direct).select("doc_id", "nll_nano")
+      .as[(Long, Long)].collect().toMap
+    val b = CharLm.score(docs, refit).select("doc_id", "nll_nano")
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
   }
 
   test("registry q115 shape: nll_nano is exact and rerun-stable") {
