@@ -424,4 +424,23 @@ class PlanSpec extends AnyFunSuite {
     assert(pqBig < pqSmall * 2,
       s"PQ plan grew with codebook size: $pqSmall -> $pqBig chars")
   }
+
+  test("CharLm trainCounts: pushed train filter, pruned scan, partial agg") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val counts = graft.ops.CharLm.trainCounts(docs.filter(col("lang") === "en"))
+    val plan = counts.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the train-slice predicate reaches the parquet scan...
+    assert(plan.contains("PushedFilters") && plan.contains("lang"), plan)
+    // ...which reads ONLY the columns the count needs (not doc_id/source)
+    val readSchema = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("doc_id") && !readSchema.contains("source"),
+      readSchema)
+    // map-side combine bounds the shuffle at the distinct-trigram vocab
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"), plan)
+    // the vocab cap is a distributed top-K (TakeOrderedAndProject), so
+    // exactly the count agg's exchange appears — never a 1-partition sort
+    assert(countShuffles(counts.queryExecution.executedPlan) == 1, plan)
+  }
 }
