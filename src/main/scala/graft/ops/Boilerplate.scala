@@ -65,4 +65,79 @@ object Boilerplate {
         sum(when(col("__gk").isNotNull && col("__df") >= minDf, col("__cnt"))
           .otherwise(lit(0))).cast("int").as("n_common"))
   }
+
+  /** MAXIMAL repeated-passage spans per document — the span-extraction
+    * step of exact-substring dedup (Lee et al. 2022, arXiv:2107.06499
+    * §4.1: report the actual repeated ranges, not just a per-doc
+    * score): every token range covered by n-grams that appear in >=
+    * `minDf` distinct documents, with overlapping/adjacent gram windows
+    * merged into one span. Returns (doc_id, span_start, span_end,
+    * span_tokens) with 0-based inclusive token positions; docs with no
+    * common gram emit no row.
+    *
+    * 100 TB shape: the common-gram set is one bounded aggregation (one
+    * row per distinct gram, never per occurrence), positions reach it
+    * through a semi-join on the md5 key, and span merging is a per-doc
+    * ordered window over only the COMMON positions (gaps-and-islands —
+    * all gram windows have length n, so position order is end order and
+    * a running island counter merges `pos - prev <= n`). No
+    * per-gram position lists are ever materialized. */
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, minDf: Int): DataFrame = {
+    require(minDf >= 2, s"minDf must be >= 2, got $minDf")
+    val occ = docs.select(col(idCol).as("doc_id"),
+      posexplode(ngramKeys(col(textCol), n)))
+      .toDF("doc_id", "pos", "__gk")
+    val commonGrams = occ.select("doc_id", "__gk").distinct()
+      .groupBy("__gk").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDf)
+      .select("__gk")
+    val commonPos = occ.join(commonGrams, Seq("__gk"), "left_semi")
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    commonPos
+      // a window starting within n tokens of the previous one overlaps
+      // or touches it; the first position of a doc starts island 0
+      .withColumn("__new",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) > n, 1).otherwise(0))
+      .withColumn("__island", sum(col("__new")).over(byDoc))
+      .groupBy(col("doc_id"), col("__island"))
+      .agg(min(col("pos")).cast("int").as("span_start"),
+        (max(col("pos")) + n - 1).cast("int").as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
+
+  /** Remove every [[repeatedSpans]] range from each document's token
+    * stream and re-join the survivors with single spaces (whitespace is
+    * normalized — the span positions index the `split(" +")` token
+    * stream, so only that stream can be faithfully reassembled). Docs
+    * fully covered by boilerplate come back as the empty string; docs
+    * with no common span keep all their tokens. One broadcast-free
+    * join of the span table grouped per doc, then a per-row HOF filter
+    * over the (pre-materialized) token array — no second corpus scan
+    * beyond the one `spans` already took. */
+  def stripRepeatedSpans(docs: DataFrame, spans: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val spanList = spans.groupBy(col("doc_id").as(idCol))
+      .agg(collect_list(struct(col("span_start").as("s"),
+        col("span_end").as("e"))).as("__spans"))
+    val toks = split(col(textCol), " +")
+    docs.join(spanList, Seq(idCol), "left")
+      .withColumn("__spans", coalesce(col("__spans"),
+        array().cast("array<struct<s:int,e:int>>")))
+      .withColumn(textCol,
+        array_join(
+          // zip each token with its 0-based position, keep it iff no
+          // span covers that position, then drop the position again
+          transform(
+            filter(
+              zip_with(toks, sequence(lit(0), size(toks) - 1),
+                (t, i) => struct(t.as("t"), i.as("i"))),
+              p => !exists(col("__spans"),
+                s => p("i") >= s("s") && p("i") <= s("e"))),
+            p => p("t")),
+          " "))
+      .drop("__spans")
+  }
 }

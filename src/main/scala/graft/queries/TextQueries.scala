@@ -673,6 +673,93 @@ object TextQueries {
         SELECT doc_id FROM nano
         WHERE n_tri > 0
           AND ROUND(CAST(-lp AS DOUBLE) / (CAST(n_tri AS DOUBLE) * 1e9), 6) <= 5.365
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ---- maximal repeated-passage spans (Boilerplate.repeatedSpans,
+    // the Lee et al. 2022 exact-substring span report): token ranges
+    // covered by 5-grams shared by >= 3 docs, overlapping/adjacent
+    // windows merged (gaps-and-islands). Pure integer positions ->
+    // exact oracle; same gram keys as q98.
+    Q("q117_repeated_spans",
+      (s, dir) =>
+        graft.ops.Boilerplate.repeatedSpans(
+            tbl(s, dir, "documents").filter(col("doc_id") < 200),
+            "doc_id", "text", n = 3, minDf = 3)
+          .orderBy("doc_id", "span_start"),
+      Some("""WITH t AS (
+          SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(text, ' +') AS toks
+          FROM documents WHERE doc_id < 200),
+        g AS (
+          SELECT doc_id, CAST(i AS INTEGER) AS pos,
+            MD5(ARRAY_TO_STRING(toks[i+1 : i+3], ' ')) AS gk
+          FROM t, UNNEST(RANGE(0, LEN(toks) - 3 + 1)) u(i)
+          WHERE LEN(toks) >= 3),
+        common AS (
+          SELECT gk FROM (SELECT DISTINCT doc_id, gk FROM g)
+          GROUP BY gk HAVING COUNT(*) >= 3),
+        cp AS (SELECT doc_id, pos FROM g WHERE gk IN (SELECT gk FROM common)),
+        isl0 AS (
+          SELECT doc_id, pos,
+            CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 3
+              THEN 1 ELSE 0 END AS nw
+          FROM cp),
+        isl AS (
+          SELECT doc_id, pos,
+            SUM(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+          FROM isl0)
+        SELECT doc_id,
+          CAST(MIN(pos) AS INTEGER) AS span_start,
+          CAST(MAX(pos) + 2 AS INTEGER) AS span_end,
+          CAST(MAX(pos) + 2 - MIN(pos) + 1 AS INTEGER) AS span_tokens
+        FROM isl GROUP BY doc_id, island
+        ORDER BY doc_id, span_start""")),
+
+    // ---- boilerplate removal (Boilerplate.stripRepeatedSpans): drop
+    // every q117 span from the token stream, re-join survivors with
+    // single spaces. String equality end-to-end -> exact oracle.
+    Q("q118_strip_spans",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents").filter(col("doc_id") < 200)
+        val spans = graft.ops.Boilerplate.repeatedSpans(
+          docs, "doc_id", "text", n = 3, minDf = 3)
+        graft.ops.Boilerplate.stripRepeatedSpans(docs, spans, "doc_id", "text")
+          .select("doc_id", "text").orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+          SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(text, ' +') AS toks
+          FROM documents WHERE doc_id < 200),
+        g AS (
+          SELECT doc_id, CAST(i AS INTEGER) AS pos,
+            MD5(ARRAY_TO_STRING(toks[i+1 : i+3], ' ')) AS gk
+          FROM t, UNNEST(RANGE(0, LEN(toks) - 3 + 1)) u(i)
+          WHERE LEN(toks) >= 3),
+        common AS (
+          SELECT gk FROM (SELECT DISTINCT doc_id, gk FROM g)
+          GROUP BY gk HAVING COUNT(*) >= 3),
+        cp AS (SELECT doc_id, pos FROM g WHERE gk IN (SELECT gk FROM common)),
+        isl0 AS (
+          SELECT doc_id, pos,
+            CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 3
+              THEN 1 ELSE 0 END AS nw
+          FROM cp),
+        isl AS (
+          SELECT doc_id, pos,
+            SUM(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+          FROM isl0),
+        spans AS (
+          SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 2 AS span_end
+          FROM isl GROUP BY doc_id, island),
+        tokpos AS (
+          SELECT doc_id, CAST(i AS INTEGER) AS i, toks[CAST(i + 1 AS INTEGER)] AS tok
+          FROM t, UNNEST(RANGE(0, LEN(toks))) u(i)),
+        kept AS (
+          SELECT doc_id, i, tok FROM tokpos tp
+          WHERE NOT EXISTS (SELECT 1 FROM spans s
+            WHERE s.doc_id = tp.doc_id
+              AND tp.i BETWEEN s.span_start AND s.span_end))
+        SELECT t.doc_id,
+          COALESCE(STRING_AGG(tok, ' ' ORDER BY i), '') AS text
+        FROM t LEFT JOIN kept USING (doc_id)
+        GROUP BY t.doc_id ORDER BY t.doc_id"""))
   )
 }

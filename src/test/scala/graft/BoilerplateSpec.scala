@@ -69,4 +69,46 @@ class BoilerplateSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
     assert(relaxed(1L) == 1 && relaxed(2L) == 1 && relaxed(3L) == 0)
   }
+
+  test("repeatedSpans: hand-computed islands, adjacency merge, 0-based ends") {
+    import spark.implicits._
+    // common 2-grams (df >= 2): "a b" (1,2,3,4), "b b" (4,5,6),
+    // "b q" (2,4); "b r", "x a", "b y", "y a", "b z" stay unique
+    val df = Seq(
+      (1L, "x a b y a b z"), // common pos {1, 4}: gap 3 > n=2 -> two spans
+      (2L, "a b q"),         // common pos {0, 1}: adjacent -> ONE span [0,2]
+      (3L, "a b r"),         // only pos 0 common -> span [0,1]
+      (4L, "a b b q"),       // pos {0, 1, 2} all common -> ONE span [0,3]
+      (5L, "b b s"),
+      (6L, "b b t"),
+      (7L, "nothing shared here")).toDF("doc_id", "text")
+    val spans = Boilerplate.repeatedSpans(df, "doc_id", "text", n = 2, minDf = 2)
+      .orderBy("doc_id", "span_start")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(spans.toSeq == Seq(
+      (1L, 1, 2, 2), (1L, 4, 5, 2),
+      (2L, 0, 2, 3), (3L, 0, 1, 2),
+      (4L, 0, 3, 4),
+      (5L, 0, 1, 2), (6L, 0, 1, 2)))
+  }
+
+  test("stripRepeatedSpans: removes spans, keeps clean docs, empties full coverage") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "x a b y a b z"),
+      (2L, "a b"),           // fully covered -> empty string
+      (3L, "a b r"),
+      (4L, "untouched words stay exactly as they were")).toDF("doc_id", "text")
+    // make "a b" common across 1, 2, 3
+    val spans = Boilerplate.repeatedSpans(df, "doc_id", "text", n = 2, minDf = 2)
+    val out = Boilerplate.stripRepeatedSpans(df, spans, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "x y z")
+    assert(out(2L) == "")
+    assert(out(3L) == "r")
+    assert(out(4L) == "untouched words stay exactly as they were")
+    // all original columns survive, text replaced in place
+    val cols = Boilerplate.stripRepeatedSpans(df, spans, "doc_id", "text").columns
+    assert(cols.toSeq == Seq("doc_id", "text"))
+  }
 }
