@@ -83,16 +83,60 @@ object Boilerplate {
     * a running island counter merges `pos - prev <= n`). No
     * per-gram position lists are ever materialized. */
   def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, minDf: Int): DataFrame =
+    spansFromGrams(docs, commonGrams(docs, idCol, textCol, n, minDf),
+      idCol, textCol, n)
+
+  /** The distinct n-gram md5 keys appearing in >= `minDf` distinct
+    * documents — the reusable reference artifact behind
+    * [[repeatedSpans]]. One bounded aggregation: one row per distinct
+    * gram (never per occurrence). */
+  def commonGrams(docs: DataFrame, idCol: String, textCol: String,
       n: Int, minDf: Int): DataFrame = {
     require(minDf >= 2, s"minDf must be >= 2, got $minDf")
-    val occ = docs.select(col(idCol).as("doc_id"),
-      posexplode(ngramKeys(col(textCol), n)))
-      .toDF("doc_id", "pos", "__gk")
-    val commonGrams = occ.select("doc_id", "__gk").distinct()
+    docs.select(col(idCol).as("doc_id"),
+        explode(ngramKeys(col(textCol), n)).as("__gk"))
+      .select("doc_id", "__gk").distinct()
       .groupBy("__gk").agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= minDf)
-      .select("__gk")
-    val commonPos = occ.join(commonGrams, Seq("__gk"), "left_semi")
+      .select(col("__gk").as("gk"))
+  }
+
+  /** Persist [[commonGrams]] as the build-once reference artifact for
+    * incremental span extraction (the span-family analog of the MinHash
+    * signature table): the table carries its gram width so a mismatched
+    * reader fails loudly instead of silently matching nothing. */
+  def writeCommonGrams(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, minDf: Int, path: String): Unit =
+    commonGrams(docs, idCol, textCol, n, minDf)
+      .withColumn("n", lit(n)).withColumn("min_df", lit(minDf))
+      .write.mode("overwrite").parquet(path)
+
+  /** [[repeatedSpans]] of a NEW batch against an already-built common-
+    * gram table (from [[writeCommonGrams]], or [[commonGrams]] output
+    * with `n`/`min_df` columns attached) — the daily-ingest twin:
+    * reference text is never re-read, the batch semi-joins the bounded
+    * gram table and runs the per-doc island merge on its own positions
+    * only. The gram width rides the TABLE (whole-table-validated, the
+    * mixed-width lesson from the signature tables). */
+  def repeatedSpansAgainstGrams(newDocs: DataFrame, grams: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val widths = grams.select(col("n").cast("int")).distinct().collect()
+      .map(_.getInt(0))
+    require(widths.length == 1,
+      s"common-gram table must carry exactly one gram width, found " +
+        s"[${widths.sorted.mkString(", ")}] — was it written by writeCommonGrams?")
+    spansFromGrams(newDocs, grams.select("gk"), idCol, textCol, widths.head)
+  }
+
+  /** Shared core: positions of `docs` n-grams that hit the gram-key set,
+    * merged into maximal spans (gaps-and-islands per doc). */
+  private def spansFromGrams(docs: DataFrame, grams: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    val occ = docs.select(col(idCol).as("doc_id"),
+      posexplode(ngramKeys(col(textCol), n)))
+      .toDF("doc_id", "pos", "gk")
+    val commonPos = occ.join(grams, Seq("gk"), "left_semi")
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
     commonPos

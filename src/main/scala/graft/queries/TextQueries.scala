@@ -760,6 +760,52 @@ object TextQueries {
         SELECT t.doc_id,
           COALESCE(STRING_AGG(tok, ' ' ORDER BY i), '') AS text
         FROM t LEFT JOIN kept USING (doc_id)
-        GROUP BY t.doc_id ORDER BY t.doc_id"""))
+        GROUP BY t.doc_id ORDER BY t.doc_id""")),
+
+    // ---- incremental span extraction (repeatedSpansAgainstGrams):
+    // common 3-grams built from the doc_id<100 REFERENCE slice only,
+    // spans reported for the doc_id>=100 batch — the daily-ingest twin
+    // (reference text never re-read; the spec pins the parquet
+    // round-trip of the gram table).
+    Q("q119_spans_incremental",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val grams = graft.ops.Boilerplate.commonGrams(
+            docs.filter(col("doc_id") < 100), "doc_id", "text",
+            n = 3, minDf = 3)
+          .withColumn("n", lit(3)).withColumn("min_df", lit(3))
+        graft.ops.Boilerplate.repeatedSpansAgainstGrams(
+            docs.filter(col("doc_id") >= 100), grams, "doc_id", "text")
+          .orderBy("doc_id", "span_start")
+      },
+      Some("""WITH t AS (
+          SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(text, ' +') AS toks
+          FROM documents),
+        g AS (
+          SELECT doc_id, CAST(i AS INTEGER) AS pos,
+            MD5(ARRAY_TO_STRING(toks[i+1 : i+3], ' ')) AS gk
+          FROM t, UNNEST(RANGE(0, LEN(toks) - 3 + 1)) u(i)
+          WHERE LEN(toks) >= 3),
+        common AS (
+          SELECT gk FROM (SELECT DISTINCT doc_id, gk FROM g WHERE doc_id < 100)
+          GROUP BY gk HAVING COUNT(*) >= 3),
+        cp AS (
+          SELECT doc_id, pos FROM g
+          WHERE doc_id >= 100 AND gk IN (SELECT gk FROM common)),
+        isl0 AS (
+          SELECT doc_id, pos,
+            CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 3
+              THEN 1 ELSE 0 END AS nw
+          FROM cp),
+        isl AS (
+          SELECT doc_id, pos,
+            SUM(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+          FROM isl0)
+        SELECT doc_id,
+          CAST(MIN(pos) AS INTEGER) AS span_start,
+          CAST(MAX(pos) + 2 AS INTEGER) AS span_end,
+          CAST(MAX(pos) + 2 - MIN(pos) + 1 AS INTEGER) AS span_tokens
+        FROM isl GROUP BY doc_id, island
+        ORDER BY doc_id, span_start"""))
   )
 }

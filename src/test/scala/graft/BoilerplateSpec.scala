@@ -92,6 +92,36 @@ class BoilerplateSpec extends AnyFunSuite {
       (5L, 0, 1, 2), (6L, 0, 1, 2)))
   }
 
+  test("persisted gram table round-trips; width mismatch fails loudly") {
+    import spark.implicits._
+    val ref = Seq(
+      (1L, "x a b y"), (2L, "a b q"), (3L, "a b r")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "z a b w"), (11L, "none of these match")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("grams").toString
+    Boilerplate.writeCommonGrams(ref, "doc_id", "text", n = 2, minDf = 2, dir)
+    val grams = spark.read.parquet(dir)
+    val spans = Boilerplate.repeatedSpansAgainstGrams(batch, grams,
+        "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(spans.toSeq == Seq((10L, 1, 2))) // "a b" at pos 1 in doc 10
+    // the incremental result equals spans computed against the same
+    // gram set directly
+    val direct = Boilerplate.repeatedSpansAgainstGrams(batch,
+        Boilerplate.commonGrams(ref, "doc_id", "text", 2, 2)
+          .withColumn("n", org.apache.spark.sql.functions.lit(2)),
+        "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(direct.toSeq == spans.toSeq)
+    // a table mixing widths (corrupt or concatenated) is rejected
+    val mixed = grams.unionByName(
+      grams.withColumn("n", org.apache.spark.sql.functions.lit(3)))
+    val e = intercept[IllegalArgumentException] {
+      Boilerplate.repeatedSpansAgainstGrams(batch, mixed, "doc_id", "text")
+    }
+    assert(e.getMessage.contains("exactly one gram width"))
+  }
+
   test("stripRepeatedSpans: removes spans, keeps clean docs, empties full coverage") {
     import spark.implicits._
     val df = Seq(
