@@ -83,9 +83,22 @@ object Boilerplate {
     * a running island counter merges `pos - prev <= n`). No
     * per-gram position lists are ever materialized. */
   def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, minDf: Int): DataFrame =
-    spansFromGrams(docs, commonGrams(docs, idCol, textCol, n, minDf),
-      idCol, textCol, n)
+      n: Int, minDf: Int): DataFrame = {
+    require(minDf >= 2, s"minDf must be >= 2, got $minDf")
+    // the positional occurrence frame feeds BOTH the common-gram
+    // derivation and the span semi-join: persist it (compact scalars —
+    // id, pos, 32-char key; never corpus text) so the corpus is
+    // tokenized and hashed ONCE, the cached-band-frame discipline from
+    // Dedup.minhashCandidates. Lifecycle: lives in the session cache
+    // manager until the caller clears it (see the Dedup object doc).
+    val occ = positions(docs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grams = occ.select("doc_id", "gk").distinct()
+      .groupBy("gk").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDf)
+      .select("gk")
+    spansFromPositions(occ.join(grams, Seq("gk"), "left_semi"), n)
+  }
 
   /** The distinct n-gram md5 keys appearing in >= `minDf` distinct
     * documents — the reusable reference artifact behind
@@ -126,17 +139,23 @@ object Boilerplate {
     require(widths.length == 1,
       s"common-gram table must carry exactly one gram width, found " +
         s"[${widths.sorted.mkString(", ")}] — was it written by writeCommonGrams?")
-    spansFromGrams(newDocs, grams.select("gk"), idCol, textCol, widths.head)
+    val n = widths.head
+    // single consumer of the batch positions — no persist needed here
+    spansFromPositions(
+      positions(newDocs, idCol, textCol, n)
+        .join(grams.select("gk"), Seq("gk"), "left_semi"), n)
   }
 
-  /** Shared core: positions of `docs` n-grams that hit the gram-key set,
-    * merged into maximal spans (gaps-and-islands per doc). */
-  private def spansFromGrams(docs: DataFrame, grams: DataFrame,
-      idCol: String, textCol: String, n: Int): DataFrame = {
-    val occ = docs.select(col(idCol).as("doc_id"),
+  /** Positional n-gram occurrence frame: (doc_id, pos, gk). */
+  private def positions(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
       posexplode(ngramKeys(col(textCol), n)))
       .toDF("doc_id", "pos", "gk")
-    val commonPos = occ.join(grams, Seq("gk"), "left_semi")
+
+  /** Shared core: common positions merged into maximal spans
+    * (gaps-and-islands per doc). */
+  private def spansFromPositions(commonPos: DataFrame, n: Int): DataFrame = {
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
     commonPos

@@ -425,6 +425,19 @@ class PlanSpec extends AnyFunSuite {
       s"PQ plan grew with codebook size: $pqSmall -> $pqBig chars")
   }
 
+  test("q117 repeatedSpans hashes the corpus ONCE (cached occurrence frame)") {
+    val df = Queries.byName("q117_repeated_spans").spark(spark, TestSpark.sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    assert(countScans(plan) == 0,
+      s"${countScans(plan)} raw parquet scans outside the cache")
+    val mem = collectInMem(plan)
+    assert(mem.nonEmpty, s"no cached occurrence frame\n$plan")
+    val cached = mem.head.relation.cachedPlan
+    assert(countScans(cached) == 1,
+      s"${countScans(cached)} scans inside the cached plan\n$cached")
+  }
+
   test("CharLm trainCounts: pushed train filter, pruned scan, partial agg") {
     import org.apache.spark.sql.functions.col
     val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
