@@ -182,6 +182,9 @@ object Boilerplate {
     * beyond the one `spans` already took. */
   def stripRepeatedSpans(docs: DataFrame, spans: DataFrame,
       idCol: String, textCol: String): DataFrame = {
+    require(!docs.columns.contains("__spans"),
+      "stripRepeatedSpans: input already has column __spans — this name " +
+        "is a reserved scratch column here; rename it first")
     val spanList = spans.groupBy(col("doc_id").as(idCol))
       .agg(collect_list(struct(col("span_start").as("s"),
         col("span_end").as("e"))).as("__spans"))

@@ -82,6 +82,11 @@ object CharLm {
     require(rows.nonEmpty,
       "CharLm.fit: no trigram counts — the training slice is empty or " +
         "all its documents are shorter than 3 codepoints")
+    rows.foreach { r =>
+      require(!r.isNullAt(0) && !r.isNullAt(1) && r.getLong(1) >= 1,
+        "CharLm.fit: counts table has a NULL trigram/count or a count < 1 " +
+          "— not a trainCounts (or persisted trainCounts) output")
+    }
     var t = 0L
     rows.foreach(r => t += r.getLong(1))
     val v = rows.length.toLong
@@ -113,6 +118,14 @@ object CharLm {
     * for scoring many batches without re-shipping the vocabulary. */
   def score(
       docs: DataFrame, bc: Broadcast[CharLmModel], textCol: String): DataFrame = {
+    // the score columns are appended by withColumn: a pre-existing input
+    // column with one of these names would be silently REPLACED — fail
+    // loudly instead (the reserved-column lesson from the streaming
+    // filters in Dedup)
+    val clash = docs.columns.filter(Set("n_tri", "nll_nano", "avg_nll"))
+    require(clash.isEmpty,
+      s"CharLm.score: input already has column(s) ${clash.mkString(", ")} — " +
+        "these are the score output columns; rename them first")
     val nTri = greatest(length(col(textCol)) - 2, lit(0)).cast("int")
     docs
       .withColumn("n_tri", nTri)

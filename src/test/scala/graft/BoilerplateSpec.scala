@@ -140,5 +140,11 @@ class BoilerplateSpec extends AnyFunSuite {
     // all original columns survive, text replaced in place
     val cols = Boilerplate.stripRepeatedSpans(df, spans, "doc_id", "text").columns
     assert(cols.toSeq == Seq("doc_id", "text"))
+    // the scratch column name is reserved, not silently clobbered
+    val clash = df.withColumn("__spans", lit(1))
+    val e = intercept[IllegalArgumentException] {
+      Boilerplate.stripRepeatedSpans(clash, spans, "doc_id", "text")
+    }
+    assert(e.getMessage.contains("reserved scratch column"))
   }
 }

@@ -92,6 +92,17 @@ class CharLmSpec extends AnyFunSuite {
     assert(e.getMessage.contains("training slice is empty"))
   }
 
+  test("fit rejects a malformed counts table; score guards output names") {
+    import spark.implicits._
+    val bad = Seq(("aaa", 0L)).toDF("tri", "c")
+    val e = intercept[IllegalArgumentException](CharLm.fit(bad))
+    assert(e.getMessage.contains("count < 1"))
+    val model = CharLm.fit(CharLm.trainCounts(Seq("aaaa").toDF("text")))
+    val clash = Seq((1L, "abc", 9)).toDF("doc_id", "text", "n_tri")
+    val e2 = intercept[IllegalArgumentException](CharLm.score(clash, model))
+    assert(e2.getMessage.contains("score output columns"))
+  }
+
   test("in-domain text scores lower avg_nll than out-of-domain") {
     import spark.implicits._
     val english = Seq(
