@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{ArrayCosineSim, ArrayDot, ArrayMath, ArraySqDist, CharLmFunctions, CharTrigrams, MinHashSig, SimHashFp, TextHashFunctions}
+import graft.functions.{ArrayCosineSim, ArrayDot, ArrayMath, ArraySqDist, CharLmFunctions, CharNgrams, MinHashSig, SimHashFp, TextHashFunctions}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -37,7 +37,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ArrayMath.arrayCosineSimBuilder))
     e.injectFunction((
       new FunctionIdentifier("char_trigrams"),
-      new ExpressionInfo(classOf[CharTrigrams].getName, "char_trigrams"),
+      new ExpressionInfo(classOf[CharNgrams].getName, "char_trigrams"),
       CharLmFunctions.charTrigramsBuilder))
+    e.injectFunction((
+      new FunctionIdentifier("char_ngrams"),
+      new ExpressionInfo(classOf[CharNgrams].getName, "char_ngrams"),
+      CharLmFunctions.charNgramsBuilder))
   }
 }

@@ -17,7 +17,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Two expressions share one codepoint walk:
   *
-  *  - [[CharTrigrams]] — the training-side extractor: every 3-codepoint
+  *  - [[CharNgrams]] — the training-side extractor: every n-codepoint
   *    window of a string as an array of strings. Used once per model fit
   *    (explode → count → bounded top-K), so the explode amplification is
   *    paid on the TRAIN slice only, with map-side partial aggregation
@@ -57,12 +57,14 @@ private[graft] object CharLmKernels {
   }
 }
 
-/** Every 3-codepoint window of a string, in order, as `array<string>`.
-  * `char_trigrams('abcd')` = `['abc','bcd']`; strings shorter than 3
+/** Every `n`-codepoint window of a string, in order, as `array<string>`.
+  * `char_ngrams('abcd', 3)` = `['abc','bcd']`; strings shorter than `n`
   * codepoints yield an empty array. Bit-compatible with the oracle's
-  * `substr(text, i, 3) FOR i IN 1..LENGTH(text)-2` replay. */
-case class CharTrigrams(child: Expression)
+  * `substr(text, i, n) FOR i IN 1..LENGTH(text)-n+1` replay. */
+case class CharNgrams(child: Expression, n: Int)
     extends UnaryExpression with ImplicitCastInputTypes {
+  require(n >= 1 && n <= 16,
+    s"char_ngrams: order must be in [1, 16], got $n")
 
   override def inputTypes = Seq(StringType)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -73,10 +75,10 @@ case class CharTrigrams(child: Expression)
     val s = input.toString
     val bounds = CharLmKernels.codepointBounds(s)
     val cpn = bounds.length - 1
-    val out = new Array[AnyRef](math.max(cpn - 2, 0))
+    val out = new Array[AnyRef](math.max(cpn - n + 1, 0))
     var j = 0
-    while (j + 3 <= cpn) {
-      out(j) = UTF8String.fromString(s.substring(bounds(j), bounds(j + 3)))
+    while (j + n <= cpn) {
+      out(j) = UTF8String.fromString(s.substring(bounds(j), bounds(j + n)))
       j += 1
     }
     new GenericArrayData(out)
@@ -86,20 +88,21 @@ case class CharTrigrams(child: Expression)
     computeTris(input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("charTrigrams", this, classOf[CharTrigrams].getName)
+    val ref = ctx.addReferenceObj("charNgrams", this, classOf[CharNgrams].getName)
     nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.computeTris($c);")
   }
 
-  override protected def withNewChildInternal(newChild: Expression): CharTrigrams =
+  override protected def withNewChildInternal(newChild: Expression): CharNgrams =
     copy(child = newChild)
-  override def prettyName: String = "char_trigrams"
+  override def prettyName: String = "char_ngrams"
 }
 
-/** Sum over a document's codepoint trigrams of the model's nano-scaled
-  * log-probability (unseen trigrams take the model's smoothed floor), as
-  * ONE signed 64-bit long. Empty / sub-3-codepoint strings sum to 0; the
-  * caller derives `n_tri = greatest(length(text) - 2, 0)` and the average
-  * NLL from the pair, keeping this kernel a pure fold.
+/** Sum over a document's codepoint n-grams (window width = the model's
+  * `order`) of the model's nano-scaled log-probability (unseen grams
+  * take the model's smoothed floor), as ONE signed 64-bit long. Strings
+  * shorter than `order` codepoints sum to 0; the caller derives
+  * `n_tri = greatest(length(text) - order + 1, 0)` and the average NLL
+  * from the pair, keeping this kernel a pure fold.
   *
   * The model rides an explicit torrent [[Broadcast]] handle — plan size
   * stays O(1) in vocabulary size (the index-state rule from
@@ -117,13 +120,14 @@ case class CharLmScore(child: Expression, bc: Broadcast[CharLmModel])
   /** The fused kernel; public so generated code can call it. */
   def computeSum(input: UTF8String): Long = {
     val m = bc.value
+    val n = m.order
     val s = input.toString
     val bounds = CharLmKernels.codepointBounds(s)
     val cpn = bounds.length - 1
     var sum = 0L
     var j = 0
-    while (j + 3 <= cpn) {
-      val v = m.nanoLogp.get(s.substring(bounds(j), bounds(j + 3)))
+    while (j + n <= cpn) {
+      val v = m.nanoLogp.get(s.substring(bounds(j), bounds(j + n)))
       sum += (if (v == null) m.unseenNano else v.longValue())
       j += 1
     }
@@ -143,8 +147,10 @@ case class CharLmScore(child: Expression, bc: Broadcast[CharLmModel])
   override def prettyName: String = "charlm_score"
 }
 
-/** Fitted character-trigram model: trigram → nanonat log-prob plus the
-  * smoothed floor for unseen trigrams. Add-one smoothing over the KEPT
+/** Fitted character-n-gram model (`order` = window width, inferred and
+  * width-validated from the counts table at fit): gram → nanonat
+  * log-prob plus the smoothed floor for unseen grams. Add-one smoothing
+  * over the KEPT
   * vocabulary: p(t) = (c_t + 1) / (T + V + 1), p(unseen) = 1 / (T + V + 1)
   * where T = Σ kept counts, V = kept vocabulary size. Values are
   * `round(ln(p) * 1e9)` half-away-from-zero — the exact
@@ -154,6 +160,7 @@ case class CharLmScore(child: Expression, bc: Broadcast[CharLmModel])
   * are O(maxVocab), the same bounded-index-state discipline as
   * [[graft.ops.Similarity]] codebook loads). */
 final class CharLmModel(
+    val order: Int,
     val nanoLogp: java.util.HashMap[String, java.lang.Long],
     val unseenNano: Long) extends Serializable {
   def vocabSize: Int = nanoLogp.size
@@ -161,23 +168,45 @@ final class CharLmModel(
 
 object CharLmFunctions {
 
-  /** `char_trigrams(text)` as a Column. */
-  def charTrigrams(text: Column): Column =
-    ColumnBridge.column(CharTrigrams(ColumnBridge.expression(text)))
+  /** Codepoint `n`-gram windows of a text Column. */
+  def charNgrams(text: Column, n: Int): Column =
+    ColumnBridge.column(CharNgrams(ColumnBridge.expression(text), n))
+
+  /** `char_trigrams(text)` as a Column (the default order-3 windows). */
+  def charTrigrams(text: Column): Column = charNgrams(text, 3)
 
   /** `char_trigrams(text)` SQL builder — shared by the temp-function
     * path and [[graft.GraftExtensions]] (the scoring kernel is NOT
     * SQL-registrable: it closes over a broadcast model handle). */
   private[graft] val charTrigramsBuilder: Seq[Expression] => Expression = {
-    case Seq(text) => CharTrigrams(text)
+    case Seq(text) => CharNgrams(text, 3)
     case exprs => throw new IllegalArgumentException(
       s"char_trigrams(text) takes exactly 1 argument, got ${exprs.length}")
   }
 
+  /** `char_ngrams(text, n)` SQL builder; `n` must be a foldable integer
+    * literal (it sizes the window at plan time). */
+  private[graft] val charNgramsBuilder: Seq[Expression] => Expression = {
+    case Seq(text, nExpr) =>
+      require(nExpr.foldable, "char_ngrams: n must be a literal")
+      nExpr.eval() match {
+        case null => throw new IllegalArgumentException(
+          "char_ngrams: n must be a non-NULL integer literal")
+        case num: Number => CharNgrams(text, num.intValue())
+        case other => throw new IllegalArgumentException(
+          s"char_ngrams: n must be an integer literal, got '$other'")
+      }
+    case exprs => throw new IllegalArgumentException(
+      s"char_ngrams(text, n) takes exactly 2 arguments, got ${exprs.length}")
+  }
+
   /** Register SQL-visible functions on a session (idempotent). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "char_trigrams", charTrigramsBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "char_ngrams", charNgramsBuilder, "built-in")
+  }
 
   /** Nano-scaled trigram log-prob sum of `text` under a broadcast model. */
   def charLmScore(text: Column, bc: Broadcast[CharLmModel]): Column =

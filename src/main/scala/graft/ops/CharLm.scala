@@ -60,10 +60,10 @@ object CharLm {
     * cut is deterministic at any partitioning). Lazy; one scan. */
   def trainCounts(
       train: DataFrame, textCol: String = "text",
-      maxVocab: Int = DefaultMaxVocab): DataFrame = {
+      maxVocab: Int = DefaultMaxVocab, order: Int = 3): DataFrame = {
     require(maxVocab >= 1, s"maxVocab must be >= 1, got $maxVocab")
     train
-      .select(explode(CharLmFunctions.charTrigrams(col(textCol))).as("tri"))
+      .select(explode(CharLmFunctions.charNgrams(col(textCol), order)).as("tri"))
       .groupBy("tri").agg(count(lit(1)).as("c"))
       // global sort + limit ⇒ TakeOrderedAndProject: per-partition top-K
       // then a driver merge of K-row heads — NOT a single-partition sort
@@ -80,13 +80,24 @@ object CharLm {
     // (every doc scores avg_nll = 0 and every quality cut silently
     // passes or drops EVERYTHING) — a config error, so fail loudly
     require(rows.nonEmpty,
-      "CharLm.fit: no trigram counts — the training slice is empty or " +
-        "all its documents are shorter than 3 codepoints")
+      "CharLm.fit: no gram counts — the training slice is empty or " +
+        "all its documents are shorter than the model order in codepoints")
     rows.foreach { r =>
       require(!r.isNullAt(0) && !r.isNullAt(1) && r.getLong(1) >= 1,
-        "CharLm.fit: counts table has a NULL trigram/count or a count < 1 " +
+        "CharLm.fit: counts table has a NULL gram/count or a count < 1 " +
           "— not a trainCounts (or persisted trainCounts) output")
     }
+    // the model order is a property of the TABLE, not a caller argument
+    // that could drift from it: every key has exactly `order` codepoints,
+    // so infer it and whole-table-validate uniform width (the same
+    // mixed-width rejection the signature/gram tables make)
+    val orders = rows.map(r => {
+      val k = r.getString(0); k.codePointCount(0, k.length)
+    }).distinct
+    require(orders.length == 1,
+      s"CharLm.fit: counts table mixes gram widths " +
+        s"[${orders.sorted.mkString(", ")}] — corrupt or concatenated tables")
+    val order = orders.head
     var t = 0L
     rows.foreach(r => t += r.getLong(1))
     val v = rows.length.toLong
@@ -95,7 +106,7 @@ object CharLm {
     rows.foreach { r =>
       m.put(r.getString(0), java.lang.Long.valueOf(nanoLn((r.getLong(1) + 1.0) / denom)))
     }
-    new CharLmModel(m, nanoLn(1.0 / denom))
+    new CharLmModel(order, m, nanoLn(1.0 / denom))
   }
 
   /** `round(ln(x)·1e9)` half-away-from-zero — the oracle's
@@ -126,7 +137,8 @@ object CharLm {
     require(clash.isEmpty,
       s"CharLm.score: input already has column(s) ${clash.mkString(", ")} — " +
         "these are the score output columns; rename them first")
-    val nTri = greatest(length(col(textCol)) - 2, lit(0)).cast("int")
+    val nTri = greatest(length(col(textCol)) - (bc.value.order - 1), lit(0))
+      .cast("int")
     docs
       .withColumn("n_tri", nTri)
       .withColumn("nll_nano", -CharLmFunctions.charLmScore(col(textCol), bc))

@@ -17,11 +17,11 @@ object CharLmPropsSpec extends Properties("CharLm") {
 
   private lazy val spark = TestSpark.spark
 
-  /** Driver-side trigram extraction by codepoints. */
-  private def bruteTris(s: String): Seq[String] = {
+  /** Driver-side n-gram extraction by codepoints. */
+  private def bruteTris(s: String, n: Int = 3): Seq[String] = {
     val cps = s.codePoints().toArray
-    if (cps.length < 3) Seq.empty
-    else (0 to cps.length - 3).map(i => new String(cps, i, 3))
+    if (cps.length < n) Seq.empty
+    else (0 to cps.length - n).map(i => new String(cps, i, n))
   }
 
   // ascii, accents, CJK, and a supplementary-plane char (U+1D11E)
@@ -37,31 +37,31 @@ object CharLmPropsSpec extends Properties("CharLm") {
     texts <- Gen.listOfN(n, textGen)
   } yield texts
 
-  property("char_trigrams equals codepoint-window extraction") =
-    forAll(corpusGen) { texts =>
+  property("char_ngrams equals codepoint-window extraction for n in 2..5") =
+    forAll(corpusGen, Gen.choose(2, 5)) { (texts, n) =>
       import spark.implicits._
       val got = texts.toDF("text")
-        .select(graft.functions.CharLmFunctions.charTrigrams(
-          org.apache.spark.sql.functions.col("text")).as("t"))
+        .select(graft.functions.CharLmFunctions.charNgrams(
+          org.apache.spark.sql.functions.col("text"), n).as("t"))
         .as[Seq[String]].collect().toSeq
-      got == texts.map(bruteTris)
+      got == texts.map(t => bruteTris(t, n))
     }
 
-  property("score equals the driver-side nanonat fold for any corpus") =
-    forAll(corpusGen, corpusGen) {
-      (docTexts, trainTexts) =>
+  property("score equals the driver-side nanonat fold for any corpus and order") =
+    forAll(corpusGen, corpusGen, Gen.choose(2, 4)) {
+      (docTexts, trainTexts, order) =>
         import spark.implicits._
         val train = trainTexts.toDF("text")
-        val hasTris = trainTexts.exists(t => t.codePointCount(0, t.length) >= 3)
+        val hasTris = trainTexts.exists(t => t.codePointCount(0, t.length) >= order)
         if (!hasTris) true // fit correctly rejects empty slices (spec'd)
         else {
-          val model = CharLm.fit(CharLm.trainCounts(train))
+          val model = CharLm.fit(CharLm.trainCounts(train, order = order))
           val docs = docTexts.zipWithIndex
             .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
           val got = CharLm.score(docs, model)
             .select("doc_id", "nll_nano").as[(Long, Long)].collect().toMap
           // brute: counts -> add-one logp -> nanonat round -> per-doc sum
-          val counts = trainTexts.flatMap(bruteTris)
+          val counts = trainTexts.flatMap(t => bruteTris(t, order))
             .groupBy(identity).map { case (g, o) => g -> o.size.toLong }
           val t = counts.values.sum
           val denom = (t + counts.size + 1).toDouble
@@ -71,7 +71,7 @@ object CharLmPropsSpec extends Properties("CharLm") {
           }
           val unseen = nano(1.0 / denom)
           val want = docTexts.zipWithIndex.map { case (txt, i) =>
-            i.toLong -> -bruteTris(txt).map(g =>
+            i.toLong -> -bruteTris(txt, order).map(g =>
               counts.get(g).map(c => nano((c + 1.0) / denom)).getOrElse(unseen)).sum
           }.toMap
           got == want

@@ -61,6 +61,25 @@ class CharLmSpec extends AnyFunSuite {
     assert(rows(2).getInt(1) == 0 && rows(2).getLong(2) == 0L && rows(2).isNullAt(3))
   }
 
+  test("order threads train->fit->score; mixed gram widths rejected") {
+    import spark.implicits._
+    // order 5 on "aaaaaa": grams aaaaa x2 -> vocab {aaaaa: 2}, T=2, V=1
+    val model = CharLm.fit(CharLm.trainCounts(
+      Seq("aaaaaa").toDF("text"), order = 5))
+    assert(model.order == 5 && model.vocabSize == 1)
+    val lp = math.round(math.log(3.0 / 4.0) * 1e9)
+    val rows = CharLm.score(Seq((1L, "aaaaaa"), (2L, "aaaa")).toDF("doc_id", "text"),
+        model).orderBy("doc_id")
+      .select("n_tri", "nll_nano").collect()
+    assert(rows(0).getInt(0) == 2 && rows(0).getLong(1) == -2 * lp)
+    assert(rows(1).getInt(0) == 0 && rows(1).getLong(1) == 0L) // shorter than order
+    // a counts table mixing widths (concatenated artifacts) fails loudly
+    val mixed = CharLm.trainCounts(Seq("aaaa").toDF("text"), order = 3)
+      .unionByName(CharLm.trainCounts(Seq("bbbbb").toDF("text"), order = 4))
+    val e = intercept[IllegalArgumentException](CharLm.fit(mixed))
+    assert(e.getMessage.contains("mixes gram widths"))
+  }
+
   test("vocab cap keeps the most frequent trigrams, ties by trigram asc") {
     import spark.implicits._
     // counts: "aaa" x3 (from aaaaa), "bbb" x1, "ccc" x1 -> cap 2 keeps
