@@ -166,6 +166,68 @@ final class CharLmModel(
   def vocabSize: Int = nanoLogp.size
 }
 
+/** Fitted token-n-gram model — the word-level sibling of
+  * [[CharLmModel]] (CC-Net's production filter is a word 5-gram LM).
+  * Keys are RAW space-joined token grams (matching the
+  * `split(" +")`-derived grams both engines compute identically);
+  * `order` rides the model explicitly because a raw-gram key's width
+  * cannot be inferred safely (tokens may be empty at string edges).
+  * Same nanonat add-one smoothing contract as [[CharLmModel]]. */
+final class TokenLmModel(
+    val order: Int,
+    val nanoLogp: java.util.HashMap[String, java.lang.Long],
+    val unseenNano: Long) extends Serializable {
+  def vocabSize: Int = nanoLogp.size
+}
+
+/** Sum over a document's token n-grams (windows of `order` tokens from
+  * the `split(" +")` stream, space-joined) of the broadcast model's
+  * nanonat log-prob — the word-level sibling of [[CharLmScore]]: one
+  * fused pass, no explode, no join, no shuffle at score time. Documents
+  * with fewer than `order` tokens sum to 0. */
+case class TokenLmScore(child: Expression, bc: Broadcast[TokenLmModel])
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  /** The fused kernel; public so generated code can call it. */
+  def computeSum(input: UTF8String): Long = {
+    val m = bc.value
+    val n = m.order
+    val toks = TextHashKernels.splitter.split(input.toString, -1)
+    var sum = 0L
+    var i = 0
+    val sb = new java.lang.StringBuilder
+    while (i + n <= toks.length) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks(i + k))
+        k += 1
+      }
+      val v = m.nanoLogp.get(sb.toString)
+      sum += (if (v == null) m.unseenNano else v.longValue())
+      i += 1
+    }
+    sum
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    computeSum(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tokenLmScore", this, classOf[TokenLmScore].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.computeSum($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenLmScore =
+    copy(child = newChild)
+  override def prettyName: String = "tokenlm_score"
+}
+
 object CharLmFunctions {
 
   /** Codepoint `n`-gram windows of a text Column. */
@@ -211,4 +273,8 @@ object CharLmFunctions {
   /** Nano-scaled trigram log-prob sum of `text` under a broadcast model. */
   def charLmScore(text: Column, bc: Broadcast[CharLmModel]): Column =
     ColumnBridge.column(CharLmScore(ColumnBridge.expression(text), bc))
+
+  /** Nano-scaled token-gram log-prob sum under a broadcast token model. */
+  def tokenLmScore(text: Column, bc: Broadcast[TokenLmModel]): Column =
+    ColumnBridge.column(TokenLmScore(ColumnBridge.expression(text), bc))
 }

@@ -806,6 +806,45 @@ object TextQueries {
           CAST(MAX(pos) + 2 AS INTEGER) AS span_end,
           CAST(MAX(pos) + 2 - MIN(pos) + 1 AS INTEGER) AS span_tokens
         FROM isl GROUP BY doc_id, island
-        ORDER BY doc_id, span_start"""))
+        ORDER BY doc_id, span_start""")),
+
+    // ---- word-bigram LM perplexity (ops.TokenLm — the token-level
+    // CC-Net model beside q115's char-level one): fit on the lang='en'
+    // slice, vocab capped at 512 (bites at every SF, ties by gram ASC),
+    // same integer-nanonat determinism as q115.
+    Q("q120_tokenlm_perplexity",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val model = graft.ops.TokenLm.fit(graft.ops.TokenLm.trainCounts(
+          docs.filter(col("lang") === "en"), "text",
+          maxVocab = 512, order = 2))
+        graft.ops.TokenLm.score(docs, model)
+          .select(col("doc_id"), col("n_tri"), col("nll_nano"), col("avg_nll"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toksed AS (
+          SELECT doc_id, lang, REGEXP_SPLIT_TO_ARRAY(text, ' +') AS toks
+          FROM documents),
+        tg AS (
+          SELECT doc_id, lang, ARRAY_TO_STRING(toks[CAST(i + 1 AS INTEGER) : CAST(i + 2 AS INTEGER)], ' ') AS tri
+          FROM toksed, UNNEST(RANGE(0, LEN(toks) - 2 + 1)) u(i)
+          WHERE LEN(toks) >= 2),
+        kept AS (
+          SELECT tri, COUNT(*) AS c FROM tg WHERE lang = 'en' GROUP BY 1
+          QUALIFY ROW_NUMBER() OVER (ORDER BY c DESC, tri ASC) <= 512),
+        st AS (SELECT SUM(c) AS t, COUNT(*) AS v FROM kept),
+        nano AS (
+          SELECT doc_id, COUNT(*) AS n_tri,
+            CAST(SUM(CAST(ROUND(LN((COALESCE(k.c, 0) + 1.0) / (st.t + st.v + 1)) * 1e9) AS BIGINT)) AS BIGINT) AS lp
+          FROM tg LEFT JOIN kept k USING (tri) CROSS JOIN st
+          GROUP BY doc_id)
+        SELECT d.doc_id,
+          CAST(COALESCE(n.n_tri, 0) AS INTEGER) AS n_tri,
+          COALESCE(-n.lp, 0) AS nll_nano,
+          CASE WHEN n.n_tri > 0
+            THEN ROUND(CAST(-n.lp AS DOUBLE) / (CAST(n.n_tri AS DOUBLE) * 1e9), 6)
+            END AS avg_nll
+        FROM documents d LEFT JOIN nano n USING (doc_id)
+        ORDER BY d.doc_id"""))
   )
 }
