@@ -110,6 +110,28 @@ object TokenLm {
       .withColumn("avg_nll", CharLm.avgNll(col("nll_nano"), col("n_tri")))
   }
 
+  /** STREAMING token-LM quality filter — the word-level twin of
+    * [[CharLm.qualityCleanStream]] (same contract: stateless
+    * projection+filter, verdicts bit-equal to batch [[score]]+cut,
+    * docs with fewer tokens than the order are dropped as
+    * evidence-free, every admitted doc keeps all its columns). */
+  def qualityCleanStream(
+      newStream: DataFrame, bc: Broadcast[TokenLmModel], maxAvgNll: Double,
+      textCol: String = "text"): DataFrame = {
+    val reserved = Seq("__n_tri", "__avg_nll")
+    val clash = newStream.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"qualityCleanStream: input already has column(s) ${clash.mkString(", ")} — " +
+        "these names are reserved scratch columns here; rename them first")
+    newStream
+      .withColumn("__n_tri", greatest(
+        size(split(col(textCol), " +")) - (bc.value.order - 1), lit(0)).cast("int"))
+      .withColumn("__avg_nll",
+        CharLm.avgNll(-CharLmFunctions.tokenLmScore(col(textCol), bc), col("__n_tri")))
+      .filter(col("__n_tri") > 0 && col("__avg_nll") <= maxAvgNll)
+      .drop(reserved: _*)
+  }
+
   private def bcOf[T](v: T)(implicit ct: scala.reflect.ClassTag[T])
       : Broadcast[T] =
     org.apache.spark.sql.SparkSession.active.sparkContext.broadcast(v)

@@ -66,6 +66,41 @@ class TokenLmSpec extends AnyFunSuite {
     assert(native == composed)
   }
 
+  test("qualityCleanStream: streamed keep set is the exact batch complement") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val model = TokenLm.fit(TokenLm.trainCounts(
+      docs.filter(col("doc_id") < 25 && col("lang") === "en"),
+      maxVocab = 512, order = 2))
+    val bc = spark.sparkContext.broadcast(model)
+    val nw = docs.filter(col("doc_id") >= 25).select("doc_id", "text")
+      .unionByName(Seq((99991L, "solo")).toDF("doc_id", "text")) // < order tokens
+    // pick the median avg_nll as threshold so the cut bites both ways
+    val scored = TokenLm.score(nw, bc, "text")
+    val thr = scored.filter(col("n_tri") > 0).stat
+      .approxQuantile("avg_nll", Array(0.5), 0.0).head
+    val batchKeep = scored
+      .filter(col("n_tri") > 0 && col("avg_nll") <= thr)
+      .select("doc_id").as[Long].collect().toSet
+    val rows = nw.collect().map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String)]
+    val q = TokenLm.qualityCleanStream(
+        input.toDF().toDF("doc_id", "text"), bc, thr)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("tok_clean_out").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("tok_clean_out")
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == batchKeep, s"${got.size} streamed vs ${batchKeep.size} batch")
+      assert(!got.contains(99991L))
+      assert(batchKeep.nonEmpty && batchKeep.size < rows.length)
+    } finally q.stop()
+  }
+
   test("order rides the table: mixed orders rejected, missing n fails") {
     import spark.implicits._
     val a = TokenLm.trainCounts(Seq("x y z").toDF("text"), order = 2)
