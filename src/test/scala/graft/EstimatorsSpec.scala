@@ -29,6 +29,37 @@ class EstimatorsSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("fitted model serves a STREAM: transform is a stateless projection") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // fit on batch, score a micro-batch stream — predictCol/marginCol
+    // are pure Column expressions over the features array (no UDF, no
+    // state), so model serving composes with Structured Streaming as-is
+    val df = lineitemGlm.limit(500).cache()
+    val m = new LogisticRegression(GlmParams(solver = "lbfgs", maxIter = 30))
+    m.fit(df)
+    val rows = df.select(col("features"), col("label"))
+      .as[(Seq[Double], Double)].collect().toSeq
+    val batch = m.transform(df)
+      .select(col("features"), col("probability"))
+      .as[(Seq[Double], Double)].collect().toMap
+    val input = MemoryStream[(Seq[Double], Double)]
+    val q = m.transform(input.toDF().toDF("features", "label"))
+      .select(col("features"), col("probability"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("glm_stream_out").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("glm_stream_out")
+        .as[(Seq[Double], Double)].collect().toMap
+      assert(streamed.keySet == batch.keySet)
+      assert(streamed.forall { case (k, p) => p == batch(k) },
+        "streamed probabilities must be bit-equal to batch transform")
+    } finally { q.stop(); df.unpersist() }
+  }
+
   test("logistic admm (default solver) fits") {
     val df = lineitemGlm
     val m = new LogisticRegression(GlmParams(maxIter = 20))
