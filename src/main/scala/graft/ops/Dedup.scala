@@ -401,6 +401,45 @@ object Dedup {
         col("__bk.bucket").as("__bucket"))
   }
 
+  /** Broder MinHash similarity estimate over candidate pairs: the
+    * fraction of equal signature components, an unbiased estimator of
+    * the 3-shingle Jaccard with standard error ~1/√numHashes. The cheap
+    * middle tier between banding (recall) and [[jaccardVerify]]
+    * (exact): rank or pre-filter candidates WITHOUT re-reading text —
+    * at production width (numHashes = 128) the estimate is ±0.09 and
+    * most pairs never need the exact shingle join. Signatures are built
+    * only for docs appearing in a pair (semi-join first, the
+    * jaccardVerify discipline); pairs where either doc is too short to
+    * carry a signature (the empty-signature sentinel) estimate NULL,
+    * never a spurious 1.0. */
+  def minhashEstimate(
+      df: DataFrame, candidates: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 8): DataFrame = {
+    require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
+    val cand = candidates.persist(MEMORY_AND_DISK)
+    val candIds = cand.select(col("id1").as(idCol))
+      .union(cand.select(col("id2").as(idCol)))
+      .distinct()
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val sigCol = ColumnBridge.column(graft.functions.MinHashSig(
+      ColumnBridge.expression(col(textCol)), numHashes))
+    val sigs = df.join(candIds, Seq(idCol), "left_semi")
+      .select(col(idCol).as("__id"), sigCol.as("__sig"))
+    cand
+      .join(sigs.withColumnRenamed("__id", "id1")
+        .withColumnRenamed("__sig", "__s1"), "id1")
+      .join(sigs.withColumnRenamed("__id", "id2")
+        .withColumnRenamed("__sig", "__s2"), "id2")
+      .withColumn("est",
+        when(element_at(col("__s1"), 1) === Long.MaxValue
+            || element_at(col("__s2"), 1) === Long.MaxValue,
+          lit(null).cast("double"))
+        .otherwise(
+          size(filter(zip_with(col("__s1"), col("__s2"), (a, b) => a === b),
+            x => x)).cast("double") / numHashes))
+      .select(col("id1"), col("id2"), col("est"))
+  }
+
   /** Exact Jaccard over token 3-shingles for candidate verification.
     *
     * Two scale-critical shapes:

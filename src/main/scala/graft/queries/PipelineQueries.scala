@@ -102,6 +102,46 @@ object PipelineQueries {
           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
         ORDER BY d1, d2""")),
 
+    // ---- MinHash similarity estimate (Dedup.minhashEstimate): the
+    // Broder matching-component fraction over the q45 candidate pairs —
+    // rank near-dups without re-reading text. est = matches / 8 is a
+    // ratio of small ints (exact in both engines, no rounding needed).
+    Q("q121_minhash_estimate",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents").filter(col("doc_id") < 200)
+        val pairs = graft.ops.Dedup.minhashCandidates(
+          docs, "doc_id", "text", bands = NH / 2, numHashes = NH)
+        graft.ops.Dedup.minhashEstimate(docs, pairs, "doc_id", "text", NH)
+          .select(col("id1").as("d1"), col("id2").as("d2"), col("est"))
+          .orderBy("d1", "d2")
+      },
+      Some(s"""WITH h AS (
+          SELECT doc_id, $shingleHashesSql AS hashes
+          FROM (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(text, ' +') AS toks
+                FROM documents WHERE doc_id < 200)),
+        sig AS (
+          SELECT doc_id, LIST_TRANSFORM(RANGE(0, $NH), i ->
+            COALESCE(LIST_MIN(LIST_TRANSFORM(hashes,
+              x -> (x * (2 * i + 1) + (i * i + 7)) % $P)),
+              9223372036854775807)) AS s
+          FROM h),
+        bands AS (
+          SELECT doc_id, band,
+            CAST(s[2 * band + 1] AS VARCHAR) || ':' || CAST(s[2 * band + 2] AS VARCHAR) AS bucket
+          FROM sig, UNNEST(RANGE(0, ${NH / 2})) AS t(band)
+          WHERE s[1] <> 9223372036854775807),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+        SELECT d1, d2,
+          CAST(LEN(LIST_FILTER(RANGE(1, $NH + 1),
+            i -> sa.s[CAST(i AS INTEGER)] = sb.s[CAST(i AS INTEGER)])) AS DOUBLE) / $NH AS est
+        FROM pairs
+        JOIN sig sa ON sa.doc_id = d1
+        JOIN sig sb ON sb.doc_id = d2
+        ORDER BY d1, d2""")),
+
     // ---- incremental dedup (Dedup.minhashCandidatesAgainst): a NEW
     // batch (doc_id >= 250) matched against the existing REFERENCE
     // corpus (doc_id < 250) — the daily-ingest shape: asymmetric band

@@ -1328,6 +1328,27 @@ class OpsSpec extends AnyFunSuite {
     assert(rows(2L).nonEmpty)
   }
 
+  test("minhashEstimate: identical docs estimate 1.0, near-dups high, sentinel NULL") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val df = Seq(
+      (1L, base), (2L, base),                       // identical -> est 1.0
+      (3L, base.replace("today", "tomorrow")),      // near-dup -> est in (0, 1]
+      (4L, "completely different words nothing shared here at all whatsoever"))
+      .toDF("id", "text")
+    val pairs = Dedup.minhashCandidates(df, "id", "text")
+    val est = Dedup.minhashEstimate(df, pairs, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(est((1L, 2L)) == 1.0)
+    assert(est.get((1L, 3L)).forall(e => e > 0.0 && e <= 1.0))
+    assert(est.values.forall(e => e >= 0.0 && e <= 1.0))
+    // a hand-built pair with a sub-3-token doc estimates NULL, not 1.0
+    val short = Seq((10L, "too short"), (11L, "also tiny")).toDF("id", "text")
+    val handPair = Seq((10L, 11L)).toDF("id1", "id2")
+    val row = Dedup.minhashEstimate(short, handPair, "id", "text").head()
+    assert(row.isNullAt(2), "sentinel pair must estimate NULL")
+  }
+
   test("resize accepts a non-trivial payload expression (Column API)") {
     import spark.implicits._
     val df = Seq((1L, "hello world payload")).toDF("id", "text")
