@@ -166,6 +166,56 @@ final class CharLmModel(
   def vocabSize: Int = nanoLogp.size
 }
 
+/** Per-model nanonat log-prob sums under SEVERAL broadcast char-LM
+  * models in ONE codepoint walk — the kernel behind LM-based language
+  * ID ([[graft.ops.CharLm.langId]]): K models (one per language) score
+  * each document simultaneously, K map lookups per gram instead of K
+  * full passes. All models must share one gram order (validated by the
+  * caller); returns `array<long>` aligned with the broadcast array. */
+case class CharLmScoreMulti(child: Expression, bc: Broadcast[Array[CharLmModel]])
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  /** The fused kernel; public so generated code can call it. */
+  def computeSums(input: UTF8String): ArrayData = {
+    val ms = bc.value
+    val k = ms.length
+    val n = ms(0).order
+    val s = input.toString
+    val bounds = CharLmKernels.codepointBounds(s)
+    val cpn = bounds.length - 1
+    val sums = new Array[Long](k)
+    var j = 0
+    while (j + n <= cpn) {
+      val g = s.substring(bounds(j), bounds(j + n))
+      var i = 0
+      while (i < k) {
+        val v = ms(i).nanoLogp.get(g)
+        sums(i) += (if (v == null) ms(i).unseenNano else v.longValue())
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(sums)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    computeSums(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("charLmScoreMulti", this,
+      classOf[CharLmScoreMulti].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.computeSums($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharLmScoreMulti =
+    copy(child = newChild)
+  override def prettyName: String = "charlm_score_multi"
+}
+
 /** Fitted token-n-gram model — the word-level sibling of
   * [[CharLmModel]] (CC-Net's production filter is a word 5-gram LM).
   * Keys are RAW space-joined token grams (matching the
@@ -277,4 +327,8 @@ object CharLmFunctions {
   /** Nano-scaled token-gram log-prob sum under a broadcast token model. */
   def tokenLmScore(text: Column, bc: Broadcast[TokenLmModel]): Column =
     ColumnBridge.column(TokenLmScore(ColumnBridge.expression(text), bc))
+
+  /** Per-model nanonat sums under K broadcast models, one text walk. */
+  def charLmScoreMulti(text: Column, bc: Broadcast[Array[CharLmModel]]): Column =
+    ColumnBridge.column(CharLmScoreMulti(ColumnBridge.expression(text), bc))
 }

@@ -76,35 +76,37 @@ object CharLm {
     * is bounded by the cap baked into the counts plan. */
   def fit(counts: DataFrame): CharLmModel = {
     val rows = counts.select(col("tri").cast("string"), col("c").cast("long")).collect()
-    // an empty training slice would fit the degenerate model p(·) = 1
-    // (every doc scores avg_nll = 0 and every quality cut silently
-    // passes or drops EVERYTHING) — a config error, so fail loudly
-    require(rows.nonEmpty,
-      "CharLm.fit: no gram counts — the training slice is empty or " +
-        "all its documents are shorter than the model order in codepoints")
     rows.foreach { r =>
       require(!r.isNullAt(0) && !r.isNullAt(1) && r.getLong(1) >= 1,
         "CharLm.fit: counts table has a NULL gram/count or a count < 1 " +
           "— not a trainCounts (or persisted trainCounts) output")
     }
+    fitLocal(rows.map(r => (r.getString(0), r.getLong(1))).toSeq)
+  }
+
+  /** The driver-side fit core shared by [[fit]] and [[fitByLang]]. */
+  private def fitLocal(pairs: Seq[(String, Long)]): CharLmModel = {
+    // an empty training slice would fit the degenerate model p(·) = 1
+    // (every doc scores avg_nll = 0 and every quality cut silently
+    // passes or drops EVERYTHING) — a config error, so fail loudly
+    require(pairs.nonEmpty,
+      "CharLm.fit: no gram counts — the training slice is empty or " +
+        "all its documents are shorter than the model order in codepoints")
     // the model order is a property of the TABLE, not a caller argument
     // that could drift from it: every key has exactly `order` codepoints,
     // so infer it and whole-table-validate uniform width (the same
     // mixed-width rejection the signature/gram tables make)
-    val orders = rows.map(r => {
-      val k = r.getString(0); k.codePointCount(0, k.length)
-    }).distinct
+    val orders = pairs.map { case (k, _) => k.codePointCount(0, k.length) }.distinct
     require(orders.length == 1,
       s"CharLm.fit: counts table mixes gram widths " +
         s"[${orders.sorted.mkString(", ")}] — corrupt or concatenated tables")
     val order = orders.head
     var t = 0L
-    rows.foreach(r => t += r.getLong(1))
-    val v = rows.length.toLong
-    val denom = (t + v + 1).toDouble
-    val m = new java.util.HashMap[String, java.lang.Long](rows.length * 2)
-    rows.foreach { r =>
-      m.put(r.getString(0), java.lang.Long.valueOf(nanoLn((r.getLong(1) + 1.0) / denom)))
+    pairs.foreach(t += _._2)
+    val denom = (t + pairs.length + 1).toDouble
+    val m = new java.util.HashMap[String, java.lang.Long](pairs.length * 2)
+    pairs.foreach { case (k, c) =>
+      m.put(k, java.lang.Long.valueOf(nanoLn((c + 1.0) / denom)))
     }
     new CharLmModel(order, m, nanoLn(1.0 / denom))
   }
@@ -177,6 +179,77 @@ object CharLm {
         avgNll(-CharLmFunctions.charLmScore(col(textCol), bc), col("__n_tri")))
       .filter(col("__n_tri") > 0 && col("__avg_nll") <= maxAvgNll)
       .drop(reserved: _*)
+  }
+
+  /** Per-language gram counts in ONE scan of the labeled training
+    * slice: (lang, tri, c), capped at the `maxVocab` most frequent
+    * grams PER LANGUAGE (window over the vocab-bounded counts table,
+    * partitioned by language — never a corpus-size window; ties by gram
+    * ASC). The training artifact behind [[langId]]. */
+  def trainCountsByLang(
+      train: DataFrame, langCol: String = "lang", textCol: String = "text",
+      maxVocab: Int = DefaultMaxVocab, order: Int = 3): DataFrame = {
+    require(maxVocab >= 1, s"maxVocab must be >= 1, got $maxVocab")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("c").desc, col("tri").asc)
+    train
+      .select(col(langCol).as("lang"),
+        explode(CharLmFunctions.charNgrams(col(textCol), order)).as("tri"))
+      .groupBy("lang", "tri").agg(count(lit(1)).as("c"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxVocab)
+      .drop("__rn")
+  }
+
+  /** One [[CharLmModel]] per language from a [[trainCountsByLang]]
+    * table (or its persisted parquet). Bounded collect: K·maxVocab. */
+  def fitByLang(counts: DataFrame): Map[String, CharLmModel] = {
+    val rows = counts
+      .select(col("lang").cast("string"), col("tri").cast("string"),
+        col("c").cast("long"))
+      .collect()
+    require(rows.nonEmpty, "CharLm.fitByLang: no gram counts")
+    rows.foreach { r =>
+      require(!r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2) && r.getLong(2) >= 1,
+        "CharLm.fitByLang: NULL lang/gram/count or count < 1 in the counts table")
+    }
+    rows.groupBy(_.getString(0)).map { case (lang, rs) =>
+      lang -> fitLocal(rs.map(r => (r.getString(1), r.getLong(2))).toSeq)
+    }
+  }
+
+  /** LM-based language identification — the CLD/fastText-class
+    * approach: each language's char-n-gram model scores every document
+    * in ONE fused text walk ([[graft.functions.CharLmScoreMulti]]), and
+    * the document is labeled with the language whose model finds it
+    * least surprising. All models share one gram order, so per-model
+    * `nll_nano` sums are directly comparable as integers — the argmin
+    * (ties broken by language ascending) is exact at any partition
+    * order. Documents shorter than the order get `guess` NULL (no
+    * evidence). Adds `guess`; keeps all input columns. Scale shape:
+    * stateless broadcast projection, no shuffle, no join. */
+  def langId(
+      docs: DataFrame, modelsByLang: Map[String, CharLmModel],
+      textCol: String = "text"): DataFrame = {
+    require(modelsByLang.nonEmpty, "CharLm.langId: no models")
+    require(!docs.columns.contains("guess"),
+      "CharLm.langId: input already has column guess — rename it first")
+    val langs = modelsByLang.keys.toSeq.sorted
+    val models = langs.map(modelsByLang).toArray
+    val orders = models.map(_.order).distinct
+    require(orders.length == 1,
+      s"CharLm.langId: models mix gram orders [${orders.sorted.mkString(", ")}]")
+    val order = orders.head
+    val bc = bcOf(models)
+    val nTri = greatest(length(col(textCol)) - (order - 1), lit(0))
+    val sums = CharLmFunctions.charLmScoreMulti(col(textCol), bc)
+    // argmin over (nll, lang): struct comparison orders by nll first,
+    // then language ascending — a total order, deterministic ties
+    val candidates = array(langs.zipWithIndex.map { case (l, i) =>
+      struct((-element_at(sums, i + 1)).as("nll"), lit(l).as("lang"))
+    }: _*)
+    docs.withColumn("guess",
+      when(nTri > 0, array_min(candidates).getField("lang")))
   }
 
   /** One-call convenience: fit on `train`, score `docs`. */

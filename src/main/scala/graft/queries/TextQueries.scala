@@ -808,6 +808,49 @@ object TextQueries {
         FROM isl GROUP BY doc_id, island
         ORDER BY doc_id, span_start""")),
 
+    // ---- LM-based language ID (CharLm.langId — the CLD-class upgrade
+    // of q32's stopword heuristic): one char-trigram model per labeled
+    // language, every doc labeled by the model that finds it least
+    // surprising (integer-nanonat argmin, ties by language ascending).
+    Q("q122_langid_lm",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val models = graft.ops.CharLm.fitByLang(
+          graft.ops.CharLm.trainCountsByLang(docs, maxVocab = 512))
+        graft.ops.CharLm.langId(docs, models)
+          .select(col("doc_id"), col("lang"), col("guess"),
+            when(col("guess") === col("lang"), 1).otherwise(0).as("match"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tri_all AS (
+          SELECT lang, substr(text, CAST(i AS INTEGER), 3) AS tri
+          FROM (SELECT lang, text, UNNEST(GENERATE_SERIES(1, LENGTH(text) - 2)) AS i
+                FROM documents WHERE LENGTH(text) >= 3)),
+        kept AS (
+          SELECT lang, tri, COUNT(*) AS c FROM tri_all GROUP BY 1, 2
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, tri ASC) <= 512),
+        st AS (SELECT lang, SUM(c) AS t, COUNT(*) AS v FROM kept GROUP BY 1),
+        doc_tri AS (
+          SELECT doc_id, substr(text, CAST(i AS INTEGER), 3) AS tri
+          FROM (SELECT doc_id, text, UNNEST(GENERATE_SERIES(1, LENGTH(text) - 2)) AS i
+                FROM documents WHERE LENGTH(text) >= 3)),
+        scored AS (
+          SELECT dt.doc_id, st.lang,
+            SUM(CAST(ROUND(LN((COALESCE(k.c, 0) + 1.0) / (st.t + st.v + 1)) * 1e9) AS BIGINT)) AS lp
+          FROM doc_tri dt
+          CROSS JOIN st
+          LEFT JOIN kept k ON k.lang = st.lang AND k.tri = dt.tri
+          GROUP BY dt.doc_id, st.lang),
+        best AS (
+          SELECT doc_id, lang AS guess FROM (
+            SELECT doc_id, lang, ROW_NUMBER() OVER (
+              PARTITION BY doc_id ORDER BY lp DESC, lang ASC) AS rn
+            FROM scored) WHERE rn = 1)
+        SELECT d.doc_id, d.lang, b.guess,
+          CAST(CASE WHEN b.guess = d.lang THEN 1 ELSE 0 END AS INTEGER) AS match
+        FROM documents d LEFT JOIN best b USING (doc_id)
+        ORDER BY d.doc_id""")),
+
     // ---- word-bigram LM perplexity (ops.TokenLm — the token-level
     // CC-Net model beside q115's char-level one): fit on the lang='en'
     // slice, vocab capped at 512 (bites at every SF, ties by gram ASC),

@@ -196,6 +196,30 @@ class CharLmSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("langId: disjoint-alphabet languages classify exactly; ties break asc") {
+    import spark.implicits._
+    val train = Seq(
+      ("aa", "aaaa aaa aaaa"), ("aa", "aaa aaaa"),
+      ("bb", "bbbb bbb bbbb"), ("bb", "bbb bbbb")).toDF("lang", "text")
+    val models = CharLm.fitByLang(CharLm.trainCountsByLang(train))
+    assert(models.keySet == Set("aa", "bb"))
+    val docs = Seq(
+      (1L, "aaaa aaaa"),   // pure a -> aa
+      (2L, "bbbb bbbb"),   // pure b -> bb
+      (3L, "zz"),          // shorter than order -> NULL
+      (4L, "cccc cccc")    // unseen everywhere: every gram takes each
+                            // model's unseen floor -> tie -> 'aa' (asc)
+      ).toDF("doc_id", "text")
+    val out = CharLm.langId(docs, models).orderBy("doc_id")
+      .select("guess").collect()
+    assert(out(0).getString(0) == "aa")
+    assert(out(1).getString(0) == "bb")
+    assert(out(2).isNullAt(0))
+    // both models have identical vocab sizes/counts by construction, so
+    // the unseen floors are equal and the tie must break to 'aa'
+    assert(out(3).getString(0) == "aa")
+  }
+
   test("persisted counts table refits to an identical model") {
     import spark.implicits._
     val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
