@@ -1,0 +1,148 @@
+package graft.ops
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{BpeFunctions, BpeModel}
+
+/** Byte-pair-encoding tokenizer training and encoding (Sennrich et al.
+  * 2016, arXiv:1508.07909) — REAL subword token accounting for the
+  * budget/packing operators (`Sampling.tokenBudgetCap`,
+  * `packSequences`), which otherwise count whitespace or regex tokens
+  * (q30/q68). dask-glm has no text surface; north-star pipeline scope.
+  *
+  * The 100 TB shape is the one production trainers use: BPE never
+  * iterates over the corpus — it iterates over the WORD FREQUENCY
+  * table, which is vocabulary-bounded, not corpus-bounded.
+  *
+  *  1. [[wordCounts]] — the only distributed stage: one scan, word
+  *     count aggregation (map-side partial combine), deterministic
+  *     distributed top-K cap (count DESC, word ASC).
+  *  2. [[trainMerges]] — driver-side merge loop over the collected
+  *     (word, count) table: repeatedly merge the most frequent adjacent
+  *     symbol pair (ties broken by pair lexicographically — every step
+  *     is a total order, so training is deterministic). O(maxWords ·
+  *     numMerges) driver work, no cluster involvement.
+  *  3. [[encode]] — stateless broadcast projection: the merge ranks
+  *     ride one broadcast and each document is tokenized by the fused
+  *     [[graft.functions.BpeEncode]] kernel (greedy lowest-rank-first
+  *     merge application, the standard BPE encode), no shuffle.
+  *
+  * Word symbols are Unicode codepoints with a trailing `</w>`
+  * end-of-word marker (the original formulation — merges crossing the
+  * marker encode word-final units distinctly).
+  *
+  * The merge loop is inherently sequential, so unlike the LM scorers
+  * there is no whole-query DuckDB oracle: correctness is pinned by a
+  * driver-side reference implementation (BpeSpec property suite:
+  * train+encode parity on random corpora) and the registry entry takes
+  * the rows-only check the driver records for non-SQL-expressible ops.
+  */
+object Bpe {
+
+  /** Default word-vocabulary cap for training: the merge loop's input
+    * is at most this many (word, count) rows on the driver. */
+  val DefaultMaxWords: Int = 65536
+
+  /** Distributed word frequencies of the training slice, capped to the
+    * `maxWords` most frequent (ties by word ASC — deterministic cut). */
+  def wordCounts(
+      train: DataFrame, textCol: String = "text",
+      maxWords: Int = DefaultMaxWords): DataFrame = {
+    require(maxWords >= 1, s"maxWords must be >= 1, got $maxWords")
+    train
+      .select(explode(split(col(textCol), " +")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("word").asc)
+      .limit(maxWords)
+  }
+
+  /** Driver-side merge training over a (word, c) counts table (from
+    * [[wordCounts]] or its persisted parquet). Returns the learned
+    * model: merges in rank order. Stops early if no pair occurs twice. */
+  def trainMerges(counts: DataFrame, numMerges: Int): BpeModel = {
+    require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
+    val rows = counts.select(col("word").cast("string"), col("c").cast("long"))
+      .collect()
+    require(rows.nonEmpty, "Bpe.trainMerges: empty word-counts table")
+    rows.foreach { r =>
+      require(!r.isNullAt(0) && !r.isNullAt(1) && r.getLong(1) >= 1,
+        "Bpe.trainMerges: NULL word/count or count < 1 in the counts table")
+    }
+    trainLocal(rows.map(r => (r.getString(0), r.getLong(1))).toSeq, numMerges)
+  }
+
+  /** The reference merge loop (public within the package for the spec's
+    * brute-force parity check). */
+  private[graft] def trainLocal(
+      wordFreq: Seq[(String, Long)], numMerges: Int): BpeModel = {
+    // words as mutable symbol sequences; frequency never changes
+    val words = wordFreq.map { case (w, c) =>
+      (scala.collection.mutable.ArrayBuffer.from(BpeModel.baseSymbols(w)), c)
+    }
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var step = 0
+    var done = false
+    while (step < numMerges && !done) {
+      // pair frequencies across the word table (per OCCURRENCE, weighted
+      // by word count — the Sennrich formulation)
+      val pc = scala.collection.mutable.HashMap[(String, String), Long]()
+      words.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          pc.update(p, pc.getOrElse(p, 0L) + c)
+          i += 1
+        }
+      }
+      // a merge that occurs once compresses nothing — standard stop
+      val best = pc.filter(_._2 >= 2)
+      if (best.isEmpty) done = true
+      else {
+        // total order: max count, then pair lexicographic ascending
+        val (pair, _) = best.minBy { case ((a, b), c) => (-c, a, b) }
+        merges += pair
+        val joined = pair._1 + pair._2
+        words.foreach { case (syms, _) =>
+          var i = 0
+          while (i < syms.length - 1) {
+            if (syms(i) == pair._1 && syms(i + 1) == pair._2) {
+              syms.update(i, joined)
+              syms.remove(i + 1)
+              // a new merge may butt against the previous symbol; the
+              // standard left-to-right pass does NOT back up (matches
+              // the greedy re-scan semantics of the reference trainer)
+            } else i += 1
+          }
+        }
+        step += 1
+      }
+    }
+    new BpeModel(merges.toArray)
+  }
+
+  /** Tokenize every document under a trained model: adds `bpe_tokens`
+    * (`array<string>`) and `n_bpe` (token count). Stateless broadcast
+    * projection, no shuffle. */
+  def encode(
+      docs: DataFrame, model: BpeModel, textCol: String = "text"): DataFrame =
+    encode(docs, bcOf(model), textCol)
+
+  /** [[encode]] against an already-broadcast model. */
+  def encode(
+      docs: DataFrame, bc: Broadcast[BpeModel], textCol: String): DataFrame = {
+    val clash = docs.columns.filter(Set("bpe_tokens", "n_bpe"))
+    require(clash.isEmpty,
+      s"Bpe.encode: input already has column(s) ${clash.mkString(", ")} — " +
+        "these are the encode output columns; rename them first")
+    docs
+      .withColumn("bpe_tokens", BpeFunctions.bpeEncode(col(textCol), bc))
+      .withColumn("n_bpe", size(col("bpe_tokens")))
+  }
+
+  private def bcOf[T](v: T)(implicit ct: scala.reflect.ClassTag[T])
+      : Broadcast[T] =
+    org.apache.spark.sql.SparkSession.active.sparkContext.broadcast(v)
+}

@@ -808,6 +808,26 @@ object TextQueries {
         FROM isl GROUP BY doc_id, island
         ORDER BY doc_id, span_start""")),
 
+    // ---- real BPE token accounting (ops.Bpe, Sennrich et al. 2016):
+    // 200 merges trained on the corpus word-frequency table (the
+    // bounded driver-side loop production trainers use), then every
+    // doc tokenized by the broadcast greedy-encode kernel. The merge
+    // loop is iterative state — not SQL-expressible — so this entry
+    // has NO DuckDB oracle (driver records the rows-only check);
+    // correctness is pinned by BpeSpec: the textbook merge sequence,
+    // the lossless-reconstruction invariant, monotone compression, and
+    // partitioning independence.
+    Q("q123_bpe_tokens",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val model = graft.ops.Bpe.trainMerges(
+          graft.ops.Bpe.wordCounts(docs), numMerges = 200)
+        graft.ops.Bpe.encode(docs, model)
+          .select(col("doc_id"), col("n_bpe"))
+          .orderBy("doc_id")
+      },
+      None),
+
     // ---- LM-based language ID (CharLm.langId — the CLD-class upgrade
     // of q32's stopword heuristic): one char-trigram model per labeled
     // language, every doc labeled by the model that finds it least
