@@ -252,6 +252,53 @@ object CharLm {
       when(nTri > 0, array_min(candidates).getField("lang")))
   }
 
+  /** CC-Net perplexity bucketing — the paper's defining output: split a
+    * SCORED corpus (any frame with [[score]]'s `n_tri`/`avg_nll`
+    * columns, char- or token-level) into `nBuckets` quality tiers
+    * (head/middle/tail for 3) by average NLL.
+    *
+    * Scale shape (the q105 broadcast-offsets pattern, NOT a global
+    * row_number window): docs bin by `round(avg_nll, binDp)`, the
+    * BOUNDED histogram (≤ 10^binDp · range bins, thousands not
+    * billions) is cumulated and collected, the nBuckets−1 threshold
+    * bins are computed on the driver with exact integer math
+    * (`cum ≥ ⌈n·k/nBuckets⌉`), and every row gets its tier from two
+    * broadcast comparisons. Rows sharing the threshold bin share a
+    * tier, so tier sizes are even only up to bin granularity —
+    * deterministic, and the documented trade for avoiding a
+    * corpus-wide sort. Docs with `n_tri` = 0 get tier NULL. Adds
+    * `ppl_bucket` (1 = lowest perplexity); keeps all input columns. */
+  def perplexityBuckets(
+      scored: DataFrame, nBuckets: Int = 3, binDp: Int = 3): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    require(binDp >= 0 && binDp <= 6, s"binDp must be in [0, 6], got $binDp")
+    val clash = scored.columns.filter(Set("ppl_bucket", "__bin"))
+    require(clash.isEmpty,
+      s"perplexityBuckets: input already has column(s) ${clash.mkString(", ")} — " +
+        "rename them first")
+    val binCol = round(col("avg_nll"), binDp)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__bin").asc)
+    // single-partition window over the HISTOGRAM only — bounded
+    val hist = scored.filter(col("n_tri") > 0)
+      .groupBy(binCol.as("__bin")).agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .select(col("__bin").cast("double"), col("__cum").cast("long"))
+      .collect().sortBy(_.getDouble(0))
+    if (hist.isEmpty)
+      // nothing scorable: every doc is evidence-free -> tier NULL
+      return scored.withColumn("ppl_bucket",
+        when(col("n_tri") > 0, lit(1)).otherwise(lit(null).cast("int")))
+    val n = hist.last.getLong(1)
+    val thresholds = (1 until nBuckets).map { k =>
+      val target = (n * k + nBuckets - 1) / nBuckets // ceil(n*k / nBuckets)
+      hist.find(_.getLong(1) >= target).get.getDouble(0)
+    }
+    val tier = thresholds.foldLeft(lit(1)) { (acc, t) =>
+      acc + (binCol > t).cast("int")
+    }
+    scored.withColumn("ppl_bucket", when(col("n_tri") > 0, tier))
+  }
+
   /** One-call convenience: fit on `train`, score `docs`. */
   def perplexityScore(
       docs: DataFrame, train: DataFrame, textCol: String = "text",

@@ -808,6 +808,61 @@ object TextQueries {
         FROM isl GROUP BY doc_id, island
         ORDER BY doc_id, span_start""")),
 
+    // ---- CC-Net perplexity tiers (CharLm.perplexityBuckets): q115's
+    // scored corpus split head/middle/tail by the bounded-histogram
+    // threshold shape (no corpus-wide sort); exact integer ceil-div
+    // targets, threshold comparison on the shared rounded bins.
+    Q("q124_ccnet_buckets",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val model = graft.ops.CharLm.fit(graft.ops.CharLm.trainCounts(
+          docs.filter(col("lang") === "en"), "text", maxVocab = 512))
+        graft.ops.CharLm.perplexityBuckets(
+            graft.ops.CharLm.score(docs, model))
+          .select(col("doc_id"), col("ppl_bucket"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tri_all AS (
+          SELECT substr(text, CAST(i AS INTEGER), 3) AS tri
+          FROM (SELECT text, UNNEST(GENERATE_SERIES(1, LENGTH(text) - 2)) AS i
+                FROM documents WHERE lang = 'en' AND LENGTH(text) >= 3)),
+        kept AS (
+          SELECT tri, COUNT(*) AS c FROM tri_all GROUP BY 1
+          QUALIFY ROW_NUMBER() OVER (ORDER BY c DESC, tri ASC) <= 512),
+        st AS (SELECT SUM(c) AS t, COUNT(*) AS v FROM kept),
+        doc_tri AS (
+          SELECT doc_id, substr(text, CAST(i AS INTEGER), 3) AS tri
+          FROM (SELECT doc_id, text, UNNEST(GENERATE_SERIES(1, LENGTH(text) - 2)) AS i
+                FROM documents WHERE LENGTH(text) >= 3)),
+        nano AS (
+          SELECT doc_id, COUNT(*) AS n_tri,
+            CAST(SUM(CAST(ROUND(LN((COALESCE(k.c, 0) + 1.0) / (st.t + st.v + 1)) * 1e9) AS BIGINT)) AS BIGINT) AS lp
+          FROM doc_tri dt LEFT JOIN kept k USING (tri) CROSS JOIN st
+          GROUP BY doc_id),
+        scored AS (
+          SELECT doc_id,
+            ROUND(ROUND(CAST(-lp AS DOUBLE) / (CAST(n_tri AS DOUBLE) * 1e9), 6), 3) AS bin
+          FROM nano WHERE n_tri > 0),
+        hist AS (SELECT bin, COUNT(*) AS c FROM scored GROUP BY 1),
+        cum AS (SELECT bin, SUM(c) OVER (ORDER BY bin) AS cum FROM hist),
+        tot AS (SELECT MAX(cum) AS n FROM cum),
+        th AS (
+          SELECT k, MIN(bin) AS t
+          FROM cum CROSS JOIN tot CROSS JOIN (SELECT UNNEST([1, 2]) AS k)
+          WHERE cum >= (n * k + 2) // 3
+          GROUP BY k),
+        t1 AS (SELECT t FROM th WHERE k = 1),
+        t2 AS (SELECT t FROM th WHERE k = 2)
+        SELECT d.doc_id,
+          CASE WHEN s.bin IS NOT NULL THEN
+            CAST(1 + (CASE WHEN s.bin > t1.t THEN 1 ELSE 0 END)
+                   + (CASE WHEN s.bin > t2.t THEN 1 ELSE 0 END) AS INTEGER)
+          END AS ppl_bucket
+        FROM documents d
+        LEFT JOIN scored s USING (doc_id)
+        CROSS JOIN t1 CROSS JOIN t2
+        ORDER BY d.doc_id""")),
+
     // ---- real BPE token accounting (ops.Bpe, Sennrich et al. 2016):
     // 200 merges trained on the corpus word-frequency table (the
     // bounded driver-side loop production trainers use), then every

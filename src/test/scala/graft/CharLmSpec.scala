@@ -220,6 +220,37 @@ class CharLmSpec extends AnyFunSuite {
     assert(out(3).getString(0) == "aa")
   }
 
+  test("perplexityBuckets: ordered tiers, ~even split, NULL for evidence-free") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val model = CharLm.fit(CharLm.trainCounts(
+      docs.filter(col("lang") === "en"), maxVocab = 512))
+    val scored = CharLm.score(
+      docs.select("doc_id", "text")
+        .unionByName(Seq((99992L, "ab")).toDF("doc_id", "text")), model)
+    val out = CharLm.perplexityBuckets(scored)
+      .select("doc_id", "avg_nll", "ppl_bucket").collect()
+    val byBucket = out.filter(!_.isNullAt(2))
+      .groupBy(_.getInt(2)).view.mapValues(_.map(_.getDouble(1))).toMap
+    assert(byBucket.keySet == Set(1, 2, 3))
+    // tiers are ORDERED: every head doc <= every middle doc <= every tail
+    assert(byBucket(1).max <= byBucket(2).min + 1e-9)
+    assert(byBucket(2).max <= byBucket(3).min + 1e-9)
+    // roughly even (bin-granularity slack)
+    val sizes = byBucket.view.mapValues(_.length).toMap
+    val n = sizes.values.sum
+    sizes.values.foreach(s => assert(s > n / 6, s"degenerate tier: $sizes"))
+    // the evidence-free doc has no tier
+    assert(out.find(_.getLong(0) == 99992L).get.isNullAt(2))
+    // rerun under a different partitioning is identical
+    val again = CharLm.perplexityBuckets(CharLm.score(
+        docs.select("doc_id", "text").repartition(7), model))
+      .select("doc_id", "ppl_bucket").as[(Long, Int)].collect().toMap
+    val first = out.filter(!_.isNullAt(2))
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(again == first)
+  }
+
   test("persisted counts table refits to an identical model") {
     import spark.implicits._
     val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
