@@ -123,6 +123,43 @@ object Bpe {
     new BpeModel(merges.toArray)
   }
 
+  /** Persist a trained merge table — the tokenizer IS a build-once
+    * artifact in production (retraining renumbers every token, the same
+    * way retraining PQ codebooks corrupts a codes table): (rank, left,
+    * right) rows, reloadable by [[loadMerges]]. */
+  def saveMerges(spark: org.apache.spark.sql.SparkSession, model: BpeModel,
+      path: String): Unit = {
+    import spark.implicits._
+    model.merges.zipWithIndex
+      .map { case ((a, b), r) => (r, a, b) }.toSeq
+      .toDF("rank", "left", "right")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[saveMerges]] table. Whole-table validation: ranks must be
+    * exactly 0..n−1 with no NULL symbols — a truncated or concatenated
+    * merge table would otherwise silently re-rank merges and tokenize
+    * every document differently. */
+  def loadMerges(spark: org.apache.spark.sql.SparkSession,
+      path: String): BpeModel = {
+    val rows = spark.read.parquet(path)
+      .select(col("rank").cast("int"), col("left").cast("string"),
+        col("right").cast("string"))
+      .collect()
+    rows.foreach { r =>
+      require(!r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2),
+        s"Bpe.loadMerges: NULL rank/symbol in $path")
+    }
+    val sorted = rows.sortBy(_.getInt(0))
+    sorted.zipWithIndex.foreach { case (r, i) =>
+      require(r.getInt(0) == i,
+        s"Bpe.loadMerges: ranks are not exactly 0..${rows.length - 1} in " +
+          s"$path (found ${r.getInt(0)} at position $i) — truncated or " +
+          "concatenated merge table")
+    }
+    new BpeModel(sorted.map(r => (r.getString(1), r.getString(2))))
+  }
+
   /** Tokenize every document under a trained model: adds `bpe_tokens`
     * (`array<string>`) and `n_bpe` (token count). Stateless broadcast
     * projection, no shuffle. */

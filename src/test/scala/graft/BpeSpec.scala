@@ -83,6 +83,28 @@ class BpeSpec extends AnyFunSuite {
     assert(ea == eb)
   }
 
+  test("merge table round-trips; corrupt rank sequences are rejected") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+      .limit(60)
+    val model = Bpe.trainMerges(Bpe.wordCounts(docs), 40)
+    val dir = java.nio.file.Files.createTempDirectory("bpe_merges").toString
+    Bpe.saveMerges(spark, model, dir)
+    val loaded = Bpe.loadMerges(spark, dir)
+    assert(loaded.merges.toSeq == model.merges.toSeq)
+    val ea = Bpe.encode(docs, model).select("doc_id", "n_bpe")
+      .as[(Long, Int)].collect().toMap
+    val eb = Bpe.encode(docs, loaded).select("doc_id", "n_bpe")
+      .as[(Long, Int)].collect().toMap
+    assert(ea == eb)
+    // a truncated table (rank gap) must fail loudly, not re-rank
+    val dir2 = java.nio.file.Files.createTempDirectory("bpe_bad").toString
+    spark.read.parquet(dir).filter(col("rank") =!= 1)
+      .write.mode("overwrite").parquet(dir2)
+    val e = intercept[IllegalArgumentException](Bpe.loadMerges(spark, dir2))
+    assert(e.getMessage.contains("truncated or"))
+  }
+
   test("baseSymbols: codepoint alphabet with the end-of-word marker") {
     assert(BpeModel.baseSymbols("héllo").toSeq ==
       Seq("h", "é", "l", "l", "o", "</w>"))
