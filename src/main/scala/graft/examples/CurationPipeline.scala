@@ -1,17 +1,18 @@
 package graft.examples
 
-import graft.ops.{Chunking, Dedup, Multimodal, Redact, Sampling, Similarity}
+import graft.ops.{Bpe, CharLm, Chunking, Dedup, Multimodal, Redact, Sampling, Similarity}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Runnable tour of the training-data-pipeline surface (the north-star
   * operators beyond the reference's GLM scope): corpus curation —
-  * quality gate → exact dedup → MinHash-LSH near-dup removal → SimHash
-  * fingerprints → n-gram + embedding-cosine decontamination → SemDeDup
-  * semantic dedup → source mixing with per-source token budgets →
-  * sequence packing — then embedding similarity (brute force vs
-  * multi-table LSH vs IVF with persisted centroids) and multimodal
-  * decode.
+  * heuristic quality gate → CC-Net LM perplexity tiers (drop the tail)
+  * → exact dedup → MinHash-LSH near-dup removal → SimHash fingerprints
+  * → n-gram + embedding-cosine decontamination → boilerplate span
+  * stripping → SemDeDup semantic dedup → source mixing with per-source
+  * budgets in REAL trained-BPE tokens → sequence packing — then
+  * embedding similarity (brute force vs multi-table LSH vs IVF with
+  * persisted centroids) and multimodal decode.
   *
   * Run: sbt "runMain graft.examples.CurationPipeline [sfDir]"
   */
@@ -34,9 +35,20 @@ object CurationPipeline {
     // then min length + type-token ratio
     val cleaned = docs.withColumn("text", Redact.cleanText(col("text")))
     val toks = split(col("text"), " +")
-    val kept = cleaned.filter(size(toks) >= 5 &&
+    val kept0 = cleaned.filter(size(toks) >= 5 &&
       size(array_distinct(toks)).cast("double") / size(toks) >= 0.3)
-    println(s"[curate] hygiene + quality gate: ${docs.count()} -> ${kept.count()} docs")
+    println(s"[curate] hygiene + quality gate: ${docs.count()} -> ${kept0.count()} docs")
+
+    // 1b. CC-Net LM pass: perplexity-score every doc under a trigram LM
+    // fit on the trusted (labeled-en) slice, split head/middle/tail by
+    // the bounded-histogram tiers, and drop the tail tier
+    val lm = CharLm.fit(CharLm.trainCounts(
+      kept0.filter(col("lang") === "en"), maxVocab = 512))
+    val tiered = CharLm.perplexityBuckets(CharLm.score(kept0, lm))
+    val kept = tiered.filter(col("ppl_bucket") <= 2)
+      .drop("n_tri", "nll_nano", "avg_nll", "ppl_bucket")
+    println(s"[curate] LM perplexity tiers: kept head+middle = " +
+      s"${kept.count()} of ${kept0.count()} docs")
 
     // 2. exact dedup (min-doc_id keeper per identical text). Persist the
     // survivor set: three downstream consumers (candidate generation,
@@ -75,10 +87,18 @@ object CurationPipeline {
     val bench = docs.filter(col("doc_id") < 20)
     val leaked = Dedup.ngramContaminated(
       curated.filter(col("doc_id") >= 20), bench, "doc_id", "text")
-    val clean = curated.filter(col("doc_id") >= 20)
+    val clean0 = curated.filter(col("doc_id") >= 20)
       .join(leaked, Seq("doc_id"), "left_anti")
       .withColumn("text", Redact.redactPii(col("text")))
-    println(s"[curate] decontaminate: ${leaked.count()} leaked -> ${clean.count()} clean redacted docs")
+    // strip cross-document boilerplate passages (repeated 3-gram spans
+    // shared by >= 3 docs) from the survivors' token streams
+    val spans = graft.ops.Boilerplate.repeatedSpans(
+      clean0, "doc_id", "text", n = 3, minDf = 3)
+    val clean = graft.ops.Boilerplate.stripRepeatedSpans(
+      clean0, spans, "doc_id", "text")
+    println(s"[curate] decontaminate: ${leaked.count()} leaked -> " +
+      s"${clean.count()} clean redacted docs (${spans.count()} boilerplate " +
+      "spans stripped)")
 
     // 4b'. SEMANTIC passes over the embedding space: SemDeDup-style
     // dedup (k-means cells bound the pairwise stage, one representative
@@ -101,12 +121,15 @@ object CurationPipeline {
     val mixed0 = Sampling.stratifiedHashSample(clean, col("source"),
       col("doc_id"), rates = Map("src0" -> 1.0, "src1" -> 0.5),
       defaultRate = 0.3, seed = 7L)
+    // budgets count REAL BPE tokens (the trained tokenizer from the
+    // clean corpus), not whitespace tokens — what a training run pays
+    val bpe = Bpe.trainMerges(Bpe.wordCounts(clean), numMerges = 200)
     val mixed = Sampling.tokenBudgetCap(
-      mixed0.withColumn("n_tok", size(split(col("text"), " +"))),
-      col("source"), col("doc_id"), col("n_tok"),
-      budgets = Map.empty, defaultBudget = 60L, seed = 7L, binBits = 4)
-      .drop("n_tok")
-    println(s"[assemble] token budget (60/source): ${mixed0.count()} -> ${mixed.count()} docs")
+      Bpe.encode(mixed0, bpe).drop("bpe_tokens"),
+      col("source"), col("doc_id"), col("n_bpe"),
+      budgets = Map.empty, defaultBudget = 120L, seed = 7L, binBits = 4)
+      .drop("n_bpe")
+    println(s"[assemble] BPE-token budget (120/source): ${mixed0.count()} -> ${mixed.count()} docs")
     val packed = Sampling.packSequences(
       mixed.withColumn("n_tok", size(split(col("text"), " +"))),
       "doc_id", col("n_tok"), ctxLen = 512, shards = 4, seed = 7L)
