@@ -963,6 +963,93 @@ object TextQueries {
             THEN ROUND(CAST(-n.lp AS DOUBLE) / (CAST(n.n_tri AS DOUBLE) * 1e9), 6)
             END AS avg_nll
         FROM documents d LEFT JOIN nano n USING (doc_id)
-        ORDER BY d.doc_id"""))
+        ORDER BY d.doc_id""")),
+
+    // ---- DSIR importance scoring (ops.Dsir, Xie et al. 2023
+    // arXiv:2302.03169): hashed unigram+bigram bag models of a target
+    // slice (source='src3') vs the whole corpus, per-doc log importance
+    // ratio in integer nanonats. B=1024 buckets so hash collisions (part
+    // of the method) are exercised at every SF. Feature hashing is the
+    // md5-u32 coin (engine-exact), counts are longs, each ln term is
+    // driver-rounded to nanonats — the whole score is hash-checkable.
+    Q("q125_dsir_score",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val model = graft.ops.Dsir.fit(
+          graft.ops.Dsir.featureCounts(
+            docs.filter(col("source") === "src3"), "text", numBuckets = 1024),
+          graft.ops.Dsir.featureCounts(docs, "text", numBuckets = 1024),
+          numBuckets = 1024)
+        graft.ops.Dsir.score(docs, model)
+          .select(col("doc_id"), col("n_feats"), col("lr_nano"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (
+          SELECT doc_id, source, REGEXP_SPLIT_TO_ARRAY(LOWER(text), ' +') AS t
+          FROM documents),
+        feats AS (
+          SELECT doc_id, source,
+            CAST(('0x' || SUBSTRING(MD5('u:' || t[CAST(i + 1 AS INTEGER)]), 1, 8))::BIGINT % 1024 AS INTEGER) AS b
+          FROM toks, UNNEST(RANGE(0, LEN(t))) u(i)
+          UNION ALL
+          SELECT doc_id, source,
+            CAST(('0x' || SUBSTRING(MD5('b:' || t[CAST(i + 1 AS INTEGER)] || ' ' || t[CAST(i + 2 AS INTEGER)]), 1, 8))::BIGINT % 1024 AS INTEGER) AS b
+          FROM toks, UNNEST(RANGE(0, LEN(t) - 1)) u(i)),
+        tc AS (SELECT b, COUNT(*) AS c FROM feats WHERE source = 'src3' GROUP BY 1),
+        rc AS (SELECT b, COUNT(*) AS c FROM feats GROUP BY 1),
+        tot AS (SELECT (SELECT COALESCE(SUM(c), 0) FROM tc) AS tt,
+                       (SELECT COALESCE(SUM(c), 0) FROM rc) AS tr),
+        sc AS (
+          SELECT f.doc_id,
+            CAST(SUM(
+              CAST(ROUND(LN((COALESCE(tc.c, 0) + 1.0) / (tot.tt + 1024)) * 1e9) AS BIGINT)
+              - CAST(ROUND(LN((COALESCE(rc.c, 0) + 1.0) / (tot.tr + 1024)) * 1e9) AS BIGINT)) AS BIGINT) AS lr
+          FROM feats f LEFT JOIN tc ON tc.b = f.b LEFT JOIN rc ON rc.b = f.b
+          CROSS JOIN tot
+          GROUP BY f.doc_id)
+        SELECT t.doc_id, CAST(2 * LEN(t.t) - 1 AS INTEGER) AS n_feats, sc.lr AS lr_nano
+        FROM toks t JOIN sc ON sc.doc_id = t.doc_id
+        ORDER BY t.doc_id""")),
+
+    // ---- DSIR top-k selection (the paper's deterministic top-k
+    // heuristic): the 100 most target-like docs by (lr_nano DESC, doc_id
+    // ASC) — a TakeOrderedAndProject, not a global sort. Same model as
+    // q125; the Gumbel sampler variant is spec-pinned (DsirSpec).
+    Q("q126_dsir_select",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val model = graft.ops.Dsir.fit(
+          graft.ops.Dsir.featureCounts(
+            docs.filter(col("source") === "src3"), "text", numBuckets = 1024),
+          graft.ops.Dsir.featureCounts(docs, "text", numBuckets = 1024),
+          numBuckets = 1024)
+        graft.ops.Dsir.selectTopK(
+            graft.ops.Dsir.score(docs, model).select("doc_id", "lr_nano"), 100)
+      },
+      Some(s"""WITH toks AS (
+          SELECT doc_id, source, REGEXP_SPLIT_TO_ARRAY(LOWER(text), ' +') AS t
+          FROM documents),
+        feats AS (
+          SELECT doc_id, source,
+            CAST(('0x' || SUBSTRING(MD5('u:' || t[CAST(i + 1 AS INTEGER)]), 1, 8))::BIGINT % 1024 AS INTEGER) AS b
+          FROM toks, UNNEST(RANGE(0, LEN(t))) u(i)
+          UNION ALL
+          SELECT doc_id, source,
+            CAST(('0x' || SUBSTRING(MD5('b:' || t[CAST(i + 1 AS INTEGER)] || ' ' || t[CAST(i + 2 AS INTEGER)]), 1, 8))::BIGINT % 1024 AS INTEGER) AS b
+          FROM toks, UNNEST(RANGE(0, LEN(t) - 1)) u(i)),
+        tc AS (SELECT b, COUNT(*) AS c FROM feats WHERE source = 'src3' GROUP BY 1),
+        rc AS (SELECT b, COUNT(*) AS c FROM feats GROUP BY 1),
+        tot AS (SELECT (SELECT COALESCE(SUM(c), 0) FROM tc) AS tt,
+                       (SELECT COALESCE(SUM(c), 0) FROM rc) AS tr),
+        sc AS (
+          SELECT f.doc_id,
+            CAST(SUM(
+              CAST(ROUND(LN((COALESCE(tc.c, 0) + 1.0) / (tot.tt + 1024)) * 1e9) AS BIGINT)
+              - CAST(ROUND(LN((COALESCE(rc.c, 0) + 1.0) / (tot.tr + 1024)) * 1e9) AS BIGINT)) AS BIGINT) AS lr
+          FROM feats f LEFT JOIN tc ON tc.b = f.b LEFT JOIN rc ON rc.b = f.b
+          CROSS JOIN tot
+          GROUP BY f.doc_id)
+        SELECT doc_id, lr AS lr_nano FROM sc
+        ORDER BY lr_nano DESC, doc_id ASC LIMIT 100"""))
   )
 }

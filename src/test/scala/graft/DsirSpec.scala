@@ -1,0 +1,161 @@
+package graft
+
+import graft.ops.Dsir
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** DSIR importance resampling (ops.Dsir, arXiv:2302.03169): feature
+  * extraction, the driver-side fit formula against a brute-force replay,
+  * score linearity, top-k selection, and the hash-Gumbel sampler's
+  * determinism/limit contracts. The cross-engine exactness of the full
+  * pipeline is the q125/q126 DuckDB oracle's job; this suite pins the
+  * pieces the oracle can't isolate. */
+class DsirSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val B = 64
+
+  /** Driver-side replay of the documented feature walk, hashing with the
+    * same md5-u32 primitive but INDEPENDENT code (java.math.BigInteger
+    * over the hex digest, not the kernel's byte arithmetic). */
+  private def bruteFeatures(text: String): Seq[Int] = {
+    def bucket(f: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(f.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.substring(0, 8), 16) % B).toInt
+    }
+    val toks = text.toLowerCase.split(" +", -1)
+    toks.map(t => bucket("u:" + t)).toSeq ++
+      toks.sliding(2).filter(_.length == 2).map(p => bucket("b:" + p(0) + " " + p(1)))
+  }
+
+  private val corpus = Seq(
+    (0L, "the quick brown fox", "tgt"),
+    (1L, "the quick brown fox jumps", "tgt"),
+    (2L, "slow green turtle walks home", "raw"),
+    (3L, "the quick brown fox runs", "raw"),
+    (4L, "completely unrelated payload tokens here", "raw"),
+    (5L, "", "raw")
+  ).toDF("doc_id", "text", "grp")
+
+  private def counts(f: org.apache.spark.sql.DataFrame) =
+    Dsir.featureCounts(f, "text", B)
+
+  test("featureCounts matches the brute-force feature walk") {
+    val got = counts(corpus).collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val want = corpus.collect().flatMap(r => bruteFeatures(r.getString(1)))
+      .groupBy(identity).map { case (b, xs) => b -> xs.length.toLong }
+    assert(got === want)
+    // total features = sum over docs of 2*tokens - 1
+    assert(got.values.sum ===
+      corpus.collect().map(r => 2L * r.getString(1).split(" +", -1).length - 1).sum)
+  }
+
+  test("fit reproduces the documented nanonat ratio formula") {
+    val tgt = corpus.filter($"grp" === "tgt")
+    val model = Dsir.fit(counts(tgt), counts(corpus), B)
+    assert(model.numBuckets === B)
+    val ct = new Array[Long](B); val cr = new Array[Long](B)
+    tgt.collect().flatMap(r => bruteFeatures(r.getString(1)))
+      .foreach(b => ct(b) += 1)
+    corpus.collect().flatMap(r => bruteFeatures(r.getString(1)))
+      .foreach(b => cr(b) += 1)
+    def nano(x: Double): Long = {
+      val y = math.log(x) * 1e9
+      (if (y >= 0) math.floor(y + 0.5) else math.ceil(y - 0.5)).toLong
+    }
+    val want = Array.tabulate(B)(b =>
+      nano((ct(b) + 1.0) / (ct.sum + B)) - nano((cr(b) + 1.0) / (cr.sum + B)))
+    assert(model.ratioNano.toSeq === want.toSeq)
+  }
+
+  test("score sums the ratio table over the feature walk; empty text scores its one empty-unigram") {
+    val model = Dsir.fit(counts(corpus.filter($"grp" === "tgt")), counts(corpus), B)
+    val rows = Dsir.score(corpus, model).orderBy("doc_id").collect()
+    corpus.orderBy("doc_id").collect().zip(rows).foreach { case (in, out) =>
+      val feats = bruteFeatures(in.getString(1))
+      assert(out.getAs[Int]("n_feats") === feats.length)
+      assert(out.getAs[Long]("lr_nano") === feats.map(model.ratioNano(_)).sum)
+    }
+    // the empty doc has exactly one feature: the "" unigram
+    assert(rows.find(_.getLong(0) == 5L).get.getAs[Int]("n_feats") === 1)
+  }
+
+  test("target-slice documents outscore out-of-domain ones") {
+    val model = Dsir.fit(counts(corpus.filter($"grp" === "tgt")), counts(corpus), B)
+    val s = Dsir.score(corpus, model).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("lr_nano")).toMap
+    // doc 3 shares almost all features with the target; doc 4 shares none
+    assert(s(3L) > s(4L))
+  }
+
+  test("selectTopK is the (lr desc, id asc) prefix") {
+    val model = Dsir.fit(counts(corpus.filter($"grp" === "tgt")), counts(corpus), B)
+    val scored = Dsir.score(corpus, model).select("doc_id", "lr_nano")
+    val top3 = Dsir.selectTopK(scored, 3).collect().map(_.getLong(0)).toSeq
+    val want = scored.collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (id, lr) => (-lr, id) }.take(3).map(_._1).toSeq
+    assert(top3 === want)
+  }
+
+  test("gumbelTopK: rerun-stable, seed-sensitive, and τ→0 recovers selectTopK") {
+    val model = Dsir.fit(counts(corpus.filter($"grp" === "tgt")), counts(corpus), B)
+    val scored = Dsir.score(corpus, model).select("doc_id", "lr_nano")
+    val a = Dsir.gumbelTopK(scored, 3, seed = 1L).collect().map(_.getLong(0)).toSet
+    val b = Dsir.gumbelTopK(scored, 3, seed = 1L).collect().map(_.getLong(0)).toSet
+    assert(a === b)
+    // across many seeds the most target-like doc appears more often than
+    // the least (statistical, margin generous)
+    val best = Dsir.selectTopK(scored, 1).collect().head.getLong(0)
+    val worst = scored.orderBy($"lr_nano".asc, $"doc_id".asc)
+      .limit(1).collect().head.getLong(0)
+    val seeds = (1L to 30L)
+    val hitsBest = seeds.count(s =>
+      Dsir.gumbelTopK(scored, 2, seed = s, temperature = 1.0)
+        .collect().map(_.getLong(0)).contains(best))
+    val hitsWorst = seeds.count(s =>
+      Dsir.gumbelTopK(scored, 2, seed = s, temperature = 1.0)
+        .collect().map(_.getLong(0)).contains(worst))
+    assert(hitsBest >= hitsWorst)
+    // τ → 0: weights diverge, the sample is exactly the top-k
+    val cold = Dsir.gumbelTopK(scored, 3, temperature = 1e-9, seed = 5L)
+      .collect().map(_.getLong(0)).toSet
+    val det = Dsir.selectTopK(scored, 3).collect().map(_.getLong(0)).toSet
+    assert(cold === det)
+  }
+
+  test("fit fail-fast: foreign buckets, bad counts, duplicate buckets") {
+    val bad = Seq((B + 5, 3L)).toDF("bucket", "c")
+    intercept[IllegalArgumentException] { Dsir.fit(bad, bad, B) }
+    val neg = Seq((1, 0L)).toDF("bucket", "c")
+    intercept[IllegalArgumentException] { Dsir.fit(neg, neg, B) }
+    val dup = Seq((1, 2L), (1, 4L)).toDF("bucket", "c")
+    intercept[IllegalArgumentException] { Dsir.fit(dup, dup, B) }
+    val nul = Seq((Some(1), None: Option[Long])).toDF("bucket", "c")
+    intercept[IllegalArgumentException] { Dsir.fit(nul, nul, B) }
+  }
+
+  test("empty target slice fits (smoothed-constant model) instead of crashing") {
+    val model = Dsir.fit(counts(corpus.filter($"grp" === "nope")), counts(corpus), B)
+    // ratio differences come only from the raw side now: buckets the raw
+    // corpus uses are DOWNweighted relative to untouched buckets
+    assert(model.ratioNano.distinct.length > 1)
+    val scored = Dsir.score(corpus, model)
+    assert(scored.count() === 6)
+  }
+
+  test("score fail-fast on reserved output columns; null text scores null") {
+    val model = Dsir.fit(counts(corpus), counts(corpus), B)
+    val clash = corpus.withColumn("lr_nano", lit(1L))
+    intercept[IllegalArgumentException] { Dsir.score(clash, model) }
+    val withNull = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(9L, null: String))),
+      new org.apache.spark.sql.types.StructType()
+        .add("doc_id", "long").add("text", "string"))
+    val r = Dsir.score(withNull, model).collect().head
+    assert(r.isNullAt(r.fieldIndex("lr_nano")) && r.isNullAt(r.fieldIndex("n_feats")))
+  }
+}
