@@ -227,6 +227,29 @@ class PlanSpec extends AnyFunSuite {
     case other => other.children.flatMap(collectInMem)
   }
 
+  /** Every distinct cached plan reachable from `p`, INCLUDING caches
+    * nested inside other caches' plans. In a long-lived session an
+    * operator's outer frame (e.g. a persisted candidate-pair set) can
+    * itself be cache-hit on re-run, burying the band-frame cache one
+    * level deeper — the corpus-hashed-once invariant then spans the
+    * whole cache DAG, not just the first level. Deduped by cacheBuilder
+    * (the same relation feeds several join legs). */
+  private def collectCachedPlans(p: SparkPlan): Seq[SparkPlan] = {
+    val seen = new java.util.IdentityHashMap[AnyRef, SparkPlan]()
+    def walk(q: SparkPlan): Unit = q match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        walk(qs.plan)
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        if (seen.put(s.relation.cacheBuilder, s.relation.cachedPlan) == null)
+          walk(s.relation.cachedPlan)
+      case other => other.children.foreach(walk)
+    }
+    walk(p)
+    import scala.jdk.CollectionConverters._
+    seen.values.asScala.toSeq
+  }
+
   test("banded candidate generation hashes the corpus ONCE (cached band frame)") {
     // round-4 form scanned + hashed the corpus once per join side (gate
     // was ≤2); the band frame is now persisted, so the executed plan reads
@@ -238,13 +261,17 @@ class PlanSpec extends AnyFunSuite {
       val plan = df.queryExecution.executedPlan
       assert(countScans(plan) == 0,
         s"$name: ${countScans(plan)} raw parquet scans outside the cache")
-      val mem = collectInMem(plan)
-      assert(mem.nonEmpty, s"$name: no cached band frame\n$plan")
-      val cached = mem.head.relation.cachedPlan
-      assert(countScans(cached) == 1,
-        s"$name: ${countScans(cached)} scans inside the cached plan\n$cached")
-      assert(cached.toString.contains("Generate explode"),
-        s"$name missing explode\n$cached")
+      // the band frame may sit one cache level down (a session re-run
+      // cache-hits the outer candidate frame) — the invariant is on the
+      // whole cache DAG: ONE corpus scan, inside a cached plan that
+      // carries the signature explode
+      val cachedPlans = collectCachedPlans(plan)
+      assert(cachedPlans.nonEmpty, s"$name: no cached band frame\n$plan")
+      val scans = cachedPlans.map(countScans).sum
+      assert(scans == 1,
+        s"$name: $scans scans across the cache DAG\n${cachedPlans.mkString("\n")}")
+      assert(cachedPlans.exists(_.toString.contains("Generate explode")),
+        s"$name missing explode\n${cachedPlans.mkString("\n")}")
     }
   }
 
@@ -431,11 +458,11 @@ class PlanSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan
     assert(countScans(plan) == 0,
       s"${countScans(plan)} raw parquet scans outside the cache")
-    val mem = collectInMem(plan)
-    assert(mem.nonEmpty, s"no cached occurrence frame\n$plan")
-    val cached = mem.head.relation.cachedPlan
-    assert(countScans(cached) == 1,
-      s"${countScans(cached)} scans inside the cached plan\n$cached")
+    val cachedPlans = collectCachedPlans(plan)
+    assert(cachedPlans.nonEmpty, s"no cached occurrence frame\n$plan")
+    val scans = cachedPlans.map(countScans).sum
+    assert(scans == 1,
+      s"$scans scans across the cache DAG\n${cachedPlans.mkString("\n")}")
   }
 
   test("CharLm trainCounts: pushed train filter, pruned scan, partial agg") {

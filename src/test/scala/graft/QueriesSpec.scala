@@ -23,11 +23,14 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
-  test("every query has oracle SQL (zero rows-only entries)") {
-    // q28 was the last rows-only entry; its hash-split twin is now
-    // DuckDB-reproducible, so the registry is 100% oracle-checked
+  test("every query has oracle SQL (q123's iterative BPE trainer is the one documented exception)") {
+    // q123's BPE merge loop is data-dependent iteration (each merge
+    // changes the pair statistics of the next round) — not expressible
+    // as one SQL statement. It takes the driver's rows-only check and is
+    // exactness-pinned by BpeSpec instead (see README oracle-coverage
+    // note). Everything else must carry a DuckDB oracle.
     val noOracle = Queries.all.filter(_.oracle.isEmpty).map(_.name).toSet
-    assert(noOracle.isEmpty, s"unexpected rows-only: $noOracle")
+    assert(noOracle == Set("q123_bpe_tokens"), s"unexpected rows-only: $noOracle")
   }
 
   test("oracle SQL references only harness table names") {
