@@ -879,6 +879,98 @@ object PipelineQueries {
         SELECT user_id, session_seq, COUNT(*) AS n_events,
           MIN(us) AS start_us, MAX(us) AS end_us
         FROM s WHERE user_id <= 50
-        GROUP BY user_id, session_seq ORDER BY user_id, session_seq"""))
+        GROUP BY user_id, session_seq ORDER BY user_id, session_seq""")),
+
+    // ---- URL canonicalization (ops.Urls, the C4/RefinedWeb crawl-
+    // hygiene step): fixture-derived URLs exercise every normalization
+    // path — mixed-case scheme/host, default :443 port, a leading
+    // utm_ param, a trailing gclid, an intermittent fragment — plus
+    // host and registered-domain extraction. The whole chain is
+    // trim/lower/regex (Java∩RE2 subset), replayed by the oracle with
+    // RE2 \1 backrefs and 'g' flags where the engines' defaults differ.
+    Q("q127_url_normalize",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val url = concat(
+          lit("HTTPS://WWW."), upper(col("source")), lit(".Example.COM:443/Docs/"),
+          col("doc_id").cast("string"),
+          lit("?utm_source=feed&page="), pmod(col("doc_id"), lit(7)).cast("string"),
+          lit("&gclid=x"),
+          when(pmod(col("doc_id"), lit(3)) === 0, lit("#top")).otherwise(lit("")))
+        docs.select(
+            col("doc_id"),
+            graft.ops.Urls.normalizeUrl(url).as("url_norm"),
+            graft.ops.Urls.hostOf(url).as("host"),
+            graft.ops.Urls.registeredDomainOf(url).as("domain"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH u AS (
+          SELECT doc_id,
+            'HTTPS://WWW.' || UPPER(source) || '.Example.COM:443/Docs/' ||
+            CAST(doc_id AS VARCHAR) || '?utm_source=feed&page=' ||
+            CAST(doc_id % 7 AS VARCHAR) || '&gclid=x' ||
+            CASE WHEN doc_id % 3 = 0 THEN '#top' ELSE '' END AS url
+          FROM documents),
+        steps AS (
+          SELECT doc_id, url,
+            REGEXP_REPLACE(TRIM(url), '#.*$', '', 'g') AS t
+          FROM u),
+        lowered AS (
+          SELECT doc_id, url, t,
+            LOWER(REGEXP_EXTRACT(t, '^([^/?#]*://[^/?#]*)', 1)) ||
+              REGEXP_EXTRACT(t, '^[^/?#]*://[^/?#]*(.*)$', 1) AS l
+          FROM steps),
+        cleaned AS (
+          SELECT doc_id, url, t,
+            REGEXP_REPLACE(REGEXP_REPLACE(
+              REGEXP_REPLACE(REGEXP_REPLACE(
+                REGEXP_REPLACE(REGEXP_REPLACE(l,
+                  '^(http://[^/?#:]*):80([/?#].*)?$', '\1\2', 'g'),
+                  '^(https://[^/?#:]*):443([/?#].*)?$', '\1\2', 'g'),
+                '([?&])((?:utm_[^=&]*|gclid|fbclid|msclkid|yclid|ref)=[^&]*&)+', '\1', 'g'),
+                '(?:[?&](?:utm_[^=&]*|gclid|fbclid|msclkid|yclid|ref)=[^&]*)+$', '', 'g'),
+              '[?&]+$', '', 'g'),
+              '^([a-z][a-z0-9+.-]*://[^/?#]*)/$', '\1', 'g') AS n
+          FROM lowered),
+        hosts AS (
+          SELECT doc_id,
+            LOWER(REGEXP_EXTRACT(TRIM(url),
+              '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:@]+)', 1)) AS host,
+            CASE WHEN REGEXP_MATCHES(t, '^[A-Za-z][A-Za-z0-9+.-]*://') THEN n ELSE t END AS url_norm
+          FROM cleaned),
+        doms AS (
+          SELECT doc_id, url_norm, host,
+            REGEXP_REPLACE(host, '^www[0-9]*\.', '', 'g') AS h
+          FROM hosts)
+        SELECT doc_id, url_norm, host,
+          CASE
+            WHEN REGEXP_EXTRACT(h, '([^.]+\.(?:co|com|net|org|gov|ac|edu|ne|or)\.(?:uk|jp|au|nz|in|br|mx|cn|sg|tr|za|kr|id))$', 1) <> ''
+              THEN REGEXP_EXTRACT(h, '([^.]+\.(?:co|com|net|org|gov|ac|edu|ne|or)\.(?:uk|jp|au|nz|in|br|mx|cn|sg|tr|za|kr|id))$', 1)
+            WHEN REGEXP_EXTRACT(h, '([^.]+\.[^.]+)$', 1) <> ''
+              THEN REGEXP_EXTRACT(h, '([^.]+\.[^.]+)$', 1)
+            ELSE h END AS domain
+        FROM doms
+        ORDER BY doc_id""")),
+
+    // ---- domain blocklist + per-domain stats (the anti-domination /
+    // spam-feed cut): one synthetic domain per source, two blocked,
+    // counts by registered domain over the survivors.
+    Q("q128_domain_blocklist",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val url = concat(lit("HTTP://"), upper(col("source")),
+          lit(".COM:80/p/"), col("doc_id").cast("string"))
+        graft.ops.Urls.dropBlockedDomains(
+            docs.withColumn("__url", url), col("__url"),
+            Seq("src3.com", "src7.com"))
+          .groupBy(graft.ops.Urls.registeredDomainOf(col("__url")).as("domain"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("domain")
+      },
+      Some("""WITH d AS (
+          SELECT LOWER(source) || '.com' AS domain FROM documents
+          WHERE LOWER(source) || '.com' NOT IN ('src3.com', 'src7.com'))
+        SELECT domain, COUNT(*) AS n FROM d
+        GROUP BY domain ORDER BY domain"""))
   )
 }
