@@ -1050,6 +1050,32 @@ object TextQueries {
           CROSS JOIN tot
           GROUP BY f.doc_id)
         SELECT doc_id, lr AS lr_nano FROM sc
-        ORDER BY lr_nano DESC, doc_id ASC LIMIT 100"""))
+        ORDER BY lr_nano DESC, doc_id ASC LIMIT 100""")),
+
+    // ---- exact heavy hitters (ops.Frequent, Misra–Gries candidates +
+    // exact recount): token bigrams above 0.13% support. The fixture
+    // bigram vocabulary (~900) exceeds the sketch's ~770 counters, so
+    // the one-pass candidate cap genuinely prunes and the recount must
+    // restore exactness — which the oracle's brute-force GROUP BY then
+    // hash-checks.
+    Q("q129_frequent_bigrams",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        graft.ops.Frequent.frequentItems(
+            docs.select(explode(
+              graft.ops.TokenLm.tokenNgrams(col("text"), 2)).as("bg")),
+            col("bg"), num = 13, den = 10000)
+          .orderBy(col("cnt").desc, col("item").asc)
+      },
+      Some("""WITH t AS (
+          SELECT REGEXP_SPLIT_TO_ARRAY(text, ' +') AS a FROM documents),
+        g AS (
+          SELECT ARRAY_TO_STRING(a[CAST(i + 1 AS INTEGER) : CAST(i + 2 AS INTEGER)], ' ') AS item
+          FROM t, UNNEST(RANGE(0, LEN(a) - 1)) u(i)
+          WHERE LEN(a) >= 2),
+        tot AS (SELECT COUNT(*) AS n FROM g)
+        SELECT item, COUNT(*) AS cnt FROM g CROSS JOIN tot
+        GROUP BY item, tot.n HAVING COUNT(*) * 10000 >= tot.n * 13
+        ORDER BY cnt DESC, item ASC"""))
   )
 }

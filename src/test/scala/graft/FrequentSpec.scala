@@ -1,0 +1,94 @@
+package graft
+
+import graft.ops.Frequent
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Exact heavy hitters (ops.Frequent): result equals brute force on
+  * skewed multi-partition data, the Misra–Gries no-false-negative
+  * guarantee at tight supports, the summary's cap/undercount mechanics,
+  * and input validation. Cross-engine exactness is q129's oracle. */
+class FrequentSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Zipf-ish corpus: item i appears ~N/(i+1) times, shuffled across
+    * partitions so per-partition summaries disagree before merging. */
+  private def zipf(nItems: Int, scale: Int, parts: Int) = {
+    val rows = (0 until nItems).flatMap(i =>
+      Seq.fill(math.max(scale / (i + 1), 1))(s"w$i"))
+    val shuffled = new scala.util.Random(7).shuffle(rows)
+    spark.sparkContext.parallelize(shuffled, parts).toDF("item")
+  }
+
+  private def brute(df: org.apache.spark.sql.DataFrame, num: Long, den: Long) = {
+    val rows = df.filter($"item".isNotNull).groupBy("item").count().collect()
+    val n = rows.map(_.getLong(1)).sum
+    rows.filter(r => r.getLong(1) * den >= n * num)
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  test("matches brute force exactly on skewed multi-partition data") {
+    val df = zipf(nItems = 400, scale = 5000, parts = 13)
+    for ((num, den) <- Seq((1L, 100L), (1L, 500L), (3L, 1000L))) {
+      val got = Frequent.frequentItems(df, $"item", num, den)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got === brute(df, num, den), s"support $num/$den")
+    }
+  }
+
+  test("tight support with vocabulary far above the sketch still exact") {
+    // 5000 distinct items, sketch floor ~334 counters: candidates are
+    // heavily pruned yet every true heavy hitter must survive
+    val df = zipf(nItems = 5000, scale = 2000, parts = 8)
+    val got = Frequent.frequentItems(df, $"item", 3L, 1000L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === brute(df, 3L, 1000L))
+    assert(got.nonEmpty)
+  }
+
+  test("nulls are ignored; all-null and empty inputs yield empty results") {
+    val df = Seq(Some("a"), Some("a"), Some("a"), None, Some("b"))
+      .toDF("item")
+    val got = Frequent.frequentItems(df, $"item", 1L, 2L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // n = 4 non-null; a: 3 >= 2 passes, b: 1 < 2 drops
+    assert(got === Map("a" -> 3L))
+    val allNull = Seq(None: Option[String], None).toDF("item")
+    assert(Frequent.frequentItems(allNull, $"item", 1L, 2L).count() === 0)
+    assert(Frequent.frequentItems(allNull.limit(0), $"item", 1L, 2L).count() === 0)
+  }
+
+  test("validation: support range, long-range den, string-only items") {
+    val df = Seq("a").toDF("item")
+    intercept[IllegalArgumentException] {
+      Frequent.frequentItems(df, $"item", 0L, 5L)
+    }
+    intercept[IllegalArgumentException] {
+      Frequent.frequentItems(df, $"item", 5L, 5L)
+    }
+    intercept[IllegalArgumentException] {
+      Frequent.frequentItems(df, $"item", 1L, 2000000L)
+    }
+    val ints = Seq(1, 2, 2).toDF("item")
+    intercept[IllegalArgumentException] {
+      Frequent.frequentItems(ints, $"item", 1L, 2L)
+    }
+  }
+
+  test("MgSummary: cap holds, heavy item keeps positive count through merges") {
+    val k = 10
+    val parts = (0 until 20).map { p =>
+      val s = new Frequent.MgSummary(k)
+      // each partition: 50 occurrences of HEAVY + 40 distinct singletons
+      (0 until 50).foreach(_ => s.add("HEAVY"))
+      (0 until 40).foreach(i => s.add(s"p${p}_$i"))
+      assert(s.size <= k)
+      s
+    }
+    val merged = parts.reduce { (a, b) => a.merge(b); a }
+    assert(merged.size <= k)
+    // HEAVY has frequency 1000/1800 > n/(k+1): guaranteed present
+    assert(merged.keys.contains("HEAVY"))
+  }
+}
