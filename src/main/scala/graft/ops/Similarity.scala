@@ -796,10 +796,20 @@ object Similarity {
   def jlTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       fromDim: Int, toDim: Int, k: Int, mult: Int = 4,
-      seed: Option[Long] = None, roundDp: Int = 6): DataFrame = {
+      seed: Option[Long] = None, roundDp: Int = 6): DataFrame =
+    shadowTopK(corpus, queries, idCol, vecCol,
+      randomProject(col(vecCol), fromDim, toDim, seed, roundDp), k, mult, roundDp)
+
+  /** The shared two-phase shadow pipeline behind [[jlTopK]] and
+    * [[pcaTopK]]: rank on the cosine of a cheap projection, keep
+    * `mult`·k per query, rerank survivors on the exact full-dimension
+    * cosine. `proj` must be the SAME column expression for both sides
+    * (one broadcast plane/rotation handle). */
+  private def shadowTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      proj: Column, k: Int, mult: Int, roundDp: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(mult >= 1, s"mult must be >= 1, got $mult")
-    val proj = randomProject(col(vecCol), fromDim, toDim, seed, roundDp)
     val c = corpus.select(col(idCol).as("c_id"),
       col(vecCol).cast("array<double>").as("cv"), proj.as("cp"))
     val q = queries.select(col(idCol).as("q_id"),
@@ -818,6 +828,114 @@ object Similarity {
       .filter(!isnan(col("cos")))
       .withColumn("rk", row_number().over(w2)).filter(col("rk") <= k)
       .select(col("q_id"), col("rk"), col("c_id"), col("cos"))
+  }
+
+  /** Train a PCA projection: the top-`toDim` principal directions of
+    * the corpus embedding distribution, as a toDim×dim rotation for
+    * [[graft.functions.IndexExpr.projectVec]] / [[pcaTopK]]. Where
+    * [[randomProject]] is DATA-OBLIVIOUS (JL: any toDim that beats the
+    * log n / ε² bound), PCA spends one training pass to align the
+    * shadow with the directions the corpus actually varies in — on
+    * low-intrinsic-dimension embedding corpora that buys the same
+    * recall at a smaller toDim (the PcaSpec comparison measures it).
+    *
+    * 100 TB shape: ONE `treeAggregate` accumulating n, Σx, and the
+    * upper triangle of Σxxᵀ — O(d²) state (d = embedding width, so ~MB
+    * for d ≤ 1024, the [[trainOpqRotation]] discipline); the
+    * eigendecomposition is a driver-side Breeze `eigSym` on the d×d
+    * covariance. Determinism: the aggregation is a float sum (partition
+    * order CAN move last ulps — train once and persist the rotation for
+    * cross-run stability, the [[saveCentroids]] pattern), eigenvector
+    * SIGNS are pinned by convention (largest-|component| coordinate
+    * made positive, first index on ties).
+    *
+    * `center = false` (default) computes directions of raw second
+    * moments — the right choice when the projection feeds COSINE
+    * ranking, which is origin-anchored (centering would shift vectors
+    * off the unit sphere and break cosine comparability between shadow
+    * and full space). `center = true` gives textbook covariance PCA for
+    * feature-analysis uses. */
+  def trainPcaProjection(corpus: DataFrame, vecCol: String, dim: Int,
+      toDim: Int, center: Boolean = false): Array[Array[Double]] = {
+    require(dim >= 1 && toDim >= 1 && toDim <= dim,
+      s"need 1 <= toDim <= dim, got toDim=$toDim dim=$dim")
+    val tri = dim * (dim + 1) / 2
+    val acc = corpus.select(col(vecCol).cast("array<double>").as("__v"))
+      .rdd.map(_.getSeq[Double](0))
+      .treeAggregate(new Array[Double](1 + dim + tri))(
+        (a, xs) => {
+          if (xs == null || xs.length != dim)
+            throw new IllegalArgumentException(
+              "trainPcaProjection: expected dense length-" + dim +
+                " vectors, got " + (if (xs == null) "null" else s"length ${xs.length}"))
+          val x = xs.toArray
+          a(0) += 1.0
+          var i = 0
+          while (i < dim) { a(1 + i) += x(i); i += 1 }
+          i = 0
+          while (i < dim) {
+            val xi = x(i)
+            // upper-tri offset of (i, i): rows 0..i-1 contribute
+            // (dim - r) entries each
+            var o = 1 + dim + i * dim - i * (i - 1) / 2
+            var j = i
+            while (j < dim) { a(o) += xi * x(j); j += 1; o += 1 }
+            i += 1
+          }
+          a
+        },
+        (a, b) => {
+          var i = 0
+          while (i < a.length) { a(i) += b(i); i += 1 }
+          a
+        },
+        depth = 2)
+    val n = acc(0)
+    require(n >= 2.0,
+      s"trainPcaProjection: need >= 2 training vectors, got ${n.toLong}")
+    val cov = breeze.linalg.DenseMatrix.zeros[Double](dim, dim)
+    var i = 0
+    while (i < dim) {
+      var o = 1 + dim + i * dim - i * (i - 1) / 2
+      var j = i
+      while (j < dim) {
+        var v = acc(o) / n
+        if (center) v -= (acc(1 + i) / n) * (acc(1 + j) / n)
+        cov(i, j) = v; cov(j, i) = v
+        j += 1; o += 1
+      }
+      i += 1
+    }
+    val es = breeze.linalg.eigSym(cov) // eigenvalues ascending
+    Array.tabulate(toDim) { r =>
+      val colIdx = dim - 1 - r // r-th largest eigenvalue
+      val v = Array.tabulate(dim)(d => es.eigenvectors(d, colIdx))
+      // sign convention: the largest-|component| coordinate (first index
+      // on ties) is made positive, so the rotation is a pure function of
+      // the covariance
+      var best = 0
+      var d = 1
+      while (d < dim) { if (math.abs(v(d)) > math.abs(v(best))) best = d; d += 1 }
+      if (v(best) < 0) v.map(-_) else v
+    }
+  }
+
+  /** [[jlTopK]] with a LEARNED shadow: phase 1 ranks on the cosine of
+    * the [[trainPcaProjection]] rotation's output (via the broadcast
+    * [[graft.functions.ProjectVec]] kernel, plan O(1) in toDim·dim),
+    * phase 2 reranks the `mult`·k survivors exactly. Same regime
+    * honesty as jlTopK — PCA only moves the toDim-vs-recall tradeoff,
+    * it cannot rank what full precision barely separates. */
+  def pcaTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      rotation: Array[Array[Double]], k: Int, mult: Int = 4,
+      roundDp: Int = 6): DataFrame = {
+    require(rotation.nonEmpty && rotation.forall(_.length == rotation.head.length),
+      "pcaTopK: rotation must be a non-empty rectangular matrix")
+    shadowTopK(corpus, queries, idCol, vecCol,
+      graft.functions.IndexExpr.projectVec(
+        col(vecCol).cast("array<double>"), bcOf(rotation), roundDp),
+      k, mult, roundDp)
   }
 
   /** Train per-subspace PQ codebooks: Lloyd k-means on each of the `m`
