@@ -230,6 +230,61 @@ final class TokenLmModel(
   def vocabSize: Int = nanoLogp.size
 }
 
+/** Every `n`-token window of a string (tokens = `split(" +")`,
+  * space-joined), in order, as `array<string>` — the word-level sibling
+  * of [[CharNgrams]] and the training-side extractor behind
+  * [[graft.ops.TokenLm.tokenNgrams]]. Strings with fewer than `n`
+  * tokens yield an empty array.
+  *
+  * Exists for the same reason the jaccardVerify scaladoc documents: the
+  * composed `transform(sequence(...), i => array_join(slice(split(...),
+  * ...), " "))` form is INTERPRETED (no codegen for higher-order
+  * functions) and interpretation does no common-subexpression
+  * elimination, so the `split` re-runs for every window — O(tokens²)
+  * regex work per document (~7× measured on the q129 bigram scan). One
+  * fused pass here: one split, one StringBuilder walk, real codegen. */
+case class TokenNgrams(child: Expression, n: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(n >= 1 && n <= 16, s"token_ngrams: order must be in [1, 16], got $n")
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  /** The fused kernel; public so generated code can call it. */
+  def computeGrams(input: UTF8String): ArrayData = {
+    val toks = TextHashKernels.splitter.split(input.toString, -1)
+    val count = math.max(toks.length - n + 1, 0)
+    val out = new Array[AnyRef](count)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < count) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks(i + k))
+        k += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    computeGrams(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tokenNgrams", this, classOf[TokenNgrams].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.computeGrams($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenNgrams =
+    copy(child = newChild)
+  override def prettyName: String = "token_ngrams"
+}
+
 /** Sum over a document's token n-grams (windows of `order` tokens from
   * the `split(" +")` stream, space-joined) of the broadcast model's
   * nanonat log-prob — the word-level sibling of [[CharLmScore]]: one

@@ -176,6 +176,30 @@ object Dsir {
       .drop("__gumbel")
   }
 
+  /** STREAMING domain-relevance filter — the DSIR cell of the streaming
+    * filter family ([[Dedup.exactCleanStream]] /
+    * [[Dedup.minhashCleanStream]] / [[Dedup.simhashCleanStream]] /
+    * [[Dedup.cosineCleanStream]] / [[CharLm.qualityCleanStream]]): pass
+    * through only the docs of a micro-batch stream whose log importance
+    * ratio clears `minLrNano`. The verdict compares the same integer
+    * nanonat sum [[score]] publishes — no float, no rounding — so the
+    * stream's admissions are bit-equal to a batch score+filter (q130
+    * oracle-checks exactly that twin). Stateless projection + filter:
+    * no join, no watermark, no state store; every admitted doc keeps
+    * all its columns. */
+  def qualityCleanStream(newStream: DataFrame, bc: Broadcast[Array[Long]],
+      minLrNano: Long, textCol: String = "text"): DataFrame = {
+    val reserved = "__lr_nano"
+    require(!newStream.columns.contains(reserved),
+      s"qualityCleanStream: input already has a $reserved column — " +
+        "that name is a reserved scratch column here; rename it first")
+    newStream
+      .withColumn(reserved, ColumnBridge.column(DsirScore(
+        ColumnBridge.expression(lower(col(textCol))), bc)))
+      .filter(col(reserved) >= minLrNano)
+      .drop(reserved)
+  }
+
   private def bcOf[T](v: T)(implicit ct: scala.reflect.ClassTag[T])
       : Broadcast[T] =
     org.apache.spark.sql.SparkSession.active.sparkContext.broadcast(v)

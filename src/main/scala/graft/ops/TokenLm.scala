@@ -29,14 +29,19 @@ object TokenLm {
   val DefaultMaxVocab: Int = 65536
 
   /** Windows of `n` consecutive tokens, space-joined, in order; docs
-    * with fewer than `n` tokens yield an empty array. */
+    * with fewer than `n` tokens — and NULL docs, matching the historical
+    * composed form where `when(size(null) >= n)` fell to the empty
+    * branch — yield an empty array. One fused codegen pass
+    * ([[graft.functions.TokenNgrams]]); the previous
+    * transform/slice/array_join composition re-ran the `split` regex
+    * per window (interpreted HOFs do no CSE — the jaccardVerify
+    * lesson), ~7× slower on the q129 bigram scan. */
   def tokenNgrams(textCol: Column, n: Int): Column = {
-    require(n >= 1 && n <= 16, s"order must be in [1, 16], got $n")
-    val toks = split(textCol, " +")
-    when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n),
-        i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    coalesce(
+      ColumnBridge.column(graft.functions.TokenNgrams(
+        ColumnBridge.expression(textCol), n)),
+      array().cast("array<string>"))
   }
 
   /** Token-gram counts of the training slice, capped to the `maxVocab`

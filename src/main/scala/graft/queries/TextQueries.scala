@@ -1009,7 +1009,8 @@ object TextQueries {
           GROUP BY f.doc_id)
         SELECT t.doc_id, CAST(2 * LEN(t.t) - 1 AS INTEGER) AS n_feats, sc.lr AS lr_nano
         FROM toks t JOIN sc ON sc.doc_id = t.doc_id
-        ORDER BY t.doc_id""")),
+        ORDER BY t.doc_id"""),
+      bench = true),
 
     // ---- DSIR top-k selection (the paper's deterministic top-k
     // heuristic): the 100 most target-like docs by (lr_nano DESC, doc_id
@@ -1076,6 +1077,56 @@ object TextQueries {
         tot AS (SELECT COUNT(*) AS n FROM g)
         SELECT item, COUNT(*) AS cnt FROM g CROSS JOIN tot
         GROUP BY item, tot.n HAVING COUNT(*) * 10000 >= tot.n * 13
-        ORDER BY cnt DESC, item ASC"""))
+        ORDER BY cnt DESC, item ASC"""),
+      bench = true),
+
+    // ---- streaming DSIR filter, batch-mode oracle (the domain-
+    // relevance cell of the q111-q114/q116 streaming filter family):
+    // model fit on the doc_id<100 reference slice (target = its src3
+    // docs), stream = docs >= 100, keep lr_nano >= -1.8e10. The verdict
+    // is the exact integer sum q125 publishes, so the SQL replay is the
+    // q125 oracle with slice predicates and a final integer filter.
+    Q("q130_dsir_clean",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val ref = docs.filter(col("doc_id") < 100)
+        val model = graft.ops.Dsir.fit(
+          graft.ops.Dsir.featureCounts(
+            ref.filter(col("source") === "src3"), "text", numBuckets = 1024),
+          graft.ops.Dsir.featureCounts(ref, "text", numBuckets = 1024),
+          numBuckets = 1024)
+        val bc = s.sparkContext.broadcast(model.ratioNano)
+        graft.ops.Dsir.qualityCleanStream(
+            docs.filter(col("doc_id") >= 100), bc,
+            minLrNano = -18000000000L)
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, source, REGEXP_SPLIT_TO_ARRAY(LOWER(text), ' +') AS t
+          FROM documents),
+        feats AS (
+          SELECT doc_id, source,
+            CAST(('0x' || SUBSTRING(MD5('u:' || t[CAST(i + 1 AS INTEGER)]), 1, 8))::BIGINT % 1024 AS INTEGER) AS b
+          FROM toks, UNNEST(RANGE(0, LEN(t))) u(i)
+          UNION ALL
+          SELECT doc_id, source,
+            CAST(('0x' || SUBSTRING(MD5('b:' || t[CAST(i + 1 AS INTEGER)] || ' ' || t[CAST(i + 2 AS INTEGER)]), 1, 8))::BIGINT % 1024 AS INTEGER) AS b
+          FROM toks, UNNEST(RANGE(0, LEN(t) - 1)) u(i)),
+        tc AS (SELECT b, COUNT(*) AS c FROM feats
+               WHERE doc_id < 100 AND source = 'src3' GROUP BY 1),
+        rc AS (SELECT b, COUNT(*) AS c FROM feats WHERE doc_id < 100 GROUP BY 1),
+        tot AS (SELECT (SELECT COALESCE(SUM(c), 0) FROM tc) AS tt,
+                       (SELECT COALESCE(SUM(c), 0) FROM rc) AS tr),
+        sc AS (
+          SELECT f.doc_id,
+            CAST(SUM(
+              CAST(ROUND(LN((COALESCE(tc.c, 0) + 1.0) / (tot.tt + 1024)) * 1e9) AS BIGINT)
+              - CAST(ROUND(LN((COALESCE(rc.c, 0) + 1.0) / (tot.tr + 1024)) * 1e9) AS BIGINT)) AS BIGINT) AS lr
+          FROM feats f LEFT JOIN tc ON tc.b = f.b LEFT JOIN rc ON rc.b = f.b
+          CROSS JOIN tot
+          WHERE f.doc_id >= 100
+          GROUP BY f.doc_id)
+        SELECT doc_id FROM sc WHERE lr >= -18000000000
+        ORDER BY doc_id"""))
   )
 }

@@ -147,6 +147,55 @@ class DsirSpec extends AnyFunSuite {
     assert(scored.count() === 6)
   }
 
+  test("qualityCleanStream micro-batches admit exactly the batch score+filter complement") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+      .filter($"doc_id" < 120)
+    val model = Dsir.fit(
+      counts(docs.filter($"source" === "src3")), counts(docs), B)
+    // cut at the empirical median so the filter always bites regardless
+    // of how the B=64 collision structure flattens the scores
+    val scores = Dsir.score(docs, model).select("doc_id", "lr_nano")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val cut = scores.map(_._2).sorted.apply(scores.length / 2)
+    val batchKeep = scores.filter(_._2 >= cut).map(_._1).toSet
+    assert(batchKeep.nonEmpty && batchKeep.size < scores.length) // the cut bites
+    val bc = spark.sparkContext.broadcast(model.ratioNano)
+    val in = MemoryStream[(Long, String)]
+    val stream = in.toDF().toDF("doc_id", "text")
+    val q = Dsir.qualityCleanStream(stream, bc, minLrNano = cut)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dsir_clean_out").start()
+    try {
+      val rows = docs.select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      // two micro-batches: stateless filter must not care about batching
+      in.addData(rows.take(60).toSeq: _*)
+      q.processAllAvailable()
+      in.addData(rows.drop(60).toSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("dsir_clean_out")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(streamed === batchKeep)
+      // admitted docs keep their full schema
+      assert(spark.table("dsir_clean_out").columns.toSeq === Seq("doc_id", "text"))
+    } finally q.stop()
+    intercept[IllegalArgumentException] {
+      Dsir.qualityCleanStream(docs.withColumn("__lr_nano", lit(1L)), bc, cut)
+    }
+  }
+
+  test("persisted featureCounts round-trip fits the identical model") {
+    val dir = java.nio.file.Files.createTempDirectory("dsir_counts").toString
+    counts(corpus.filter($"grp" === "tgt")).write.parquet(s"$dir/tgt")
+    counts(corpus).write.parquet(s"$dir/raw")
+    val live = Dsir.fit(counts(corpus.filter($"grp" === "tgt")), counts(corpus), B)
+    val reread = Dsir.fit(
+      spark.read.parquet(s"$dir/tgt"), spark.read.parquet(s"$dir/raw"), B)
+    assert(live.ratioNano.toSeq === reread.ratioNano.toSeq)
+  }
+
   test("score fail-fast on reserved output columns; null text scores null") {
     val model = Dsir.fit(counts(corpus), counts(corpus), B)
     val clash = corpus.withColumn("lr_nano", lit(1L))
