@@ -205,6 +205,40 @@ object Sampling {
     * WindowGroupLimit pushes the `rn <= k` bound into the sort on each
     * side of the exchange, so no group is fully sorted or materialized
     * beyond its top-k. */
+  /** Deterministic global shuffle into training shards — the "randomize
+    * example order before writing the training set" step every epoch-0
+    * pipeline runs. Each row gets `shard = hash(seed, key) % numShards`
+    * and `pos` = its rank within the shard by (hash, key); reading
+    * shards in order visits the corpus in a pseudo-random order that is
+    * a PURE FUNCTION of (seed, key) — reruns, backfills, and other
+    * engines produce the identical order (unlike `orderBy(rand())`,
+    * whose RNG is partition-seeded), and a different seed gives an
+    * independent permutation per epoch. `keyCol` must uniquely identify
+    * rows (duplicate keys tie on (hash, key) and take arbitrary ranks —
+    * the [[tokenBudgetCap]] caveat); NULL keys are dropped (a null coin
+    * fails every comparison — the keyed-operator convention here).
+    *
+    * 100 TB shape: ONE hash shuffle on the shard id, then per-shard
+    * sorts in parallel. Each shard is a single sort partition — that is
+    * the POINT (a shard becomes one training file), so size `numShards`
+    * to the target file size, not to the cluster: corpus/numShards
+    * must fit a task. The window is per-shard, so WindowGroupLimit-free
+    * full materialization is exactly one shard's rows. */
+  def deterministicShuffle(df: DataFrame, keyCol: Column, numShards: Int,
+      seed: Long = 42L): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    require(!df.columns.contains("shard") && !df.columns.contains("pos"),
+      "deterministicShuffle: input already has a shard/pos column")
+    val rn = Iterator.from(0).map(i => s"__dsh$i")
+      .find(n => !df.columns.contains(n)).get
+    val w = Window.partitionBy(col("shard")).orderBy(col(rn), keyCol)
+    df.filter(keyCol.isNotNull)
+      .withColumn(rn, hashU32(keyCol, seed))
+      .withColumn("shard", pmod(col(rn), lit(numShards)).cast("int"))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .drop(rn)
+  }
+
   def stratifiedCap(df: DataFrame, keyCols: Seq[String], k: Int,
       orderBy: Seq[Column]): DataFrame = {
     require(keyCols.nonEmpty, "keyCols must be non-empty")

@@ -971,6 +971,25 @@ object PipelineQueries {
           SELECT LOWER(source) || '.com' AS domain FROM documents
           WHERE LOWER(source) || '.com' NOT IN ('src3.com', 'src7.com'))
         SELECT domain, COUNT(*) AS n FROM d
-        GROUP BY domain ORDER BY domain"""))
+        GROUP BY domain ORDER BY domain""")),
+
+    // ---- deterministic training-order shuffle (Sampling
+    // .deterministicShuffle): shard + in-shard rank from the md5 coin —
+    // the rerun-stable "randomize example order" step; the whole
+    // permutation is engine-replayable.
+    Q("q131_deterministic_shuffle",
+      (s, dir) =>
+        graft.ops.Sampling.deterministicShuffle(
+            tbl(s, dir, "documents").select("doc_id", "source"),
+            col("doc_id"), numShards = 8, seed = 42L)
+          .select("doc_id", "shard", "pos")
+          .orderBy("shard", "pos"),
+      Some("""WITH h AS (
+          SELECT doc_id,
+            ('0x' || SUBSTRING(MD5('42:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS hv
+          FROM documents)
+        SELECT doc_id, CAST(hv % 8 AS INTEGER) AS shard,
+          CAST(ROW_NUMBER() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) - 1 AS BIGINT) AS pos
+        FROM h ORDER BY shard, pos"""))
   )
 }

@@ -1359,4 +1359,37 @@ class OpsSpec extends AnyFunSuite {
       .head().getAs[Array[Byte]](0)
     assert(new String(out, "UTF-8") == "hello")
   }
+
+  test("deterministicShuffle: bijective sharded permutation, rerun-stable, seed-sensitive") {
+    import spark.implicits._
+    val df = (0L until 200L).map(i => (i, s"doc$i")).toDF("id", "payload")
+      .repartition(7)
+    val out = graft.ops.Sampling.deterministicShuffle(df, col("id"), 8).collect()
+    // bijection: every input row appears once, payload intact
+    assert(out.length == 200)
+    assert(out.map(_.getLong(0)).toSet == (0L until 200L).toSet)
+    assert(out.forall(r => r.getString(1) == s"doc${r.getLong(0)}"))
+    // shards in range; positions dense 0..n_s-1 within each shard
+    val byShard = out.groupBy(_.getInt(2))
+    assert(byShard.keys.forall(s => s >= 0 && s < 8))
+    byShard.foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(3)).sorted.toSeq == (0L until rows.length).toSeq)
+    }
+    // rerun-stable; a different seed gives a different order
+    val again = graft.ops.Sampling.deterministicShuffle(df, col("id"), 8)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(3))).toSet
+    assert(again == out.map(r => (r.getLong(0), r.getInt(2), r.getLong(3))).toSet)
+    val other = graft.ops.Sampling.deterministicShuffle(df, col("id"), 8, seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(3))).toSet
+    assert(other != again)
+    // null keys dropped; reserved output columns rejected
+    val withNull = Seq((Some(1L), "a"), (None: Option[Long], "b"))
+      .toDF("id", "payload")
+    assert(graft.ops.Sampling.deterministicShuffle(withNull, col("id"), 2)
+      .count() == 1)
+    intercept[IllegalArgumentException] {
+      graft.ops.Sampling.deterministicShuffle(
+        df.withColumn("pos", lit(0)), col("id"), 2)
+    }
+  }
 }
