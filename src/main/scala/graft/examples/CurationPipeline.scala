@@ -1,6 +1,6 @@
 package graft.examples
 
-import graft.ops.{Bpe, CharLm, Chunking, Dedup, Multimodal, Redact, Sampling, Similarity}
+import graft.ops.{Bpe, CharLm, Chunking, Dedup, Dsir, Frequent, Multimodal, Redact, Sampling, Similarity, TokenLm, Urls}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -50,11 +50,38 @@ object CurationPipeline {
     println(s"[curate] LM perplexity tiers: kept head+middle = " +
       s"${kept.count()} of ${kept0.count()} docs")
 
+    // 1c. crawl hygiene on the (stand-in) source URLs: canonicalize,
+    // drop blocklisted domains, cap any one domain's share — the
+    // C4/RefinedWeb anti-domination cut. URLs are synthesized from the
+    // source column (the fixture has no crawl metadata), exactly like
+    // the media stand-ins in step 6.
+    val withUrl = kept.withColumn("url", Urls.normalizeUrl(
+      concat(lit("HTTP://"), upper(col("source")), lit(".COM:80/d/"),
+        col("doc_id").cast("string"), lit("?utm_source=crawl"))))
+    val domKept = Urls.perDomainCap(
+        Urls.dropBlockedDomains(withUrl, col("url"), Seq("src9.com")),
+        col("url"), k = 40, keyCol = col("doc_id"))
+      .drop("url")
+    println(s"[curate] domain blocklist + 40/domain cap: " +
+      s"${kept.count()} -> ${domKept.count()} docs")
+
+    // 1d. DSIR domain selection (target = the src3 slice): hashed-n-gram
+    // target-vs-raw models, keep the most target-like half — the
+    // "make the mix look like the trusted domain" cut
+    val dsirModel = Dsir.fit(
+      Dsir.featureCounts(domKept.filter(col("source") === "src3")),
+      Dsir.featureCounts(domKept))
+    val dsirPicked = Dsir.selectTopK(
+        Dsir.score(domKept, dsirModel),
+        k = (domKept.count() / 2).toInt.max(1))
+      .drop("n_feats", "lr_nano")
+    println(s"[curate] DSIR top-half selection: -> ${dsirPicked.count()} docs")
+
     // 2. exact dedup (min-doc_id keeper per identical text). Persist the
     // survivor set: three downstream consumers (candidate generation,
     // verification, anti-join) would otherwise each recompute the
     // gate+dedup lineage from the scan.
-    val exact = Dedup.exact(kept, "doc_id", Seq("text")).drop("n_copies")
+    val exact = Dedup.exact(dsirPicked, "doc_id", Seq("text")).drop("n_copies")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     println(s"[curate] exact dedup: -> ${exact.count()} docs")
 
@@ -139,6 +166,19 @@ object CurationPipeline {
     println(s"[assemble] mix -> ${packStats.getLong(0)} docs, " +
       s"${packStats.getLong(1)} tokens into 4 shards " +
       s"(<=${packStats.getLong(2)} ctx-512 packs/shard)")
+
+    // 4c'. corpus stats + training order: exact heavy hitters over token
+    // bigrams at sketch cost (the boilerplate/fad report a data card
+    // wants), then the deterministic epoch-0 shuffle — shard + in-shard
+    // rank as a pure function of (seed, doc_id), so a rerun ships the
+    // identical training order
+    val hot = Frequent.frequentItems(
+      mixed.select(explode(TokenLm.tokenNgrams(col("text"), 2)).as("bg")),
+      col("bg"), num = 1, den = 100)
+    val shuffled = Sampling.deterministicShuffle(mixed, col("doc_id"),
+      numShards = 4, seed = 11L)
+    println(s"[assemble] ${hot.count()} bigrams above 1% support; " +
+      s"epoch-0 shuffle -> ${shuffled.select("shard").distinct().count()} shards")
 
     // 4d. retrieval prep: overlapping token chunks (one embedding per
     // CHUNK downstream, not per doc)
