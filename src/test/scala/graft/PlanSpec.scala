@@ -483,4 +483,60 @@ class PlanSpec extends AnyFunSuite {
     // exactly the count agg's exchange appears — never a 1-partition sort
     assert(countShuffles(counts.queryExecution.executedPlan) == 1, plan)
   }
+
+  test("Dsir: counting scan is one bounded-agg exchange; scoring is shuffle-free") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val counts = graft.ops.Dsir.featureCounts(docs, "text", 1024)
+    counts.write.format("noop").mode("overwrite").save()
+    // one map-side-combined aggregation exchange, bounded at numBuckets
+    assert(countShuffles(counts.queryExecution.executedPlan) == 1)
+    // the scan reads ONLY the text column
+    val fmt = counts.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val readSchema = fmt.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("doc_id") && !readSchema.contains("source"), readSchema)
+    // scoring: one embarrassingly-parallel projection — zero exchanges,
+    // and the broadcast model keeps the plan O(1) in numBuckets
+    val model = graft.ops.Dsir.fit(
+      graft.ops.Dsir.featureCounts(docs.filter(col("source") === "src3"), "text", 1024),
+      counts, 1024)
+    val scored = graft.ops.Dsir.score(docs, model)
+    scored.write.format("noop").mode("overwrite").save()
+    assert(countShuffles(scored.queryExecution.executedPlan) == 0)
+    val big = graft.ops.Dsir.fit(
+      graft.ops.Dsir.featureCounts(docs.filter(col("source") === "src3"), "text", 65536),
+      graft.ops.Dsir.featureCounts(docs, "text", 65536), 65536)
+    val planSmall = graft.ops.Dsir.score(docs, model)
+      .queryExecution.executedPlan.toString.length
+    val planBig = graft.ops.Dsir.score(docs, big)
+      .queryExecution.executedPlan.toString.length
+    assert(planBig < planSmall * 2,
+      s"score plan grew with numBuckets: $planSmall -> $planBig chars")
+  }
+
+  test("frequentItems recount joins candidates by BROADCAST, never a shuffle join") {
+    import org.apache.spark.sql.functions.{col, explode}
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val items = docs.select(explode(
+      graft.ops.TokenLm.tokenNgrams(col("text"), 2)).as("bg"))
+    val out = graft.ops.Frequent.frequentItems(items, col("bg"), 13, 10000)
+    out.write.format("noop").mode("overwrite").save()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // exactly the bounded recount aggregation shuffles (k rows max)
+    assert(countShuffles(out.queryExecution.executedPlan) == 1, plan)
+  }
+
+  test("deterministicShuffle is ONE hash exchange + per-shard window") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val out = graft.ops.Sampling.deterministicShuffle(docs, col("doc_id"), 8)
+    out.write.format("noop").mode("overwrite").save()
+    assert(countShuffles(out.queryExecution.executedPlan) == 1)
+    // the window partitions on the shard id — never a global sort
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(shard"), plan)
+  }
 }
