@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{ArrayCosineSim, ArrayDot, ArrayMath, ArraySqDist, CharLmFunctions, CharNgrams, MinHashSig, SimHashFp, TextHashFunctions}
+import graft.functions.{ArrayCosineSim, ArrayDot, ArrayMath, ArraySqDist, CharLmFunctions, CharNgrams, DsirFunctions, HashedNgramBuckets, MinHashSig, SimHashFp, TextHashFunctions, TokenNgrams}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -43,5 +43,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("char_ngrams"),
       new ExpressionInfo(classOf[CharNgrams].getName, "char_ngrams"),
       CharLmFunctions.charNgramsBuilder))
+    e.injectFunction((
+      new FunctionIdentifier("token_ngrams"),
+      new ExpressionInfo(classOf[TokenNgrams].getName, "token_ngrams"),
+      CharLmFunctions.tokenNgramsBuilder))
+    e.injectFunction((
+      new FunctionIdentifier("hashed_ngram_buckets"),
+      new ExpressionInfo(classOf[HashedNgramBuckets].getName, "hashed_ngram_buckets"),
+      DsirFunctions.hashedNgramBucketsBuilder))
   }
 }

@@ -367,12 +367,28 @@ object CharLmFunctions {
       s"char_ngrams(text, n) takes exactly 2 arguments, got ${exprs.length}")
   }
 
+  private[graft] val tokenNgramsBuilder: Seq[Expression] => Expression = {
+    case Seq(text, nExpr) =>
+      require(nExpr.foldable, "token_ngrams: n must be a literal")
+      nExpr.eval() match {
+        case null => throw new IllegalArgumentException(
+          "token_ngrams: n must be a non-NULL integer literal")
+        case num: Number => TokenNgrams(text, num.intValue())
+        case other => throw new IllegalArgumentException(
+          s"token_ngrams: n must be an integer literal, got '$other'")
+      }
+    case exprs => throw new IllegalArgumentException(
+      s"token_ngrams(text, n) takes exactly 2 arguments, got ${exprs.length}")
+  }
+
   /** Register SQL-visible functions on a session (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "char_trigrams", charTrigramsBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "char_ngrams", charNgramsBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "token_ngrams", tokenNgramsBuilder, "built-in")
   }
 
   /** Nano-scaled trigram log-prob sum of `text` under a broadcast model. */

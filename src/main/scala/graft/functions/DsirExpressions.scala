@@ -152,3 +152,28 @@ case class DsirScore(child: Expression, bc: Broadcast[Array[Long]])
     copy(child = newChild)
   override def prettyName: String = "dsir_score"
 }
+
+object DsirFunctions {
+
+  /** `hashed_ngram_buckets(text, numBuckets)` SQL builder — the DSIR
+    * training-side feature extractor, SQL-visible for ad-hoc bucket
+    * counting; same literal-argument discipline as `minhash_sig`. */
+  private[graft] val hashedNgramBucketsBuilder: Seq[Expression] => Expression = {
+    case Seq(text, bExpr) =>
+      require(bExpr.foldable, "hashed_ngram_buckets: numBuckets must be a literal")
+      bExpr.eval() match {
+        case null => throw new IllegalArgumentException(
+          "hashed_ngram_buckets: numBuckets must be a non-NULL integer literal")
+        case num: Number => HashedNgramBuckets(text, num.intValue())
+        case other => throw new IllegalArgumentException(
+          s"hashed_ngram_buckets: numBuckets must be an integer literal, got '$other'")
+      }
+    case exprs => throw new IllegalArgumentException(
+      s"hashed_ngram_buckets(text, numBuckets) takes exactly 2 arguments, got ${exprs.length}")
+  }
+
+  /** Register SQL-visible functions on a session (idempotent). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hashed_ngram_buckets", hashedNgramBucketsBuilder, "built-in")
+}

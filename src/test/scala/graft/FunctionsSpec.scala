@@ -210,6 +210,37 @@ class FunctionsSpec extends AnyFunSuite {
     assert(causeChainHas(e5, "integer literal"), e5.toString)
   }
 
+  test("token_ngrams / hashed_ngram_buckets SQL surface: values match the ops, literal guards hold") {
+    import spark.implicits._
+    graft.functions.CharLmFunctions.register(spark)
+    graft.functions.DsirFunctions.register(spark)
+    Seq((1L, "a b c"), (2L, "x")).toDF("id", "t").createOrReplaceTempView("tng_t")
+    val grams = spark.sql("SELECT id, token_ngrams(t, 2) AS g FROM tng_t ORDER BY id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1))
+    assert(grams.toMap.apply(1L) == Seq("a b", "b c"))
+    assert(grams.toMap.apply(2L).isEmpty)
+    // buckets: same walk as the Dsir op (2n-1 features, in range)
+    val bs = spark.sql("SELECT hashed_ngram_buckets(t, 64) AS b FROM tng_t WHERE id = 1")
+      .collect().head.getSeq[Int](0)
+    assert(bs.length == 5 && bs.forall(b => b >= 0 && b < 64))
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT token_ngrams(t) FROM tng_t").collect()
+    }
+    assert(causeChainHas(e1, "exactly 2 arguments"), e1.toString)
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT token_ngrams(t, '2') FROM tng_t").collect()
+    }
+    assert(causeChainHas(e2, "integer literal"), e2.toString)
+    val e3 = intercept[Exception] {
+      spark.sql("SELECT hashed_ngram_buckets(t, CAST(NULL AS INT)) FROM tng_t").collect()
+    }
+    assert(causeChainHas(e3, "non-NULL"), e3.toString)
+    val e4 = intercept[Exception] {
+      spark.sql("SELECT hashed_ngram_buckets(t, 1) FROM tng_t").collect()
+    }
+    assert(causeChainHas(e4, "numBuckets"), e4.toString)
+  }
+
   test("lsh_signature / pq_codes public-surface guards on degenerate index state") {
     val df = Seq(Tuple1(Seq(1.0, 2.0))).toDF("v")
     val sc = spark.sparkContext
