@@ -27,14 +27,16 @@ object Boilerplate {
 
   /** Positional n-gram md5 keys of a whitespace-tokenized text column.
     * Docs shorter than `n` tokens yield an empty array (they contain no
-    * n-gram, so they can neither contribute to nor carry boilerplate). */
+    * n-gram, so they can neither contribute to nor carry boilerplate).
+    * The gram windows come from the fused [[graft.ops.TokenLm
+    * .tokenNgrams]] kernel as the transform's INPUT — the previous form
+    * closed over `split(...)` inside the lambda, re-running the regex
+    * per window (interpreted HOFs do no CSE — the jaccardVerify
+    * lesson); only the md5 stays in the lambda. */
   def ngramKeys(textCol: Column, n: Int): Column = {
-    require(n >= 1, s"n must be >= 1, got $n")
-    val toks = split(textCol, " +")
-    when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n),
-        i => md5(array_join(slice(toks, i + lit(1), lit(n)), " "))))
-      .otherwise(array().cast("array<string>"))
+    require(n >= 1 && n <= 16,
+      s"n must be in [1, 16] (the token_ngrams kernel bound), got $n")
+    transform(TokenLm.tokenNgrams(textCol, n), g => md5(g))
   }
 
   /** Per-document repeated-n-gram stats: `n_grams` (total positional
