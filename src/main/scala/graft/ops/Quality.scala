@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Gopher-style document quality gates (Rae et al. 2021,
+  * arXiv:2112.11446 Appendix A1.1) — the heuristic rule battery run
+  * BEFORE any model-based filter: word-count bounds, mean word length,
+  * symbol density, bullet/ellipsis line structure, alphabetic-word
+  * fraction, and the stop-word evidence check. Emits one boolean per
+  * rule plus the conjunction, so a pipeline can report WHY documents
+  * were dropped (the data-card view), not just how many.
+  *
+  * Every rule is INTEGER arithmetic over token/line counts — divisions
+  * are cleared by cross-multiplication (`3·n ≤ totLen` instead of
+  * `totLen/n ≥ 3`), so the flags are hash-exact across engines (q132's
+  * DuckDB oracle replays them bit-for-bit). One projection, no shuffle,
+  * no UDF; the token array is materialized ONCE as a scratch column
+  * before any lambda reads it (the interpreted-HOF discipline).
+  */
+object Quality {
+
+  /** Gopher's stop-word evidence set (A1.1: "contains at least two of"). */
+  val GopherStopWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Append the Gopher rule flags and the conjunction `gopher_keep` to
+    * `df`. Thresholds follow the paper; `minWords`/`maxWords` are the
+    * only knobs a corpus realistically re-tunes. Rules:
+    *
+    *  - `wc_ok`       — word count in [minWords, maxWords]
+    *  - `mwl_ok`      — mean word length in [3, 10] chars
+    *  - `symbol_ok`   — (# + …) symbols ≤ 0.1 per word
+    *  - `bullet_ok`   — ≤ 10% of lines start with a bullet AND ≤ 30%
+    *                    end with an ellipsis
+    *  - `alpha_ok`    — ≥ 80% of words contain an alphabetic character
+    *  - `stopword_ok` — ≥ 2 distinct [[GopherStopWords]] present
+    */
+  def gopherQuality(df: DataFrame, textCol: String = "text",
+      minWords: Int = 50, maxWords: Int = 100000,
+      stopWords: Seq[String] = GopherStopWords): DataFrame = {
+    require(minWords >= 1 && maxWords >= minWords,
+      s"need 1 <= minWords <= maxWords, got $minWords..$maxWords")
+    require(stopWords.size >= 2 && stopWords.size <= 64,
+      "stopWords must hold 2..64 entries (the >= 2 evidence rule needs " +
+        s"at least two candidates; a large list belongs in a join), got " +
+        stopWords.size)
+    val reserved = Seq("__toks", "__lines", "wc_ok", "mwl_ok", "symbol_ok",
+      "bullet_ok", "alpha_ok", "stopword_ok", "gopher_keep")
+    val clash = df.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"gopherQuality: input already has column(s) ${clash.mkString(", ")}")
+    val t = col(textCol)
+    val n = size(col("__toks"))
+    val nLines = size(col("__lines"))
+    // sum of token lengths, division-free: total chars minus the (n-1)
+    // single separators is wrong under runs of spaces, so fold the
+    // materialized array instead (linear, reads the scratch column)
+    val totLen = aggregate(col("__toks"), lit(0),
+      (acc, w) => acc + length(w))
+    val hashCnt = length(t) - length(regexp_replace(t, "#", ""))
+    // each '…' spelled '...' removes 3 chars; left-to-right
+    // non-overlapping scan is identical in both engines
+    val ellLenDiff = length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))
+    val bulletCnt = size(filter(col("__lines"),
+      l => l.rlike("^\\s*[-*•]")))
+    val ellEndCnt = size(filter(col("__lines"),
+      l => l.rlike("\\.\\.\\.\\s*$")))
+    val alphaCnt = size(filter(col("__toks"), w => w.rlike("[A-Za-z]")))
+    val stopCnt = size(filter(
+      array(stopWords.map(lit): _*),
+      s => array_contains(col("__toks"), s)))
+    df.withColumn("__toks", split(t, " +"))
+      .withColumn("__lines", split(t, "\n"))
+      .withColumn("wc_ok", n >= minWords && n <= maxWords)
+      .withColumn("mwl_ok", lit(3) * n <= totLen && totLen <= lit(10) * n)
+      // (hash + ell)·10 ≤ n, cleared of the /3 in the ellipsis count:
+      // (3·hash + ellLenDiff)·10 ≤ 3·n
+      .withColumn("symbol_ok",
+        (lit(3) * hashCnt + ellLenDiff) * lit(10) <= lit(3) * n)
+      .withColumn("bullet_ok",
+        bulletCnt * lit(10) <= nLines && ellEndCnt * lit(10) <= lit(3) * nLines)
+      .withColumn("alpha_ok", alphaCnt * lit(10) >= lit(8) * n)
+      .withColumn("stopword_ok", stopCnt >= 2)
+      .withColumn("gopher_keep",
+        col("wc_ok") && col("mwl_ok") && col("symbol_ok") &&
+          col("bullet_ok") && col("alpha_ok") && col("stopword_ok"))
+      .drop("__toks", "__lines")
+  }
+
+  /** [[gopherQuality]] then keep only passing docs, flags dropped —
+    * the filter form a pipeline composes. */
+  def gopherFilter(df: DataFrame, textCol: String = "text",
+      minWords: Int = 50, maxWords: Int = 100000,
+      stopWords: Seq[String] = GopherStopWords): DataFrame =
+    gopherQuality(df, textCol, minWords, maxWords, stopWords)
+      .filter(col("gopher_keep"))
+      .drop("wc_ok", "mwl_ok", "symbol_ok", "bullet_ok", "alpha_ok",
+        "stopword_ok", "gopher_keep")
+}

@@ -1127,6 +1127,53 @@ object TextQueries {
           WHERE f.doc_id >= 100
           GROUP BY f.doc_id)
         SELECT doc_id FROM sc WHERE lr >= -18000000000
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ---- Gopher quality gates (ops.Quality, Rae et al. 2021 A1.1):
+    // per-rule boolean flags + the conjunction, all integer arithmetic
+    // (divisions cleared by cross-multiplication) so the oracle replays
+    // them bit-for-bit. minWords=30 so the word-count gate splits the
+    // fixture's ~50-token docs both ways.
+    Q("q132_gopher_quality",
+      (s, dir) =>
+        graft.ops.Quality.gopherQuality(
+            tbl(s, dir, "documents"), "text", minWords = 30,
+            // the synthetic vocabulary carries only 'the'/'a' from the
+            // canonical set — extend it so the >=2-evidence rule has
+            // both outcomes at every SF (the set is corpus-tunable by
+            // design; Gopher's own is English-specific)
+            stopWords = graft.ops.Quality.GopherStopWords :+ "a")
+          .select("doc_id", "wc_ok", "mwl_ok", "symbol_ok", "bullet_ok",
+            "alpha_ok", "stopword_ok", "gopher_keep")
+          .orderBy("doc_id"),
+      Some("""WITH d AS (
+          SELECT doc_id, text,
+            REGEXP_SPLIT_TO_ARRAY(text, ' +') AS toks,
+            REGEXP_SPLIT_TO_ARRAY(text, '\n') AS lines
+          FROM documents),
+        f AS (
+          SELECT doc_id,
+            LEN(toks) AS n, LEN(lines) AS nl,
+            COALESCE(LIST_SUM(LIST_TRANSFORM(toks, x -> LENGTH(x))), 0) AS totlen,
+            LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '#', '', 'g')) AS hashcnt,
+            LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '\.\.\.', '', 'g')) AS elldiff,
+            LEN(LIST_FILTER(lines, l -> REGEXP_MATCHES(l, '^\s*[-*•]'))) AS bullets,
+            LEN(LIST_FILTER(lines, l -> REGEXP_MATCHES(l, '\.\.\.\s*$'))) AS ellends,
+            LEN(LIST_FILTER(toks, w -> REGEXP_MATCHES(w, '[A-Za-z]'))) AS alphas,
+            LEN(LIST_FILTER(['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with', 'a'],
+              s -> LIST_CONTAINS(toks, s))) AS stops
+          FROM d)
+        SELECT doc_id,
+          n >= 30 AND n <= 100000 AS wc_ok,
+          3 * n <= totlen AND totlen <= 10 * n AS mwl_ok,
+          (3 * hashcnt + elldiff) * 10 <= 3 * n AS symbol_ok,
+          bullets * 10 <= nl AND ellends * 10 <= 3 * nl AS bullet_ok,
+          alphas * 10 >= 8 * n AS alpha_ok,
+          stops >= 2 AS stopword_ok,
+          (n >= 30 AND n <= 100000) AND (3 * n <= totlen AND totlen <= 10 * n)
+            AND ((3 * hashcnt + elldiff) * 10 <= 3 * n)
+            AND (bullets * 10 <= nl AND ellends * 10 <= 3 * nl)
+            AND (alphas * 10 >= 8 * n) AND (stops >= 2) AS gopher_keep
+        FROM f ORDER BY doc_id"""))
   )
 }
