@@ -88,6 +88,33 @@ object Quality {
       .drop("__toks", "__lines")
   }
 
+  /** Gopher's repetition rules (A1.1 second half): per-document
+    * duplicate-LINE statistics — `n_lines`, `dup_lines` (lines whose
+    * text occurs more than once in the SAME document, counting every
+    * occurrence), `dup_line_chars` / `line_chars` (the character-mass
+    * view), and the integer-exact gate `dup_line_ok` (duplicate-line
+    * fraction ≤ 30% AND duplicate-line character fraction ≤ 20% — the
+    * paper's thresholds). The q85/q98 n-gram repetition ops measure
+    * WITHIN-line boilerplate; this measures whole-line repetition
+    * (navigation bars, headers, chat scaffolding).
+    *
+    * 100 TB shape: explode lines → (doc, line) count with map-side
+    * combine → per-doc aggregate. Never an O(lines²) per-row walk — a
+    * 10k-line document costs 10k rows, not 10⁸ comparisons. */
+  def duplicateLineStats(df: DataFrame, idCol: String,
+      textCol: String = "text"): DataFrame =
+    df.select(col(idCol), explode(split(col(textCol), "\n")).as("__line"))
+      .groupBy(idCol, "__line").agg(count(lit(1)).as("__cnt"))
+      .groupBy(idCol).agg(
+        sum(col("__cnt")).as("n_lines"),
+        sum(when(col("__cnt") > 1, col("__cnt")).otherwise(0L)).as("dup_lines"),
+        sum(when(col("__cnt") > 1, col("__cnt") * length(col("__line")))
+          .otherwise(0L)).as("dup_line_chars"),
+        sum(col("__cnt") * length(col("__line"))).as("line_chars"))
+      .withColumn("dup_line_ok",
+        col("dup_lines") * lit(10) <= lit(3) * col("n_lines") &&
+          col("dup_line_chars") * lit(10) <= lit(2) * col("line_chars"))
+
   /** [[gopherQuality]] then keep only passing docs, flags dropped —
     * the filter form a pipeline composes. */
   def gopherFilter(df: DataFrame, textCol: String = "text",

@@ -1174,6 +1174,39 @@ object TextQueries {
             AND ((3 * hashcnt + elldiff) * 10 <= 3 * n)
             AND (bullets * 10 <= nl AND ellends * 10 <= 3 * nl)
             AND (alphas * 10 >= 8 * n) AND (stops >= 2) AS gopher_keep
-        FROM f ORDER BY doc_id"""))
+        FROM f ORDER BY doc_id""")),
+
+    // ---- Gopher duplicate-line repetition stats (ops.Quality
+    // .duplicateLineStats): the fixture text is single-line, so the
+    // query derives a deterministic multi-line form (a newline after
+    // every 2nd word — both engines apply the identical regex) and
+    // measures whole-line repetition. All-integer outputs.
+    Q("q133_duplicate_lines",
+      (s, dir) =>
+        graft.ops.Quality.duplicateLineStats(
+            tbl(s, dir, "documents").withColumn("text",
+              regexp_replace(col("text"), "((?:\\S+ ){1}\\S+) ", "$1\n")),
+            "doc_id")
+          .select("doc_id", "n_lines", "dup_lines", "dup_line_chars",
+            "line_chars", "dup_line_ok")
+          .orderBy("doc_id"),
+      Some("""WITH t AS (
+          SELECT doc_id,
+            REGEXP_REPLACE(text, '((?:\S+ ){1}\S+) ', '\1' || CHR(10), 'g') AS tx
+          FROM documents),
+        l AS (
+          SELECT doc_id, UNNEST(REGEXP_SPLIT_TO_ARRAY(tx, '\n')) AS line FROM t),
+        c AS (SELECT doc_id, line, COUNT(*) AS cnt FROM l GROUP BY 1, 2),
+        s AS (
+          SELECT doc_id,
+            CAST(SUM(cnt) AS BIGINT) AS n_lines,
+            CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS dup_lines,
+            CAST(SUM(CASE WHEN cnt > 1 THEN cnt * LENGTH(line) ELSE 0 END) AS BIGINT) AS dup_line_chars,
+            CAST(SUM(cnt * LENGTH(line)) AS BIGINT) AS line_chars
+          FROM c GROUP BY 1)
+        SELECT doc_id, n_lines, dup_lines, dup_line_chars, line_chars,
+          dup_lines * 10 <= 3 * n_lines
+            AND dup_line_chars * 10 <= 2 * line_chars AS dup_line_ok
+        FROM s ORDER BY doc_id"""))
   )
 }

@@ -75,6 +75,26 @@ class QualitySpec extends AnyFunSuite {
     assert(!flags(repeated)("stopword_ok"))
   }
 
+  test("duplicateLineStats: exact counts and the 30%/20% gates on hand-built docs") {
+    // doc 1: 5 lines, 'nav bar' twice (4 dup lines? no — 2 occurrences
+    // of one line text) => dup_lines = 2, dup chars = 2*7
+    val d1 = Seq("nav bar", "unique one", "nav bar", "unique two", "unique three")
+      .mkString("\n")
+    // doc 2: all lines distinct
+    val d2 = Seq("alpha", "beta", "gamma").mkString("\n")
+    // doc 3: 10 lines, 9 copies of a long line => fails both gates
+    val d3 = (Seq.fill(9)("repeated boilerplate line") :+ "x").mkString("\n")
+    val out = Quality.duplicateLineStats(
+      Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text"), "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_lines"), r.getAs[Long]("dup_lines"),
+          r.getAs[Long]("dup_line_chars"), r.getAs[Boolean]("dup_line_ok")))
+      .toMap
+    assert(out(1L) === ((5L, 2L, 14L, false))) // 2/5 = 40% > 30% lines
+    assert(out(2L) === ((3L, 0L, 0L, true)))
+    assert(out(3L)._2 === 9L && !out(3L)._4)
+  }
+
   test("gopherFilter keeps passers with the original schema; validation fails fast") {
     val df = Seq((1L, goodWords), (2L, "tiny")).toDF("doc_id", "text")
     val kept = Quality.gopherFilter(df, "text", minWords = 10)
