@@ -83,6 +83,66 @@ object Frequent {
     }
   }
 
+  /** CERTIFIED exact top-`k` most frequent items, `(item, cnt)` ordered
+    * by (cnt DESC, item ASC), at the same sketch cost as
+    * [[frequentItems]]. The Misra–Gries undercount bound doubles as a
+    * proof obligation: any item NOT among the sketch's candidates has
+    * true count ≤ ⌊n/(sketchSize+1)⌋, so when the exact k-th candidate
+    * count strictly exceeds that bound, no non-candidate can reach the
+    * top k (or even tie its boundary) — the recounted candidate prefix
+    * IS the exact answer. If the bound cannot be certified (the corpus
+    * is too flat for the sketch width) the call FAILS LOUDLY with the
+    * minimum sufficient width rather than returning a silently
+    * approximate ranking. Eager (it must inspect the k-th count to
+    * certify) — the bounded model-build discipline of [[CharLm.fit]]. */
+  def topK(df: DataFrame, itemCol: Column, k: Int,
+      sketchSize: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(sketchSize >= k,
+      s"sketchSize ($sketchSize) must be >= k ($k)")
+    val items = df.select(itemCol.as("item"))
+    require(items.schema("item").dataType == StringType,
+      s"topK: item column must be string, got " +
+        s"${items.schema("item").dataType.simpleString} — cast explicitly")
+    val spark = items.sparkSession
+    import spark.implicits._
+    val ds = items.filter($"item".isNotNull).as[String]
+    val (n, summary) = ds.rdd.treeAggregate((0L, new MgSummary(sketchSize)))(
+      seqOp = { case ((c, s), item) => s.add(item); (c + 1L, s) },
+      combOp = { case ((c1, s1), (c2, s2)) => s1.merge(s2); (c1 + c2, s1) },
+      depth = 2)
+    val candidates = summary.keys
+    if (n == 0L) {
+      spark.emptyDataset[(String, Long)].toDF("item", "cnt")
+    } else {
+      val candDf = candidates.toSeq.toDF("item")
+      val recounted = items.join(broadcast(candDf), Seq("item"))
+        .groupBy("item").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("item").asc)
+        .limit(k)
+      val top = recounted.collect() // ≤ k rows — the certification read
+      val bound = n / (sketchSize + 1)
+      // two certifiable shapes: a full k-prefix whose boundary count
+      // strictly beats the worst-case non-candidate (no outsider can
+      // reach OR tie rank k), or bound == 0 (no eviction was possible,
+      // the candidates ARE the whole vocabulary — exact even when the
+      // vocabulary holds fewer than k items)
+      val certified =
+        (top.length == k && top.last.getLong(1) > bound) || bound == 0L
+      if (!certified) {
+        val kth = if (top.isEmpty) 1L else math.max(top.last.getLong(1), 1L)
+        // minimum width w with n/(w+1) < kth  ⇔  w+1 > n/kth
+        val needed = (n / kth).toInt + 1
+        throw new IllegalStateException(
+          s"topK: cannot certify exactness — the rank-${top.length} count " +
+            s"${if (top.isEmpty) "(none)" else top.last.getLong(1).toString} " +
+            s"does not strictly exceed the sketch undercount bound $bound " +
+            s"(= n/(sketchSize+1)); re-run with sketchSize >= $needed")
+      }
+      top.map(r => (r.getString(0), r.getLong(1))).toSeq.toDF("item", "cnt")
+    }
+  }
+
   /** Mergeable Misra–Gries summary, ≤ `k` counters. `add` is the
     * classic per-item update (decrement-all on overflow, amortized O(1)
     * via the shared-decrement counter); `merge` adds counts then

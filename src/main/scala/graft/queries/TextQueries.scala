@@ -1207,6 +1207,30 @@ object TextQueries {
         SELECT doc_id, n_lines, dup_lines, dup_line_chars, line_chars,
           dup_lines * 10 <= 3 * n_lines
             AND dup_line_chars * 10 <= 2 * line_chars AS dup_line_ok
-        FROM s ORDER BY doc_id"""))
+        FROM s ORDER BY doc_id""")),
+
+    // ---- certified exact top-k heavy hitters (Frequent.topK): the
+    // Misra–Gries undercount bound doubles as the exactness proof —
+    // sketchSize=832 sits below the ~916 bigram vocabulary (evictions
+    // happen) while the k=20 boundary count clears n/(832+1) at every
+    // SF, so the recounted prefix is provably the brute-force top-20
+    // the oracle computes.
+    Q("q134_frequent_topk",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        graft.ops.Frequent.topK(
+            docs.select(explode(
+              graft.ops.TokenLm.tokenNgrams(col("text"), 2)).as("bg")),
+            col("bg"), k = 20, sketchSize = 832)
+          .orderBy(col("cnt").desc, col("item").asc)
+      },
+      Some("""WITH t AS (
+          SELECT REGEXP_SPLIT_TO_ARRAY(text, ' +') AS a FROM documents),
+        g AS (
+          SELECT ARRAY_TO_STRING(a[CAST(i + 1 AS INTEGER) : CAST(i + 2 AS INTEGER)], ' ') AS item
+          FROM t, UNNEST(RANGE(0, LEN(a) - 1)) u(i)
+          WHERE LEN(a) >= 2)
+        SELECT item, COUNT(*) AS cnt FROM g
+        GROUP BY item ORDER BY cnt DESC, item ASC LIMIT 20"""))
   )
 }

@@ -76,6 +76,29 @@ class FrequentSpec extends AnyFunSuite {
     }
   }
 
+  test("topK: certified prefix equals brute force; flat corpora fail loudly with a remedy") {
+    val df = zipf(nItems = 2000, scale = 3000, parts = 9)
+    val got = Frequent.topK(df, $"item", k = 10, sketchSize = 1024)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val bruteTop = df.filter($"item".isNotNull).groupBy("item").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (i, c) => (-c, i) }.take(10).toSeq
+    assert(got === bruteTop)
+    // a flat corpus (every item once) cannot certify any top-k at a
+    // sketch narrower than the vocabulary — must fail with the width fix
+    val flat = (0 until 5000).map(i => s"u$i").toDF("item").repartition(5)
+    val e = intercept[IllegalStateException] {
+      Frequent.topK(flat, $"item", k = 10, sketchSize = 256)
+    }
+    assert(e.getMessage.contains("sketchSize >="), e.getMessage)
+    // bound == 0 (sketch at least the vocabulary): exact even when the
+    // vocabulary is smaller than k
+    val tiny = Seq("a", "a", "b").toDF("item")
+    val t = Frequent.topK(tiny, $"item", k = 10, sketchSize = 16)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(t === Seq(("a", 2L), ("b", 1L)))
+  }
+
   test("MgSummary: cap holds, heavy item keeps positive count through merges") {
     val k = 10
     val parts = (0 until 20).map { p =>
