@@ -115,6 +115,45 @@ object Quality {
         col("dup_lines") * lit(10) <= lit(3) * col("n_lines") &&
           col("dup_line_chars") * lit(10) <= lit(2) * col("line_chars"))
 
+  /** C4-style page cleaning (Raffel et al. 2020 §2.2) — the LINE-level
+    * sibling of the Gopher document gates: keep only lines that end in
+    * terminal punctuation (`.` `!` `?` `"`), carry at least
+    * `minLineWords` words, and do not mention "javascript"
+    * (case-insensitive); then drop whole pages containing "lorem ipsum"
+    * or a curly brace (code), or retaining fewer than `minLines` lines.
+    * Returns the surviving docs with `textCol` REWRITTEN to the joined
+    * kept lines plus `n_kept_lines`.
+    *
+    * Deliberate proxy, documented: C4's "at least 3 sentences" page
+    * rule is applied as ≥ `minLines` KEPT lines — every kept line ends
+    * in terminal punctuation, so kept lines lower-bound sentences
+    * (C4's own sentence splitter is a language-specific model; a
+    * deterministic line proxy is cross-engine exact). One projection +
+    * filter, no shuffle, no UDF; the per-line word split runs once per
+    * line (linear — the lambda reads its own element, never an outer
+    * expression). */
+  def c4Clean(df: DataFrame, textCol: String = "text",
+      minLineWords: Int = 3, minLines: Int = 3): DataFrame = {
+    require(minLineWords >= 1, s"minLineWords must be >= 1, got $minLineWords")
+    require(minLines >= 1, s"minLines must be >= 1, got $minLines")
+    val reserved = Seq("__lines", "__kept", "n_kept_lines")
+    val clash = df.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"c4Clean: input already has column(s) ${clash.mkString(", ")}")
+    val t = col(textCol)
+    val keptLines = filter(col("__lines"), l =>
+      l.rlike("[.!?\"]\\s*$") &&
+        size(split(l, " +")) >= minLineWords &&
+        !lower(l).contains("javascript"))
+    df.withColumn("__lines", split(t, "\n"))
+      .withColumn("__kept", keptLines)
+      .filter(!lower(t).contains("lorem ipsum") && !t.contains("{") &&
+        size(col("__kept")) >= minLines)
+      .withColumn(textCol, array_join(col("__kept"), "\n"))
+      .withColumn("n_kept_lines", size(col("__kept")))
+      .drop("__lines", "__kept")
+  }
+
   /** [[gopherQuality]] then keep only passing docs, flags dropped —
     * the filter form a pipeline composes. */
   def gopherFilter(df: DataFrame, textCol: String = "text",

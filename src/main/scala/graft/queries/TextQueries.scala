@@ -1231,6 +1231,49 @@ object TextQueries {
           FROM t, UNNEST(RANGE(0, LEN(a) - 1)) u(i)
           WHERE LEN(a) >= 2)
         SELECT item, COUNT(*) AS cnt FROM g
-        GROUP BY item ORDER BY cnt DESC, item ASC LIMIT 20"""))
+        GROUP BY item ORDER BY cnt DESC, item ASC LIMIT 20""")),
+
+    // ---- C4 page cleaning (Quality.c4Clean, Raffel et al. 2020 §2.2):
+    // the fixture text is built into 3-word '.'-terminated lines, with
+    // deterministic lorem-ipsum / code-brace / javascript injections on
+    // doc_id residues so every rule fires both ways. The REWRITTEN text
+    // is part of the hash — a string-exact line-filter check.
+    Q("q135_c4_clean",
+      (s, dir) => {
+        val built = concat(
+          regexp_replace(col("text"), "((?:\\S+ ){2}\\S+) ", "$1.\n"),
+          when(pmod(col("doc_id"), lit(11)) === 0,
+            lit("\nlorem ipsum dolor.")).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(13)) === 0,
+            lit("\ncode sample = { x };")).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(17)) === 0,
+            lit("\nplease enable javascript to view this page.")).otherwise(lit("")))
+        graft.ops.Quality.c4Clean(
+            tbl(s, dir, "documents").withColumn("text", built))
+          .select("doc_id", "n_kept_lines", "text")
+          .orderBy("doc_id")
+      },
+      Some("""WITH b AS (
+          SELECT doc_id,
+            REGEXP_REPLACE(text, '((?:\S+ ){2}\S+) ', '\1.' || CHR(10), 'g')
+            || CASE WHEN doc_id % 11 = 0 THEN CHR(10) || 'lorem ipsum dolor.' ELSE '' END
+            || CASE WHEN doc_id % 13 = 0 THEN CHR(10) || 'code sample = { x };' ELSE '' END
+            || CASE WHEN doc_id % 17 = 0 THEN CHR(10) || 'please enable javascript to view this page.' ELSE '' END
+            AS text
+          FROM documents),
+        k AS (
+          SELECT doc_id, text,
+            LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\n'), l ->
+              REGEXP_MATCHES(l, '[.!?"]\s*$')
+              AND LEN(REGEXP_SPLIT_TO_ARRAY(l, ' +')) >= 3
+              AND NOT CONTAINS(LOWER(l), 'javascript')) AS kept
+          FROM b)
+        SELECT doc_id, CAST(LEN(kept) AS INTEGER) AS n_kept_lines,
+          ARRAY_TO_STRING(kept, CHR(10)) AS text
+        FROM k
+        WHERE NOT CONTAINS(LOWER(text), 'lorem ipsum')
+          AND NOT CONTAINS(text, '{')
+          AND LEN(kept) >= 3
+        ORDER BY doc_id"""))
   )
 }

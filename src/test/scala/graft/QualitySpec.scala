@@ -95,6 +95,39 @@ class QualitySpec extends AnyFunSuite {
     assert(out(3L)._2 === 9L && !out(3L)._4)
   }
 
+  test("c4Clean: line rules, page rules, and the rewritten text") {
+    val page = Seq(
+      "this line ends properly.",        // kept
+      "short one.",                      // dropped: 2 words
+      "no terminal punctuation here",    // dropped: no . ! ? \"
+      "does it end with a question?",    // kept
+      "enable JavaScript to continue.",  // dropped: javascript
+      "a quoted line ends here\"",       // kept
+      "an exclaimed line ends here!"     // kept
+    ).mkString("\n")
+    val docs = Seq(
+      (1L, page),
+      (2L, page + "\nsome Lorem Ipsum filler."),        // page drop
+      (3L, page + "\nif (x) { return; } and more."),    // page drop: brace
+      (4L, "one good line ends here.\nanother good line here.") // < 3 kept
+    ).toDF("doc_id", "text")
+    val out = Quality.c4Clean(docs).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Int]("n_kept_lines"), r.getString(1)))
+      .toMap
+    assert(out.keySet === Set(1L))
+    assert(out(1L)._1 === 4)
+    assert(out(1L)._2 === Seq(
+      "this line ends properly.",
+      "does it end with a question?",
+      "a quoted line ends here\"",
+      "an exclaimed line ends here!").mkString("\n"))
+    intercept[IllegalArgumentException] { Quality.c4Clean(docs, minLines = 0) }
+    intercept[IllegalArgumentException] {
+      Quality.c4Clean(docs.withColumn("n_kept_lines",
+        org.apache.spark.sql.functions.lit(1)))
+    }
+  }
+
   test("gopherFilter keeps passers with the original schema; validation fails fast") {
     val df = Seq((1L, goodWords), (2L, "tiny")).toDF("doc_id", "text")
     val kept = Quality.gopherFilter(df, "text", minWords = 10)
