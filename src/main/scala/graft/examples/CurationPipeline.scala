@@ -1,6 +1,6 @@
 package graft.examples
 
-import graft.ops.{Bpe, CharLm, Chunking, Dedup, Dsir, Frequent, Multimodal, Redact, Sampling, Similarity, TokenLm, Urls}
+import graft.ops.{Bpe, CharLm, Chunking, Dedup, Dsir, Frequent, Multimodal, Quality, Redact, Sampling, Similarity, TokenLm, Urls}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -38,6 +38,16 @@ object CurationPipeline {
     val kept0 = cleaned.filter(size(toks) >= 5 &&
       size(array_distinct(toks)).cast("double") / size(toks) >= 0.3)
     println(s"[curate] hygiene + quality gate: ${docs.count()} -> ${kept0.count()} docs")
+
+    // 1a'. the named rule batteries as a data-card report: Gopher
+    // document gates (per-rule flags) and C4 line cleaning — thresholds
+    // tuned to the fixture's ~50-token single-line docs
+    val gq = Quality.gopherQuality(kept0, minWords = 30,
+      stopWords = Quality.GopherStopWords :+ "a")
+    val c4 = Quality.c4Clean(kept0.withColumn("text",
+      regexp_replace(col("text"), "((?:\\S+ ){2}\\S+) ", "$1.\n")))
+    println(s"[curate] gopher gates pass ${gq.filter(col("gopher_keep")).count()} " +
+      s"of ${kept0.count()}; c4 line-clean keeps ${c4.count()} pages")
 
     // 1b. CC-Net LM pass: perplexity-score every doc under a trigram LM
     // fit on the trusted (labeled-en) slice, split head/middle/tail by
