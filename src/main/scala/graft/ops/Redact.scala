@@ -56,6 +56,31 @@ object Redact {
 
   /** Per-kind match counts over the ORIGINAL text (what redactPii will
     * replace), as integer columns for exact cross-engine comparison. */
+  /** HTML → text extraction, the deterministic core of a crawl
+    * text-extraction pass (the trafilatura/jusText heavy lifting —
+    * boilerplate block CLASSIFICATION — is model/DOM territory; this is
+    * the exact-stripping layer a pipeline still needs after it):
+    * script/style blocks and comments removed WITH their content, tags
+    * removed, the common HTML entities decoded, whitespace collapsed.
+    * Every pattern sits in the Java∩RE2 subset — RE2 has no pattern
+    * backreferences, so script and style close-tags are separate
+    * literal patterns, and lazy `.*?` + inline `(?is)` flags carry the
+    * block semantics. q137 hash-checks the extracted STRING against a
+    * DuckDB replay. */
+  def stripHtml(c: Column): Column = {
+    val noScript = regexp_replace(c, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    val decoded = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (col0, (ent, rep)) =>
+        regexp_replace(col0, ent, rep)
+      }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   def piiCounts(c: Column): (Column, Column, Column) = (
     regexp_count(c, lit(EmailRe)).cast("int").as("n_emails"),
     regexp_count(regexp_replace(c, EmailRe, "<EMAIL>"), lit(PhoneRe))

@@ -127,6 +127,22 @@ object Urls {
       .drop("__dom")
   }
 
+  /** URL-level exact deduplication — the canonical crawl first pass
+    * (C4 deduplicates by URL before any content pass): canonicalize via
+    * [[normalizeUrl]], then keep the min-`idCol` row per canonical URL
+    * through [[Dedup.exact]]'s collision-free key. Tracking-param,
+    * case, port, and fragment variants of one page collapse to a single
+    * row; `n_copies` reports the collapsed multiplicity. One
+    * aggregation shuffle on the canonical-URL hash. */
+  def dedupByUrl(df: DataFrame, urlCol: Column, idCol: String): DataFrame = {
+    require(!df.columns.contains("__canon_url"),
+      "dedupByUrl: input already has a __canon_url column")
+    Dedup.exact(
+        df.withColumn("__canon_url", normalizeUrl(urlCol)),
+        idCol, Seq("__canon_url"))
+      .drop("__canon_url")
+  }
+
   /** Keep at most `k` rows per registered domain, chosen by the
     * deterministic md5 coin over `keyCol` — the anti-domination cap
     * (one seed-farm domain cannot swamp the corpus). Delegates to

@@ -990,6 +990,70 @@ object PipelineQueries {
           FROM documents)
         SELECT doc_id, CAST(hv % 8 AS INTEGER) AS shard,
           CAST(ROW_NUMBER() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) - 1 AS BIGINT) AS pos
-        FROM h ORDER BY shard, pos"""))
+        FROM h ORDER BY shard, pos""")),
+
+    // ---- URL-level dedup (Urls.dedupByUrl): three raw variants of each
+    // page (mixed case + default port + utm param, fragment) collapse to
+    // one canonical URL; the min-doc_id keeper survives with the
+    // multiplicity. The oracle derives the canonical form directly —
+    // the equivalence IS what the normalization chain (q127) guarantees.
+    Q("q136_url_dedup",
+      (s, dir) => {
+        val page = pmod(col("doc_id"), lit(50)).cast("string")
+        val url = when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(lit("https://www.site.com/p/"), page))
+          .when(pmod(col("doc_id"), lit(3)) === 1,
+            concat(lit("HTTPS://WWW.site.COM:443/p/"), page, lit("?utm_source=x")))
+          .otherwise(concat(lit("https://www.site.com/p/"), page, lit("#frag")))
+        graft.ops.Urls.dedupByUrl(
+            tbl(s, dir, "documents").withColumn("__raw_url", url),
+            col("__raw_url"), "doc_id")
+          .select("doc_id", "n_copies").orderBy("doc_id")
+      },
+      Some("""SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+        FROM documents GROUP BY doc_id % 50 ORDER BY doc_id""")),
+
+    // ---- HTML text extraction (Redact.stripHtml): a full page wrapper
+    // with style/script/comment blocks and the six common entities,
+    // built identically in both engines; the extracted STRING is part
+    // of the hash. Entities decode AFTER tag-stripping, so decoded
+    // brackets survive as text.
+    Q("q137_html_strip",
+      (s, dir) => {
+        val html = concat(
+          lit("<html><head><style type=\"text/css\">p { color: red; }</style></head><body><!-- hidden -->"),
+          lit("<h1>Doc "), col("doc_id").cast("string"), lit("</h1><p>"),
+          col("text"),
+          lit(" &amp; more &lt;b&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</p>"),
+          lit("<script>var x = 1; </script></body></html>"))
+        tbl(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.ops.Redact.stripHtml(html).as("extracted"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH h AS (
+          SELECT doc_id,
+            '<html><head><style type="text/css">p { color: red; }</style></head><body><!-- hidden -->'
+            || '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || text
+            || ' &amp; more &lt;b&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</p>'
+            || '<script>var x = 1; </script></body></html>' AS html
+          FROM documents),
+        s1 AS (
+          SELECT doc_id,
+            REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(html,
+              '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+              '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+              '(?s)<!--.*?-->', ' ', 'g'),
+              '<[^>]+>', ' ', 'g') AS t
+          FROM h),
+        s2 AS (
+          SELECT doc_id,
+            REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(
+              REGEXP_REPLACE(REGEXP_REPLACE(t,
+                '&nbsp;', ' ', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+                '&quot;', '"', 'g'), '&#39;', CHR(39), 'g'), '&amp;', '&', 'g') AS t
+          FROM s1)
+        SELECT doc_id, TRIM(REGEXP_REPLACE(t, '\s+', ' ', 'g')) AS extracted
+        FROM s2 ORDER BY doc_id"""))
   )
 }

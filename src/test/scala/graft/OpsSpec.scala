@@ -1360,6 +1360,27 @@ class OpsSpec extends AnyFunSuite {
     assert(new String(out, "UTF-8") == "hello")
   }
 
+  test("stripHtml: block content removed, entities decoded after tag-strip, whitespace collapsed") {
+    import spark.implicits._
+    val cases = Seq(
+      (1L, "<p>hello <b>world</b></p>", "hello world"),
+      // script/style vanish WITH their content, any case, multi-line
+      (2L, "a<SCRIPT>\nvar x = '<p>';\n</SCRIPT>b<style media=\"x\">p{}</style>c", "a b c"),
+      (3L, "keep <!-- drop\nme -->this", "keep this"),
+      // entities decode AFTER tags: '&lt;b&gt;' survives as literal text
+      (4L, "x &lt;b&gt; &amp;&amp; &quot;q&quot; &#39;s&#39;&nbsp;y", "x <b> && \"q\" 's' y"),
+      // double-encoded stays single-decoded (&amp;lt; -> &lt;, not <)
+      (5L, "z &amp;lt; w", "z &lt; w"),
+      (6L, "  spaced\t\tout\n\n text  ", "spaced out text"))
+    val got = cases.map { case (id, in, _) => (id, in) }
+      .toDF("id", "html")
+      .select($"id", graft.ops.Redact.stripHtml($"html").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    cases.foreach { case (id, _, want) =>
+      assert(got(id) === want, s"case $id")
+    }
+  }
+
   test("deterministicShuffle: bijective sharded permutation, rerun-stable, seed-sensitive") {
     import spark.implicits._
     val df = (0L until 200L).map(i => (i, s"doc$i")).toDF("id", "payload")

@@ -101,6 +101,19 @@ class UrlsSpec extends AnyFunSuite {
     }
   }
 
+  test("dedupByUrl collapses normalization variants to the min-id keeper") {
+    val variants = Seq(
+      (10L, "https://www.site.com/p/1"),
+      (11L, "HTTPS://WWW.site.COM:443/p/1?utm_source=x"),
+      (12L, "https://www.site.com/p/1#frag"),
+      (13L, "https://www.site.com/p/2"),
+      (14L, "https://www.site.com/p/2?keep=1") // DIFFERENT canonical: real param
+    ).toDF("id", "url")
+    val out = graft.ops.Urls.dedupByUrl(variants, $"url", "id")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("n_copies")).toMap
+    assert(out === Map(10L -> 3L, 13L -> 1L, 14L -> 1L))
+  }
+
   test("perDomainCap keeps at most k per registered domain, deterministically") {
     val many = (0L until 40L).map(i =>
       (i, s"https://d${i % 4}.com/p/$i")).toDF("id", "url")
