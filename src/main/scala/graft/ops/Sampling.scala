@@ -205,6 +205,32 @@ object Sampling {
     * WindowGroupLimit pushes the `rn <= k` bound into the sort on each
     * side of the exchange, so no group is fully sorted or materialized
     * beyond its top-k. */
+  /** Temperature-scaled mixing rates — the multilingual/multi-source
+    * α-sampling recipe (sample stratum s ∝ p_s^α, α ∈ (0, 1] flattens
+    * the mix toward uniform; α = 1 keeps natural proportions): given
+    * per-stratum sizes, returns the per-stratum KEEP RATES that realize
+    * the α-scaled target distribution at the largest total size that
+    * needs no upsampling (rates ≤ 1 — the stratum whose share GROWS
+    * most under flattening keeps everything, every other stratum
+    * downsamples). Feed the result to [[stratifiedHashSample]]. Driver
+    * arithmetic over the O(#strata) size map — pair it with a
+    * `groupBy(strata).count()` (bounded aggregation) for the sizes. */
+  def temperatureRates(sizes: Map[String, Long],
+      alpha: Double): Map[String, Double] = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    require(sizes.nonEmpty, "temperatureRates: empty size map")
+    require(sizes.values.forall(_ >= 1),
+      s"temperatureRates: non-positive stratum size in $sizes")
+    val total = sizes.values.map(_.toDouble).sum
+    // target share q_s ∝ (n_s/N)^α; keep rate r_s ∝ q_s/n_s, scaled so
+    // max r_s = 1 (no stratum is asked to upsample)
+    val unscaled = sizes.map { case (s, n) =>
+      s -> math.pow(n / total, alpha) / n
+    }
+    val m = unscaled.values.max
+    unscaled.map { case (s, r) => s -> r / m }
+  }
+
   /** Deterministic global shuffle into training shards — the "randomize
     * example order before writing the training set" step every epoch-0
     * pipeline runs. Each row gets `shard = hash(seed, key) % numShards`

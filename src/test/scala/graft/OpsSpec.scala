@@ -1360,6 +1360,34 @@ class OpsSpec extends AnyFunSuite {
     assert(new String(out, "UTF-8") == "hello")
   }
 
+  test("temperatureRates: alpha=1 is identity, alpha<1 flattens, smallest stratum gains most") {
+    val sizes = Map("big" -> 9000L, "mid" -> 900L, "small" -> 100L)
+    // alpha = 1: natural proportions, every rate 1 (nothing to reshape)
+    val nat = graft.ops.Sampling.temperatureRates(sizes, 1.0)
+    assert(nat.values.forall(r => math.abs(r - 1.0) < 1e-12))
+    // alpha = 0.5: realized share of the small stratum grows, big shrinks
+    val r = graft.ops.Sampling.temperatureRates(sizes, 0.5)
+    assert(r.values.forall(v => v > 0 && v <= 1.0 + 1e-12))
+    assert(math.abs(r("small") - 1.0) < 1e-12) // max-gain stratum keeps all
+    val kept = sizes.map { case (s, n) => s -> n * r(s) }
+    val tot = kept.values.sum
+    def share(s: String) = kept(s) / tot
+    assert(share("small") > 100.0 / 10000.0)
+    assert(share("big") < 9000.0 / 10000.0)
+    // realized shares match the alpha-scaled target exactly
+    val targetNorm = sizes.map { case (s, n) => s -> math.pow(n / 10000.0, 0.5) }
+    val tTot = targetNorm.values.sum
+    sizes.keys.foreach { s =>
+      assert(math.abs(share(s) - targetNorm(s) / tTot) < 1e-9, s)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.Sampling.temperatureRates(sizes, 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.Sampling.temperatureRates(Map("x" -> 0L), 0.5)
+    }
+  }
+
   test("stripHtml: block content removed, entities decoded after tag-strip, whitespace collapsed") {
     import spark.implicits._
     val cases = Seq(
