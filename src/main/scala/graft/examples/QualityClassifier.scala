@@ -85,6 +85,58 @@ object QualityClassifier {
     println(f"[quality] train accuracy = ${model.score(train)}%.4f")
     println(f"[quality] test  accuracy = ${model.score(test)}%.4f")
 
+    // fastText-pattern twin (Joulin et al. 2016): hashed unigram+bigram
+    // BAG features through the fused HashedNgramCounts kernel (the DSIR
+    // feature space accumulated to a dense count vector) into the SAME
+    // GLM. The second degradation shows what each featurization is FOR:
+    // vocabulary spam (every 3rd token replaced by an injected spam
+    // word) barely moves the hand statistics — TTR and lengths stay
+    // ordinary — but lights up the spam words' buckets consistently
+    // across documents, which is exactly the signal a linear bag model
+    // reads. Template spam is the mirror image: it preserves the
+    // vocabulary (bag features see ordinary buckets) while collapsing
+    // TTR. Each featurization catches the spam it models.
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val spamWords = array(lit("promo"), lit("offer"), lit("deal"),
+      lit("sale"), lit("click"))
+    def spamify(df: DataFrame): DataFrame =
+      df.withColumn("text", concat_ws(" ",
+        transform(split(col("text"), " +"),
+          (t, i) => when(pmod(i, lit(3)) === 0,
+            element_at(spamWords, (pmod(i, lit(5)) + 1).cast("int")))
+            .otherwise(t))))
+    def labeledSpam(df: DataFrame): DataFrame =
+      df.withColumn("label", lit(1.0))
+        .unionByName(spamify(df).withColumn("label", lit(0.0)))
+    val bagB = 256
+    def bagFeaturize(df: DataFrame): DataFrame =
+      df.withColumn("features", ColumnBridge.column(
+        graft.functions.HashedNgramCounts(
+          ColumnBridge.expression(lower(col("text"))), bagB)))
+    // normalize=false: most of the 256 buckets are constant zero on a
+    // 31-word fixture vocabulary, and the normalizer fails loudly on
+    // multiple constant columns (the reference's utils.py contract)
+    def fitBag(df: DataFrame) = new LogisticRegression(GlmParams(
+      solver = "lbfgs", regularizer = "l2", lamduh = 0.01,
+      normalize = false)).fit(df)
+    def fitStats(df: DataFrame) = new LogisticRegression(GlmParams(
+      solver = "admm", regularizer = "l2", lamduh = 0.1)).fit(df)
+    val bagSpamTrain = bagFeaturize(labeledSpam(trainRaw)).select("features", "label").persist()
+    val bagSpamTest = bagFeaturize(labeledSpam(testRaw)).select("features", "label").persist()
+    val statSpamTest = featurize(labeledSpam(testRaw), "text").select("features", "label")
+    val bagSpamModel = fitBag(bagSpamTrain)
+    val statSpamModel = fitStats(featurize(labeledSpam(trainRaw), "text")
+      .select("features", "label"))
+    val bagTemplTest = bagFeaturize(labeled(testRaw)).select("features", "label")
+    val bagTemplModel = fitBag(bagFeaturize(labeled(trainRaw))
+      .select("features", "label"))
+    println(f"[quality] vocabulary spam: bag test accuracy = " +
+      f"${bagSpamModel.score(bagSpamTest)}%.4f, hand-stats test accuracy = " +
+      f"${statSpamModel.score(statSpamTest)}%.4f")
+    println(f"[quality] template spam:   bag test accuracy = " +
+      f"${bagTemplModel.score(bagTemplTest)}%.4f, hand-stats test accuracy = " +
+      f"${model.score(test)}%.4f")
+
     // score the RAW corpus: probability of "curated-like" as the quality
     // score, thresholded the way the GPT-3 filter drops its tail. The
     // score is a pure column expression over the featurized frame — the

@@ -153,6 +153,47 @@ case class DsirScore(child: Expression, bc: Broadcast[Array[Long]])
   override def prettyName: String = "dsir_score"
 }
 
+/** Hashed n-gram bucket COUNT VECTOR of a string, as a dense
+  * `array<double>` of length `numBuckets` — the fastText-style bag
+  * featurization (the same walk as [[HashedNgramBuckets]], accumulated
+  * instead of listed), shaped for [[graft.estimators]]' GLM feature
+  * column. Dense because the GLM kernels take `array<double>` rows and
+  * a classifier bucket space is small (256–4096); the DSIR counting
+  * path (bucket explode → aggregate) remains the sparse/statistics
+  * form. */
+case class HashedNgramCounts(child: Expression, numBuckets: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  DsirKernels.requireBuckets(numBuckets)
+  require(numBuckets <= 65536,
+    s"hashed_ngram_counts: dense output capped at 2^16 buckets, got $numBuckets")
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  /** The fused kernel; public so generated code can call it. */
+  def computeCounts(input: UTF8String): ArrayData = {
+    val bs = DsirKernels.featureBuckets(input.toString, numBuckets)
+    val out = new Array[Double](numBuckets)
+    var i = 0
+    while (i < bs.length) { out(bs(i)) += 1.0; i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    computeCounts(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hashedNgramCounts", this,
+      classOf[HashedNgramCounts].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.computeCounts($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HashedNgramCounts =
+    copy(child = newChild)
+  override def prettyName: String = "hashed_ngram_counts"
+}
+
 object DsirFunctions {
 
   /** `hashed_ngram_buckets(text, numBuckets)` SQL builder — the DSIR

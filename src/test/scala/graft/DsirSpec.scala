@@ -53,6 +53,22 @@ class DsirSpec extends AnyFunSuite {
       corpus.collect().map(r => 2L * r.getString(1).split(" +", -1).length - 1).sum)
   }
 
+  test("HashedNgramCounts accumulates the same walk HashedNgramBuckets lists") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val counts = corpus.select(ColumnBridge.column(
+        graft.functions.HashedNgramCounts(
+          ColumnBridge.expression(lower($"text")), B)).as("v"),
+        $"text")
+      .collect()
+    counts.foreach { r =>
+      val v = r.getSeq[Double](0)
+      assert(v.length === B)
+      val want = new Array[Double](B)
+      bruteFeatures(r.getString(1)).foreach(b => want(b) += 1.0)
+      assert(v === want.toSeq, r.getString(1))
+    }
+  }
+
   test("fit reproduces the documented nanonat ratio formula") {
     val tgt = corpus.filter($"grp" === "tgt")
     val model = Dsir.fit(counts(tgt), counts(corpus), B)
