@@ -529,6 +529,34 @@ class PlanSpec extends AnyFunSuite {
     assert(countShuffles(out.queryExecution.executedPlan) == 1, plan)
   }
 
+  test("quality/url/html projections are shuffle-free with pruned scans") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    // all three ops are pure per-row projections: zero exchanges
+    for ((name, df) <- Seq(
+      "gopherQuality" -> graft.ops.Quality.gopherQuality(
+        docs.select("doc_id", "text"), minWords = 30,
+        stopWords = graft.ops.Quality.GopherStopWords :+ "a"),
+      "c4Clean" -> graft.ops.Quality.c4Clean(docs.select("doc_id", "text")),
+      "stripHtml" -> docs.select(col("doc_id"),
+        graft.ops.Redact.stripHtml(col("text")).as("t")),
+      "normalizeUrl" -> docs.select(col("doc_id"),
+        graft.ops.Urls.normalizeUrl(col("text")).as("u")))) {
+      df.write.format("noop").mode("overwrite").save()
+      assert(countShuffles(df.queryExecution.executedPlan) == 0, name)
+    }
+    // duplicateLineStats: exactly the two bounded aggregations
+    val dls = graft.ops.Quality.duplicateLineStats(
+      docs.select("doc_id", "text"), "doc_id")
+    dls.write.format("noop").mode("overwrite").save()
+    assert(countShuffles(dls.queryExecution.executedPlan) == 2)
+    // the scans read only what the ops touch (doc_id + text)
+    val fmt = dls.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val readSchema = fmt.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("source") && !readSchema.contains("lang"), readSchema)
+  }
+
   test("deterministicShuffle is ONE hash exchange + per-shard window") {
     import org.apache.spark.sql.functions.col
     val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
