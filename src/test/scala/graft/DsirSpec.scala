@@ -143,6 +143,41 @@ class DsirSpec extends AnyFunSuite {
     assert(cold === det)
   }
 
+  test("gumbelTopK matches the documented construction exactly; top-1 frequencies track the weights") {
+    // driver replay of the documented key: u = (hashU32(seed,id)+0.5)/2^32,
+    // key = lr/1e9/τ − ln(−ln u) — same JVM, so doubles are bit-equal
+    def u32(seed: Long, id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$seed:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    def key(seed: Long, id: Long, lr: Long, tau: Double): Double =
+      lr.toDouble / 1e9 / tau - math.log(-math.log((u32(seed, id) + 0.5) / 4294967296.0))
+    val scored = Seq((1L, 0L), (2L, -700000000L), (3L, -1100000000L))
+      .toDF("doc_id", "lr_nano")
+    for (seed <- Seq(3L, 4L, 5L)) {
+      val got = Dsir.gumbelTopK(scored, 2, seed = seed)
+        .collect().map(_.getLong(0)).toSet
+      val want = Seq(1L, 2L, 3L)
+        .map(id => id -> key(seed, id,
+          Map(1L -> 0L, 2L -> -700000000L, 3L -> -1100000000L)(id), 1.0))
+        .sortBy { case (id, k) => (-k, id) }.take(2).map(_._1).toSet
+      assert(got === want, s"seed $seed")
+    }
+    // distributional property of the construction (driver-side, the
+    // Spark form is exact-equal above): P(top-1 = i) = w_i/Σw with
+    // w = exp(lr/1e9). lr 0 / −0.7e9 / −1.1e9 ⇒ w ≈ 1/0.497/0.333 ⇒
+    // p ≈ 0.546/0.271/0.182. 600 seeds: 3σ ≈ 0.061.
+    val lrs = Map(1L -> 0L, 2L -> -700000000L, 3L -> -1100000000L)
+    val wins = (1L to 600L).map { seed =>
+      lrs.keys.maxBy(id => key(seed, id, lrs(id), 1.0))
+    }.groupBy(identity).map { case (id, xs) => id -> xs.size / 600.0 }
+    assert(math.abs(wins(1L) - 0.546) < 0.062, wins.toString)
+    assert(math.abs(wins(2L) - 0.271) < 0.062, wins.toString)
+    assert(math.abs(wins(3L) - 0.182) < 0.062, wins.toString)
+  }
+
   test("fit fail-fast: foreign buckets, bad counts, duplicate buckets") {
     val bad = Seq((B + 5, 3L)).toDF("bucket", "c")
     intercept[IllegalArgumentException] { Dsir.fit(bad, bad, B) }
