@@ -90,12 +90,47 @@ object Dsir {
     DsirKernels.requireBuckets(numBuckets)
     val ct = collectCounts(targetCounts, numBuckets, "targetCounts")
     val cr = collectCounts(rawCounts, numBuckets, "rawCounts")
+    fitLocal(ct, cr, numBuckets)
+  }
+
+  /** The driver-side ratio build shared by [[fit]] and [[fitOnCorpus]]. */
+  private def fitLocal(ct: Array[Long], cr: Array[Long],
+      numBuckets: Int): Model = {
     var tt = 0L; var tr = 0L
     ct.foreach(tt += _); cr.foreach(tr += _)
     val dt = (tt + numBuckets).toDouble
     val dr = (tr + numBuckets).toDouble
     Model(Array.tabulate(numBuckets)(b =>
       nanoLn((ct(b) + 1.0) / dt) - nanoLn((cr(b) + 1.0) / dr)))
+  }
+
+  /** [[fit]] when the target is a PREDICATE over the raw corpus — the
+    * common case (score a crawl against its own trusted slice). ONE
+    * counting scan serves both sides: buckets are counted with and
+    * without the target flag in the same bounded aggregation, so the
+    * corpus is read once instead of twice. Identical model to
+    * `fit(featureCounts(df.filter(target)), featureCounts(df))` —
+    * DsirSpec pins the equivalence. */
+  def fitOnCorpus(df: DataFrame, targetCond: Column, textCol: String = "text",
+      numBuckets: Int = DefaultNumBuckets): Model = {
+    DsirKernels.requireBuckets(numBuckets)
+    val buckets = ColumnBridge.column(HashedNgramBuckets(
+      ColumnBridge.expression(lower(col(textCol))), numBuckets))
+    val counts = df
+      .select(explode(buckets).as("bucket"),
+        when(targetCond, lit(1L)).otherwise(lit(0L)).as("__tgt"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("c_raw"), sum(col("__tgt")).as("c_tgt"))
+      .collect()
+    val cr = new Array[Long](numBuckets)
+    val ct = new Array[Long](numBuckets)
+    counts.foreach { r =>
+      val b = r.getInt(0)
+      require(b >= 0 && b < numBuckets,
+        s"Dsir.fitOnCorpus: bucket $b outside [0, $numBuckets)")
+      cr(b) = r.getLong(1); ct(b) = r.getLong(2)
+    }
+    fitLocal(ct, cr, numBuckets)
   }
 
   private def collectCounts(counts: DataFrame, numBuckets: Int,

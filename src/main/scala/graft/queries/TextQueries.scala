@@ -975,11 +975,8 @@ object TextQueries {
     Q("q125_dsir_score",
       (s, dir) => {
         val docs = tbl(s, dir, "documents")
-        val model = graft.ops.Dsir.fit(
-          graft.ops.Dsir.featureCounts(
-            docs.filter(col("source") === "src3"), "text", numBuckets = 1024),
-          graft.ops.Dsir.featureCounts(docs, "text", numBuckets = 1024),
-          numBuckets = 1024)
+        val model = graft.ops.Dsir.fitOnCorpus(
+          docs, col("source") === "src3", "text", numBuckets = 1024)
         graft.ops.Dsir.score(docs, model)
           .select(col("doc_id"), col("n_feats"), col("lr_nano"))
           .orderBy("doc_id")
@@ -1019,11 +1016,8 @@ object TextQueries {
     Q("q126_dsir_select",
       (s, dir) => {
         val docs = tbl(s, dir, "documents")
-        val model = graft.ops.Dsir.fit(
-          graft.ops.Dsir.featureCounts(
-            docs.filter(col("source") === "src3"), "text", numBuckets = 1024),
-          graft.ops.Dsir.featureCounts(docs, "text", numBuckets = 1024),
-          numBuckets = 1024)
+        val model = graft.ops.Dsir.fitOnCorpus(
+          docs, col("source") === "src3", "text", numBuckets = 1024)
         graft.ops.Dsir.selectTopK(
             graft.ops.Dsir.score(docs, model).select("doc_id", "lr_nano"), 100)
       },
@@ -1090,11 +1084,8 @@ object TextQueries {
       (s, dir) => {
         val docs = tbl(s, dir, "documents")
         val ref = docs.filter(col("doc_id") < 100)
-        val model = graft.ops.Dsir.fit(
-          graft.ops.Dsir.featureCounts(
-            ref.filter(col("source") === "src3"), "text", numBuckets = 1024),
-          graft.ops.Dsir.featureCounts(ref, "text", numBuckets = 1024),
-          numBuckets = 1024)
+        val model = graft.ops.Dsir.fitOnCorpus(
+          ref, col("source") === "src3", "text", numBuckets = 1024)
         val bc = s.sparkContext.broadcast(model.ratioNano)
         graft.ops.Dsir.qualityCleanStream(
             docs.filter(col("doc_id") >= 100), bc,

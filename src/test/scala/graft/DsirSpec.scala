@@ -87,6 +87,17 @@ class DsirSpec extends AnyFunSuite {
     assert(model.ratioNano.toSeq === want.toSeq)
   }
 
+  test("fitOnCorpus (one shared scan) equals fit over separate counting scans") {
+    val byPredicate = Dsir.fitOnCorpus(corpus, $"grp" === "tgt", "text", B)
+    val byTwoScans = Dsir.fit(
+      counts(corpus.filter($"grp" === "tgt")), counts(corpus), B)
+    assert(byPredicate.ratioNano.toSeq === byTwoScans.ratioNano.toSeq)
+    // empty target predicate: same smoothed-constant degenerate model
+    val emptyP = Dsir.fitOnCorpus(corpus, $"grp" === "nope", "text", B)
+    val emptyS = Dsir.fit(counts(corpus.filter($"grp" === "nope")), counts(corpus), B)
+    assert(emptyP.ratioNano.toSeq === emptyS.ratioNano.toSeq)
+  }
+
   test("score sums the ratio table over the feature walk; empty text scores its one empty-unigram") {
     val model = Dsir.fit(counts(corpus.filter($"grp" === "tgt")), counts(corpus), B)
     val rows = Dsir.score(corpus, model).orderBy("doc_id").collect()
