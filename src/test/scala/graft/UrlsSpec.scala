@@ -101,6 +101,39 @@ class UrlsSpec extends AnyFunSuite {
     }
   }
 
+  test("normalizeUrl: idempotent with clean post-conditions on 300 generated URLs") {
+    val rnd = new scala.util.Random(23)
+    def pick[T](xs: Seq[T]) = xs(rnd.nextInt(xs.length))
+    val urls = (0 until 300).map { i =>
+      val scheme = pick(Seq("http", "HTTP", "https", "HTTPS", "ftp"))
+      val host = pick(Seq("Example.COM", "www.Site.org", "a.b.co.uk",
+        "x-y.net", "WWW2.Shop.COM.AU"))
+      val port = pick(Seq("", ":80", ":443", ":8080"))
+      val path = pick(Seq("", "/", "/Path/Sub", "/p%20q", "/UPPER/case"))
+      val params = pick(Seq("", "?a=1", "?utm_source=x", "?a=1&utm_b=2",
+        "?utm_a=1&keep=2&gclid=3", "?utm_a=1&utm_b=2", "?ref=t&a=1&fbclid=z"))
+      val frag = pick(Seq("", "#frag", "#a=b"))
+      (i.toLong, s"$scheme://$host$port$path$params$frag")
+    }
+    val out = urls.toDF("id", "u")
+      .select($"id", Urls.normalizeUrl($"u").as("n1"))
+      .select($"id", $"n1", Urls.normalizeUrl($"n1").as("n2"))
+      .collect()
+    out.foreach { r =>
+      val n1 = r.getString(1); val n2 = r.getString(2)
+      assert(n1 == n2, s"not idempotent: $n1 -> $n2")
+      assert(!n1.contains("#"), n1)
+      assert(!n1.matches(".*[?&](utm_[^=&]*|gclid|fbclid|msclkid|yclid|ref)=.*"), n1)
+      assert(!n1.matches("^http://[^/?#]*:80([/?#].*)?$") &&
+        !n1.matches("^https://[^/?#]*:443([/?#].*)?$"), n1)
+      // scheme+authority lowercase; path case preserved is covered by
+      // the exact-case test above
+      val head = n1.takeWhile(_ != '/') // scheme: up to first /
+      assert(head == head.toLowerCase, n1)
+      assert(!n1.endsWith("?") && !n1.endsWith("&"), n1)
+    }
+  }
+
   test("dedupByUrl collapses normalization variants to the min-id keeper") {
     val variants = Seq(
       (10L, "https://www.site.com/p/1"),
