@@ -447,12 +447,13 @@ object Dedup {
     *    (semi-join first) — candidates are orders of magnitude fewer than
     *    the corpus, so the expensive text work tracks the pair set, not
     *    the corpus;
-    *  - the token array is materialized in its own projection before the
-    *    shingle lambda reads it. `transform` is interpreted (no codegen
-    *    for higher-order functions) and interpretation does no common-
-    *    subexpression elimination, so an inline `split()` would re-run
-    *    the regex split for EVERY element_at — O(tokens²) per doc with a
-    *    ~40× measured slowdown; as a bound attribute it is split once. */
+    *  - shingle windows come from the fused [[TokenLm.tokenNgrams]]
+    *    codegen kernel: one split, one walk. (History: the composed
+    *    `transform` form was interpreted — no codegen for higher-order
+    *    functions, no common-subexpression elimination — and an inline
+    *    `split()` re-ran the regex for EVERY element_at, O(tokens²) per
+    *    doc with a ~40× measured slowdown. The bound-attribute fix
+    *    removed the quadratic term; the kernel removes interpretation.) */
   def jaccardVerify(
       df: DataFrame, candidates: DataFrame, idCol: String, textCol: String,
       threshold: Double): DataFrame = {
@@ -465,15 +466,12 @@ object Dedup {
     val candIds = cand.select(col("id1").as(idCol))
       .union(cand.select(col("id2").as(idCol)))
       .distinct()
-    val shingles = when(size(col("__toks")) >= 3,
-      array_distinct(transform(sequence(lit(0), size(col("__toks")) - 3),
-        i => concat_ws(" ", element_at(col("__toks"), i + 1),
-          element_at(col("__toks"), i + 2),
-          element_at(col("__toks"), i + 3)))))
-      .otherwise(array().cast("array<string>"))
+    // shingles via the fused token_ngrams kernel (one split + one walk
+    // in codegen; the composed transform form this replaced was the
+    // interpreted-HOF shape the scaladoc above warns about)
     val sh = df.join(candIds, Seq(idCol), "left_semi")
-      .select(col(idCol).as("__id"), split(col(textCol), " +").as("__toks"))
-      .select(col("__id"), shingles.as("__sh"))
+      .select(col(idCol).as("__id"),
+        array_distinct(TokenLm.tokenNgrams(col(textCol), 3)).as("__sh"))
     candidates
       .join(sh.withColumnRenamed("__id", "id1").withColumnRenamed("__sh", "__sh1"), "id1")
       .join(sh.withColumnRenamed("__id", "id2").withColumnRenamed("__sh", "__sh2"), "id2")
@@ -1328,19 +1326,14 @@ object Dedup {
   def ngramContaminated(
       corpus: DataFrame, reference: DataFrame, idCol: String,
       textCol: String, n: Int = 3, maxDf: Long = Long.MaxValue): DataFrame = {
-    require(n >= 1, s"n must be >= 1, got $n")
-    // token array materialized before the lambda reads it — an inline
-    // split() would be re-evaluated per element in the interpreted HOF
-    // (see jaccardVerify)
-    def shingled(df: DataFrame): DataFrame = {
-      val sh = when(size(col("__toks")) >= n,
-        array_distinct(transform(sequence(lit(0), size(col("__toks")) - n),
-          i => concat_ws(" ",
-            (0 until n).map(k => element_at(col("__toks"), i + k + 1)): _*))))
-        .otherwise(array().cast("array<string>"))
-      df.select(col(idCol).as("__id"), split(col(textCol), " +").as("__toks"))
-        .select(col("__id"), explode(sh).as("__sh"))
-    }
+    require(n >= 1 && n <= 16,
+      s"n must be in [1, 16] (the token_ngrams kernel bound), got $n")
+    // shingle windows come from the fused token_ngrams kernel (one
+    // split + one walk in codegen) — the composed transform form was
+    // interpreted and ~linear-but-slower; see TokenLm.tokenNgrams
+    def shingled(df: DataFrame): DataFrame =
+      df.select(col(idCol).as("__id"),
+        explode(array_distinct(TokenLm.tokenNgrams(col(textCol), n))).as("__sh"))
     val c0 = shingled(corpus)
     val c = if (maxDf == Long.MaxValue) c0 else capHotKeys(c0, "__sh", maxDf)
     val r = shingled(reference).select(col("__sh")).distinct()
