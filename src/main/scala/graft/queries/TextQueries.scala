@@ -108,15 +108,11 @@ object TextQueries {
     Q("q35_ngram_jaccard",
       (s, dir) => {
         val docs = tbl(s, dir, "documents").filter(col("doc_id") < 100)
-        val shRaw = docs.select(col("doc_id"), toksCol.as("toks"))
-          .select(col("doc_id"),
-            explode(array_distinct(
-              when(size(col("toks")) >= 2,
-                transform(sequence(lit(0), size(col("toks")) - 2),
-                  i => concat_ws(" ",
-                    element_at(col("toks"), i + 1),
-                    element_at(col("toks"), i + 2))))
-                .otherwise(array().cast("array<string>")))).as("shingle"))
+        // fused token_ngrams kernel (one split + walk in codegen) —
+        // replaced the interpreted transform composition
+        val shRaw = docs.select(col("doc_id"),
+          explode(array_distinct(
+            graft.ops.TokenLm.tokenNgrams(col("text"), 2))).as("shingle"))
         val sh = graft.ops.Dedup.capHotKeys(shRaw, "shingle", maxDf = 20)
         val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
         val a = sh.as("a"); val b = sh.as("b")
@@ -352,16 +348,11 @@ object TextQueries {
     // oracle. Per-row explode + per-doc agg; no cross-doc shuffle of text.
     Q("q85_repetition_quality",
       (s, dir) => {
-        // toks materialized before the HOF lambda reads it (interpreted
-        // transform would re-split per element — see Dedup.jaccardVerify)
-        val grams = when(size(col("toks")) >= 2,
-          transform(sequence(lit(0), size(col("toks")) - 2),
-            i => concat_ws(" ", element_at(col("toks"), i + 1),
-              element_at(col("toks"), i + 2))))
-          .otherwise(array().cast("array<string>"))
+        // fused token_ngrams kernel — replaced the interpreted
+        // transform composition (see Dedup.jaccardVerify history)
         val g = tbl(s, dir, "documents").filter(col("doc_id") < 200)
-          .select(col("doc_id"), toksCol.as("toks"))
-          .select(col("doc_id"), explode(grams).as("gram"))
+          .select(col("doc_id"), explode(
+            graft.ops.TokenLm.tokenNgrams(col("text"), 2)).as("gram"))
           .groupBy(col("doc_id"), col("gram"))
           .agg(count(lit(1)).as("cnt"), length(col("gram")).as("len"))
         g.groupBy(col("doc_id"))
