@@ -66,7 +66,14 @@ object Redact {
     * backreferences, so script and style close-tags are separate
     * literal patterns, and lazy `.*?` + inline `(?is)` flags carry the
     * block semantics. q137 hash-checks the extracted STRING against a
-    * DuckDB replay. */
+    * DuckDB replay.
+    *
+    * Contract caveats (the standard regex-extractor trade-offs, stated
+    * rather than hidden): a bare `<`…`>` pair in NON-markup text ("a <
+    * b and c > d") is eaten like a tag — feed this HTML, not prose; and
+    * the pass is deliberately NOT idempotent: entities decode AFTER
+    * tag-stripping precisely so `&lt;b&gt;` survives as the literal
+    * text `<b>`, which a second pass would then strip. */
   def stripHtml(c: Column): Column = {
     val noScript = regexp_replace(c, "(?is)<script[^>]*>.*?</script>", " ")
     val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
