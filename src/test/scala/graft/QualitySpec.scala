@@ -128,6 +128,49 @@ class QualitySpec extends AnyFunSuite {
     }
   }
 
+  test("gopherFilter and c4Clean are stream-composable: micro-batches equal batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+      .filter($"doc_id" < 150).select("doc_id", "text")
+    val stops = Quality.GopherStopWords :+ "a"
+    val batchKeep = Quality.gopherFilter(docs, minWords = 30, stopWords = stops)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batchKeep.nonEmpty && batchKeep.size < 150)
+    val in = MemoryStream[(Long, String)]
+    val q = Quality.gopherFilter(in.toDF().toDF("doc_id", "text"),
+        minWords = 30, stopWords = stops)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("gopher_stream_out").start()
+    try {
+      val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+      in.addData(rows.take(70).toSeq: _*)
+      q.processAllAvailable()
+      in.addData(rows.drop(70).toSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("gopher_stream_out")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(streamed === batchKeep)
+    } finally q.stop()
+    // c4Clean: same stateless contract, rewritten text included
+    val lined = docs.withColumn("text", org.apache.spark.sql.functions
+      .regexp_replace($"text", "((?:\\S+ ){2}\\S+) ", "$1.\n"))
+    val batchC4 = Quality.c4Clean(lined).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = Quality.c4Clean(in2.toDF().toDF("doc_id", "text"))
+      .select("doc_id", "text")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("c4_stream_out").start()
+    try {
+      in2.addData(lined.collect().map(r => (r.getLong(0), r.getString(1))).toSeq: _*)
+      q2.processAllAvailable()
+      val streamed = spark.table("c4_stream_out")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(streamed === batchC4)
+    } finally q2.stop()
+  }
+
   test("gopherFilter keeps passers with the original schema; validation fails fast") {
     val df = Seq((1L, goodWords), (2L, "tiny")).toDF("doc_id", "text")
     val kept = Quality.gopherFilter(df, "text", minWords = 10)
