@@ -45,7 +45,7 @@ object CurationPipeline {
     val gq = Quality.gopherQuality(kept0, minWords = 30,
       stopWords = Quality.GopherStopWords :+ "a")
     val c4 = Quality.c4Clean(kept0.withColumn("text",
-      regexp_replace(col("text"), "((?:\\S+ ){2}\\S+) ", "$1.\n")))
+      regexp_replace(col("text"), "((?:\\S+ ){4}\\S+) ", "$1.\n")))
     println(s"[curate] gopher gates pass ${gq.filter(col("gopher_keep")).count()} " +
       s"of ${kept0.count()}; c4 line-clean keeps ${c4.count()} pages")
 

@@ -202,6 +202,9 @@ object Dsir {
       temperature: Double = 1.0, seed: Long = 42L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(temperature > 0.0, s"temperature must be > 0, got $temperature")
+    require(!scored.columns.contains("__gumbel"),
+      "gumbelTopK: input already has a __gumbel column — that name is a " +
+        "reserved scratch column here; rename it first")
     val u = (Sampling.hashU32(col(idCol), seed).cast("double") + lit(0.5)) /
       lit(4294967296.0)
     val key = col("lr_nano").cast("double") / lit(1e9) / lit(temperature) -

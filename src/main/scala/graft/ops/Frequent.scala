@@ -131,8 +131,10 @@ object Frequent {
         (top.length == k && top.last.getLong(1) > bound) || bound == 0L
       if (!certified) {
         val kth = if (top.isEmpty) 1L else math.max(top.last.getLong(1), 1L)
-        // minimum width w with n/(w+1) < kth  ⇔  w+1 > n/kth
-        val needed = (n / kth).toInt + 1
+        // minimum width w with n/(w+1) < kth  ⇔  w+1 > n/kth; computed in
+        // Long and clamped — at corpus scale n/kth can exceed Int range,
+        // and a truncated recommendation would be negative garbage
+        val needed = math.min(n / kth + 1L, Int.MaxValue.toLong)
         throw new IllegalStateException(
           s"topK: cannot certify exactness — the rank-${top.length} count " +
             s"${if (top.isEmpty) "(none)" else top.last.getLong(1).toString} " +
@@ -155,9 +157,23 @@ object Frequent {
 
     def add(item: String): Unit = {
       val cur = m.get(item)
+      // `m.get` returns 0L for an ABSENT key, but a PRESENT key can never
+      // map to 0L (decrementAll and merge both evict zeros — the class
+      // invariant countersAllPositive pins), so `cur != 0L` alone proves
+      // presence; the containsKey call only breaks the 0-vs-absent tie
+      // and is reached only on the miss path.
       if (cur != 0L || m.containsKey(item)) m.put(item, cur + 1L)
       else if (m.size < k) m.put(item, 1L)
       else decrementAll()
+    }
+
+    /** Class invariant, test-visible: no stored counter is ever zero or
+      * negative (zeros are evicted at every decrement/merge). The `add`
+      * fast path relies on it. */
+    private[graft] def countersAllPositive: Boolean = {
+      var ok = true
+      m.forEach { (_, c) => if (c <= 0L) ok = false }
+      ok
     }
 
     /** The overflow step: all counters drop by one, zeros evicted —

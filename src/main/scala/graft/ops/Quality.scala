@@ -30,11 +30,19 @@ object Quality {
     *
     *  - `wc_ok`       — word count in [minWords, maxWords]
     *  - `mwl_ok`      — mean word length in [3, 10] chars
-    *  - `symbol_ok`   — (# + …) symbols ≤ 0.1 per word
+    *  - `symbol_ok`   — `#` density ≤ 0.1 per word AND ellipsis
+    *                    (`...` or `…`) density ≤ 0.1 per word — the
+    *                    paper gates EACH symbol separately, not their sum
     *  - `bullet_ok`   — ≤ 10% of lines start with a bullet AND ≤ 30%
     *                    end with an ellipsis
     *  - `alpha_ok`    — ≥ 80% of words contain an alphabetic character
     *  - `stopword_ok` — ≥ 2 distinct [[GopherStopWords]] present
+    *
+    * Words are tokenized on ANY whitespace run (`\s+`) — Gopher's rules
+    * are defined over whitespace-tokenized words, and a space-only split
+    * would merge tokens across line boundaries in multi-line documents
+    * (undercounting words and inflating word lengths). Line rules keep
+    * the `\n` split.
     */
   def gopherQuality(df: DataFrame, textCol: String = "text",
       minWords: Int = 50, maxWords: Int = 100000,
@@ -62,6 +70,8 @@ object Quality {
     // each '…' spelled '...' removes 3 chars; left-to-right
     // non-overlapping scan is identical in both engines
     val ellLenDiff = length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))
+    // the single-codepoint U+2026 ellipsis counts too (1 char each)
+    val uniEllCnt = length(t) - length(regexp_replace(t, "…", ""))
     val bulletCnt = size(filter(col("__lines"),
       l => l.rlike("^\\s*[-*•]")))
     val ellEndCnt = size(filter(col("__lines"),
@@ -70,14 +80,16 @@ object Quality {
     val stopCnt = size(filter(
       array(stopWords.map(lit): _*),
       s => array_contains(col("__toks"), s)))
-    df.withColumn("__toks", split(t, " +"))
+    df.withColumn("__toks", split(t, "\\s+"))
       .withColumn("__lines", split(t, "\n"))
       .withColumn("wc_ok", n >= minWords && n <= maxWords)
       .withColumn("mwl_ok", lit(3) * n <= totLen && totLen <= lit(10) * n)
-      // (hash + ell)·10 ≤ n, cleared of the /3 in the ellipsis count:
-      // (3·hash + ellLenDiff)·10 ≤ 3·n
+      // per-symbol gates (A1.1 applies 0.1 to EACH symbol, not the sum);
+      // the '...' count is ellLenDiff/3, cleared of the division:
+      // (ellLenDiff/3 + uniEll)·10 ≤ n  ⇔  (ellLenDiff + 3·uniEll)·10 ≤ 3·n
       .withColumn("symbol_ok",
-        (lit(3) * hashCnt + ellLenDiff) * lit(10) <= lit(3) * n)
+        hashCnt * lit(10) <= n &&
+          (ellLenDiff + lit(3) * uniEllCnt) * lit(10) <= lit(3) * n)
       .withColumn("bullet_ok",
         bulletCnt * lit(10) <= nLines && ellEndCnt * lit(10) <= lit(3) * nLines)
       .withColumn("alpha_ok", alphaCnt * lit(10) >= lit(8) * n)
@@ -133,7 +145,7 @@ object Quality {
     * line (linear — the lambda reads its own element, never an outer
     * expression). */
   def c4Clean(df: DataFrame, textCol: String = "text",
-      minLineWords: Int = 3, minLines: Int = 3): DataFrame = {
+      minLineWords: Int = 5, minLines: Int = 3): DataFrame = {
     require(minLineWords >= 1, s"minLineWords must be >= 1, got $minLineWords")
     require(minLines >= 1, s"minLines must be >= 1, got $minLines")
     val reserved = Seq("__lines", "__kept", "n_kept_lines")
@@ -143,7 +155,7 @@ object Quality {
     val t = col(textCol)
     val keptLines = filter(col("__lines"), l =>
       l.rlike("[.!?\"]\\s*$") &&
-        size(split(l, " +")) >= minLineWords &&
+        size(split(l, "\\s+")) >= minLineWords &&
         !lower(l).contains("javascript"))
     df.withColumn("__lines", split(t, "\n"))
       .withColumn("__kept", keptLines)

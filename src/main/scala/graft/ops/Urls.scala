@@ -25,10 +25,15 @@ import org.apache.spark.sql.functions._
   */
 object Urls {
 
-  /** Tracking query parameters stripped by [[normalizeUrl]]: the
-    * click-/campaign-identifier families that make otherwise-identical
-    * URLs distinct (the canonical URL-dedup false-negative source). */
-  private val TrackedParams = "utm_[^=&]*|gclid|fbclid|msclkid|yclid|ref"
+  /** Tracking query parameters stripped by [[normalizeUrl]] (each entry
+    * a Java∩RE2 name pattern): the click-/campaign-identifier families
+    * that make otherwise-identical URLs distinct (the canonical URL-dedup
+    * false-negative source). Deliberately does NOT include bare `ref` —
+    * on many sites (`?ref=<branch>` on code hosts) it selects genuinely
+    * distinct content, and stripping it would falsely merge pages; pass
+    * a custom list to [[normalizeUrl]] if a corpus wants it stripped. */
+  val DefaultTrackedParams: Seq[String] =
+    Seq("utm_[^=&]*", "gclid", "fbclid", "msclkid", "yclid")
 
   private val AbsoluteUrl = "^[A-Za-z][A-Za-z0-9+.-]*://.*"
 
@@ -49,8 +54,30 @@ object Urls {
     * A value that is not an absolute URL (no `scheme://`) passes through
     * trimmed and fragment-stripped but otherwise untouched — relative
     * links and garbage stay inspectable instead of being half-mangled.
-    * NULL in → NULL out. */
-  def normalizeUrl(url: Column): Column = {
+    * NULL in → NULL out.
+    *
+    * `trackedParams` is the stripped-parameter set ([[DefaultTrackedParams]]
+    * by default) — caller-configurable because "tracking" is
+    * site-dependent; entries must stay in the Java∩RE2 regex subset and
+    * must not contain capturing groups (they would renumber the `$1`
+    * backreferences in the stripping chain). */
+  def normalizeUrl(url: Column): Column =
+    normalizeUrl(url, DefaultTrackedParams)
+
+  def normalizeUrl(url: Column, trackedParams: Seq[String]): Column = {
+    require(trackedParams.nonEmpty,
+      "normalizeUrl: empty trackedParams — call with DefaultTrackedParams " +
+        "or a non-empty custom set")
+    // a CAPTURING group would renumber the $1 backreferences in the
+    // stripping regexes below — the one entry shape that silently
+    // corrupts output rather than failing; non-capturing (?:...) is fine
+    def hasCapture(p: String) = p.replace("(?:", "").contains("(")
+    require(trackedParams.forall(p => p.nonEmpty && !hasCapture(p)),
+      "normalizeUrl: trackedParams entries must be non-empty and free of " +
+        "capturing groups (use (?:...) if grouping is needed), got " +
+        trackedParams.filter(p => p.isEmpty || hasCapture(p))
+          .take(3).mkString(", "))
+    val tracked = trackedParams.mkString("|")
     val t = regexp_replace(trim(url), "#.*$", "")
     // scheme+authority lowercased, remainder byte-preserved
     val head = lower(regexp_extract(t, "^([^/?#]*://[^/?#]*)", 1))
@@ -60,8 +87,8 @@ object Urls {
       regexp_replace(lowered, "^(http://[^/?#:]*):80([/?#].*)?$", "$1$2"),
       "^(https://[^/?#:]*):443([/?#].*)?$", "$1$2")
     val noTrack = regexp_replace(
-      regexp_replace(noPort, s"([?&])(?:(?:$TrackedParams)=[^&]*&)+", "$1"),
-      s"(?:[?&](?:$TrackedParams)=[^&]*)+$$", "")
+      regexp_replace(noPort, s"([?&])(?:(?:$tracked)=[^&]*&)+", "$1"),
+      s"(?:[?&](?:$tracked)=[^&]*)+$$", "")
     val noTail = regexp_replace(
       regexp_replace(noTrack, "[?&]+$", ""),
       "^([a-z][a-z0-9+.-]*://[^/?#]*)/$", "$1")
@@ -121,6 +148,10 @@ object Urls {
     * one corpus scan, no corpus shuffle. */
   def dropBlockedDomains(df: DataFrame, urlCol: Column,
       blocklist: DataFrame): DataFrame = {
+    val clash = df.columns.filter(Seq("__dom", "__blocked_dom").contains)
+    require(clash.isEmpty,
+      s"dropBlockedDomains: input already has column(s) ${clash.mkString(", ")}" +
+        " — those names are reserved scratch columns here; rename first")
     val b = blocklist.select(lower(trim(col("domain"))).as("__blocked_dom")).distinct()
     df.withColumn("__dom", registeredDomainOf(urlCol))
       .join(broadcast(b), col("__dom") === col("__blocked_dom"), "left_anti")
@@ -134,11 +165,12 @@ object Urls {
     * case, port, and fragment variants of one page collapse to a single
     * row; `n_copies` reports the collapsed multiplicity. One
     * aggregation shuffle on the canonical-URL hash. */
-  def dedupByUrl(df: DataFrame, urlCol: Column, idCol: String): DataFrame = {
+  def dedupByUrl(df: DataFrame, urlCol: Column, idCol: String,
+      trackedParams: Seq[String] = DefaultTrackedParams): DataFrame = {
     require(!df.columns.contains("__canon_url"),
       "dedupByUrl: input already has a __canon_url column")
     Dedup.exact(
-        df.withColumn("__canon_url", normalizeUrl(urlCol)),
+        df.withColumn("__canon_url", normalizeUrl(urlCol, trackedParams)),
         idCol, Seq("__canon_url"))
       .drop("__canon_url")
   }

@@ -927,8 +927,8 @@ object PipelineQueries {
                 REGEXP_REPLACE(REGEXP_REPLACE(l,
                   '^(http://[^/?#:]*):80([/?#].*)?$', '\1\2', 'g'),
                   '^(https://[^/?#:]*):443([/?#].*)?$', '\1\2', 'g'),
-                '([?&])((?:utm_[^=&]*|gclid|fbclid|msclkid|yclid|ref)=[^&]*&)+', '\1', 'g'),
-                '(?:[?&](?:utm_[^=&]*|gclid|fbclid|msclkid|yclid|ref)=[^&]*)+$', '', 'g'),
+                '([?&])((?:utm_[^=&]*|gclid|fbclid|msclkid|yclid)=[^&]*&)+', '\1', 'g'),
+                '(?:[?&](?:utm_[^=&]*|gclid|fbclid|msclkid|yclid)=[^&]*)+$', '', 'g'),
               '[?&]+$', '', 'g'),
               '^([a-z][a-z0-9+.-]*://[^/?#]*)/$', '\1', 'g') AS n
           FROM lowered),

@@ -1115,11 +1115,26 @@ object TextQueries {
     // per-rule boolean flags + the conjunction, all integer arithmetic
     // (divisions cleared by cross-multiplication) so the oracle replays
     // them bit-for-bit. minWords=30 so the word-count gate splits the
-    // fixture's ~50-token docs both ways.
+    // fixture's ~50-token docs both ways. The fixture is made MULTI-LINE
+    // (newline after every 2nd word) so the \s+ word tokenization is
+    // exercised across line boundaries, and deterministic symbol lines
+    // are injected on doc_id residues so BOTH per-symbol gates fire both
+    // ways — including the moderate-both case (%9) that the old summed
+    // gate would have failed but the paper (and the per-symbol form)
+    // passes.
     Q("q132_gopher_quality",
-      (s, dir) =>
+      (s, dir) => {
+        val ml = concat(
+          regexp_replace(col("text"), "((?:\\S+ ){1}\\S+) ", "$1\n"),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            lit("\n# # # # # # # # big sale")).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            lit("\nwait... … … … … … … more")).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(9)) === 0,
+            lit("\n# # # … … … ok")).otherwise(lit("")))
         graft.ops.Quality.gopherQuality(
-            tbl(s, dir, "documents"), "text", minWords = 30,
+            tbl(s, dir, "documents").withColumn("text", ml),
+            "text", minWords = 30,
             // the synthetic vocabulary carries only 'the'/'a' from the
             // canonical set — extend it so the >=2-evidence rule has
             // both outcomes at every SF (the set is corpus-tunable by
@@ -1127,18 +1142,28 @@ object TextQueries {
             stopWords = graft.ops.Quality.GopherStopWords :+ "a")
           .select("doc_id", "wc_ok", "mwl_ok", "symbol_ok", "bullet_ok",
             "alpha_ok", "stopword_ok", "gopher_keep")
-          .orderBy("doc_id"),
-      Some("""WITH d AS (
-          SELECT doc_id, text,
-            REGEXP_SPLIT_TO_ARRAY(text, ' +') AS toks,
-            REGEXP_SPLIT_TO_ARRAY(text, '\n') AS lines
+          .orderBy("doc_id")
+      },
+      Some("""WITH b AS (
+          SELECT doc_id,
+            REGEXP_REPLACE(text, '((?:\S+ ){1}\S+) ', '\1' || CHR(10), 'g')
+            || CASE WHEN doc_id % 5 = 0 THEN CHR(10) || '# # # # # # # # big sale' ELSE '' END
+            || CASE WHEN doc_id % 7 = 0 THEN CHR(10) || 'wait... … … … … … … more' ELSE '' END
+            || CASE WHEN doc_id % 9 = 0 THEN CHR(10) || '# # # … … … ok' ELSE '' END
+            AS text
           FROM documents),
+        d AS (
+          SELECT doc_id, text,
+            REGEXP_SPLIT_TO_ARRAY(text, '\s+') AS toks,
+            REGEXP_SPLIT_TO_ARRAY(text, '\n') AS lines
+          FROM b),
         f AS (
           SELECT doc_id,
             LEN(toks) AS n, LEN(lines) AS nl,
             COALESCE(LIST_SUM(LIST_TRANSFORM(toks, x -> LENGTH(x))), 0) AS totlen,
             LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '#', '', 'g')) AS hashcnt,
             LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '\.\.\.', '', 'g')) AS elldiff,
+            LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '…', '', 'g')) AS unie,
             LEN(LIST_FILTER(lines, l -> REGEXP_MATCHES(l, '^\s*[-*•]'))) AS bullets,
             LEN(LIST_FILTER(lines, l -> REGEXP_MATCHES(l, '\.\.\.\s*$'))) AS ellends,
             LEN(LIST_FILTER(toks, w -> REGEXP_MATCHES(w, '[A-Za-z]'))) AS alphas,
@@ -1148,12 +1173,12 @@ object TextQueries {
         SELECT doc_id,
           n >= 30 AND n <= 100000 AS wc_ok,
           3 * n <= totlen AND totlen <= 10 * n AS mwl_ok,
-          (3 * hashcnt + elldiff) * 10 <= 3 * n AS symbol_ok,
+          hashcnt * 10 <= n AND (elldiff + 3 * unie) * 10 <= 3 * n AS symbol_ok,
           bullets * 10 <= nl AND ellends * 10 <= 3 * nl AS bullet_ok,
           alphas * 10 >= 8 * n AS alpha_ok,
           stops >= 2 AS stopword_ok,
           (n >= 30 AND n <= 100000) AND (3 * n <= totlen AND totlen <= 10 * n)
-            AND ((3 * hashcnt + elldiff) * 10 <= 3 * n)
+            AND (hashcnt * 10 <= n AND (elldiff + 3 * unie) * 10 <= 3 * n)
             AND (bullets * 10 <= nl AND ellends * 10 <= 3 * nl)
             AND (alphas * 10 >= 8 * n) AND (stops >= 2) AS gopher_keep
         FROM f ORDER BY doc_id""")),
@@ -1216,14 +1241,19 @@ object TextQueries {
         GROUP BY item ORDER BY cnt DESC, item ASC LIMIT 20""")),
 
     // ---- C4 page cleaning (Quality.c4Clean, Raffel et al. 2020 §2.2):
-    // the fixture text is built into 3-word '.'-terminated lines, with
-    // deterministic lorem-ipsum / code-brace / javascript injections on
-    // doc_id residues so every rule fires both ways. The REWRITTEN text
-    // is part of the hash — a string-exact line-filter check.
+    // the fixture text is built into 5-word '.'-terminated lines (the
+    // paper's >= 5-words-per-line rule is now the default), with
+    // deterministic short-line / lorem-ipsum / code-brace / javascript
+    // injections on doc_id residues so every rule fires both ways — the
+    // 2-word 'buy now.' line passes punctuation but fails the word
+    // floor. The REWRITTEN text is part of the hash — a string-exact
+    // line-filter check.
     Q("q135_c4_clean",
       (s, dir) => {
         val built = concat(
-          regexp_replace(col("text"), "((?:\\S+ ){2}\\S+) ", "$1.\n"),
+          regexp_replace(col("text"), "((?:\\S+ ){4}\\S+) ", "$1.\n"),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            lit("\nbuy now.")).otherwise(lit("")),
           when(pmod(col("doc_id"), lit(11)) === 0,
             lit("\nlorem ipsum dolor.")).otherwise(lit("")),
           when(pmod(col("doc_id"), lit(13)) === 0,
@@ -1237,7 +1267,8 @@ object TextQueries {
       },
       Some("""WITH b AS (
           SELECT doc_id,
-            REGEXP_REPLACE(text, '((?:\S+ ){2}\S+) ', '\1.' || CHR(10), 'g')
+            REGEXP_REPLACE(text, '((?:\S+ ){4}\S+) ', '\1.' || CHR(10), 'g')
+            || CASE WHEN doc_id % 7 = 0 THEN CHR(10) || 'buy now.' ELSE '' END
             || CASE WHEN doc_id % 11 = 0 THEN CHR(10) || 'lorem ipsum dolor.' ELSE '' END
             || CASE WHEN doc_id % 13 = 0 THEN CHR(10) || 'code sample = { x };' ELSE '' END
             || CASE WHEN doc_id % 17 = 0 THEN CHR(10) || 'please enable javascript to view this page.' ELSE '' END
@@ -1247,7 +1278,7 @@ object TextQueries {
           SELECT doc_id, text,
             LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\n'), l ->
               REGEXP_MATCHES(l, '[.!?"]\s*$')
-              AND LEN(REGEXP_SPLIT_TO_ARRAY(l, ' +')) >= 3
+              AND LEN(REGEXP_SPLIT_TO_ARRAY(l, '\s+')) >= 5
               AND NOT CONTAINS(LOWER(l), 'javascript')) AS kept
           FROM b)
         SELECT doc_id, CAST(LEN(kept) AS INTEGER) AS n_kept_lines,

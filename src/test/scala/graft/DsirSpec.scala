@@ -152,6 +152,12 @@ class DsirSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     val det = Dsir.selectTopK(scored, 3).collect().map(_.getLong(0)).toSet
     assert(cold === det)
+    // the scratch column is reserved — an input already carrying it
+    // would be silently clobbered and dropped, so it fails fast
+    intercept[IllegalArgumentException] {
+      Dsir.gumbelTopK(scored.withColumn("__gumbel",
+        org.apache.spark.sql.functions.lit(0.0)), 3)
+    }
   }
 
   test("gumbelTopK matches the documented construction exactly; top-1 frequencies track the weights") {

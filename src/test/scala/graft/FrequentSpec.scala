@@ -114,4 +114,28 @@ class FrequentSpec extends AnyFunSuite {
     // HEAVY has frequency 1000/1800 > n/(k+1): guaranteed present
     assert(merged.keys.contains("HEAVY"))
   }
+
+  test("MgSummary invariant: no zero-valued counter survives any add/merge sequence") {
+    // the `add` fast path (`cur != 0L` proves presence) relies on zeros
+    // being evicted at every decrement/merge — drive randomized
+    // adversarial sequences and check the invariant after each step
+    val rnd = new scala.util.Random(13)
+    for (trial <- 0 until 50) {
+      val k = 1 + rnd.nextInt(8)
+      val s = new Frequent.MgSummary(k)
+      for (_ <- 0 until 300) {
+        if (rnd.nextInt(10) < 8) {
+          // skewed draws force both the hit path and decrementAll
+          s.add(s"w${rnd.nextInt(3 + rnd.nextInt(4 * k))}")
+        } else {
+          val o = new Frequent.MgSummary(k)
+          (0 until rnd.nextInt(30)).foreach(_ =>
+            o.add(s"m${rnd.nextInt(3 * k)}"))
+          s.merge(o)
+        }
+        assert(s.countersAllPositive && s.size <= k,
+          s"trial=$trial k=$k violated the positive-counter/cap invariant")
+      }
+    }
+  }
 }

@@ -59,6 +59,28 @@ class QualitySpec extends AnyFunSuite {
     assert(!flags(noStops)("stopword_ok"))
   }
 
+  test("words tokenize on ANY whitespace: newlines separate words") {
+    // the same 12 words, space- vs newline-separated every 2 words —
+    // a space-only split would merge 'dogs\nwith' into one 9-char token
+    // (wrong count, wrong lengths, missed stop word)
+    val spaced = flags(goodWords)
+    val lined = flags(goodWords.split(" ").grouped(2)
+      .map(_.mkString(" ")).mkString("\n"))
+    assert(lined === spaced, s"lined=$lined spaced=$spaced")
+  }
+
+  test("symbol gates are PER-SYMBOL (Gopher A1.1), not summed") {
+    // 40 words + 3 '#' + 3 '...': each symbol at 3/46 < 0.1 passes;
+    // the old summed gate would have charged 6/46 > 0.1 and failed
+    val base = Seq.fill(20)("the and").mkString(" ") // 40 words
+    val both = base + " # # # ... ... ..."
+    assert(flags(both)("symbol_ok"))
+    // either symbol alone above 0.1 per word fails
+    assert(!flags(base + " # # # # # #")("symbol_ok"))
+    // the single-codepoint U+2026 ellipsis counts toward the ellipsis gate
+    assert(!flags(base + " … … … … … …")("symbol_ok"))
+  }
+
   test("boundary arithmetic: mean word length exactly 3 and exactly 10 pass") {
     // 12 words of exactly 3 chars, incl. 'the' twice (stop evidence needs
     // two DISTINCT entries: 'the' + 'and')
@@ -97,19 +119,19 @@ class QualitySpec extends AnyFunSuite {
 
   test("c4Clean: line rules, page rules, and the rewritten text") {
     val page = Seq(
-      "this line ends properly.",        // kept
-      "short one.",                      // dropped: 2 words
-      "no terminal punctuation here",    // dropped: no . ! ? \"
-      "does it end with a question?",    // kept
-      "enable JavaScript to continue.",  // dropped: javascript
-      "a quoted line ends here\"",       // kept
-      "an exclaimed line ends here!"     // kept
+      "this line ends properly enough.",     // kept (5 words)
+      "short one.",                          // dropped: 2 words < 5
+      "no terminal punctuation on this line", // dropped: no . ! ? \"
+      "does it end with a question?",        // kept
+      "enable JavaScript to continue reading now.", // dropped: javascript
+      "a quoted line ends right here\"",     // kept
+      "an exclaimed line ends right here!"   // kept
     ).mkString("\n")
     val docs = Seq(
       (1L, page),
       (2L, page + "\nsome Lorem Ipsum filler."),        // page drop
       (3L, page + "\nif (x) { return; } and more."),    // page drop: brace
-      (4L, "one good line ends here.\nanother good line here.") // < 3 kept
+      (4L, "one good line ends right here.\nanother good line ends here.") // < 3 kept
     ).toDF("doc_id", "text")
     val out = Quality.c4Clean(docs).collect()
       .map(r => r.getLong(0) -> (r.getAs[Int]("n_kept_lines"), r.getString(1)))
@@ -117,10 +139,10 @@ class QualitySpec extends AnyFunSuite {
     assert(out.keySet === Set(1L))
     assert(out(1L)._1 === 4)
     assert(out(1L)._2 === Seq(
-      "this line ends properly.",
+      "this line ends properly enough.",
       "does it end with a question?",
-      "a quoted line ends here\"",
-      "an exclaimed line ends here!").mkString("\n"))
+      "a quoted line ends right here\"",
+      "an exclaimed line ends right here!").mkString("\n"))
     intercept[IllegalArgumentException] { Quality.c4Clean(docs, minLines = 0) }
     intercept[IllegalArgumentException] {
       Quality.c4Clean(docs.withColumn("n_kept_lines",
@@ -154,7 +176,7 @@ class QualitySpec extends AnyFunSuite {
     } finally q.stop()
     // c4Clean: same stateless contract, rewritten text included
     val lined = docs.withColumn("text", org.apache.spark.sql.functions
-      .regexp_replace($"text", "((?:\\S+ ){2}\\S+) ", "$1.\n"))
+      .regexp_replace($"text", "((?:\\S+ ){4}\\S+) ", "$1.\n"))
     val batchC4 = Quality.c4Clean(lined).select("doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     val in2 = MemoryStream[(Long, String)]

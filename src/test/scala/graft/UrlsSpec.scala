@@ -23,7 +23,7 @@ class UrlsSpec extends AnyFunSuite {
       "http://host.com/p?utm_source=x&keep=1&utm_medium=y",
       "http://host.com/p?utm_source=x",   // query becomes empty
       "http://host.com/p?keep=1&gclid=abc&fbclid=z",
-      "http://host.com/p?gclid=a&keep=1&ref=t&keep2=2",
+      "http://host.com/p?gclid=a&keep=1&ref=main&keep2=2", // ref is NOT tracking
       "https://host.com/",                // bare-host slash dropped
       "https://host.com/a/",              // deep trailing slash KEPT
       "  http://host.com/x  ",            // trimmed
@@ -35,11 +35,35 @@ class UrlsSpec extends AnyFunSuite {
       "http://host.com/p?keep=1",
       "http://host.com/p",
       "http://host.com/p?keep=1",
-      "http://host.com/p?keep=1&keep2=2",
+      "http://host.com/p?keep=1&ref=main&keep2=2",
       "https://host.com",
       "https://host.com/a/",
       "http://host.com/x",
       "ftp://mixed.case.host/File.TXT"))
+  }
+
+  test("normalizeUrl: trackedParams is caller-configurable; validation fails fast") {
+    // bare 'ref' selects real content on code hosts — the DEFAULT keeps
+    // it; a corpus that wants it stripped opts in explicitly
+    assert(norm("https://host.com/repo/blob?ref=main") ===
+      Seq("https://host.com/repo/blob?ref=main"))
+    val custom = Seq("https://host.com/repo/blob?ref=main&utm_a=1").toDF("u")
+      .select(Urls.normalizeUrl($"u", Urls.DefaultTrackedParams :+ "ref"))
+      .collect().map(_.getString(0)).toSeq
+    assert(custom === Seq("https://host.com/repo/blob"))
+    intercept[IllegalArgumentException] {
+      Urls.normalizeUrl($"u", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Urls.normalizeUrl($"u", Seq("(bad)"))
+    }
+  }
+
+  test("dropBlockedDomains table overload: reserved scratch columns fail fast") {
+    intercept[IllegalArgumentException] {
+      Urls.dropBlockedDomains(crawl.withColumn("__dom", lit("x")),
+        $"url", Seq("spam.com").toDF("domain"))
+    }
   }
 
   test("normalizeUrl: non-URL input passes through trimmed; NULL stays NULL") {
@@ -123,7 +147,7 @@ class UrlsSpec extends AnyFunSuite {
       val n1 = r.getString(1); val n2 = r.getString(2)
       assert(n1 == n2, s"not idempotent: $n1 -> $n2")
       assert(!n1.contains("#"), n1)
-      assert(!n1.matches(".*[?&](utm_[^=&]*|gclid|fbclid|msclkid|yclid|ref)=.*"), n1)
+      assert(!n1.matches(".*[?&](utm_[^=&]*|gclid|fbclid|msclkid|yclid)=.*"), n1)
       assert(!n1.matches("^http://[^/?#]*:80([/?#].*)?$") &&
         !n1.matches("^https://[^/?#]*:443([/?#].*)?$"), n1)
       // scheme+authority lowercase; path case preserved is covered by
