@@ -47,6 +47,33 @@ object SimilarityQueries {
       s"($s, $c, ${pqCodebooks(s)(c).mkString("[", ", ", "]")}::DOUBLE[])")
       .mkString(", ")
 
+  /** Fixed 8×64 projection for the q138 pcaTopK oracle — a PINNED
+    * stand-in for a trained-and-persisted [[graft.ops.Similarity
+    * .trainPcaProjection]] rotation (training is a float treeAggregate +
+    * driver eigSym: deterministic per run and spec-pinned by PcaSpec,
+    * but not replayable as static SQL; the production contract is
+    * train-once-persist anyway, so the ORACLE-able surface is exactly
+    * "score against a persisted matrix"). Exact-decimal components at
+    * the embeddings' scale, rows pairwise distinct. */
+  private[graft] val pcaRotation: Array[Array[Double]] =
+    Array.tabulate(8, 64)((j, i) => (((i * 3 + j * 17) % 19) - 9.0) / 40.0)
+
+  private def pcaRotationSqlValues: String =
+    pcaRotation.zipWithIndex
+      .map { case (r, j) => s"($j, ${r.mkString("[", ", ", "]")}::DOUBLE[])" }
+      .mkString(", ")
+
+  /** Fixed 64×64 rotation for the q139 opqTopK oracle: the scaled
+    * Hadamard matrix H₆₄/8, entries ±0.125 = ±2⁻³ — EXACTLY orthogonal
+    * (H·Hᵀ = 64·I, so R·Rᵀ = I: a true isometry, honoring opqTopK's
+    * rotated-ADC-approximates-original-L2 premise) and exact in binary
+    * floating point (products are pure sign/exponent changes). The same
+    * pinned-persisted-model reasoning as [[pcaRotation]]; DuckDB replays
+    * it closed-form via BIT_COUNT(j & i) parity, no literal shipping. */
+  private[graft] val opqRotation: Array[Array[Double]] =
+    Array.tabulate(64, 64)((j, i) =>
+      (if (Integer.bitCount(j & i) % 2 == 0) 1.0 else -1.0) / 8.0)
+
   // shared DuckDB CTE: 64-bit SimHash fingerprint per document — the SQL
   // twin of the native simhash_fp(text, 64) expression. Bit 63's weight is
   // the -2^63 literal (1<<63 overflows DuckDB's BIGINT shift); the sum of
@@ -905,6 +932,105 @@ object SimilarityQueries {
             CAST(ROW_NUMBER() OVER (PARTITION BY q_id
               ORDER BY cos DESC, c_id ASC) AS INTEGER) AS rk
           FROM phase2 WHERE cos IS NOT NULL)
-        WHERE rk <= 3 ORDER BY q_id, rk"""))
+        WHERE rk <= 3 ORDER BY q_id, rk""")),
+
+    // ---- two-phase PCA-projected ANN (Similarity.pcaTopK): q108's
+    // learned-shadow sibling — phase 1 ranks on the cosine of 8-dim
+    // shadows through the PINNED persisted rotation (the broadcast
+    // ProjectVec kernel, plan O(1) in the matrix), phase 2 reranks the
+    // mult·k survivors exactly. The oracle replays the matrix from
+    // literal VALUES — the persisted-model pattern of q66/q99.
+    Q("q138_pca_ann",
+      (s, dir) => {
+        val e = tbl(s, dir, "embeddings")
+        graft.ops.Similarity.pcaTopK(
+            e.filter(col("vec_id") >= 5), e.filter(col("vec_id") < 5),
+            "vec_id", "embedding", pcaRotation, k = 3, mult = 4)
+          .orderBy("q_id", "rk")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        rot AS (SELECT * FROM (VALUES $pcaRotationSqlValues) t(j, r)),
+        proj AS (
+          SELECT vec_id, j,
+            ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(0, 64),
+              i -> v[i+1] * r[i+1])), 6) AS p
+          FROM e, rot),
+        shp AS (SELECT vec_id, LIST(p ORDER BY j) AS p FROM proj GROUP BY vec_id),
+        sh AS (SELECT e.vec_id, v, p FROM e JOIN shp ON e.vec_id = shp.vec_id),
+        c AS (SELECT * FROM sh WHERE vec_id >= 5),
+        q AS (SELECT vec_id AS q_id, v AS qv, p AS qp FROM sh WHERE vec_id < 5),
+        phase1 AS (
+          SELECT q_id, c.vec_id AS c_id, qv, v,
+            ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+              ROUND(LIST_DOT_PRODUCT(qp, p) /
+                (SQRT(LIST_DOT_PRODUCT(qp, qp)) * SQRT(LIST_DOT_PRODUCT(p, p))), 6) DESC,
+              c.vec_id ASC) AS ark
+          FROM c, q),
+        phase2 AS (
+          SELECT q_id, c_id,
+            ROUND(LIST_DOT_PRODUCT(qv, v) /
+              (SQRT(LIST_DOT_PRODUCT(qv, qv)) * SQRT(LIST_DOT_PRODUCT(v, v))), 6) AS cos
+          FROM phase1 WHERE ark <= 12)
+        SELECT q_id, rk, c_id, cos FROM (
+          SELECT q_id, c_id, cos,
+            CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+              ORDER BY cos DESC, c_id ASC) AS INTEGER) AS rk
+          FROM phase2 WHERE cos IS NOT NULL)
+        WHERE rk <= 3 ORDER BY q_id, rk""")),
+
+    // ---- OPQ rotated-space PQ ANN (Similarity.opqTopK): both sides
+    // rotate through the pinned Hadamard isometry (ONE broadcast handle),
+    // then q99's codes-scan ranking in rotated coordinates — encode =
+    // per-subspace rounded argmin, ADC = per-subspace rounded terms,
+    // rounded sum. The oracle rebuilds the rotation closed-form
+    // (BIT_COUNT parity → ±0.125) and replays encode + ADC exactly.
+    Q("q139_opq_ann",
+      (s, dir) => {
+        val e = tbl(s, dir, "embeddings")
+        graft.ops.Similarity.opqTopK(
+            e.filter(col("vec_id") >= 5), e.filter(col("vec_id") < 5),
+            "vec_id", "embedding", opqRotation, pqCodebooks, k = 3, roundDp = 6)
+          .select("q_id", "rk", "c_id", "adist")
+          .orderBy("q_id", "rk")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cb AS (SELECT * FROM (VALUES $pqCodebookSqlValues) t(s, code, cw)),
+        rv AS (
+          SELECT vec_id, LIST(p ORDER BY j) AS rv FROM (
+            SELECT vec_id, j,
+              ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(0, 64),
+                i -> v[i+1] * (CASE WHEN BIT_COUNT(j & i) % 2 = 0
+                  THEN 0.125 ELSE -0.125 END))), 6) AS p
+            FROM e, UNNEST(RANGE(0, 64)) u(j))
+          GROUP BY vec_id),
+        sub AS (
+          SELECT vec_id, s, rv[CAST(s*16+1 AS INTEGER) : CAST(s*16+16 AS INTEGER)] AS sv
+          FROM rv, UNNEST(RANGE(0, 4)) u(s)),
+        dist AS (
+          SELECT vec_id, sub.s, code,
+            ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(0, 16),
+              i -> (sv[i+1] - cw[i+1]) * (sv[i+1] - cw[i+1]))), 6) AS d
+          FROM sub JOIN cb ON sub.s = cb.s),
+        assign AS (
+          SELECT vec_id, s, code FROM (
+            SELECT vec_id, s, code,
+              ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d ASC, code ASC) AS rn
+            FROM dist) WHERE rn = 1),
+        adc AS (
+          SELECT q.vec_id AS q_id, a.vec_id AS c_id,
+            ROUND(SUM(ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(0, 16),
+              i -> (q.sv[i+1] - cb.cw[i+1]) * (q.sv[i+1] - cb.cw[i+1]))), 6)), 6) AS adist
+          FROM sub q
+          JOIN assign a ON q.s = a.s AND a.vec_id >= 5
+          JOIN cb ON cb.s = a.s AND cb.code = a.code
+          WHERE q.vec_id < 5
+          GROUP BY q.vec_id, a.vec_id),
+        ranked AS (
+          SELECT q_id, CAST(ROW_NUMBER() OVER (
+            PARTITION BY q_id ORDER BY adist ASC, c_id ASC) AS INTEGER) AS rk,
+            c_id, adist
+          FROM adc)
+        SELECT q_id, rk, c_id, adist FROM ranked WHERE rk <= 3
+        ORDER BY q_id, rk"""))
   )
 }
