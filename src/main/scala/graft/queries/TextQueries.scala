@@ -17,6 +17,36 @@ object TextQueries {
   // whitespace tokenization shared by all queries
   private def toksCol = split(col("text"), " +")
 
+  /** Frozen merge table for the q140 BPE-encode oracle — the pinned
+    * persisted-model pattern (q66 centroids / q99 codebooks / q138
+    * rotation): encoding against a frozen rank table is the production
+    * contract ([[graft.ops.Bpe.saveMerges]]/loadMerges), and unlike the
+    * iterative trainer it IS static-SQL-replayable. Hand-picked against
+    * the fixture vocabulary so rank priority, multi-step chains,
+    * end-of-word merges, identical-adjacent pairs, and dead merges all
+    * fire. */
+  private[graft] val bpeFrozenMerges: Array[(String, String)] = Array(
+    ("a", "</w>"),      // 0: beats (t,a) inside 'data' — rank priority
+    ("t", "a"),         // 1: 'table' chain step 1
+    ("l", "e"),         // 2
+    ("ta", "b"),        // 3
+    ("tab", "le"),      // 4
+    ("table", "</w>"),  // 5: whole-word token
+    ("a", "n"),         // 6: 'scan' chain
+    ("r", "o"),         // 7
+    ("ro", "w"),        // 8
+    ("s", "c"),         // 9
+    ("sc", "an"),       // 10
+    ("scan", "</w>"),   // 11
+    ("e", "</w>"),      // 12: word-final e
+    ("g", "g"),         // 13: identical-adjacent pair ('agg')
+    ("x", "y"))         // 14: dead merge — never fires
+
+  private def bpeFrozenMergesSqlValues: String =
+    bpeFrozenMerges.zipWithIndex
+      .map { case ((a, b), r) => s"($r, '$a', '$b')" }
+      .mkString(", ")
+
   val qs: Seq[Q] = Seq(
     // ---- token counting (whitespace); char counts
     Q("q30_token_stats",
@@ -873,6 +903,80 @@ object TextQueries {
           .orderBy("doc_id")
       },
       None),
+
+    // ---- BPE ENCODE under a persisted merge table (ops.Bpe.encode) —
+    // the q123 complement that IS oracle-able: the trainer is iterative
+    // driver state, but encoding against a FROZEN rank table (the
+    // production artifact — saveMerges/loadMerges) is deterministic
+    // greedy arithmetic. The pinned table exercises rank priority
+    // ((a,</w>) at rank 0 beats (t,a) inside 'data'), multi-step chains
+    // (t→ta→tab→table→table</w>), identical-adjacent pairs ((g,g) in
+    // 'agg' merges left-to-right non-overlapping), and dead merges.
+    // The oracle replays the encode loop as a recursive CTE over the
+    // DISTINCT word set: each word is a CHR(1)-wrapped symbol string
+    // ("\1sym\1" per symbol), one REPLACE per step applies ALL
+    // left-to-right occurrences of the lowest-rank present pair
+    // (wrapping makes the pattern boundary-safe AND keeps adjacent
+    // occurrences matchable), terminal states are the rows with no
+    // applicable merge. Every token of every doc is in the hash.
+    Q("q140_bpe_encode",
+      (s, dir) => {
+        val model = new graft.functions.BpeModel(bpeFrozenMerges)
+        graft.ops.Bpe.encode(tbl(s, dir, "documents"), model)
+          .select(col("doc_id"), posexplode(col("bpe_tokens")))
+          .toDF("doc_id", "pos", "tok")
+          .orderBy("doc_id", "pos")
+      },
+      Some(s"""WITH RECURSIVE merges AS (
+          SELECT * FROM (VALUES $bpeFrozenMergesSqlValues) t(rank, a, b)),
+        words AS (
+          SELECT DISTINCT w FROM (
+            SELECT UNNEST(REGEXP_SPLIT_TO_ARRAY(text, ' +')) AS w FROM documents)
+          WHERE w <> ''),
+        base AS (
+          SELECT w,
+            ARRAY_TO_STRING(LIST_TRANSFORM(
+              LIST_APPEND(
+                LIST_TRANSFORM(RANGE(0, LENGTH(w)),
+                  i -> SUBSTRING(w, CAST(i + 1 AS INTEGER), 1)),
+                '</w>'),
+              t -> CHR(1) || t || CHR(1)), '') AS s
+          FROM words),
+        enc(w, s) AS (
+          SELECT w, s FROM base
+          UNION ALL
+          SELECT e.w,
+            REPLACE(e.s, CHR(1) || m.a || CHR(1) || CHR(1) || m.b || CHR(1),
+              CHR(1) || m.a || m.b || CHR(1))
+          FROM enc e
+          JOIN merges m ON m.rank = (
+            SELECT MIN(m2.rank) FROM merges m2
+            WHERE CONTAINS(e.s,
+              CHR(1) || m2.a || CHR(1) || CHR(1) || m2.b || CHR(1)))),
+        term AS (
+          SELECT w, s FROM enc e
+          WHERE NOT EXISTS (
+            SELECT 1 FROM merges m
+            WHERE CONTAINS(e.s,
+              CHR(1) || m.a || CHR(1) || CHR(1) || m.b || CHR(1)))),
+        toks AS (
+          SELECT w, LIST_FILTER(STRING_SPLIT(s, CHR(1)), t -> t <> '') AS tk
+          FROM term),
+        docw AS (
+          SELECT doc_id, i AS widx, a[CAST(i + 1 AS INTEGER)] AS w
+          FROM (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(text, ' +') AS a
+                FROM documents),
+            UNNEST(RANGE(0, LEN(a))) u(i)
+          WHERE a[CAST(i + 1 AS INTEGER)] <> ''),
+        flat AS (
+          SELECT doc_id, widx, j, tk[CAST(j + 1 AS INTEGER)] AS tok
+          FROM docw JOIN toks USING (w),
+            UNNEST(RANGE(0, LEN(tk))) t(j))
+        SELECT doc_id,
+          CAST(ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY widx, j) - 1 AS INTEGER) AS pos,
+          tok
+        FROM flat ORDER BY doc_id, pos""")),
 
     // ---- LM-based language ID (CharLm.langId — the CLD-class upgrade
     // of q32's stopword heuristic): one char-trigram model per labeled
