@@ -131,8 +131,13 @@ object Bench {
           spark.sharedState.cacheManager.clearCache()
         } catch { case _: Throwable => () }
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      // k scales with the corpus in production (it is the IVF cell-count
+      // knob: ~constant vectors per cell keeps the within-cell pair
+      // stage linear in n) — overridable so scale-up runs can hold
+      // points-per-cell constant instead of cell count
+      val kCells = sys.env.getOrElse("SPARK_GRAFT_SEMDEDUP_K", "64").toInt
       val cents = graft.ops.Similarity.trainIvfCentroids(
-        emb, "embedding", kCells = 64, iters = 5, seed = 7L)
+        emb, "embedding", kCells = kCells, iters = 5, seed = 7L)
       record("semdedup_k64", timeStats(repsFor("semdedup_k64")) {
         graft.ops.Dedup.semDedup(emb, "vec_id", "embedding", cents,
             threshold = 0.3)

@@ -1,0 +1,95 @@
+package graft.examples
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-up fixture generator for the sf1 dry run: replicate an sf dir
+  * `factor`× with ISOMORPHIC replicas — transformations that preserve
+  * each replica's internal duplicate/near-duplicate structure exactly
+  * while making replicas mutually unrelated, so a `factor`× corpus has
+  * `factor`× the dup pairs (not `factor²`×) and any super-linear bench
+  * growth is attributable to the ALGORITHM, not to a fixture artifact
+  * (naive replication would hand every doc `factor−1` cross-replica
+  * near-dups and every embedding a cross-replica cosine-1 clique,
+  * quadratically inflating exactly the candidate structures the heavy
+  * rows are built to bound).
+  *
+  *  - documents: replica r suffixes every token with `xr` EXCEPT the
+  *    q80 language-gate evidence set — a BIJECTIVE vocabulary renaming,
+  *    so within-replica exact-dup and shingle-Jaccard structure is
+  *    preserved exactly, while cross-replica shingles share only runs
+  *    of ≥3 consecutive preserved stopwords (negligible). doc_ids
+  *    offset by r·N.
+  *  - embeddings: replica r cyclically shifts the 64 components by
+  *    r·7 mod 64 — an ISOMETRY (within-replica cosines bit-preserved)
+  *    whose cross-replica dot is a circular autocorrelation ≈ 0 for
+  *    the fixture's centered components. vec_ids offset by r·M.
+  *  - lineitem: plain copies (the GLM fit has no dedup semantics;
+  *    row count is the only thing that matters).
+  *
+  * Run: sbt "runMain graft.examples.ScaleReplicate /root/testdata/sf0.1 /root/repo/tmp/sf1 10"
+  */
+object ScaleReplicate {
+
+  /** Tokens q80's language gate keys on — preserved verbatim so the
+    * gate's pass rate per replica matches the original. */
+  private val Preserved = Seq("the", "a", "and", "of", "fast", "slow")
+
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val out = args(1)
+    val factor = args(2).toInt
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("graft-scale-replicate")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // documents
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val nDoc = docs.agg(max("doc_id")).head().getLong(0) + 1L
+    val preservedArr = array(Preserved.map(lit): _*)
+    val docReps = (0 until factor).map { r =>
+      if (r == 0) docs
+      else {
+        val renamed = array_join(
+          transform(split(col("text"), " +"),
+            w => when(array_contains(preservedArr, w), w)
+              .otherwise(concat(w, lit(s"x$r")))), " ")
+        docs
+          .withColumn("doc_id", col("doc_id") + lit(r * nDoc))
+          .withColumn("text", renamed)
+          .withColumn("n_chars", length(col("text")).cast("long"))
+      }
+    }
+    docReps.reduce(_ unionAll _).repartition(32)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    // embeddings
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val nVec = emb.agg(max("vec_id")).head().getLong(0) + 1L
+    val embReps = (0 until factor).map { r =>
+      val s = (r * 7) % 64
+      if (s == 0) emb.withColumn("vec_id", col("vec_id") + lit(r * nVec))
+      else emb
+        .withColumn("vec_id", col("vec_id") + lit(r * nVec))
+        .withColumn("embedding",
+          concat(slice(col("embedding"), s + 1, 64 - s),
+            slice(col("embedding"), 1, s)))
+    }
+    embReps.reduce(_ unionAll _).repartition(32)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    // lineitem (glm_fit input): plain copies
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    Seq.fill(factor)(li).reduce(_ unionAll _).repartition(64)
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+    println(s"[scale-replicate] wrote $out at ${factor}x: " +
+      s"${nDoc * factor} docs, ${nVec * factor} vecs, lineitem x$factor")
+    spark.stop()
+  }
+}

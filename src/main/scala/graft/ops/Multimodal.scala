@@ -16,13 +16,14 @@ import org.apache.spark.sql.types._
   * Codec status: IMAGE decode is real (JDK-built-in javax.imageio —
   * PNG/BMP/JPEG/GIF width/height/pixel-stats), AUDIO decode is real
   * (JDK-built-in javax.sound.sampled — WAV/AIFF/AU PCM sample rate,
-  * channels, frames, duration, RMS), and VIDEO container metadata is
+  * channels, frames, duration, RMS), VIDEO container metadata is
   * real (pure-JVM MP4/ISO-BMFF and AVI/RIFF header parsing — width,
-  * height, duration from `mvhd`/`tkhd`/`avih`; no codec needed).
-  * Only video FRAME decode remains stubbed with a deterministic fake
-  * (this environment ships no video codecs); swap `fakeDecode`/
-  * `sampleFrames` for a real codec (e.g. JNI ffmpeg) without touching
-  * any plumbing.
+  * height, duration from `mvhd`/`tkhd`/`avih`; no codec needed), and
+  * video FRAME decode is real for MJPEG AVIs ([[videoFrames]]: RIFF
+  * demux + javax.imageio per-frame JPEG — q101's golden oracle).
+  * Only frames in codecs this JVM lacks (H.264 etc.) fall back to the
+  * documented deterministic byte-stat stub (`fakeDecode`); swap it for
+  * a real codec (e.g. JNI ffmpeg) without touching any plumbing.
   */
 object Multimodal {
 
