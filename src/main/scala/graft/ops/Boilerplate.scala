@@ -148,6 +148,62 @@ object Boilerplate {
         .join(grams.select("gk"), Seq("gk"), "left_semi"), n)
   }
 
+  /** LINE-level cross-document boilerplate: the md5 keys of lines
+    * occurring in >= `minDf` DISTINCT documents — the RefinedWeb /
+    * CCNet line-dedup artifact (navigation items, cookie banners, and
+    * footer lines repeat VERBATIM as whole lines across pages, which
+    * the n-gram span machinery only catches when they are long enough
+    * to carry an n-gram). Distinct-doc counting, so a page repeating
+    * its own line cannot promote it. One bounded aggregation keyed on
+    * 32-char hashes — line TEXT never shuffles. Pre-normalize the text
+    * (e.g. [[Redact.cleanText]]) if near-identical line variants should
+    * collapse; the key here is exact. */
+  def commonLines(docs: DataFrame, idCol: String, textCol: String,
+      minDf: Int): DataFrame = {
+    require(minDf >= 2, s"minDf must be >= 2, got $minDf")
+    docs.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), "\n")).as("__line"))
+      .select(col("doc_id"), md5(col("__line")).as("lk"))
+      .distinct()
+      .groupBy("lk").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+  }
+
+  /** Remove every [[commonLines]] line from each document, preserving
+    * the order of the surviving lines, and report `n_dropped_lines`.
+    * Every input doc survives (a fully-boilerplate page comes back as
+    * the empty string with the count telling why).
+    *
+    * 100 TB shape (the [[stripRepeatedSpans]] pattern): the common
+    * table is joined per-DOC — explode to (doc, line-key), semi-join
+    * the bounded common set, collect each doc's (usually tiny) dropped
+    * key set, then one per-row projection filters the materialized line
+    * array against it. The corpus text itself never re-shuffles and the
+    * output rewrite is order-exact because lines never leave their row. */
+  def stripCommonLines(docs: DataFrame, common: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val reserved = Seq("__lines", "__drop", "n_dropped_lines")
+    val clash = docs.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"stripCommonLines: input already has column(s) ${clash.mkString(", ")}")
+    val dropped = docs.select(col(idCol),
+        explode(split(col(textCol), "\n")).as("__line"))
+      .select(col(idCol), md5(col("__line")).as("__lk"))
+      .join(common.select(col("lk").as("__lk")), Seq("__lk"), "left_semi")
+      .groupBy(idCol).agg(collect_set(col("__lk")).as("__drop"))
+    docs.join(dropped, Seq(idCol), "left")
+      .withColumn("__drop",
+        coalesce(col("__drop"), array().cast("array<string>")))
+      .withColumn("__lines", split(col(textCol), "\n"))
+      .withColumn("n_dropped_lines",
+        (size(col("__lines")) - size(filter(col("__lines"),
+          l => !array_contains(col("__drop"), md5(l))))).cast("int"))
+      .withColumn(textCol,
+        array_join(filter(col("__lines"),
+          l => !array_contains(col("__drop"), md5(l))), "\n"))
+      .drop("__lines", "__drop")
+  }
+
   /** Positional n-gram occurrence frame: (doc_id, pos, gk). */
   private def positions(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =

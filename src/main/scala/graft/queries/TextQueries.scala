@@ -1320,6 +1320,44 @@ object TextQueries {
             AND dup_line_chars * 10 <= 2 * line_chars AS dup_line_ok
         FROM s ORDER BY doc_id""")),
 
+    // ---- cross-document LINE dedup (Boilerplate.commonLines /
+    // stripCommonLines, the RefinedWeb/CCNet line pass): the q133
+    // newline derivation makes 2-word lines that repeat heavily across
+    // the tiny-vocabulary corpus; lines shared by >= 5 distinct docs are
+    // stripped order-preservingly. The REWRITTEN text and the dropped
+    // count are both in the hash.
+    Q("q141_line_dedup",
+      (s, dir) => {
+        val lined = tbl(s, dir, "documents").withColumn("text",
+          regexp_replace(col("text"), "((?:\\S+ ){1}\\S+) ", "$1\n"))
+        val common = graft.ops.Boilerplate.commonLines(
+          lined, "doc_id", "text", minDf = 5)
+        graft.ops.Boilerplate.stripCommonLines(lined, common, "doc_id", "text")
+          .select("doc_id", "n_dropped_lines", "text")
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+          SELECT doc_id,
+            REGEXP_REPLACE(text, '((?:\S+ ){1}\S+) ', '\1' || CHR(10), 'g') AS text
+          FROM documents),
+        l AS (
+          SELECT doc_id, i, a[CAST(i + 1 AS INTEGER)] AS line
+          FROM (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(text, '\n') AS a FROM t),
+            UNNEST(RANGE(0, LEN(a))) u(i)),
+        c AS (
+          SELECT line FROM (
+            SELECT line, COUNT(DISTINCT doc_id) AS df FROM l GROUP BY line)
+          WHERE df >= 5),
+        k AS (SELECT doc_id, i, line FROM l WHERE line NOT IN (SELECT line FROM c)),
+        r AS (
+          SELECT doc_id, STRING_AGG(line, CHR(10) ORDER BY i) AS text,
+            COUNT(*) AS n_kept
+          FROM k GROUP BY doc_id)
+        SELECT t.doc_id, COALESCE(r.text, '') AS text,
+          CAST(LEN(REGEXP_SPLIT_TO_ARRAY(t.text, '\n')) - COALESCE(r.n_kept, 0)
+            AS INTEGER) AS n_dropped_lines
+        FROM t LEFT JOIN r USING (doc_id) ORDER BY t.doc_id""")),
+
     // ---- certified exact top-k heavy hitters (Frequent.topK): the
     // Misra–Gries undercount bound doubles as the exactness proof —
     // sketchSize=832 sits below the ~916 bigram vocabulary (evictions

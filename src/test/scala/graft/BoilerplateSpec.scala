@@ -147,4 +147,38 @@ class BoilerplateSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("reserved scratch column"))
   }
+
+  test("commonLines/stripCommonLines: distinct-doc df, order-exact rewrite, all-boilerplate doc") {
+    import spark.implicits._
+    val nav = "home | products | contact"
+    val docs = Seq(
+      (1L, s"$nav\nunique alpha line\nmore body text\n$nav"), // nav twice: counts ONCE for df
+      (2L, s"$nav\nsecond doc body"),
+      (3L, s"intro line\n$nav\noutro line"),
+      (4L, nav),                                    // fully boilerplate
+      (5L, "no shared lines at all\njust body")
+    ).toDF("doc_id", "text")
+    val common = Boilerplate.commonLines(docs, "doc_id", "text", minDf = 3)
+    // only the nav line reaches df=4 >= 3; every other line is unique
+    assert(common.count() === 1)
+    val out = Boilerplate.stripCommonLines(docs, common, "doc_id", "text")
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("text"), r.getAs[Int]("n_dropped_lines"))).toMap
+    assert(out(1L) === (("unique alpha line\nmore body text", 2))) // both copies dropped
+    assert(out(2L) === (("second doc body", 1)))
+    assert(out(3L) === (("intro line\noutro line", 1)))
+    assert(out(4L) === (("", 1)))                  // survives as empty, counted
+    assert(out(5L) === (("no shared lines at all\njust body", 0)))
+    // a doc repeating its own line cannot promote it to common
+    val selfRep = Seq(
+      (1L, "me\nme\nme"), (2L, "you"), (3L, "them")).toDF("doc_id", "text")
+    assert(Boilerplate.commonLines(selfRep, "doc_id", "text", minDf = 2)
+      .count() === 0)
+    // reserved scratch names fail fast
+    intercept[IllegalArgumentException] {
+      Boilerplate.stripCommonLines(
+        docs.withColumn("__drop", lit(1)), common, "doc_id", "text")
+    }
+  }
 }
