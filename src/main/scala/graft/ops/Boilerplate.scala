@@ -174,12 +174,18 @@ object Boilerplate {
     * Every input doc survives (a fully-boilerplate page comes back as
     * the empty string with the count telling why).
     *
-    * 100 TB shape (the [[stripRepeatedSpans]] pattern): the common
-    * table is joined per-DOC — explode to (doc, line-key), semi-join
-    * the bounded common set, collect each doc's (usually tiny) dropped
-    * key set, then one per-row projection filters the materialized line
-    * array against it. The corpus text itself never re-shuffles and the
-    * output rewrite is order-exact because lines never leave their row. */
+    * 100 TB shape (the [[stripRepeatedSpans]] pattern): explode to
+    * (doc, line-key), semi-join the bounded common set, collect each
+    * doc's (usually tiny) dropped key set, then one per-row projection
+    * filters the materialized line array against it. Every LINE-level
+    * exchange carries only (id, 32-char key) — line text never
+    * shuffles, and the rewrite is order-exact because lines never
+    * leave their row (PlanSpec gates this). The final join-back
+    * broadcasts while the dropped-doc set fits (only docs that drop
+    * something appear in it); past that it degrades to ONE id-keyed
+    * corpus join — the same cost class as writing the rewritten corpus
+    * out. Build the `common` table once with a persisted write (the
+    * [[writeCommonGrams]] pattern) so repeat runs skip its scan. */
   def stripCommonLines(docs: DataFrame, common: DataFrame,
       idCol: String, textCol: String): DataFrame = {
     val reserved = Seq("__lines", "__drop", "n_dropped_lines")

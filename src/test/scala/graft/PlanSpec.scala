@@ -452,6 +452,65 @@ class PlanSpec extends AnyFunSuite {
       s"PQ plan grew with codebook size: $pqSmall -> $pqBig chars")
   }
 
+  test("stripCommonLines: every shuffle carries only (id, 32-char key) — never line text") {
+    import org.apache.spark.sql.functions.{col, regexp_replace}
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+      .withColumn("text",
+        regexp_replace(col("text"), "((?:\\S+ ){1}\\S+) ", "$1\n"))
+    val common = graft.ops.Boilerplate.commonLines(docs, "doc_id", "text", 5)
+    val out = graft.ops.Boilerplate.stripCommonLines(
+      docs, common, "doc_id", "text")
+    out.collect()
+    def exchanges(p: SparkPlan): Seq[ShuffleExchangeExec] = p match {
+      case a: AdaptiveSparkPlanExec => exchanges(a.executedPlan)
+      case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        exchanges(qs.plan)
+      case s: ShuffleExchangeExec =>
+        s +: s.children.flatMap(exchanges)
+      case other => other.children.flatMap(exchanges)
+    }
+    val ex = exchanges(out.queryExecution.executedPlan)
+    assert(ex.nonEmpty, "expected line-key aggregation shuffles")
+    ex.foreach { e =>
+      val bad = e.output.filter(a =>
+        a.name.contains("text") || a.name.contains("line"))
+      assert(bad.isEmpty,
+        s"shuffle carries corpus text: ${e.output.map(_.name).mkString(", ")}")
+    }
+  }
+
+  test("pca/opq shadow plans are O(1) in rotation/codebook size") {
+    // the learned matrices ride broadcast handles through ProjectVec —
+    // growing the rotation 32x must leave the analyzed plan flat (the
+    // q138/q139 production premise: persisted-model size never reaches
+    // the plan)
+    import graft.ops.Similarity
+    val emb = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val queries = emb.limit(3)
+    def pcaPlanSize(toDim: Int, d: Int): Int = {
+      val rng = new scala.util.Random(3)
+      val rot = Array.fill(toDim)(Array.fill(d)(rng.nextDouble()))
+      Similarity.pcaTopK(emb, queries, "vec_id", "embedding", rot, k = 3)
+        .queryExecution.analyzed.toString.length
+    }
+    val small = pcaPlanSize(8, 64)
+    val big = pcaPlanSize(64, 256)
+    assert(big < small * 2,
+      s"pcaTopK plan grew with rotation size: $small -> $big chars")
+    def opqPlanSize(d: Int, ksub: Int): Int = {
+      val rng = new scala.util.Random(4)
+      val rot = Array.fill(d)(Array.fill(d)(rng.nextDouble()))
+      val cbs = Array.fill(4)(Array.fill(ksub)(Array.fill(d / 4)(rng.nextDouble())))
+      Similarity.opqTopK(emb, queries, "vec_id", "embedding", rot, cbs,
+          k = 3, roundDp = 6)
+        .queryExecution.analyzed.toString.length
+    }
+    val oSmall = opqPlanSize(64, 8)
+    val oBig = opqPlanSize(256, 64)
+    assert(oBig < oSmall * 2,
+      s"opqTopK plan grew with rotation/codebook size: $oSmall -> $oBig chars")
+  }
+
   test("q117 repeatedSpans hashes the corpus ONCE (cached occurrence frame)") {
     val df = Queries.byName("q117_repeated_spans").spark(spark, TestSpark.sf0001)
     df.collect()
