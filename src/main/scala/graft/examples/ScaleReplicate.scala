@@ -1,6 +1,6 @@
 package graft.examples
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale-up fixture generator for the sf1 dry run: replicate an sf dir
@@ -35,6 +35,37 @@ object ScaleReplicate {
     * gate's pass rate per replica matches the original. */
   private val Preserved = Seq("the", "a", "and", "of", "fast", "slow")
 
+  /** The document replica family (exposed for ScaleReplicateSpec, which
+    * proves the isomorphism claim the scale-up table rests on). */
+  def docReplicas(docs: DataFrame, factor: Int, nDoc: Long): Seq[DataFrame] = {
+    val preservedArr = array(Preserved.map(lit): _*)
+    (0 until factor).map { r =>
+      if (r == 0) docs
+      else {
+        val renamed = array_join(
+          transform(split(col("text"), " +"),
+            w => when(array_contains(preservedArr, w), w)
+              .otherwise(concat(w, lit(s"x$r")))), " ")
+        docs
+          .withColumn("doc_id", col("doc_id") + lit(r * nDoc))
+          .withColumn("text", renamed)
+          .withColumn("n_chars", length(col("text")).cast("long"))
+      }
+    }
+  }
+
+  /** The embedding replica family: cyclic component shifts (isometries). */
+  def embReplicas(emb: DataFrame, factor: Int, nVec: Long): Seq[DataFrame] =
+    (0 until factor).map { r =>
+      val s = (r * 7) % 64
+      if (s == 0) emb.withColumn("vec_id", col("vec_id") + lit(r * nVec))
+      else emb
+        .withColumn("vec_id", col("vec_id") + lit(r * nVec))
+        .withColumn("embedding",
+          concat(slice(col("embedding"), s + 1, 64 - s),
+            slice(col("embedding"), 1, s)))
+    }
+
   def main(args: Array[String]): Unit = {
     val src = args(0)
     val out = args(1)
@@ -51,36 +82,13 @@ object ScaleReplicate {
     // documents
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val nDoc = docs.agg(max("doc_id")).head().getLong(0) + 1L
-    val preservedArr = array(Preserved.map(lit): _*)
-    val docReps = (0 until factor).map { r =>
-      if (r == 0) docs
-      else {
-        val renamed = array_join(
-          transform(split(col("text"), " +"),
-            w => when(array_contains(preservedArr, w), w)
-              .otherwise(concat(w, lit(s"x$r")))), " ")
-        docs
-          .withColumn("doc_id", col("doc_id") + lit(r * nDoc))
-          .withColumn("text", renamed)
-          .withColumn("n_chars", length(col("text")).cast("long"))
-      }
-    }
-    docReps.reduce(_ unionAll _).repartition(32)
+    docReplicas(docs, factor, nDoc).reduce(_ unionAll _).repartition(32)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
 
     // embeddings
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     val nVec = emb.agg(max("vec_id")).head().getLong(0) + 1L
-    val embReps = (0 until factor).map { r =>
-      val s = (r * 7) % 64
-      if (s == 0) emb.withColumn("vec_id", col("vec_id") + lit(r * nVec))
-      else emb
-        .withColumn("vec_id", col("vec_id") + lit(r * nVec))
-        .withColumn("embedding",
-          concat(slice(col("embedding"), s + 1, 64 - s),
-            slice(col("embedding"), 1, s)))
-    }
-    embReps.reduce(_ unionAll _).repartition(32)
+    embReplicas(emb, factor, nVec).reduce(_ unionAll _).repartition(32)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
     // lineitem (glm_fit input): plain copies

@@ -1,0 +1,110 @@
+package graft
+
+import graft.examples.ScaleReplicate
+import graft.ops.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The scale-up fixtures' ISOMORPHISM claim (docs/ROUND8.md leans on
+  * it): a `factor`× replica corpus must carry exactly `factor`× the
+  * duplicate/near-duplicate structure — within-replica structure
+  * bit-preserved, cross-replica leakage zero — so any super-linear
+  * bench growth measured on it is attributable to the algorithm, not
+  * the fixture. */
+class ScaleReplicateSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def docs = spark.read
+    .parquet(s"${TestSpark.sf0001}/documents.parquet")
+    .filter(col("doc_id") < 200)
+  private def emb = spark.read
+    .parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    .filter(col("vec_id") < 200)
+
+  test("exact-dup structure scales exactly linearly; zero cross-replica dups") {
+    val factor = 3
+    val reps = ScaleReplicate.docReplicas(docs, factor, nDoc = 200L)
+    val scaled = reps.reduce(_ unionAll _)
+    val baseSurv = Dedup.exact(docs, "doc_id", Seq("text")).count()
+    val scaledSurv = Dedup.exact(scaled, "doc_id", Seq("text")).count()
+    assert(scaledSurv === factor * baseSurv,
+      s"exact-dup survivors $scaledSurv != $factor x $baseSurv — " +
+        "cross-replica texts collide or within-replica structure drifted")
+  }
+
+  private def replicaOf(c: org.apache.spark.sql.Column) =
+    floor(c / 200).cast("long")
+
+  test("minhash structure scales linearly; cross-replica VERIFIED near-dups are zero") {
+    val factor = 3
+    val scaled = ScaleReplicate.docReplicas(docs, factor, nDoc = 200L)
+      .reduce(_ unionAll _)
+    val basePairs = Dedup.minhashCandidates(docs, "doc_id", "text").count()
+    val pairs = Dedup.minhashCandidates(scaled, "doc_id", "text")
+      .persist()
+    val within = pairs
+      .filter(replicaOf(col("id1")) === replicaOf(col("id2"))).count()
+    // banding is HASH-dependent: renamed shingles draw fresh minhashes,
+    // so borderline-Jaccard pairs collide in one replica and not
+    // another — candidate counts are preserved statistically, not
+    // exactly (exact Jaccard IS preserved; the q44-family verification
+    // step makes the final structure exact). Allow that wobble.
+    val lo = factor * basePairs - math.max(8L, basePairs)
+    val hi = factor * basePairs + math.max(8L, basePairs)
+    assert(within >= lo && within <= hi,
+      s"within-replica candidate pairs $within outside [$lo, $hi] " +
+        s"(= $factor x $basePairs ± banding wobble) — the bijective " +
+        "renaming did not preserve shingle structure")
+    // cross-replica CANDIDATES can occur (preserved-stopword shingles +
+    // 2-row band collisions at low Jaccard); their RATE must stay at or
+    // below the corpus's own candidate rate, and NONE may survive exact
+    // verification — that is the property the scaling table needs
+    val cross = pairs
+      .filter(replicaOf(col("id1")) =!= replicaOf(col("id2")))
+    val baseRate = basePairs.toDouble / (200L * 199L / 2L)
+    val crossRate = cross.count().toDouble /
+      (factor.toLong * (factor - 1L) / 2L * 200L * 200L)
+    assert(crossRate <= 2.0 * baseRate,
+      f"cross-replica candidate rate $crossRate%.5f exceeds 2x the " +
+        f"corpus's own rate $baseRate%.5f")
+    val crossVerified = Dedup.jaccardVerify(scaled, cross,
+      "doc_id", "text", threshold = 0.5).count()
+    assert(crossVerified === 0L,
+      s"$crossVerified cross-replica pairs passed Jaccard 0.5 — replicas " +
+        "are not textually independent")
+    spark.sharedState.cacheManager.clearCache() // band frames persist per plan
+  }
+
+  test("embedding shifts are isometries: cosine pairs scale linearly, cross-replica ~none") {
+    val factor = 3
+    val scaled = ScaleReplicate.embReplicas(emb, factor, nVec = 200L)
+      .reduce(_ unionAll _)
+    // a CONSTANT bucket isolates the isometry claim: LSH bucketing is
+    // deliberately NOT permutation-invariant (each replica buckets
+    // differently), but pairwise cosines are — so all-pairs within one
+    // bucket must reproduce the base structure exactly per replica
+    val basePairs = Dedup.cosineNearDups(emb, "vec_id", "embedding",
+      threshold = 0.3, bucketCol = lit(0)).count()
+    val pairs = Dedup.cosineNearDups(scaled, "vec_id", "embedding",
+      threshold = 0.3, bucketCol = lit(0)).persist()
+    val within = pairs
+      .filter(replicaOf(col("id1")) === replicaOf(col("id2"))).count()
+    val cross = pairs
+      .filter(replicaOf(col("id1")) =!= replicaOf(col("id2"))).count()
+    assert(within === factor * basePairs,
+      s"within-replica cosine pairs $within != $factor x $basePairs")
+    // at threshold 0.3 over 64 dims even UNRELATED vectors pass at a
+    // base rate (~1/√d cosine spread), so zero cross-replica pairs is
+    // the wrong claim — the right one is that the cross-replica RATE
+    // matches the corpus's own pair rate (shifted replicas look like
+    // unrelated corpus vectors). A naive copy fails instantly: its 200
+    // cos-1.0 diagonal pairs alone put the rate far above 2x.
+    val baseRate = basePairs.toDouble / (200L * 199L / 2L)
+    val crossRate = cross.toDouble /
+      (factor.toLong * (factor - 1L) / 2L * 200L * 200L)
+    assert(crossRate <= 2.0 * baseRate,
+      f"cross-replica pair rate $crossRate%.5f exceeds 2x the corpus's " +
+        f"own rate $baseRate%.5f — shifts are not decorrelating")
+    spark.sharedState.cacheManager.clearCache()
+  }
+}
