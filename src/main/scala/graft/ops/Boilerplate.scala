@@ -169,6 +169,32 @@ object Boilerplate {
       .filter(col("df") >= minDf)
   }
 
+  /** Persist [[commonLines]] as the build-once line-dedup artifact
+    * (the [[writeCommonGrams]] pattern): the table carries its `min_df`
+    * so a reader can FAIL FAST on a threshold mismatch instead of
+    * silently stripping against the wrong boilerplate set. Rebuilding
+    * the table per batch would re-scan the reference corpus; a daily
+    * ingest loads this and [[stripCommonLines]] the new batch only. */
+  def writeCommonLines(docs: DataFrame, idCol: String, textCol: String,
+      minDf: Int, path: String): Unit =
+    commonLines(docs, idCol, textCol, minDf)
+      .withColumn("min_df", lit(minDf))
+      .write.mode("overwrite").parquet(path)
+
+  /** Load a [[writeCommonLines]] table, whole-table-validating that it
+    * carries exactly one `min_df` (a concatenation of two builds at
+    * different thresholds is the corruption this catches). */
+  def loadCommonLines(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val t = spark.read.parquet(path)
+    val dfs = t.select(col("min_df").cast("int")).distinct().collect()
+      .map(_.getInt(0))
+    require(dfs.length == 1,
+      s"common-lines table must carry exactly one min_df, found " +
+        s"[${dfs.sorted.mkString(", ")}] — was it written by writeCommonLines?")
+    t.select("lk", "df")
+  }
+
   /** Remove every [[commonLines]] line from each document, preserving
     * the order of the surviving lines, and report `n_dropped_lines`.
     * Every input doc survives (a fully-boilerplate page comes back as

@@ -180,5 +180,19 @@ class BoilerplateSpec extends AnyFunSuite {
       Boilerplate.stripCommonLines(
         docs.withColumn("__drop", lit(1)), common, "doc_id", "text")
     }
+    // persisted artifact round-trips; mixed-threshold tables rejected
+    val dir = java.nio.file.Files.createTempDirectory("common_lines").toString
+    Boilerplate.writeCommonLines(docs, "doc_id", "text", minDf = 3, s"$dir/cl")
+    val loaded = Boilerplate.loadCommonLines(spark, s"$dir/cl")
+    val viaLoaded = Boilerplate.stripCommonLines(docs, loaded, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(viaLoaded === out.view.mapValues(_._1).toMap)
+    Boilerplate.commonLines(docs, "doc_id", "text", 2)
+      .withColumn("min_df", lit(2))
+      .write.mode("append").parquet(s"$dir/cl")
+    val e2 = intercept[IllegalArgumentException] {
+      Boilerplate.loadCommonLines(spark, s"$dir/cl")
+    }
+    assert(e2.getMessage.contains("exactly one min_df"))
   }
 }
