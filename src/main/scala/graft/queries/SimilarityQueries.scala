@@ -1031,6 +1031,69 @@ object SimilarityQueries {
             c_id, adist
           FROM adc)
         SELECT q_id, rk, c_id, adist FROM ranked WHERE rk <= 3
+        ORDER BY q_id, rk""")),
+
+    // ---- IVF-PQ composition (Similarity.ivfPqTopK): the production
+    // 100 TB ANN shape — coarse cells prune the corpus to nprobe=2
+    // probed cells per query, PQ codes make the within-cell scan
+    // byte-sized. The oracle composes q66b's cell assignment with
+    // q99's encode+ADC verbatim; corpus rows keep ONE cell, so a (q,c)
+    // pair can match at most one probed cell and never duplicates.
+    Q("q142_ivfpq_ann",
+      (s, dir) => {
+        val e = tbl(s, dir, "embeddings")
+        graft.ops.Similarity.ivfPqTopK(
+            e.filter(col("vec_id") >= 5), e.filter(col("vec_id") < 5),
+            "vec_id", "embedding", ivfCentroids, pqCodebooks, k = 3,
+            nprobe = 2, roundDp = 6)
+          .select("q_id", "rk", "c_id", "adist")
+          .orderBy("q_id", "rk")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cents AS (SELECT * FROM (VALUES $centroidSqlValues) t(cell, cv)),
+        cdist AS (
+          SELECT vec_id, cell,
+            ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(0, 64),
+              i -> (v[i+1] - cv[i+1]) * (v[i+1] - cv[i+1]))), 6) AS d
+          FROM e, cents),
+        ranked_cells AS (
+          SELECT vec_id, cell,
+            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn
+          FROM cdist),
+        corpus_cell AS (SELECT vec_id, cell FROM ranked_cells WHERE rn = 1 AND vec_id >= 5),
+        query_cells AS (SELECT vec_id, cell FROM ranked_cells WHERE rn <= 2 AND vec_id < 5),
+        cb AS (SELECT * FROM (VALUES $pqCodebookSqlValues) t(s, code, cw)),
+        sub AS (
+          SELECT vec_id, s, v[CAST(s*16+1 AS INTEGER) : CAST(s*16+16 AS INTEGER)] AS sv
+          FROM e, UNNEST(RANGE(0, 4)) u(s)),
+        sdist AS (
+          SELECT vec_id, sub.s, code,
+            ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(0, 16),
+              i -> (sv[i+1] - cw[i+1]) * (sv[i+1] - cw[i+1]))), 6) AS d
+          FROM sub JOIN cb ON sub.s = cb.s
+          WHERE vec_id >= 5),
+        assign AS (
+          SELECT vec_id, s, code FROM (
+            SELECT vec_id, s, code,
+              ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d ASC, code ASC) AS rn
+            FROM sdist) WHERE rn = 1),
+        adc AS (
+          SELECT q.vec_id AS q_id, a.vec_id AS c_id,
+            ROUND(SUM(ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(0, 16),
+              i -> (q.sv[i+1] - cb.cw[i+1]) * (q.sv[i+1] - cb.cw[i+1]))), 6)), 6) AS adist
+          FROM sub q
+          JOIN query_cells qc ON qc.vec_id = q.vec_id
+          JOIN corpus_cell cc ON cc.cell = qc.cell
+          JOIN assign a ON a.vec_id = cc.vec_id AND a.s = q.s
+          JOIN cb ON cb.s = a.s AND cb.code = a.code
+          WHERE q.vec_id < 5
+          GROUP BY q.vec_id, a.vec_id),
+        ranked AS (
+          SELECT q_id, CAST(ROW_NUMBER() OVER (
+            PARTITION BY q_id ORDER BY adist ASC, c_id ASC) AS INTEGER) AS rk,
+            c_id, adist
+          FROM adc)
+        SELECT q_id, rk, c_id, adist FROM ranked WHERE rk <= 3
         ORDER BY q_id, rk"""))
   )
 }
