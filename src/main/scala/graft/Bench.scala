@@ -179,6 +179,21 @@ object Bench {
       }
     }
 
+    // Production tokenizer throughput: encode the full corpus under a
+    // 200-merge trained BPE model (training is the amortized build step,
+    // OUTSIDE the timed region like the other model rows) — the hottest
+    // per-byte kernel of a tokenizing pipeline, one broadcast projection.
+    if (only.forall(_.exists("bpe_encode".startsWith))) {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val model = graft.ops.Bpe.trainMerges(
+        graft.ops.Bpe.wordCounts(docs), numMerges = 200)
+      val bc = spark.sparkContext.broadcast(model)
+      recordAdaptive("bpe_encode", repsFor("bpe_encode")) {
+        graft.ops.Bpe.encode(docs, bc, "text")
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+
     // GLM fit benchmark: the baseline-comparable fit (admm logistic,
     // ~6×10⁵ rows at sf0.1, 5 features + intercept). Median-of-5 (vs 3
     // elsewhere): this is the headline number against BASELINE.md and
@@ -211,7 +226,7 @@ object Bench {
     // new row must not read as a regression on unchanged queries.
     // glm_fit is NOT a registry query but is grandfathered in: it has
     // been part of every recorded total since r1.
-    val extras = Set("semdedup_k64", "charlm_score")
+    val extras = Set("semdedup_k64", "charlm_score", "bpe_encode")
     val total = results.collect {
       case (k, v) if !extras(k) => v
     }.sum
