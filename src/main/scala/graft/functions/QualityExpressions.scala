@@ -1,0 +1,160 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused per-document counters for the Gopher quality gates
+  * ([[graft.ops.Quality.gopherQuality]], Rae et al. 2021 A1.1).
+  *
+  * The composed Column form needs a `split("\s+")` materialization plus
+  * FOUR interpreted higher-order passes over it (aggregate for lengths,
+  * filter×2 for lines, filter for alpha, filter-over-stopwords) — the
+  * same no-CSE interpreted-HOF trap that cost q129 8× before the fused
+  * `token_ngrams` kernel. This expression computes every counter in ONE
+  * scan of the string with zero array materialization; the boolean
+  * gates stay plain codegen'd integer arithmetic over the returned
+  * struct.
+  *
+  * Bit-compatible with the Column/oracle form (QualityKernelSpec pins
+  * it against the raw-Column composition on adversarial inputs):
+  *
+  *  - tokens are `\s+` split elements with Java `split(-1)` semantics:
+  *    `n` = separator-run count + 1 (a leading/trailing run contributes
+  *    an empty element exactly like the SQL form);
+  *  - `tot_len`/`hash_cnt`/`uni_ell_cnt` count CODEPOINTS (Spark's
+  *    `length`), not UTF-16 units;
+  *  - `ell3_cnt` counts non-overlapping left-to-right `...` (a run of
+  *    r dots yields r/3 — the `regexp_replace` length-diff over 3);
+  *  - line rules replicate `^\s*[-*•]` / `\.\.\.\s*$` with Java's `\s`
+  *    class `[ \t\n\x0B\f\r]` (NOT Unicode whitespace);
+  *  - `stop_cnt` counts stopword-LIST entries present among the tokens
+  *    (duplicates in the list each count — `size(filter(list, ...))`
+  *    semantics).
+  *
+  * NULL text → NULL struct (`nullIntolerant`), so every gate and the
+  * conjunction come out NULL and a `gopher_keep` filter drops the doc —
+  * the same disposition the composed form gave it. */
+case class GopherStats(child: Expression, stopWords: Seq[String])
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", IntegerType, nullable = false),
+    StructField("tot_len", LongType, nullable = false),
+    StructField("hash_cnt", IntegerType, nullable = false),
+    StructField("ell3_cnt", IntegerType, nullable = false),
+    StructField("uni_ell_cnt", IntegerType, nullable = false),
+    StructField("n_lines", IntegerType, nullable = false),
+    StructField("bullet_cnt", IntegerType, nullable = false),
+    StructField("ell_end_cnt", IntegerType, nullable = false),
+    StructField("alpha_cnt", IntegerType, nullable = false),
+    StructField("stop_cnt", IntegerType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+
+  // Java \s — the exact class regex split/rlike use (not Unicode spaces)
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** Line-local `^\s*[-*•]` / `\.\.\.\s*$` over [from, to). */
+  private def lineFlags(s: String, from: Int, to: Int): (Boolean, Boolean) = {
+    var i = from
+    while (i < to && isWs(s.charAt(i))) i += 1
+    val bullet = i < to && {
+      val c = s.charAt(i); c == '-' || c == '*' || c == '•'
+    }
+    var j = to
+    while (j > from && isWs(s.charAt(j - 1))) j -= 1
+    val ellEnd = j - from >= 3 && s.charAt(j - 1) == '.' &&
+      s.charAt(j - 2) == '.' && s.charAt(j - 3) == '.'
+    (bullet, ellEnd)
+  }
+
+  /** The fused kernel; public so generated code can call it. */
+  def computeStats(input: UTF8String): InternalRow = {
+    val s = input.toString
+    val len = s.length
+    var totLen = 0L
+    var hashCnt = 0; var uniEll = 0; var ell3 = 0
+    var nLines = 1; var bullets = 0; var ellEnds = 0
+    var sepRuns = 0; var alphaCnt = 0
+    var tokens: scala.collection.mutable.HashSet[String] = null
+    if (stopWords.nonEmpty) tokens = new scala.collection.mutable.HashSet[String]
+    var i = 0
+    var lineStart = 0
+    var tokStart = -1        // char index where the current token began
+    var tokHasAlpha = false
+    var dotRun = 0
+    @inline def closeToken(end: Int): Unit = {
+      if (tokStart >= 0) {
+        if (tokHasAlpha) alphaCnt += 1
+        if (tokens != null) tokens.add(s.substring(tokStart, end))
+        tokStart = -1; tokHasAlpha = false
+      }
+    }
+    @inline def closeDots(): Unit = { ell3 += dotRun / 3; dotRun = 0 }
+    var inSep = false
+    while (i < len) {
+      val c = s.charAt(i)
+      val cp = if (Character.isHighSurrogate(c) && i + 1 < len &&
+        Character.isLowSurrogate(s.charAt(i + 1))) s.codePointAt(i) else c.toInt
+      val cw = Character.charCount(cp)
+      if (isWs(c)) {
+        closeToken(i); closeDots()
+        if (!inSep) { sepRuns += 1; inSep = true }
+        if (c == '\n') {
+          val (b, e) = lineFlags(s, lineStart, i)
+          if (b) bullets += 1
+          if (e) ellEnds += 1
+          nLines += 1
+          lineStart = i + 1
+        }
+      } else {
+        inSep = false
+        totLen += 1
+        if (tokStart < 0) tokStart = i
+        if (cp == '#') hashCnt += 1
+        if (cp == '…') uniEll += 1
+        if (cp == '.') dotRun += 1 else closeDots()
+        if ((cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z'))
+          tokHasAlpha = true
+      }
+      i += cw
+    }
+    closeToken(len); closeDots()
+    val (b, e) = lineFlags(s, lineStart, len)
+    if (b) bullets += 1
+    if (e) ellEnds += 1
+    var stopCnt = 0
+    if (tokens != null) {
+      val it = stopWords.iterator
+      while (it.hasNext) if (tokens.contains(it.next())) stopCnt += 1
+    }
+    new GenericInternalRow(Array[Any](
+      sepRuns + 1, totLen, hashCnt, ell3, uniEll,
+      nLines, bullets, ellEnds, alphaCnt, stopCnt))
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    computeStats(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("gopherStats", this, classOf[GopherStats].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (InternalRow) $ref.computeStats($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GopherStats =
+    copy(child = newChild)
+  override def prettyName: String = "gopher_stats"
+}
+
+object QualityFunctions {
+  /** Fused Gopher counters struct of a text column. */
+  def gopherStats(text: Column, stopWords: Seq[String]): Column =
+    ColumnBridge.column(GopherStats(ColumnBridge.expression(text), stopWords))
+}

@@ -15,8 +15,9 @@ import org.apache.spark.sql.functions._
   * are cleared by cross-multiplication (`3·n ≤ totLen` instead of
   * `totLen/n ≥ 3`), so the flags are hash-exact across engines (q132's
   * DuckDB oracle replays them bit-for-bit). One projection, no shuffle,
-  * no UDF; the token array is materialized ONCE as a scratch column
-  * before any lambda reads it (the interpreted-HOF discipline).
+  * no UDF; every counter comes from ONE fused scan of the string
+  * ([[graft.functions.GopherStats]] — the former split + four
+  * interpreted-HOF passes were the q129 no-CSE trap, ~5× slower).
   */
 object Quality {
 
@@ -53,43 +54,36 @@ object Quality {
       "stopWords must hold 2..64 entries (the >= 2 evidence rule needs " +
         s"at least two candidates; a large list belongs in a join), got " +
         stopWords.size)
-    val reserved = Seq("__toks", "__lines", "wc_ok", "mwl_ok", "symbol_ok",
+    val reserved = Seq("__gs", "wc_ok", "mwl_ok", "symbol_ok",
       "bullet_ok", "alpha_ok", "stopword_ok", "gopher_keep")
     val clash = df.columns.filter(reserved.contains)
     require(clash.isEmpty,
       s"gopherQuality: input already has column(s) ${clash.mkString(", ")}")
-    val t = col(textCol)
-    val n = size(col("__toks"))
-    val nLines = size(col("__lines"))
-    // sum of token lengths, division-free: total chars minus the (n-1)
-    // single separators is wrong under runs of spaces, so fold the
-    // materialized array instead (linear, reads the scratch column)
-    val totLen = aggregate(col("__toks"), lit(0),
-      (acc, w) => acc + length(w))
-    val hashCnt = length(t) - length(regexp_replace(t, "#", ""))
-    // each '…' spelled '...' removes 3 chars; left-to-right
-    // non-overlapping scan is identical in both engines
-    val ellLenDiff = length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))
-    // the single-codepoint U+2026 ellipsis counts too (1 char each)
-    val uniEllCnt = length(t) - length(regexp_replace(t, "…", ""))
-    val bulletCnt = size(filter(col("__lines"),
-      l => l.rlike("^\\s*[-*•]")))
-    val ellEndCnt = size(filter(col("__lines"),
-      l => l.rlike("\\.\\.\\.\\s*$")))
-    val alphaCnt = size(filter(col("__toks"), w => w.rlike("[A-Za-z]")))
-    val stopCnt = size(filter(
-      array(stopWords.map(lit): _*),
-      s => array_contains(col("__toks"), s)))
-    df.withColumn("__toks", split(t, "\\s+"))
-      .withColumn("__lines", split(t, "\n"))
+    // ALL counters come from one fused scan of the string
+    // ([[graft.functions.GopherStats]] — the token_ngrams treatment for
+    // the interpreted-HOF composition this used to be; the kernel's
+    // scaladoc states the bit-compat contract, QualityKernelSpec pins
+    // it); the gates below are plain codegen'd integer arithmetic
+    val n = col("__gs.n")
+    val nLines = col("__gs.n_lines")
+    val totLen = col("__gs.tot_len")
+    val hashCnt = col("__gs.hash_cnt")
+    // ell3_cnt counts '...' occurrences (the Column form's length-diff
+    // over 3); uni_ell_cnt counts the single-codepoint U+2026 form
+    val ell3Cnt = col("__gs.ell3_cnt")
+    val uniEllCnt = col("__gs.uni_ell_cnt")
+    val bulletCnt = col("__gs.bullet_cnt")
+    val ellEndCnt = col("__gs.ell_end_cnt")
+    val alphaCnt = col("__gs.alpha_cnt")
+    val stopCnt = col("__gs.stop_cnt")
+    df.withColumn("__gs",
+        graft.functions.QualityFunctions.gopherStats(col(textCol), stopWords))
       .withColumn("wc_ok", n >= minWords && n <= maxWords)
       .withColumn("mwl_ok", lit(3) * n <= totLen && totLen <= lit(10) * n)
-      // per-symbol gates (A1.1 applies 0.1 to EACH symbol, not the sum);
-      // the '...' count is ellLenDiff/3, cleared of the division:
-      // (ellLenDiff/3 + uniEll)·10 ≤ n  ⇔  (ellLenDiff + 3·uniEll)·10 ≤ 3·n
+      // per-symbol gates (A1.1 applies 0.1 to EACH symbol, not the sum)
       .withColumn("symbol_ok",
         hashCnt * lit(10) <= n &&
-          (ellLenDiff + lit(3) * uniEllCnt) * lit(10) <= lit(3) * n)
+          (ell3Cnt + uniEllCnt) * lit(10) <= n)
       .withColumn("bullet_ok",
         bulletCnt * lit(10) <= nLines && ellEndCnt * lit(10) <= lit(3) * nLines)
       .withColumn("alpha_ok", alphaCnt * lit(10) >= lit(8) * n)
@@ -97,7 +91,7 @@ object Quality {
       .withColumn("gopher_keep",
         col("wc_ok") && col("mwl_ok") && col("symbol_ok") &&
           col("bullet_ok") && col("alpha_ok") && col("stopword_ok"))
-      .drop("__toks", "__lines")
+      .drop("__gs")
   }
 
   /** Gopher's repetition rules (A1.1 second half): per-document
