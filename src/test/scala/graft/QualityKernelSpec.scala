@@ -53,7 +53,7 @@ class QualityKernelSpec extends AnyFunSuite {
     compareOn(Seq(
       "the quick brown fox",
       "  leading and   multiple   spaces  ",
-      "tabs\tandvt\fand\rcr separators",
+      "tabs\tand\u000Bvt\fand\rcr separators",
       "", " ", "\n", "a\n\nb\n",
       ". .. ... .... ..... ...... .......",
       "dots...inside and trailing...",
