@@ -194,6 +194,22 @@ object Bench {
       }
     }
 
+    // Gopher gate throughput: the heuristic rule battery every crawl doc
+    // passes through FIRST in a curation pipeline — one fused GopherStats
+    // scan per row (multi-line derivation applied so the line rules do
+    // real work). Pure projection: the number IS the kernel.
+    if (only.forall(_.exists("gopher_gate".startsWith))) {
+      import org.apache.spark.sql.functions.{col, regexp_replace}
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .withColumn("text",
+          regexp_replace(col("text"), "((?:\\S+ ){1}\\S+) ", "$1\n"))
+      recordAdaptive("gopher_gate", repsFor("gopher_gate")) {
+        graft.ops.Quality.gopherQuality(docs, "text", minWords = 30,
+            stopWords = graft.ops.Quality.GopherStopWords :+ "a")
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+
     // GLM fit benchmark: the baseline-comparable fit (admm logistic,
     // ~6×10⁵ rows at sf0.1, 5 features + intercept). Median-of-5 (vs 3
     // elsewhere): this is the headline number against BASELINE.md and
@@ -226,7 +242,8 @@ object Bench {
     // new row must not read as a regression on unchanged queries.
     // glm_fit is NOT a registry query but is grandfathered in: it has
     // been part of every recorded total since r1.
-    val extras = Set("semdedup_k64", "charlm_score", "bpe_encode")
+    val extras = Set("semdedup_k64", "charlm_score", "bpe_encode",
+      "gopher_gate")
     val total = results.collect {
       case (k, v) if !extras(k) => v
     }.sum
