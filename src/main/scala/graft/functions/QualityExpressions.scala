@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -153,8 +154,91 @@ case class GopherStats(child: Expression, stopWords: Seq[String])
   override def prettyName: String = "gopher_stats"
 }
 
+/** Fused C4 line filter ([[graft.ops.Quality.c4Clean]], Raffel et al.
+  * 2020 §2.2): the kept lines of a page in one pass — each `\n`-split
+  * line survives iff it ends in terminal punctuation (`.` `!` `?` `"`
+  * after trailing Java-`\s`), carries ≥ `minLineWords` `\s+`-split
+  * words (Java `split(-1)` semantics), and does not mention
+  * "javascript" case-insensitively. The composed form ran an
+  * interpreted filter lambda with an rlike + a split + a lower-contains
+  * per LINE; here the page gates and the rewrite stay native Column
+  * code over the returned array.
+  *
+  * Case folding for the javascript rule goes through
+  * `UTF8String.toLowerCase` — definitionally the SAME folding
+  * `lower(col)` applies, so locale-edge codepoints (dotted capital I
+  * and friends) cannot diverge from the Column form. */
+case class C4KeptLines(child: Expression, minLineWords: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  require(minLineWords >= 1, s"minLineWords must be >= 1, got $minLineWords")
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  private val needle = UTF8String.fromString("javascript")
+
+  private def keepLine(s: String, from: Int, to: Int): Boolean = {
+    // terminal punctuation after trailing whitespace
+    var j = to
+    while (j > from && isWs(s.charAt(j - 1))) j -= 1
+    if (j == from) return false
+    val last = s.charAt(j - 1)
+    if (last != '.' && last != '!' && last != '?' && last != '"') return false
+    // word count: separator-run count + 1 (Java split(-1))
+    var sepRuns = 0
+    var inSep = false
+    var i = from
+    while (i < to) {
+      if (isWs(s.charAt(i))) { if (!inSep) { sepRuns += 1; inSep = true } }
+      else inSep = false
+      i += 1
+    }
+    if (sepRuns + 1 < minLineWords) return false
+    !UTF8String.fromString(s.substring(from, to)).toLowerCase.contains(needle)
+  }
+
+  /** The fused kernel; public so generated code can call it. */
+  def computeKept(input: UTF8String): ArrayData = {
+    val s = input.toString
+    val out = scala.collection.mutable.ArrayBuffer[AnyRef]()
+    var start = 0
+    var i = 0
+    while (i <= s.length) {
+      if (i == s.length || s.charAt(i) == '\n') {
+        if (keepLine(s, start, i))
+          out += UTF8String.fromString(s.substring(start, i))
+        start = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    computeKept(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("c4KeptLines", this, classOf[C4KeptLines].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (ArrayData) $ref.computeKept($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): C4KeptLines =
+    copy(child = newChild)
+  override def prettyName: String = "c4_kept_lines"
+}
+
 object QualityFunctions {
   /** Fused Gopher counters struct of a text column. */
   def gopherStats(text: Column, stopWords: Seq[String]): Column =
     ColumnBridge.column(GopherStats(ColumnBridge.expression(text), stopWords))
+
+  /** Fused C4 kept-lines array of a text column. */
+  def c4KeptLines(text: Column, minLineWords: Int): Column =
+    ColumnBridge.column(C4KeptLines(ColumnBridge.expression(text), minLineWords))
 }

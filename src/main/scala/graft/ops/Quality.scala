@@ -135,29 +135,28 @@ object Quality {
     * in terminal punctuation, so kept lines lower-bound sentences
     * (C4's own sentence splitter is a language-specific model; a
     * deterministic line proxy is cross-engine exact). One projection +
-    * filter, no shuffle, no UDF; the per-line word split runs once per
-    * line (linear — the lambda reads its own element, never an outer
-    * expression). */
+    * filter, no shuffle, no UDF; the line rules run in one fused pass
+    * per document ([[graft.functions.C4KeptLines]]). */
   def c4Clean(df: DataFrame, textCol: String = "text",
       minLineWords: Int = 5, minLines: Int = 3): DataFrame = {
     require(minLineWords >= 1, s"minLineWords must be >= 1, got $minLineWords")
     require(minLines >= 1, s"minLines must be >= 1, got $minLines")
-    val reserved = Seq("__lines", "__kept", "n_kept_lines")
+    val reserved = Seq("__kept", "n_kept_lines")
     val clash = df.columns.filter(reserved.contains)
     require(clash.isEmpty,
       s"c4Clean: input already has column(s) ${clash.mkString(", ")}")
     val t = col(textCol)
-    val keptLines = filter(col("__lines"), l =>
-      l.rlike("[.!?\"]\\s*$") &&
-        size(split(l, "\\s+")) >= minLineWords &&
-        !lower(l).contains("javascript"))
-    df.withColumn("__lines", split(t, "\n"))
-      .withColumn("__kept", keptLines)
+    // the per-line rules run in the fused [[graft.functions.C4KeptLines]]
+    // kernel (one pass; the former filter lambda ran an interpreted
+    // rlike + split + lower-contains per line — QualityKernelSpec pins
+    // the parity); page gates + rewrite stay native Column code
+    df.withColumn("__kept",
+        graft.functions.QualityFunctions.c4KeptLines(t, minLineWords))
       .filter(!lower(t).contains("lorem ipsum") && !t.contains("{") &&
         size(col("__kept")) >= minLines)
       .withColumn(textCol, array_join(col("__kept"), "\n"))
       .withColumn("n_kept_lines", size(col("__kept")))
-      .drop("__lines", "__kept")
+      .drop("__kept")
   }
 
   /** [[gopherQuality]] then keep only passing docs, flags dropped —

@@ -84,6 +84,40 @@ class QualityKernelSpec extends AnyFunSuite {
     compareOn(texts)
   }
 
+  test("C4KeptLines parity: kernel equals the Column filter composition") {
+    def expectKept(texts: Seq[String], minWords: Int): Map[Long, Seq[String]] =
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+        .select(col("id"), filter(split(col("text"), "\n"), l =>
+          l.rlike("[.!?\"]\\s*$") &&
+            size(split(l, "\\s+")) >= minWords &&
+            !lower(l).contains("javascript")).as("kept"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+    def gotKept(texts: Seq[String], minWords: Int): Map[Long, Seq[String]] =
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+        .select(col("id"), graft.functions.QualityFunctions
+          .c4KeptLines(col("text"), minWords).as("kept"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+    val fixtures = Seq(
+      "good five word line here.\nshort one.\nno punct line at all",
+      "ends bang with five words!\nends q with five words?\nquoted five word line here\"",
+      "enable JAVASCRIPT to continue now.\njavascript lowercase sentence keeps going.",
+      "trailing spaces after punct five.   \n\ttab lead five word line.",
+      "", "\n", "only.\n.\n. . . . .",
+      "JAVASCRİPT dotted capital keeps five.", // Turkish İ must not fold to ascii i+dot match
+      "line with… unicode five words.")
+    for (mw <- Seq(1, 3, 5))
+      assert(gotKept(fixtures, mw) === expectKept(fixtures, mw), s"minWords=$mw")
+    val alphabet = "word. !?\"\n\t javascript J 五"
+    val rnd = new scala.util.Random(31)
+    val rand = (0 until 200).map { _ =>
+      (0 until rnd.nextInt(60)).map(_ =>
+        alphabet.charAt(rnd.nextInt(alphabet.length))).mkString
+    }
+    assert(gotKept(rand, 3) === expectKept(rand, 3))
+  }
+
   test("gopherQuality end-to-end flags unchanged by the kernel swap (fixture)") {
     // the q132 fixture shape at sf0.001: multi-line + symbol injections —
     // flags must match a hand-built Column-composition replica
