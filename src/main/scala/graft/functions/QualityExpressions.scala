@@ -233,6 +233,85 @@ case class C4KeptLines(child: Expression, minLineWords: Int)
   override def prettyName: String = "c4_kept_lines"
 }
 
+/** Fused line-strip for cross-document line dedup
+  * ([[graft.ops.Boilerplate.stripCommonLines]]): given a document and
+  * its per-doc dropped-key array (lowercase md5 hex, the join-collected
+  * subset of the corpus-wide common-line table), rebuild the text minus
+  * the dropped lines and count them — ONE pass, one md5 per line. The
+  * composed form ran TWO interpreted filter HOFs (count + rewrite),
+  * each re-hashing every line. Key equality is on the exact lowercase
+  * hex Spark's `md5()` emits (same MessageDigest bytes, same hex
+  * alphabet — the md5Hex helper is shared with the oracle contract). */
+case class StripLinesByKey(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(StringType, ArrayType(StringType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("text", StringType, nullable = false),
+    StructField("n_dropped", IntegerType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+
+  private def md5Hex(s: String): String = {
+    val d = TextHashKernels.digest.get()
+    d.reset()
+    val bytes = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      hex(2 * i) = Character.forDigit((bytes(i) >> 4) & 0xf, 16)
+      hex(2 * i + 1) = Character.forDigit(bytes(i) & 0xf, 16)
+      i += 1
+    }
+    new String(hex)
+  }
+
+  /** The fused kernel; public so generated code can call it. */
+  def computeStripped(text: UTF8String, keys: ArrayData): InternalRow = {
+    val drop = new java.util.HashSet[String]()
+    var k = 0
+    while (k < keys.numElements()) {
+      val e = keys.getUTF8String(k)
+      if (e != null) drop.add(e.toString)
+      k += 1
+    }
+    val s = text.toString
+    val sb = new java.lang.StringBuilder(s.length)
+    var dropped = 0
+    var kept = 0
+    var start = 0
+    var i = 0
+    while (i <= s.length) {
+      if (i == s.length || s.charAt(i) == '\n') {
+        val line = s.substring(start, i)
+        if (drop.isEmpty || !drop.contains(md5Hex(line))) {
+          if (kept > 0) sb.append('\n')
+          sb.append(line)
+          kept += 1
+        } else dropped += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(sb.toString), dropped))
+  }
+
+  override def nullSafeEval(t: Any, ks: Any): Any =
+    computeStripped(t.asInstanceOf[UTF8String], ks.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("stripLines", this, classOf[StripLinesByKey].getName)
+    nullSafeCodeGen(ctx, ev, (t, ks) =>
+      s"${ev.value} = (InternalRow) $ref.computeStripped($t, $ks);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): StripLinesByKey =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "strip_lines_by_key"
+}
+
 object QualityFunctions {
   /** Fused Gopher counters struct of a text column. */
   def gopherStats(text: Column, stopWords: Seq[String]): Column =
@@ -241,4 +320,9 @@ object QualityFunctions {
   /** Fused C4 kept-lines array of a text column. */
   def c4KeptLines(text: Column, minLineWords: Int): Column =
     ColumnBridge.column(C4KeptLines(ColumnBridge.expression(text), minLineWords))
+
+  /** Fused strip-by-md5-key struct(text, n_dropped) of a text column. */
+  def stripLinesByKey(text: Column, dropKeys: Column): Column =
+    ColumnBridge.column(StripLinesByKey(
+      ColumnBridge.expression(text), ColumnBridge.expression(dropKeys)))
 }

@@ -214,7 +214,7 @@ object Boilerplate {
     * [[writeCommonGrams]] pattern) so repeat runs skip its scan. */
   def stripCommonLines(docs: DataFrame, common: DataFrame,
       idCol: String, textCol: String): DataFrame = {
-    val reserved = Seq("__lines", "__drop", "n_dropped_lines")
+    val reserved = Seq("__drop", "__stripped", "n_dropped_lines")
     val clash = docs.columns.filter(reserved.contains)
     require(clash.isEmpty,
       s"stripCommonLines: input already has column(s) ${clash.mkString(", ")}")
@@ -223,17 +223,16 @@ object Boilerplate {
       .select(col(idCol), md5(col("__line")).as("__lk"))
       .join(common.select(col("lk").as("__lk")), Seq("__lk"), "left_semi")
       .groupBy(idCol).agg(collect_set(col("__lk")).as("__drop"))
+    // the rewrite + count run in the fused StripLinesByKey kernel —
+    // one pass, one md5 per line (the composed form re-hashed every
+    // line in TWO interpreted filter HOFs)
     docs.join(dropped, Seq(idCol), "left")
-      .withColumn("__drop",
-        coalesce(col("__drop"), array().cast("array<string>")))
-      .withColumn("__lines", split(col(textCol), "\n"))
-      .withColumn("n_dropped_lines",
-        (size(col("__lines")) - size(filter(col("__lines"),
-          l => !array_contains(col("__drop"), md5(l))))).cast("int"))
-      .withColumn(textCol,
-        array_join(filter(col("__lines"),
-          l => !array_contains(col("__drop"), md5(l))), "\n"))
-      .drop("__lines", "__drop")
+      .withColumn("__stripped",
+        graft.functions.QualityFunctions.stripLinesByKey(col(textCol),
+          coalesce(col("__drop"), array().cast("array<string>"))))
+      .withColumn(textCol, col("__stripped.text"))
+      .withColumn("n_dropped_lines", col("__stripped.n_dropped"))
+      .drop("__drop", "__stripped")
   }
 
   /** Positional n-gram occurrence frame: (doc_id, pos, gk). */
