@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{ArrayCosineSim, ArrayDot, ArrayMath, ArraySqDist, CharLmFunctions, CharNgrams, DsirFunctions, HashedNgramBuckets, MinHashSig, SimHashFp, TextHashFunctions, TokenNgrams}
+import graft.functions.{ArrayCosineSim, ArrayDot, ArrayMath, ArraySqDist, C4KeptLines, CharLmFunctions, CharNgrams, DsirFunctions, GopherStats, HashedNgramBuckets, MinHashSig, QualityFunctions, SimHashFp, StripLinesByKey, TextHashFunctions, TokenNgrams}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -51,5 +51,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("hashed_ngram_buckets"),
       new ExpressionInfo(classOf[HashedNgramBuckets].getName, "hashed_ngram_buckets"),
       DsirFunctions.hashedNgramBucketsBuilder))
+    e.injectFunction((
+      new FunctionIdentifier("gopher_stats"),
+      new ExpressionInfo(classOf[GopherStats].getName, "gopher_stats"),
+      QualityFunctions.gopherStatsBuilder))
+    e.injectFunction((
+      new FunctionIdentifier("c4_kept_lines"),
+      new ExpressionInfo(classOf[C4KeptLines].getName, "c4_kept_lines"),
+      QualityFunctions.c4KeptLinesBuilder))
+    e.injectFunction((
+      new FunctionIdentifier("strip_lines_by_key"),
+      new ExpressionInfo(classOf[StripLinesByKey].getName, "strip_lines_by_key"),
+      QualityFunctions.stripLinesByKeyBuilder))
   }
 }

@@ -325,4 +325,64 @@ object QualityFunctions {
   def stripLinesByKey(text: Column, dropKeys: Column): Column =
     ColumnBridge.column(StripLinesByKey(
       ColumnBridge.expression(text), ColumnBridge.expression(dropKeys)))
+
+  private def intLiteral(e: Expression, what: String): Int = {
+    require(e.foldable, s"$what must be a literal")
+    e.eval() match {
+      case i: Int => i
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
+  }
+
+  private def stringArrayLiteral(e: Expression, what: String): Seq[String] = {
+    require(e.foldable, s"$what must be a literal array of strings")
+    e.eval() match {
+      case a: ArrayData =>
+        (0 until a.numElements()).map { i =>
+          val v = a.getUTF8String(i)
+          require(v != null, s"$what must not contain NULL entries")
+          v.toString
+        }
+      case other => throw new IllegalArgumentException(
+        s"$what must be an array literal, got $other")
+    }
+  }
+
+  /** `gopher_stats(text, array('the', ...))` — the stop-word evidence
+    * set must be a foldable array-of-string literal. */
+  private[graft] val gopherStatsBuilder: Seq[Expression] => Expression = {
+    case Seq(text, stops) =>
+      GopherStats(text, stringArrayLiteral(stops, "gopher_stats: stopWords"))
+    case exprs => throw new IllegalArgumentException(
+      s"gopher_stats(text, stopWords) takes 2 arguments, got ${exprs.length}")
+  }
+
+  /** `c4_kept_lines(text[, minLineWords])` — word floor defaults to the
+    * paper's 5; must be a literal >= 1. */
+  private[graft] val c4KeptLinesBuilder: Seq[Expression] => Expression = {
+    case Seq(text) => C4KeptLines(text, 5)
+    case Seq(text, n) =>
+      C4KeptLines(text, intLiteral(n, "c4_kept_lines: minLineWords"))
+    case exprs => throw new IllegalArgumentException(
+      s"c4_kept_lines(text[, minLineWords]) takes 1 or 2 arguments, got ${exprs.length}")
+  }
+
+  /** `strip_lines_by_key(text, dropKeys)` — dropKeys is any
+    * array<string> expression (typically a join-collected column). */
+  private[graft] val stripLinesByKeyBuilder: Seq[Expression] => Expression = {
+    case Seq(text, keys) => StripLinesByKey(text, keys)
+    case exprs => throw new IllegalArgumentException(
+      s"strip_lines_by_key(text, dropKeys) takes 2 arguments, got ${exprs.length}")
+  }
+
+  /** Register SQL-visible functions on a session (idempotent). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "gopher_stats", gopherStatsBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "c4_kept_lines", c4KeptLinesBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "strip_lines_by_key", stripLinesByKeyBuilder, "built-in")
+  }
 }

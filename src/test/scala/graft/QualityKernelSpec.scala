@@ -118,6 +118,22 @@ class QualityKernelSpec extends AnyFunSuite {
     assert(gotKept(rand, 3) === expectKept(rand, 3))
   }
 
+  test("SQL-visible registrations: gopher_stats / c4_kept_lines / strip_lines_by_key") {
+    graft.functions.QualityFunctions.register(spark)
+    Seq((1L, "the good line ends here.\nbad")).toDF("id", "text")
+      .createOrReplaceTempView("qk_docs")
+    val r = spark.sql(
+      """SELECT gopher_stats(text, array('the', 'a')).n AS n,
+        |  size(c4_kept_lines(text, 3)) AS kept,
+        |  strip_lines_by_key(text, array(md5('bad'))).n_dropped AS dropped
+        |FROM qk_docs""".stripMargin).collect().head
+    assert(r.getInt(0) === 6 && r.getInt(1) === 1 && r.getInt(2) === 1)
+    // literal-argument validation fails at analysis, not mid-job
+    intercept[Exception] {
+      spark.sql("SELECT gopher_stats(text, id) FROM qk_docs").collect()
+    }
+  }
+
   test("gopherQuality end-to-end flags unchanged by the kernel swap (fixture)") {
     // the q132 fixture shape at sf0.001: multi-line + symbol injections —
     // flags must match a hand-built Column-composition replica
