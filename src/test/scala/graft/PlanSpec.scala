@@ -196,6 +196,28 @@ class PlanSpec extends AnyFunSuite {
     assert(fpLines.exists(_.contains("*(")), plan)
   }
 
+  test("quality kernels stay inside whole-stage codegen (no fallback)") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val gq = graft.ops.Quality.gopherQuality(docs, "text", minWords = 30)
+    gq.collect()
+    val gPlan = gq.queryExecution.executedPlan.toString
+    val gLines = gPlan.linesIterator.filter(_.contains("gopher_stats")).toSeq
+    assert(gLines.nonEmpty && gLines.exists(_.contains("*(")), gPlan)
+    val c4 = graft.ops.Quality.c4Clean(docs.select("doc_id", "text"))
+    c4.collect()
+    val cPlan = c4.queryExecution.executedPlan.toString
+    val cLines = cPlan.linesIterator.filter(_.contains("c4_kept_lines")).toSeq
+    assert(cLines.nonEmpty && cLines.exists(_.contains("*(")), cPlan)
+    val common = graft.ops.Boilerplate.commonLines(docs, "doc_id", "text", 5)
+    val sl = graft.ops.Boilerplate.stripCommonLines(
+      docs.select("doc_id", "text"), common, "doc_id", "text")
+    sl.collect()
+    val sPlan = sl.queryExecution.executedPlan.toString
+    val sLines = sPlan.linesIterator.filter(_.contains("strip_lines_by_key")).toSeq
+    assert(sLines.nonEmpty && sLines.exists(_.contains("*(")), sPlan)
+  }
+
   test("q69 simhash near-dup plan joins on band keys, never the corpus") {
     val df = Queries.byName("q69_simhash_neardup").spark(spark, TestSpark.sf0001)
     df.collect()
