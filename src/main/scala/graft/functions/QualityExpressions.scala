@@ -312,10 +312,73 @@ case class StripLinesByKey(left: Expression, right: Expression)
   override def prettyName: String = "strip_lines_by_key"
 }
 
+/** Fused per-document duplicate-LINE statistics
+  * ([[graft.ops.Quality.duplicateLineStats]], Gopher A1.1 second
+  * half): a WITHIN-document statistic needs no cross-row data, so it
+  * needs no shuffle — the former explode → (doc, line) count →
+  * per-doc rollup shape moved the corpus's line TEXT through two
+  * exchanges to compute something each row already contains. One
+  * HashMap pass per row; line lengths in CODEPOINTS (Spark `length`).
+  * Counting semantics identical to the grouped form: every occurrence
+  * of a line whose per-doc count exceeds one is a duplicate. */
+case class DupLineStats(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_lines", LongType, nullable = false),
+    StructField("dup_lines", LongType, nullable = false),
+    StructField("dup_line_chars", LongType, nullable = false),
+    StructField("line_chars", LongType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+
+  /** The fused kernel; public so generated code can call it. */
+  def computeStats(input: UTF8String): InternalRow = {
+    val s = input.toString
+    val counts = new java.util.HashMap[String, Long]()
+    var start = 0
+    var i = 0
+    while (i <= s.length) {
+      if (i == s.length || s.charAt(i) == '\n') {
+        val line = s.substring(start, i)
+        counts.merge(line, 1L, (a, b) => a + b)
+        start = i + 1
+      }
+      i += 1
+    }
+    var nLines = 0L; var dupLines = 0L
+    var dupChars = 0L; var lineChars = 0L
+    counts.forEach { (line, c) =>
+      val len = line.codePointCount(0, line.length).toLong
+      nLines += c
+      lineChars += c * len
+      if (c > 1) { dupLines += c; dupChars += c * len }
+    }
+    new GenericInternalRow(Array[Any](nLines, dupLines, dupChars, lineChars))
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    computeStats(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("dupLineStats", this, classOf[DupLineStats].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (InternalRow) $ref.computeStats($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DupLineStats =
+    copy(child = newChild)
+  override def prettyName: String = "dup_line_stats"
+}
+
 object QualityFunctions {
   /** Fused Gopher counters struct of a text column. */
   def gopherStats(text: Column, stopWords: Seq[String]): Column =
     ColumnBridge.column(GopherStats(ColumnBridge.expression(text), stopWords))
+
+  /** Fused duplicate-line statistics struct of a text column. */
+  def dupLineStats(text: Column): Column =
+    ColumnBridge.column(DupLineStats(ColumnBridge.expression(text)))
 
   /** Fused C4 kept-lines array of a text column. */
   def c4KeptLines(text: Column, minLineWords: Int): Column =

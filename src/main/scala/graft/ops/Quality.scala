@@ -104,19 +104,24 @@ object Quality {
     * WITHIN-line boilerplate; this measures whole-line repetition
     * (navigation bars, headers, chat scaffolding).
     *
-    * 100 TB shape: explode lines → (doc, line) count with map-side
-    * combine → per-doc aggregate. Never an O(lines²) per-row walk — a
-    * 10k-line document costs 10k rows, not 10⁸ comparisons. */
+    * 100 TB shape: a WITHIN-document statistic needs no cross-row data,
+    * so it takes ZERO shuffles — one fused pass per row
+    * ([[graft.functions.DupLineStats]]; hash-map bounded by the doc's
+    * own line count, never O(lines²)). The previous explode→count→
+    * rollup form moved the corpus's line text through two exchanges to
+    * compute something each row already contains. Parity detail: a doc
+    * with NULL text emitted no exploded rows before and emits none now
+    * (the isNotNull filter replicates the vanish-from-groupBy shape). */
   def duplicateLineStats(df: DataFrame, idCol: String,
       textCol: String = "text"): DataFrame =
-    df.select(col(idCol), explode(split(col(textCol), "\n")).as("__line"))
-      .groupBy(idCol, "__line").agg(count(lit(1)).as("__cnt"))
-      .groupBy(idCol).agg(
-        sum(col("__cnt")).as("n_lines"),
-        sum(when(col("__cnt") > 1, col("__cnt")).otherwise(0L)).as("dup_lines"),
-        sum(when(col("__cnt") > 1, col("__cnt") * length(col("__line")))
-          .otherwise(0L)).as("dup_line_chars"),
-        sum(col("__cnt") * length(col("__line"))).as("line_chars"))
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        graft.functions.QualityFunctions.dupLineStats(col(textCol)).as("__dl"))
+      .select(col(idCol),
+        col("__dl.n_lines").as("n_lines"),
+        col("__dl.dup_lines").as("dup_lines"),
+        col("__dl.dup_line_chars").as("dup_line_chars"),
+        col("__dl.line_chars").as("line_chars"))
       .withColumn("dup_line_ok",
         col("dup_lines") * lit(10) <= lit(3) * col("n_lines") &&
           col("dup_line_chars") * lit(10) <= lit(2) * col("line_chars"))

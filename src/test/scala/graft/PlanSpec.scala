@@ -216,6 +216,12 @@ class PlanSpec extends AnyFunSuite {
     val sPlan = sl.queryExecution.executedPlan.toString
     val sLines = sPlan.linesIterator.filter(_.contains("strip_lines_by_key")).toSeq
     assert(sLines.nonEmpty && sLines.exists(_.contains("*(")), sPlan)
+    // duplicateLineStats is a within-document stat: ZERO exchanges (the
+    // former explode→count→rollup shape shuffled the corpus text twice)
+    val dl = graft.ops.Quality.duplicateLineStats(docs, "doc_id")
+    dl.collect()
+    assert(countShuffles(dl.queryExecution.executedPlan) == 0,
+      dl.queryExecution.executedPlan.toString)
   }
 
   test("q69 simhash near-dup plan joins on band keys, never the corpus") {
