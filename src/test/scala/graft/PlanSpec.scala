@@ -632,11 +632,13 @@ class PlanSpec extends AnyFunSuite {
       df.write.format("noop").mode("overwrite").save()
       assert(countShuffles(df.queryExecution.executedPlan) == 0, name)
     }
-    // duplicateLineStats: exactly the two bounded aggregations
+    // duplicateLineStats: ZERO exchanges since the DupLineStats kernel
+    // (a within-document stat — the old explode→count→rollup's two
+    // corpus-text shuffles are gone)
     val dls = graft.ops.Quality.duplicateLineStats(
       docs.select("doc_id", "text"), "doc_id")
     dls.write.format("noop").mode("overwrite").save()
-    assert(countShuffles(dls.queryExecution.executedPlan) == 2)
+    assert(countShuffles(dls.queryExecution.executedPlan) == 0)
     // the scans read only what the ops touch (doc_id + text)
     val fmt = dls.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
