@@ -54,17 +54,33 @@ object ScaleReplicate {
     }
   }
 
-  /** The embedding replica family: cyclic component shifts (isometries). */
-  def embReplicas(emb: DataFrame, factor: Int, nVec: Long): Seq[DataFrame] =
+  /** The embedding replica family: cyclic component shifts, sign-flipped
+    * on every second 64-replica cycle (both isometries). The flip
+    * matters above factor 64: shifts repeat mod 64, and two replicas
+    * sharing a shift would be EXACT duplicates (cos = 1 cliques — the
+    * quadratic fixture artifact the whole design avoids); a flipped
+    * twin sits at cos = −1 instead, invisible to any positive
+    * threshold. 128 distinct isometries total. */
+  def embReplicas(emb: DataFrame, factor: Int, nVec: Long): Seq[DataFrame] = {
+    require(factor <= 128,
+      s"embReplicas: at most 128 distinct shift×flip isometries, got $factor")
     (0 until factor).map { r =>
       val s = (r * 7) % 64
-      if (s == 0) emb.withColumn("vec_id", col("vec_id") + lit(r * nVec))
+      val flip = (r / 64) % 2 == 1
+      val shifted =
+        if (s == 0) col("embedding")
+        else concat(slice(col("embedding"), s + 1, 64 - s),
+          slice(col("embedding"), 1, s))
+      val body =
+        if (flip) transform(shifted, x => -x)
+        else shifted
+      if (s == 0 && !flip)
+        emb.withColumn("vec_id", col("vec_id") + lit(r * nVec))
       else emb
         .withColumn("vec_id", col("vec_id") + lit(r * nVec))
-        .withColumn("embedding",
-          concat(slice(col("embedding"), s + 1, 64 - s),
-            slice(col("embedding"), 1, s)))
+        .withColumn("embedding", body)
     }
+  }
 
   def main(args: Array[String]): Unit = {
     val src = args(0)
