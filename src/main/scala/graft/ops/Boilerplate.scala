@@ -211,7 +211,20 @@ object Boilerplate {
     * something appear in it); past that it degrades to ONE id-keyed
     * corpus join — the same cost class as writing the rewritten corpus
     * out. Build the `common` table once with a persisted write (the
-    * [[writeCommonGrams]] pattern) so repeat runs skip its scan. */
+    * [[writeCommonGrams]] pattern) so repeat runs skip its scan.
+    *
+    * Accepted risk — hash-keyed equality: lines match by md5 of the
+    * exact line bytes (the same contract as [[graft.ops.Dedup.exact]]'s
+    * digest keys). An md5 collision between a document line and a
+    * common-line key would silently delete a non-boilerplate line; at
+    * 2^64 lines the birthday bound on a 128-bit digest keeps that
+    * probability below ~1e-20, which this pipeline (like every
+    * hash-keyed dedup in the literature) accepts by design. Note also
+    * that PlanSpec's no-text-in-shuffle gate covers the (id, key)
+    * exchanges; the final join-back of dropped-key sets broadcasts
+    * while small and degrades to one id-keyed shuffle past the
+    * broadcast threshold, at which point doc TEXT does shuffle once —
+    * unavoidable for any rewrite that must emit the text. */
   def stripCommonLines(docs: DataFrame, common: DataFrame,
       idCol: String, textCol: String): DataFrame = {
     val reserved = Seq("__drop", "__stripped", "n_dropped_lines")

@@ -168,6 +168,27 @@ object Similarity {
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
+  /** Production IVF cell-count discipline: hold POINTS PER CELL roughly
+    * constant as the corpus grows (k ≈ n / targetPerCell), so the
+    * within-cell pairwise stage of [[graft.ops.Dedup.semDedup]] — and
+    * every IVF probe — stays O(n · targetPerCell) total instead of
+    * O(n²/k) with a frozen k. This is the knob `SPARK_GRAFT_SEMDEDUP_K`
+    * set manually in scale runs, computed from the corpus size instead:
+    * at 10× the data the cell count grows 10×, cell occupancy stays
+    * flat, and both index-build and query cost scale linearly.
+    *
+    * Bounds: at least 1 (an empty/tiny corpus degrades to one cell,
+    * i.e. exact all-pairs — correct, just not accelerated), at most `n`
+    * (trainIvfCentroids requires k ≤ corpus rows). For n ≥ 2 ·
+    * targetPerCell the realized density n/k lands within a factor 2 of
+    * `targetPerCell` (SemDedupAutoKSpec pins this). */
+  def autoCellCount(n: Long, targetPerCell: Int = 256): Int = {
+    require(targetPerCell >= 1, s"targetPerCell must be >= 1, got $targetPerCell")
+    require(n >= 0, s"n must be >= 0, got $n")
+    val k = math.round(n.toDouble / targetPerCell)
+    math.max(1L, math.min(n, k)).toInt
+  }
+
   /** IVF: Lloyd k-means coarse quantizer trained distributed (seeded
     * uniform-sample init — unbiased on sorted/clustered input, unlike a
     * first-partition prefix — and deterministic for a fixed seed), then

@@ -70,8 +70,24 @@ object Urls {
         "or a non-empty custom set")
     // a CAPTURING group would renumber the $1 backreferences in the
     // stripping regexes below — the one entry shape that silently
-    // corrupts output rather than failing; non-capturing (?:...) is fine
-    def hasCapture(p: String) = p.replace("(?:", "").contains("(")
+    // corrupts output rather than failing. A group captures only when
+    // the '(' is a real metacharacter (not escaped as \( — escape-aware
+    // scan, so '\\(' after a literal backslash still counts) and is not
+    // immediately followed by '?' ((?:...), lookarounds, flags). Named
+    // groups (?<name>...) also capture but slip through this check —
+    // they're excluded from the accepted entry grammar by documentation.
+    def hasCapture(p: String): Boolean = {
+      var i = 0
+      while (i < p.length) {
+        if (p(i) == '\\') i += 2 // escaped char: '(' here is a literal
+        else {
+          if (p(i) == '(' && (i + 1 >= p.length || p(i + 1) != '?'))
+            return true
+          i += 1
+        }
+      }
+      false
+    }
     require(trackedParams.forall(p => p.nonEmpty && !hasCapture(p)),
       "normalizeUrl: trackedParams entries must be non-empty and free of " +
         "capturing groups (use (?:...) if grouping is needed), got " +

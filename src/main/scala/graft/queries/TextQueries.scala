@@ -1258,7 +1258,7 @@ object TextQueries {
           FROM documents),
         d AS (
           SELECT doc_id, text,
-            REGEXP_SPLIT_TO_ARRAY(text, '\s+') AS toks,
+            REGEXP_SPLIT_TO_ARRAY(text, '[ \t\n\x0B\f\r]+') AS toks,
             REGEXP_SPLIT_TO_ARRAY(text, '\n') AS lines
           FROM b),
         f AS (
@@ -1268,8 +1268,8 @@ object TextQueries {
             LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '#', '', 'g')) AS hashcnt,
             LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '\.\.\.', '', 'g')) AS elldiff,
             LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '…', '', 'g')) AS unie,
-            LEN(LIST_FILTER(lines, l -> REGEXP_MATCHES(l, '^\s*[-*•]'))) AS bullets,
-            LEN(LIST_FILTER(lines, l -> REGEXP_MATCHES(l, '\.\.\.\s*$'))) AS ellends,
+            LEN(LIST_FILTER(lines, l -> REGEXP_MATCHES(l, '^[ \t\n\x0B\f\r]*[-*•]'))) AS bullets,
+            LEN(LIST_FILTER(lines, l -> REGEXP_MATCHES(l, '\.\.\.[ \t\n\x0B\f\r]*$'))) AS ellends,
             LEN(LIST_FILTER(toks, w -> REGEXP_MATCHES(w, '[A-Za-z]'))) AS alphas,
             LEN(LIST_FILTER(['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with', 'a'],
               s -> LIST_CONTAINS(toks, s))) AS stops
@@ -1419,8 +1419,8 @@ object TextQueries {
         k AS (
           SELECT doc_id, text,
             LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\n'), l ->
-              REGEXP_MATCHES(l, '[.!?"]\s*$')
-              AND LEN(REGEXP_SPLIT_TO_ARRAY(l, '\s+')) >= 5
+              REGEXP_MATCHES(l, '[.!?"][ \t\n\x0B\f\r]*$')
+              AND LEN(REGEXP_SPLIT_TO_ARRAY(l, '[ \t\n\x0B\f\r]+')) >= 5
               AND NOT CONTAINS(LOWER(l), 'javascript')) AS kept
           FROM b)
         SELECT doc_id, CAST(LEN(kept) AS INTEGER) AS n_kept_lines,

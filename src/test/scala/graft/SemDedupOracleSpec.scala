@@ -1,0 +1,73 @@
+package graft
+
+import graft.ops.{Dedup, Similarity}
+import graft.queries.{Queries, SimilarityQueries}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Gates for the q143/q144 scale-proof semantic-dedup oracle (r8 verdict
+  * item #1) and the auto-scaled cell-count discipline (item #4).
+  *
+  * The q144 probe's cross-engine hash match only proves both engines
+  * AGREE on (n_probed, n_violations) — a candidate generator that
+  * silently dropped an edge would make both engines agree on a nonzero
+  * violation count. THIS spec is the gate that makes that a build
+  * failure: n_violations must be zero. */
+class SemDedupOracleSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("q144 completeness probe: zero violations at sf0.01, nonzero sample") {
+    val row = Queries.byName("q144_semdedup_probe")
+      .spark(spark, TestSpark.sf001).collect().head
+    val probed = row.getLong(row.fieldIndex("n_probed"))
+    val viol = row.getLong(row.fieldIndex("n_violations"))
+    assert(probed > 0, "probe sampled no pairs — the gate is vacuous")
+    assert(viol == 0L,
+      s"$viol sampled same-cell pairs with cosine >= threshold are missing " +
+        "from the persisted candidate set — candidate generation is " +
+        "INCOMPLETE and the q143 oracle would silently verify the smaller graph")
+  }
+
+  test("q143 survivors == production semDedup on the same trained centroids") {
+    // q143 routes through the persisted sidecar (write → read-back →
+    // keepOnePerCluster); the production entry point is Dedup.semDedup
+    // in one piece. The two must be the same set, or the oracle is
+    // checking a path users don't run.
+    val viaSidecar = Queries.byName("q143_semdedup_scaled")
+      .spark(spark, TestSpark.sf001).collect().map(_.getLong(0)).toSet
+    val emb = spark.read.parquet(s"${TestSpark.sf001}/embeddings.parquet")
+    val cents = Similarity.loadCentroids(
+      spark, s"${SimilarityQueries.SemDedupSidecarDir}/q143_centroids.parquet")
+    val direct = Dedup.semDedup(emb, "vec_id", "embedding", cents,
+        threshold = 0.3, roundDp = 6, maxBucket = 1 << 20)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(viaSidecar == direct,
+      s"sidecar-path survivors diverge from Dedup.semDedup: " +
+        s"only-sidecar=${(viaSidecar -- direct).take(5)} " +
+        s"only-direct=${(direct -- viaSidecar).take(5)}")
+  }
+
+  test("autoCellCount: density within 2x of target once n >= 2*target") {
+    for (t <- Seq(8, 64, 256, 1024); n <- Seq(2L * t, 10L * t, 1000L * t, 12345L)) {
+      if (n >= 2L * t) {
+        val k = Similarity.autoCellCount(n, t)
+        val density = n.toDouble / k
+        assert(density >= t / 2.0 && density <= 2.0 * t,
+          s"n=$n target=$t -> k=$k density=$density outside [t/2, 2t]")
+      }
+    }
+  }
+
+  test("autoCellCount: bounds and monotonicity") {
+    assert(Similarity.autoCellCount(0) == 1)   // degenerate: one cell
+    assert(Similarity.autoCellCount(1) == 1)
+    assert(Similarity.autoCellCount(100, 256) == 1) // tiny corpus: exact all-pairs
+    // k never exceeds n (trainIvfCentroids requires k <= corpus rows)
+    for (n <- Seq(1L, 3L, 200L, 255L, 257L, 100000L))
+      assert(Similarity.autoCellCount(n) <= n)
+    // nondecreasing in n: growing a corpus never shrinks the quantizer
+    val ks = Seq(1L, 100L, 1000L, 10000L, 100000L, 1000000L)
+      .map(Similarity.autoCellCount(_))
+    assert(ks == ks.sorted, s"autoCellCount not monotone: $ks")
+  }
+}
