@@ -235,6 +235,29 @@ object Bench {
         nPartitions = cpus.toInt, admmWarmStart = true)).fit(df)
     }
 
+    // Wide-SPARSE GLM fit: hashed bag-of-words over the documents table
+    // (p = 8192 murmur3 buckets, ~tokens-per-doc nonzeros per row — the
+    // reference's sparse path, estimators.py:82-84, at production text
+    // width) fit with L-BFGS + L2. Exercises the sparse kernels —
+    // foreachActive gradient accumulation, no densify anywhere, O(p)
+    // driver state — at bench scale for the first time; the dense
+    // glm_fit row cannot see a sparse regression. Featurization is part
+    // of the timed region deliberately: a real text-classifier job pays
+    // tokenize+hash every fit.
+    if (only.forall(_.exists("glm_fit_sparse".startsWith))) {
+      recordAdaptive("glm_fit_sparse", reps) {
+        import graft.estimators.{GlmParams, LogisticRegression}
+        import org.apache.spark.sql.functions._
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        val df = graft.datasets.Datasets.hashedBow(docs, "text", 8192)
+          .select(col("features"),
+            (col("lang") === "en").cast("double").as("label"))
+        new LogisticRegression(GlmParams(solver = "lbfgs",
+          regularizer = "l2", lamduh = 0.01, maxIter = 20,
+          normalize = false, nPartitions = cpus.toInt)).fit(df)
+      }
+    }
+
     // Locale.ROOT: the f-interpolator is locale-sensitive — a
     // comma-decimal JVM locale would print invalid JSON
     def num(v: Double): String =
@@ -251,7 +274,7 @@ object Bench {
     // glm_fit is NOT a registry query but is grandfathered in: it has
     // been part of every recorded total since r1.
     val extras = Set("semdedup_k64", "charlm_score", "bpe_encode",
-      "gopher_gate")
+      "gopher_gate", "glm_fit_sparse")
     val total = results.collect {
       case (k, v) if !extras(k) => v
     }.sum

@@ -177,4 +177,24 @@ object Datasets {
       .withColumn("features", array((0 to p).map(j => col(s"x$j")): _*))
     GlmData.fromDF(makeY(withFeat, beta, seed), numFeatures = p + 1)
   }
+
+  /** Wide-SPARSE text featurization: hashed bag-of-words over a text
+    * column as MLlib SparseVector rows (Spark's murmur3 HashingTF — the
+    * standard hashing-trick featurizer), p = `numFeatures` buckets. This
+    * is the reference's sparse fit shape (estimators.py:82-84 routes
+    * sparse.COO through the same solvers) at production text width:
+    * p ≈ 10⁴ features, ~tokens-per-doc nonzeros per row, so the
+    * downstream sparse dispatch — foreachActive kernels, no densify in
+    * the ADMM pack, normalize auto-disable — carries ALL the work. The
+    * frame keeps every input column and appends `features`; rows stay
+    * O(nnz), never O(p). */
+  def hashedBow(df: DataFrame, textCol: String,
+      numFeatures: Int = 8192, outputCol: String = "features"): DataFrame = {
+    require(numFeatures >= 2, s"numFeatures must be >= 2, got $numFeatures")
+    val tf = new org.apache.spark.ml.feature.HashingTF()
+      .setInputCol("__toks").setOutputCol(outputCol)
+      .setNumFeatures(numFeatures)
+    tf.transform(df.withColumn("__toks", split(col(textCol), "\\s+")))
+      .drop("__toks")
+  }
 }

@@ -116,6 +116,71 @@ class JobCountSpec extends AnyFunSuite {
     assert(jobs <= 3, s"jobs=$jobs, expected ≤ 3 (edge count + collect)")
   }
 
+  test("solver job count is INDEPENDENT of n (the cluster-scale invariant)") {
+    // The sf1/sf10 bench decades show wall-time ratios; what a local
+    // bench can NOT show is the 1000-executor invariant that makes
+    // those ratios hold on a real cluster: the DRIVER-SIDE round count
+    // (jobs = scheduling barriers = cluster round trips) must depend
+    // only on maxIter, never on n. A solver that slipped a per-row or
+    // per-partition-count action into its loop would still look linear
+    // locally while serializing the cluster. Run the identical fit at
+    // 16x the rows and require the JOB COUNTS EQUAL, not just close.
+    val iters = 4
+    def jobsAt(n: Int): (Int, Int) = {
+      val data = Datasets.makeInterceptData(spark, n, 3).persist()
+      data.rows.count()
+      val newton = countJobs {
+        Solvers.newton(data, maxIter = iters, tol = 0.0)
+      }
+      val admm = countJobs {
+        Solvers.admm(data, maxIter = iters, lamduh = 0.1)
+      }
+      data.unpersist()
+      (newton, admm)
+    }
+    val (newtonSmall, admmSmall) = jobsAt(500)
+    val (newtonBig, admmBig) = jobsAt(8000)
+    assert(newtonSmall == newtonBig,
+      s"newton jobs grew with n: $newtonSmall @500 vs $newtonBig @8000")
+    assert(admmSmall == admmBig,
+      s"admm jobs grew with n: $admmSmall @500 vs $admmBig @8000")
+  }
+
+  test("clusterPairs per-round jobs are INDEPENDENT of edge count") {
+    import spark.implicits._
+    // Same diameter (4-node chains), 500x the edges as disjoint
+    // id-shifted replicas: pointer jumping converges in the same number
+    // of rounds (per-component structure identical; the decimal
+    // label-sum probe is a global aggregate either way), so the job
+    // count must be EXACTLY the chain-of-one count — any growth means
+    // a hidden per-component or per-size action in the loop, which at
+    // q87's 100 TB shape becomes a driver bottleneck no local timing
+    // would surface.
+    def jobsFor(replicas: Int): Int = {
+      val pairs = (0 until replicas).flatMap { r =>
+        val base = r * 10L
+        Seq((base + 1, base + 2), (base + 2, base + 3), (base + 3, base + 4))
+      }.toDF("id1", "id2")
+      val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+      val bcWas = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try countJobs {
+        val out = graft.ops.Dedup.clusterPairs(pairs, localEdgeThreshold = 0L)
+        assert(out.collect().nonEmpty)
+        out.unpersist()
+      } finally {
+        spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcWas)
+      }
+    }
+    val small = jobsFor(1)
+    val big = jobsFor(500)
+    assert(small == big,
+      s"clusterPairs jobs grew with edge count: $small @1x vs $big @500x — " +
+        "the propagation loop is no longer O(1) driver actions per round")
+  }
+
   test("empty input raises a clear error") {
     import org.apache.spark.sql.types._
     val empty = spark.createDataFrame(

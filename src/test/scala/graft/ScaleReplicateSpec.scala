@@ -48,9 +48,39 @@ class ScaleReplicateSpec extends AnyFunSuite {
     // so borderline-Jaccard pairs collide in one replica and not
     // another — candidate counts are preserved statistically, not
     // exactly (exact Jaccard IS preserved; the q44-family verification
-    // step makes the final structure exact). Allow that wobble.
-    val lo = factor * basePairs - math.max(8L, basePairs)
-    val hi = factor * basePairs + math.max(8L, basePairs)
+    // step makes the final structure exact). The allowed wobble is
+    // DERIVED from the banding S-curve, not a constant: a pair with
+    // Jaccard J collides with p(J) = 1 − (1 − J^r)^b (r = 2 rows/band,
+    // b = 4 bands — minhashCandidates' 8-hash/4-band default), so the
+    // per-replica candidate count is a sum of Bernoullis with variance
+    // Σ p(1−p) over all doc pairs — only BORDERLINE pairs (p strictly
+    // inside (0,1)) contribute. within − factor·basePairs spans
+    // factor−1 fresh hash draws plus factor−1 copies of the base
+    // draw's own noise, so its variance is ≤ factor·(factor+1)·Σp(1−p);
+    // gate at 6σ (+4 absolute floor for the pair-level dependence the
+    // shared-doc signatures introduce). A future signature-width change
+    // reshapes p(J) and the tolerance FOLLOWS — it cannot silently
+    // widen relative to the hash geometry.
+    val rRows = 2
+    val bBands = 4
+    val sh = docs.select(col("doc_id"),
+      array_distinct(graft.ops.TokenLm.tokenNgrams(col("text"), 3)).as("sh"))
+    val pStats = sh.as("a").join(sh.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(
+        when(size(array_union(col("a.sh"), col("b.sh"))) === 0, 0.0)
+          .otherwise(
+            size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+              size(array_union(col("a.sh"), col("b.sh")))).as("j"))
+      .select((lit(1.0) - pow(lit(1.0) - pow(col("j"), rRows), bBands)).as("p"))
+      .agg(sum(col("p")).as("mu"),
+        sum(col("p") * (lit(1.0) - col("p"))).as("v"))
+      .collect().head
+    val varSum = pStats.getDouble(1)
+    val tol = math.ceil(
+      6.0 * math.sqrt(factor.toDouble * (factor + 1) * varSum)).toLong + 4L
+    val lo = factor * basePairs - tol
+    val hi = factor * basePairs + tol
     assert(within >= lo && within <= hi,
       s"within-replica candidate pairs $within outside [$lo, $hi] " +
         s"(= $factor x $basePairs ± banding wobble) — the bijective " +
