@@ -223,17 +223,18 @@ object Bench {
     // elsewhere): this is the headline number against BASELINE.md and
     // drifted ±7% round-over-round on unchanged code — two extra samples
     // tighten the median enough to tell real regressions from noise.
-    recordAdaptive("glm_fit", math.max(reps, 5)) {
-      import graft.estimators.{GlmParams, LogisticRegression}
-      import org.apache.spark.sql.functions._
-      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
-      val df = li.select(
-        array(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
-          col("l_tax"), col("l_linenumber").cast("double")).as("features"),
-        (col("l_returnflag") === "R").cast("double").as("label"))
-      new LogisticRegression(GlmParams(solver = "admm", maxIter = 20,
-        nPartitions = cpus.toInt, admmWarmStart = true)).fit(df)
-    }
+    if (only.forall(_.exists("glm_fit".startsWith)))
+      recordAdaptive("glm_fit", math.max(reps, 5)) {
+        import graft.estimators.{GlmParams, LogisticRegression}
+        import org.apache.spark.sql.functions._
+        val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        val df = li.select(
+          array(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+            col("l_tax"), col("l_linenumber").cast("double")).as("features"),
+          (col("l_returnflag") === "R").cast("double").as("label"))
+        new LogisticRegression(GlmParams(solver = "admm", maxIter = 20,
+          nPartitions = cpus.toInt, admmWarmStart = true)).fit(df)
+      }
 
     // Wide-SPARSE GLM fit: hashed bag-of-words over the documents table
     // (p = 8192 murmur3 buckets, ~tokens-per-doc nonzeros per row — the

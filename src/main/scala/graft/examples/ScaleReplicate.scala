@@ -82,10 +82,30 @@ object ScaleReplicate {
     }
   }
 
+  /** args: srcDir dstDir factor [tables]
+    *
+    * `tables` (comma list ⊆ documents,embeddings,lineitem; default all)
+    * selects what to replicate — the sf100 third-decade fixture needs
+    * only the q87/glm_fit inputs, and SKIPPING embeddings there is
+    * load-bearing, not just thrift: DOCUMENT replicas compose (re-
+    * replicating an already-replicated dir re-suffixes every token, and
+    * suffix-of-suffix renamings are still mutually disjoint bijections),
+    * but EMBEDDING replicas do NOT — cyclic shifts compose additively
+    * (outer shift a ∘ inner shift b = shift a+b), so an outer replica
+    * of one inner replica collides with a different inner replica's
+    * isometry and the two become exact cos-1 duplicates, the quadratic
+    * artifact this generator exists to exclude. Growing embeddings past
+    * factor 128 needs a richer isometry family (e.g. seeded signed
+    * permutations), applied from the BASE corpus in one pass. */
   def main(args: Array[String]): Unit = {
     val src = args(0)
     val out = args(1)
     val factor = args(2).toInt
+    val tables: Set[String] =
+      if (args.length > 3) args(3).split(",").map(_.trim).filter(_.nonEmpty).toSet
+      else Set("documents", "embeddings", "lineitem")
+    val unknown = tables -- Set("documents", "embeddings", "lineitem")
+    require(unknown.isEmpty, s"unknown table(s): ${unknown.mkString(", ")}")
     require(factor >= 1, s"factor must be >= 1, got $factor")
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -95,25 +115,33 @@ object ScaleReplicate {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // documents
-    val docs = spark.read.parquet(s"$src/documents.parquet")
-    val nDoc = docs.agg(max("doc_id")).head().getLong(0) + 1L
-    docReplicas(docs, factor, nDoc).reduce(_ unionAll _).repartition(32)
-      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    if (tables("documents")) {
+      val docs = spark.read.parquet(s"$src/documents.parquet")
+      val nDoc = docs.agg(max("doc_id")).head().getLong(0) + 1L
+      docReplicas(docs, factor, nDoc).reduce(_ unionAll _).repartition(32)
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      println(s"[scale-replicate] documents x$factor: ${nDoc * factor}")
+    }
 
-    // embeddings
-    val emb = spark.read.parquet(s"$src/embeddings.parquet")
-    val nVec = emb.agg(max("vec_id")).head().getLong(0) + 1L
-    embReplicas(emb, factor, nVec).reduce(_ unionAll _).repartition(32)
-      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    if (tables("embeddings")) {
+      val emb = spark.read.parquet(s"$src/embeddings.parquet")
+      val nVec = emb.agg(max("vec_id")).head().getLong(0) + 1L
+      embReplicas(emb, factor, nVec).reduce(_ unionAll _).repartition(32)
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+      println(s"[scale-replicate] embeddings x$factor: ${nVec * factor}")
+    }
 
-    // lineitem (glm_fit input): plain copies
-    val li = spark.read.parquet(s"$src/lineitem.parquet")
-    Seq.fill(factor)(li).reduce(_ unionAll _).repartition(64)
-      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    if (tables("lineitem")) {
+      // glm_fit input: plain copies (no dedup semantics; row count is
+      // the only thing that matters)
+      val li = spark.read.parquet(s"$src/lineitem.parquet")
+      Seq.fill(factor)(li).reduce(_ unionAll _).repartition(64)
+        .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+      println(s"[scale-replicate] lineitem x$factor")
+    }
 
-    println(s"[scale-replicate] wrote $out at ${factor}x: " +
-      s"${nDoc * factor} docs, ${nVec * factor} vecs, lineitem x$factor")
+    println(s"[scale-replicate] wrote $out at ${factor}x " +
+      s"(${tables.toSeq.sorted.mkString(", ")})")
     spark.stop()
   }
 }
