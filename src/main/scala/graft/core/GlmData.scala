@@ -43,8 +43,21 @@ final class GlmData(
     * the standard iterative-ML bargain (GraphX/ALS checkpoint the same
     * way); safe here because solvers own the persist→fit→unpersist
     * lifecycle (Estimators.fit) and nothing reads `rows` after unpersist. */
-  def persist(): this.type = {
-    rows.persist(StorageLevel.MEMORY_AND_DISK)
+  def persist(): this.type = persist(StorageLevel.MEMORY_AND_DISK)
+
+  /** `level` chooses the cache format: the MEMORY_AND_DISK default keeps
+    * rows as live objects (fastest per-iteration scan — the MLlib
+    * idiom); MEMORY_AND_DISK_SER shrinks the footprint ~3× ((vector,
+    * label) rows dominated by object headers serialize to little more
+    * than their 8-byte doubles) at a per-iteration deserialization cost.
+    * The knob matters when rows × p approaches executor memory: the
+    * measured cliff (docs/ROUND9.md) is a 180M-row fit whose ~27 GB
+    * object cache OOMs a 24 GB heap and GC-thrashes a 48 GB one, while
+    * the same fit serialized stays resident and linear. Values are
+    * IEEE-exact either way — a serialized cache round-trips the same
+    * bits, so fits are bit-identical (EstimatorsSpec pins this). */
+  def persist(level: StorageLevel): this.type = {
+    rows.persist(level)
     rows.localCheckpoint()
     this
   }

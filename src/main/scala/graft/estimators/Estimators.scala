@@ -36,7 +36,14 @@ final case class GlmParams(
     /** warm-start ADMM local solves from the previous iterate (the
       * reference restarts from ones every iteration — a quirk; warm
       * start is the fast path, default off for parity) */
-    admmWarmStart: Boolean = false)
+    admmWarmStart: Boolean = false,
+    /** cache training rows SERIALIZED (MEMORY_AND_DISK_SER) instead of
+      * as live objects: ~3× smaller footprint for a per-iteration
+      * deserialization cost. Set when rows × p approaches executor
+      * memory — the regime where the default object cache OOMs or
+      * GC-thrashes (see GlmData.persist). Bit-identical fits either
+      * way. */
+    serializedCache: Boolean = false)
 
 /** Base GLM estimator (estimators.py:19-98): DataFrame in, fitted
   * coefficients out. The intercept is the LAST coefficient when
@@ -55,7 +62,10 @@ abstract class GLM(val params: GlmParams) extends Serializable {
   def fit(df: DataFrame): this.type = {
     val base0 = GlmData.fromDF(df, params.featuresCol, params.labelCol)
     val base = if (params.nPartitions > 0) base0.repartition(params.nPartitions) else base0
-    val data = (if (params.fitIntercept) base.addIntercept else base).persist()
+    val data = (if (params.fitIntercept) base.addIntercept else base).persist(
+      if (params.serializedCache)
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+      else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // sparse input disables normalization (estimators.py:82-84 — centering
     // would densify)
     val normalize = params.normalize && !base.isSparse

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * config as the bench row, one warm discard + `reps` timed fits,
   * prints per-rep seconds.
   *
-  * Run: sbt "runMain graft.examples.GlmFitTimed <sfDir> [reps] [nParts]"
+  * Run: sbt "runMain graft.examples.GlmFitTimed <sfDir> [reps] [nParts] [ser]"
   *
   * `nParts` (default = cpu count, the bench config) sizes the ADMM
   * chunks: past ~100M rows the per-partition packed matrices outgrow a
@@ -21,6 +21,9 @@ object GlmFitTimed {
     val reps = if (args.length > 1) args(1).toInt else 1
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val nParts = if (args.length > 2) args(2).toInt else cpus.toInt
+    // "ser" as arg 4 caches rows serialized (GlmParams.serializedCache)
+    // — the decade-run regime where the object cache outgrows the heap
+    val ser = args.length > 3 && args(3) == "ser"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -36,7 +39,8 @@ object GlmFitTimed {
           col("l_tax"), col("l_linenumber").cast("double")).as("features"),
         (col("l_returnflag") === "R").cast("double").as("label"))
       new LogisticRegression(GlmParams(solver = "admm", maxIter = 20,
-        nPartitions = nParts, admmWarmStart = true)).fit(df)
+        nPartitions = nParts, admmWarmStart = true,
+        serializedCache = ser)).fit(df)
     }
     fit() // warm discard (JIT + parquet footers), same rule as Bench
     val times = (1 to reps).map { _ =>

@@ -149,4 +149,18 @@ class EstimatorsSpec extends AnyFunSuite {
     m.fit(df)
     assert(m.coef.length == 3 && m.intercept == 0.0)
   }
+
+  test("serializedCache fit is bit-identical to the object-cache fit") {
+    // MEMORY_AND_DISK_SER is the big-fit memory knob (GlmData.persist
+    // scaladoc): serialization must round-trip the same IEEE bits in
+    // the same partition order, so the two cache formats may not differ
+    // by a single ulp in ANY coefficient — else the knob silently
+    // changes results when a deployment flips it under memory pressure.
+    val df = lineitemGlm.cache()
+    def fit(ser: Boolean) = new LogisticRegression(GlmParams(
+      solver = "admm", maxIter = 10, serializedCache = ser)).fit(df).rawCoef
+    assert(fit(ser = false) == fit(ser = true),
+      "serialized cache changed the fit — cache format is leaking into values")
+    df.unpersist()
+  }
 }
