@@ -161,8 +161,12 @@ object Bench {
       val kCells = sys.env.get("SPARK_GRAFT_SEMDEDUP_K").map(_.toInt)
         .getOrElse(graft.ops.Similarity.autoCellCount(
           emb.count(), targetPerCell = 32))
+      // auto train-cap (64·k): a no-op at the row's ~32 points/cell
+      // default, but keeps the amortized index build linear when a
+      // scale run overrides k upward
       val cents = graft.ops.Similarity.trainIvfCentroids(
-        emb, "embedding", kCells = kCells, iters = 5, seed = 7L)
+        emb, "embedding", kCells = kCells, iters = 5, seed = 7L,
+        maxTrainPoints = 0L)
       recordAdaptive("semdedup_k64", repsFor("semdedup_k64")) {
         graft.ops.Dedup.semDedup(emb, "vec_id", "embedding", cents,
             threshold = 0.3)

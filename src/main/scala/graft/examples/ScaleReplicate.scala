@@ -54,31 +54,62 @@ object ScaleReplicate {
     }
   }
 
-  /** The embedding replica family: cyclic component shifts, sign-flipped
-    * on every second 64-replica cycle (both isometries). The flip
-    * matters above factor 64: shifts repeat mod 64, and two replicas
-    * sharing a shift would be EXACT duplicates (cos = 1 cliques — the
-    * quadratic fixture artifact the whole design avoids); a flipped
-    * twin sits at cos = −1 instead, invisible to any positive
-    * threshold. 128 distinct isometries total. */
+  /** The embedding replica family — all ISOMETRIES (within-replica
+    * L2/cosine structure preserved):
+    *
+    *  - r in [0, 128): cyclic component shifts (r·7 mod 64),
+    *    sign-flipped on the second 64-cycle. The flip matters above
+    *    factor 64: shifts repeat mod 64, and two replicas sharing a
+    *    shift would be EXACT duplicates (cos = 1 cliques — the
+    *    quadratic fixture artifact the whole design avoids); a flipped
+    *    twin sits at cos = −1 instead, invisible to any positive
+    *    threshold.
+    *  - r ≥ 128: SEEDED SIGNED PERMUTATIONS (the r8-verdict "richer
+    *    isometry family"): replica r applies a Fisher–Yates permutation
+    *    + per-component sign vector drawn from Random(seed = r). The
+    *    family is effectively unbounded (64!·2⁶⁴ isometries; a seeded
+    *    draw colliding with another replica's map — or with one of the
+    *    128 shift isometries — has probability ~0), cross-replica dots
+    *    are sign-randomized sums ≈ 0, and within-replica L2/cosine
+    *    structure is preserved BIT-EXACTLY up to summation order: the
+    *    dot product folds the same 64 products in permuted order, so
+    *    rounded-to-6dp pipeline cosines (every similarity query here
+    *    rounds before comparing) are unchanged, which is the
+    *    ScaleReplicateSpec exactness bar the shift family also meets.
+    *
+    * Compositionality caveat unchanged: build replicas from the BASE
+    * corpus in one pass — re-replicating a replicated dir composes
+    * maps and voids the disjointness argument (see main's scaladoc). */
   def embReplicas(emb: DataFrame, factor: Int, nVec: Long): Seq[DataFrame] = {
-    require(factor <= 128,
-      s"embReplicas: at most 128 distinct shift×flip isometries, got $factor")
     (0 until factor).map { r =>
-      val s = (r * 7) % 64
-      val flip = (r / 64) % 2 == 1
-      val shifted =
-        if (s == 0) col("embedding")
-        else concat(slice(col("embedding"), s + 1, 64 - s),
-          slice(col("embedding"), 1, s))
-      val body =
-        if (flip) transform(shifted, x => -x)
-        else shifted
-      if (s == 0 && !flip)
-        emb.withColumn("vec_id", col("vec_id") + lit(r * nVec))
-      else emb
-        .withColumn("vec_id", col("vec_id") + lit(r * nVec))
-        .withColumn("embedding", body)
+      if (r == 0) emb.withColumn("vec_id", col("vec_id") + lit(0L))
+      else if (r < 128) {
+        val s = (r * 7) % 64
+        val flip = (r / 64) % 2 == 1
+        val shifted =
+          if (s == 0) col("embedding")
+          else concat(slice(col("embedding"), s + 1, 64 - s),
+            slice(col("embedding"), 1, s))
+        val body =
+          if (flip) transform(shifted, x => -x)
+          else shifted
+        if (s == 0 && !flip)
+          emb.withColumn("vec_id", col("vec_id") + lit(r * nVec))
+        else emb
+          .withColumn("vec_id", col("vec_id") + lit(r * nVec))
+          .withColumn("embedding", body)
+      } else {
+        val rng = new scala.util.Random(r.toLong)
+        val perm = rng.shuffle((0 until 64).toVector)
+        val sign = Array.fill(64)(if (rng.nextBoolean()) 1.0 else -1.0)
+        val body = array(perm.zipWithIndex.map { case (src, j) =>
+          (element_at(col("embedding"), src + 1) * lit(sign(j)))
+            .cast("float")
+        }: _*)
+        emb
+          .withColumn("vec_id", col("vec_id") + lit(r * nVec))
+          .withColumn("embedding", body)
+      }
     }
   }
 

@@ -193,13 +193,43 @@ object Similarity {
     * uniform-sample init — unbiased on sorted/clustered input, unlike a
     * first-partition prefix — and deterministic for a fixed seed), then
     * assign each corpus vector to its nearest centroid cell; queries
-    * probe `nprobe` cells. Centroids are O(k·d) driver state. */
+    * probe `nprobe` cells. Centroids are O(k·d) driver state.
+    *
+    * `maxTrainPoints` caps the TRAINING set (seeded Bernoulli sample) —
+    * the FAISS discipline: Lloyd needs only a few dozen points per
+    * centroid to place cells (clustering_parameters guidance: ~39+),
+    * while the full-corpus pass costs O(n·k·d·iters), which at the
+    * auto-scaled k ≈ n/256 is O(n²·d/256) — QUADRATIC in the corpus.
+    * The -1 default trains on the FULL corpus (the historical behavior
+    * — every trained-model spec and recorded fixture stays
+    * byte-identical); pass 0 for the auto cap (64·kCells) or an
+    * explicit cap for scale runs. Assignment cost (one O(n·k·d) pass
+    * per downstream query) is unchanged — this bounds only the
+    * iterated training phase. */
   def trainIvfCentroids(
       corpus: DataFrame, vecCol: String, kCells: Int, iters: Int = 5,
-      seed: Long = 42L): Array[Array[Double]] = {
-    val rdd = corpus.select(col(vecCol).cast("array<double>")).rdd
+      seed: Long = 42L, maxTrainPoints: Long = -1L): Array[Array[Double]] = {
+    val full = corpus.select(col(vecCol).cast("array<double>")).rdd
       .map(_.getSeq[Double](0).toArray)
-    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    full.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cap =
+      if (maxTrainPoints == 0L) 64L * kCells
+      else if (maxTrainPoints < 0L) Long.MaxValue
+      else maxTrainPoints
+    require(cap >= kCells,
+      s"maxTrainPoints=$cap smaller than kCells=$kCells")
+    val n = full.count()
+    // sample only when the corpus exceeds the cap: the sampled path and
+    // the full path are IDENTICAL below it, and the sample is seeded so
+    // training stays deterministic per fixture
+    val rdd =
+      if (n > cap) {
+        val s = full.sample(withReplacement = false,
+          fraction = cap.toDouble / n, seed = seed ^ 0x5eed5eedL)
+        s.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        s.count() // materialize so iterations scan the cached sample
+        s
+      } else full
     var centroids = rdd.takeSample(withReplacement = false, kCells, seed)
     // a corpus smaller than kCells would silently train a smaller
     // quantizer (takeSample returns what exists) — fail fast instead:
@@ -213,10 +243,18 @@ object Similarity {
       val k0 = centroids.length
       // treeAggregate: k·d partials combine in-cluster at depth 2 — the
       // driver sees O(√n) partials, not one per partition (at 10⁶
-      // partitions a flat reduce funnels GBs through the driver)
+      // partitions a flat reduce funnels GBs through the driver).
+      // The zero value is (null, null) with first-use allocation: a
+      // pre-filled k·d zero matrix would be SERIALIZED INTO EVERY TASK
+      // BINARY (measured: multi-MB task broadcasts per stage at k ≈ 8k),
+      // while null costs nothing and empty partitions just pass through
+      // combOp.
       val updated = rdd.treeAggregate(
-        (Array.fill(k0)(new Array[Double](d0)), new Array[Long](k0)))(
-        seqOp = { case ((sums, counts), v) =>
+        (null: Array[Array[Double]], null: Array[Long]))(
+        seqOp = { case ((sums0, counts0), v) =>
+          val sums =
+            if (sums0 != null) sums0 else Array.fill(k0)(new Array[Double](d0))
+          val counts = if (counts0 != null) counts0 else new Array[Long](k0)
           val cs = bc.value
           // a ragged corpus must fail loudly here, not AIOOBE on a
           // shorter row or silently truncate a longer one into skewed
@@ -237,24 +275,30 @@ object Similarity {
           counts(best) += 1
           (sums, counts)
         },
-        combOp = { case ((s1, c1), (s2, c2)) =>
-          var c = 0
-          while (c < c1.length) {
-            var i = 0
-            while (i < s1(c).length) { s1(c)(i) += s2(c)(i); i += 1 }
-            c1(c) += c2(c); c += 1
-          }
-          (s1, c1)
+        combOp = {
+          case ((null, _), (s2, c2)) => (s2, c2)
+          case ((s1, c1), (null, _)) => (s1, c1)
+          case ((s1, c1), (s2, c2)) =>
+            var c = 0
+            while (c < c1.length) {
+              var i = 0
+              while (i < s1(c).length) { s1(c)(i) += s2(c)(i); i += 1 }
+              c1(c) += c2(c); c += 1
+            }
+            (s1, c1)
         },
         depth = 2)
-      centroids = centroids.indices.map { c =>
-        if (updated._2(c) == 0) centroids(c)
-        else updated._1(c).map(_ / updated._2(c))
-      }.toArray
+      centroids =
+        if (updated._1 == null) centroids // empty training set: keep init
+        else centroids.indices.map { c =>
+          if (updated._2(c) == 0) centroids(c)
+          else updated._1(c).map(_ / updated._2(c))
+        }.toArray
       bc.destroy()
       iter += 1
     }
-    rdd.unpersist(false)
+    if (!(rdd eq full)) rdd.unpersist(false)
+    full.unpersist(false)
     centroids
   }
 

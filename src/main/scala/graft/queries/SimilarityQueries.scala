@@ -1265,8 +1265,13 @@ object SimilarityQueries {
       s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     val emb = tbl(s, dir, "embeddings")
     val k = graft.ops.Similarity.autoCellCount(emb.count())
+    // maxTrainPoints=0 (the 64·k auto cap): at the 256-points-per-cell
+    // discipline, full-corpus Lloyd is O(n²·d/256) — the cap keeps the
+    // index build linear and the oracle doesn't care WHICH centroids
+    // were realized (it reads them from the sidecar)
     val cents = graft.ops.Similarity.trainIvfCentroids(
-      emb, "embedding", kCells = k, iters = 5, seed = 7L)
+      emb, "embedding", kCells = k, iters = 5, seed = 7L,
+      maxTrainPoints = 0L)
     graft.ops.Similarity.saveCentroids(
       s, cents, s"$SemDedupSidecarDir/q143_centroids.parquet")
     val cell = graft.ops.Similarity.ivfCell(

@@ -137,4 +137,31 @@ class ScaleReplicateSpec extends AnyFunSuite {
         f"own rate $baseRate%.5f — shifts are not decorrelating")
     spark.sharedState.cacheManager.clearCache()
   }
+
+  test("signed-permutation replicas (r >= 128) are isometries too") {
+    // the past-factor-128 family (seeded Fisher–Yates + sign vector):
+    // same exactness bar as the shift family — within-replica rounded
+    // cosine pairs reproduce the base count EXACTLY per replica, and
+    // cross-replica pairs stay at the unrelated-corpus base rate. Uses
+    // replicas {0, 129, 130}: one identity + two permutation draws.
+    val all = ScaleReplicate.embReplicas(emb, 131, nVec = 200L)
+    val scaled = Seq(all(0), all(129), all(130)).reduce(_ unionAll _)
+    val basePairs = Dedup.cosineNearDups(emb, "vec_id", "embedding",
+      threshold = 0.3, bucketCol = lit(0)).count()
+    val pairs = Dedup.cosineNearDups(scaled, "vec_id", "embedding",
+      threshold = 0.3, bucketCol = lit(0)).persist()
+    val within = pairs
+      .filter(replicaOf(col("id1")) === replicaOf(col("id2"))).count()
+    val cross = pairs
+      .filter(replicaOf(col("id1")) =!= replicaOf(col("id2"))).count()
+    assert(within === 3 * basePairs,
+      s"within-replica cosine pairs $within != 3 x $basePairs — the " +
+        "signed permutation is not an exact isometry under 6dp rounding")
+    val baseRate = basePairs.toDouble / (200L * 199L / 2L)
+    val crossRate = cross.toDouble / (3L * 200L * 200L)
+    assert(crossRate <= 2.0 * baseRate,
+      f"cross-replica pair rate $crossRate%.5f exceeds 2x the corpus's " +
+        f"own rate $baseRate%.5f — sign-permutations are not decorrelating")
+    spark.sharedState.cacheManager.clearCache()
+  }
 }
