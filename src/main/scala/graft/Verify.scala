@@ -58,8 +58,14 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // sidecar-backed oracles (q143/q144) embed a namespace token in their
+    // static SQL; rewrite it to THIS run's per-fixture namespace so the
+    // replay reads the artifacts this pass wrote (never another run's)
+    val ns = graft.queries.SimilarityQueries.sidecarNs(sfDir)
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace(graft.queries.SimilarityQueries.SidecarNsToken, ns))}"
+      }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     def obj(m: scala.collection.Map[String, String]): String =
       m.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")

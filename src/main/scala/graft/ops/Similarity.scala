@@ -181,7 +181,7 @@ object Similarity {
     * i.e. exact all-pairs — correct, just not accelerated), at most `n`
     * (trainIvfCentroids requires k ≤ corpus rows). For n ≥ 2 ·
     * targetPerCell the realized density n/k lands within a factor 2 of
-    * `targetPerCell` (SemDedupAutoKSpec pins this). */
+    * `targetPerCell` (SemDedupOracleSpec pins the density/bounds). */
   def autoCellCount(n: Long, targetPerCell: Int = 256): Int = {
     require(targetPerCell >= 1, s"targetPerCell must be >= 1, got $targetPerCell")
     require(n >= 0, s"n must be >= 0, got $n")

@@ -74,15 +74,20 @@ object Urls {
     // the '(' is a real metacharacter (not escaped as \( — escape-aware
     // scan, so '\\(' after a literal backslash still counts) and is not
     // immediately followed by '?' ((?:...), lookarounds, flags). Named
-    // groups (?<name>...) also capture but slip through this check —
-    // they're excluded from the accepted entry grammar by documentation.
+    // groups (?<name>...) DO capture and renumber $1 — of the '(?'
+    // forms, only lookbehinds '(?<=' / '(?<!' are non-capturing, so a
+    // '(?<' followed by anything else is rejected too.
     def hasCapture(p: String): Boolean = {
       var i = 0
       while (i < p.length) {
         if (p(i) == '\\') i += 2 // escaped char: '(' here is a literal
         else {
-          if (p(i) == '(' && (i + 1 >= p.length || p(i + 1) != '?'))
-            return true
+          if (p(i) == '(') {
+            if (i + 1 >= p.length || p(i + 1) != '?') return true
+            if (i + 2 < p.length && p(i + 2) == '<' &&
+              (i + 3 >= p.length || (p(i + 3) != '=' && p(i + 3) != '!')))
+              return true // named group (?<name>...) captures
+          }
           i += 1
         }
       }

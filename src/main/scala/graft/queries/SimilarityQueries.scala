@@ -128,6 +128,30 @@ object SimilarityQueries {
     * uninitialized-reference warning is load-bearing here). */
   private[graft] val SemDedupSidecarDir = "/root/repo/tmp/oracle_sidecars"
 
+  /** Per-fixture namespace under [[SemDedupSidecarDir]] (ADVICE r9 #3):
+    * one fixed path let ANY interleaved run over a different data dir
+    * (sbt test materializing sf0.01 sidecars mid-verify at sf1) silently
+    * poison the oracle. Basename + an 8-hex md5 of the canonical path —
+    * human-readable, collision-safe across same-named dirs, and
+    * deterministic across JVMs so the query run and the oracle replay
+    * derive the same namespace independently. */
+  private[graft] def sidecarNs(dir: String): String = {
+    val canon = new java.io.File(dir).getCanonicalPath
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = md.take(4).map(b => f"$b%02x").mkString
+    s"${new java.io.File(canon).getName}_$hex"
+  }
+
+  private[graft] def sidecarBase(dir: String): String =
+    s"$SemDedupSidecarDir/${sidecarNs(dir)}"
+
+  /** Literal token embedded in the q143/q144 oracle SQL (which is
+    * interpolated once at object init and so can't see the data dir);
+    * Verify.main rewrites it to [[sidecarNs]](sfDir) when dumping
+    * oracle_sql.json, so each fixture's replay reads its own artifacts. */
+  private[graft] val SidecarNsToken = "__GRAFT_SIDECAR_NS__"
+
   val qs: Seq[Q] = Seq(
     // ---- brute-force cosine top-k: queries = vec_id < 5, corpus = rest.
     // Plan shape: broadcast the tiny query side against the corpus scan,
@@ -1137,13 +1161,13 @@ object SimilarityQueries {
         semDedupSidecars(s, dir)
         graft.ops.Dedup.keepOnePerCluster(
             tbl(s, dir, "embeddings"), "vec_id",
-            s.read.parquet(s"$SemDedupSidecarDir/q143_candidates.parquet"))
+            s.read.parquet(s"${sidecarBase(dir)}/q143_candidates.parquet"))
           .select(col("vec_id"))
           .orderBy("vec_id")
       },
       Some(s"""WITH RECURSIVE
         cand AS (SELECT id1, id2
-          FROM read_parquet('$SemDedupSidecarDir/q143_candidates.parquet/*.parquet')),
+          FROM read_parquet('$SemDedupSidecarDir/$SidecarNsToken/q143_candidates.parquet/*.parquet')),
         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         edges0 AS (
           SELECT c.id1, c.id2
@@ -1185,7 +1209,7 @@ object SimilarityQueries {
       (s, dir) => {
         semDedupSidecars(s, dir)
         val cents = graft.ops.Similarity.loadCentroids(
-          s, s"$SemDedupSidecarDir/q143_centroids.parquet")
+          s, s"${sidecarBase(dir)}/q143_centroids.parquet")
         val emb = tbl(s, dir, "embeddings")
         val b = math.max(1L, emb.count() / 8)
         val kb = math.min(b, 256L)
@@ -1201,7 +1225,7 @@ object SimilarityQueries {
             col("l.cell").as("c1"), col("r.cell").as("c2"),
             col("l.v").as("v1"), col("r.v").as("v2"))
         val nonCand = probe.join(
-          s.read.parquet(s"$SemDedupSidecarDir/q143_candidates.parquet"),
+          s.read.parquet(s"${sidecarBase(dir)}/q143_candidates.parquet"),
           Seq("id1", "id2"), "left_anti")
         val na = sqrt(dotCol(col("v1"), col("v1")))
         val nb = sqrt(dotCol(col("v2"), col("v2")))
@@ -1209,13 +1233,16 @@ object SimilarityQueries {
           when(na * nb =!= 0.0, dotCol(col("v1"), col("v2")) / (na * nb)), 6)
         nonCand.agg(
           count(lit(1)).as("n_probed"),
-          sum(when(col("c1") === col("c2") && cos >= 0.3, 1L).otherwise(0L))
-            .as("n_violations"))
+          // coalesce: sum over zero rows is NULL in Spark but the oracle's
+          // COUNT(*) is 0 — pin 0 when every probed pair is a candidate
+          coalesce(
+            sum(when(col("c1") === col("c2") && cos >= 0.3, 1L).otherwise(0L)),
+            lit(0L)).as("n_violations"))
       },
       Some(s"""WITH cand AS (SELECT id1, id2
-          FROM read_parquet('$SemDedupSidecarDir/q143_candidates.parquet/*.parquet')),
+          FROM read_parquet('$SemDedupSidecarDir/$SidecarNsToken/q143_candidates.parquet/*.parquet')),
         cents AS (SELECT cell, centroid::DOUBLE[] AS cv
-          FROM read_parquet('$SemDedupSidecarDir/q143_centroids.parquet/*.parquet')),
+          FROM read_parquet('$SemDedupSidecarDir/$SidecarNsToken/q143_centroids.parquet/*.parquet')),
         e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         nb AS (SELECT GREATEST(1, (SELECT COUNT(*) FROM e0) // 8) AS b),
         ep AS (
@@ -1260,11 +1287,17 @@ object SimilarityQueries {
     * trained cells). Called by BOTH q143 and q144 — SparkEntry.queries
     * is an unordered Map, so each consumer must (re)materialize; the
     * computation is deterministic, so whichever runs last wins with
-    * identical bytes. */
-  private def semDedupSidecars(
+    * identical bytes.
+    *
+    * Alongside the parquet a `manifest.json` records (n, k, edge count,
+    * order-independent content hash) — round docs cite the manifest
+    * rather than hand-copied numbers, so scale tables regenerate from
+    * the code that ships (VERDICT r9 #4). */
+  private[graft] def semDedupSidecars(
       s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     val emb = tbl(s, dir, "embeddings")
-    val k = graft.ops.Similarity.autoCellCount(emb.count())
+    val n = emb.count()
+    val k = graft.ops.Similarity.autoCellCount(n)
     // maxTrainPoints=0 (the 64·k auto cap): at the 256-points-per-cell
     // discipline, full-corpus Lloyd is O(n²·d/256) — the cap keeps the
     // index build linear and the oracle doesn't care WHICH centroids
@@ -1273,14 +1306,31 @@ object SimilarityQueries {
       emb, "embedding", kCells = k, iters = 5, seed = 7L,
       maxTrainPoints = 0L)
     graft.ops.Similarity.saveCentroids(
-      s, cents, s"$SemDedupSidecarDir/q143_centroids.parquet")
+      s, cents, s"${sidecarBase(dir)}/q143_centroids.parquet")
     val cell = graft.ops.Similarity.ivfCell(
       col("embedding").cast("array<double>"), cents, roundDp = 6)
+    val candPath = s"${sidecarBase(dir)}/q143_candidates.parquet"
     graft.ops.Dedup.cosineNearDups(emb, "vec_id", "embedding",
         threshold = 0.3, bucketCol = cell, roundDp = 6, maxBucket = 1 << 20)
       .select(col("id1"), col("id2"))
-      .coalesce(1)
+      // cap the file count without funneling the whole edge set through
+      // one task (the old coalesce(1) single-threaded a 53.9M-edge write
+      // at sf100); the oracle reads a /*.parquet glob either way
+      .coalesce(32)
       .write.mode("overwrite")
-      .parquet(s"$SemDedupSidecarDir/q143_candidates.parquet")
+      .parquet(candPath)
+    // manifest: edge count + an order/partitioning-independent content
+    // hash (bit_xor of xxhash64(id1,id2) — commutative, no ANSI overflow;
+    // the edge set has no duplicates so xor-cancellation can't hide one)
+    val m = s.read.parquet(candPath)
+      .agg(count(lit(1)).as("edges"),
+        coalesce(expr("bit_xor(xxhash64(id1, id2))"), lit(0L)).as("h"))
+      .collect().head
+    val manifest =
+      s"""{"data_dir": "$dir", "n_vectors": $n, "k_cells": $k,
+         | "n_candidate_edges": ${m.getLong(0)},
+         | "content_hash_xx64xor": ${m.getLong(1)}}""".stripMargin
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"${sidecarBase(dir)}/manifest.json"), manifest)
   }
 }

@@ -24,7 +24,10 @@ class JobCountSpec extends AnyFunSuite {
     spark.sparkContext.addSparkListener(listener)
     try {
       body
-      Thread.sleep(300) // let listener events drain
+      // deterministic drain (replaces a flaky Thread.sleep): block until
+      // the listener bus has delivered every queued event
+      org.apache.spark.graftbridge.ListenerBridge
+        .waitUntilListenersDrained(spark.sparkContext)
     } finally spark.sparkContext.removeSparkListener(listener)
     counter.get()
   }

@@ -50,7 +50,8 @@ class KernelsTreeSpec extends AnyFunSuite {
       spark.sparkContext.addSparkListener(listener)
       try {
         Kernels.lossGrad(d, breeze.linalg.DenseVector.zeros[Double](4), Logistic)
-        Thread.sleep(300)
+        org.apache.spark.graftbridge.ListenerBridge
+          .waitUntilListenersDrained(spark.sparkContext)
       } finally spark.sparkContext.removeSparkListener(listener)
       // map + grouped-combine are STAGES of one job, not extra jobs
       assert(counter.get() == 1, s"jobs=${counter.get()}")

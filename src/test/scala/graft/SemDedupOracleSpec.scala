@@ -37,7 +37,7 @@ class SemDedupOracleSpec extends AnyFunSuite {
       .spark(spark, TestSpark.sf001).collect().map(_.getLong(0)).toSet
     val emb = spark.read.parquet(s"${TestSpark.sf001}/embeddings.parquet")
     val cents = Similarity.loadCentroids(
-      spark, s"${SimilarityQueries.SemDedupSidecarDir}/q143_centroids.parquet")
+      spark, s"${SimilarityQueries.sidecarBase(TestSpark.sf001)}/q143_centroids.parquet")
     val direct = Dedup.semDedup(emb, "vec_id", "embedding", cents,
         threshold = 0.3, roundDp = 6, maxBucket = 1 << 20)
       .select(col("vec_id")).collect().map(_.getLong(0)).toSet

@@ -57,6 +57,21 @@ class UrlsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Urls.normalizeUrl($"u", Seq("(bad)"))
     }
+    // named groups (?<name>...) CAPTURE and renumber $1 — must fail fast
+    // (ADVICE r9: the escape-aware rewrite had let them slip through)
+    intercept[IllegalArgumentException] {
+      Urls.normalizeUrl($"u", Seq("(?<n>bad)"))
+    }
+    // lookbehinds don't capture — still accepted
+    Urls.normalizeUrl($"u", Seq("(?<=x)ok", "(?<!y)ok", "(?:grp)ok"))
+    // escaped backslash before '(' — the '(' is a real metachar, captures
+    intercept[IllegalArgumentException] {
+      Urls.normalizeUrl($"u", Seq("\\\\(bad)"))
+    }
+    // dangling '(?<' at end of pattern: reject rather than accept blindly
+    intercept[IllegalArgumentException] {
+      Urls.normalizeUrl($"u", Seq("x(?<"))
+    }
   }
 
   test("dropBlockedDomains table overload: reserved scratch columns fail fast") {
