@@ -152,6 +152,15 @@ object SimilarityQueries {
     * oracle_sql.json, so each fixture's replay reads its own artifacts. */
   private[graft] val SidecarNsToken = "__GRAFT_SIDECAR_NS__"
 
+  /** Rounds of min-label propagation unrolled into the q143 oracle SQL.
+    * Each round covers pointer-chain distance 2^r (the jump term
+    * doubles it), so 24 rounds converge for any component shape up to
+    * ~16M-node chains — far past any fixture; the `conv` poison gate
+    * makes an unconverged replay return ZERO rows (loud hash/row-count
+    * failure) instead of silently verifying partial labels. Declared
+    * BEFORE `qs` — the oracle strings read it at object init. */
+  private[graft] val CcLabelPropRounds = 24
+
   val qs: Seq[Q] = Seq(
     // ---- brute-force cosine top-k: queries = vec_id < 5, corpus = rest.
     // Plan shape: broadcast the tiny query side against the corpus scan,
@@ -1144,9 +1153,15 @@ object SimilarityQueries {
     // wrong pair changes the oracle's edge set and POISONS the survivor
     // hash rather than being silently dropped in tandem — and (b)
     // replays connected components + min-id representative from those
-    // verified edges (the q87 recursive-CTE pattern). O(candidates),
-    // not O(n²/k): everything downstream of candidate generation is
-    // independently checked at ANY scale. Candidate COMPLETENESS (the
+    // verified edges. The replay is ITERATIVE min-label propagation
+    // with pointer jumping (ccLabelPropCtes — O(E) memory per round,
+    // O(log n) rounds, a convergence poison gate), not a recursive
+    // closure CTE: the closure's working table is O(Σ component²) rows,
+    // which blew 55 GB on sf100's 53.9M-edge near-clique graph (r9
+    // verdict item #1) while each propagation round is a plain O(E)
+    // hash join. O(candidates · rounds) total: everything downstream of
+    // candidate generation is independently checked at ANY scale.
+    // Candidate COMPLETENESS (the
     // one direction edges-as-input can't see) is the companion probe
     // q144's job. Centroids are TRAINED (seeded Lloyd) with the
     // production cell-count discipline k ≈ n/256 (autoCellCount) —
@@ -1165,7 +1180,7 @@ object SimilarityQueries {
           .select(col("vec_id"))
           .orderBy("vec_id")
       },
-      Some(s"""WITH RECURSIVE
+      Some(s"""WITH
         cand AS (SELECT id1, id2
           FROM read_parquet('$SemDedupSidecarDir/$SidecarNsToken/q143_candidates.parquet/*.parquet')),
         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -1175,15 +1190,13 @@ object SimilarityQueries {
                       JOIN e b ON b.vec_id = c.id2
           WHERE ROUND(LIST_DOT_PRODUCT(a.v, b.v) /
             (SQRT(LIST_DOT_PRODUCT(a.v, a.v)) * SQRT(LIST_DOT_PRODUCT(b.v, b.v))), 6) >= 0.3),
-        edges AS (SELECT id1 AS a, id2 AS b FROM edges0
-          UNION SELECT id2, id1 FROM edges0),
-        reach(node, label) AS (
-          SELECT a, a FROM edges
-          UNION
-          SELECT g.b, r.label FROM reach r JOIN edges g ON r.node = g.a),
-        clusters AS (SELECT node, MIN(label) AS cluster FROM reach GROUP BY node),
-        drops AS (SELECT node FROM clusters WHERE node <> cluster)
-        SELECT vec_id FROM e WHERE vec_id NOT IN (SELECT node FROM drops)
+        adj AS (SELECT id1 AS a, id2 AS b FROM edges0
+          UNION ALL SELECT id2, id1 FROM edges0),
+        ${ccLabelPropCtes(CcLabelPropRounds)},
+        drops AS (SELECT node FROM l$CcLabelPropRounds WHERE node <> label)
+        SELECT vec_id FROM e
+        WHERE (SELECT c FROM conv) = 0
+          AND vec_id NOT IN (SELECT node FROM drops)
         ORDER BY vec_id""")),
 
     // ---- the COMPLETENESS probe for q143: an edge list handed to the
@@ -1279,6 +1292,39 @@ object SimilarityQueries {
         SELECT (SELECT COUNT(*) FROM noncand) AS n_probed,
                (SELECT COUNT(*) FROM viol) AS n_violations"""))
   )
+
+  /** Generate the chained label-propagation CTEs `l0..l<rounds>` plus
+    * the convergence check `conv`, for splicing into a WITH list that
+    * already defines `adj(a, b)` (the symmetrized verified edge set).
+    *
+    * One round: l'(v) = LEAST(l(v), l(l(v)), min over neighbors l(u)).
+    * Monotone non-increasing per node; at a fixpoint all labels in a
+    * component are equal and the component-min node keeps its own id
+    * throughout, so converged ⇒ every node carries its component min —
+    * exactly the engine's pointer-jumping contract (Dedup.clusterPairs)
+    * translated to SQL. Labels always name nodes present in l0 (mins
+    * over member ids), so the self-join `j.node = t.label` never drops
+    * rows. DuckDB materializes each CTE once (each is referenced 3×),
+    * so peak memory is O(V + E) per round, never O(Σ component²). */
+  private[graft] def ccLabelPropCtes(rounds: Int): String = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    def round(from: String, to: String): String =
+      s"""$to AS (
+         SELECT t.node, LEAST(t.label, j.label, MIN(n.label)) AS label
+         FROM $from t
+         JOIN $from j ON j.node = t.label
+         JOIN adj g ON g.a = t.node
+         JOIN $from n ON n.node = g.b
+         GROUP BY t.node, t.label, j.label)"""
+    val l0 = "l0 AS (SELECT a AS node, LEAST(a, MIN(b)) AS label FROM adj GROUP BY a)"
+    val chain = (1 to rounds).map(r => round(s"l${r - 1}", s"l$r"))
+    // convergence gate: one more round, then count label changes
+    val nextAndConv = Seq(
+      round(s"l$rounds", "lnext"),
+      s"""conv AS (SELECT COUNT(*) AS c FROM l$rounds p
+         JOIN lnext q ON q.node = p.node AND q.label <> p.label)""")
+    (Seq(l0) ++ chain ++ nextAndConv).mkString(",\n        ")
+  }
 
   /** Materialize the q143/q144 sidecars for `dir`: train centroids with
     * the production cell-count discipline (k = autoCellCount(n), seeded
