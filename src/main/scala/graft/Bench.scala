@@ -82,6 +82,22 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val headline = graft.queries.Queries.all.filter(_.bench)
       .filter(q => onlyMatches(q.name, only))
+    // Fail fast when a filter is set but selects NOTHING (registry rows
+    // and non-registry bench rows alike): a typo'd row name must not
+    // produce a silently empty BENCH json that reads as a clean run
+    // (ADVICE r10). Env unset still means "run everything".
+    val nonRegistryRows = Seq("semdedup_k64", "charlm_score", "bpe_encode",
+      "gopher_gate", "glm_fit", "glm_fit_sparse")
+    if (only.isDefined && headline.isEmpty &&
+        !nonRegistryRows.exists(onlyMatches(_, only))) {
+      System.err.println(
+        s"SPARK_GRAFT_BENCH_ONLY=${sys.env("SPARK_GRAFT_BENCH_ONLY")} " +
+          "selects zero bench rows (check spelling; exact-name match, " +
+          "trailing * for prefix). Valid rows: " +
+          (graft.queries.Queries.all.filter(_.bench).map(_.name) ++
+            nonRegistryRows).mkString(", "))
+      sys.exit(2)
+    }
     // JIT/codegen warmup on the smallest SF (different data dir, so no
     // page-cache advantage for the timed runs), then touch the timed dir's
     // parquet footers once

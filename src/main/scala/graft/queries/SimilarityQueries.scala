@@ -1181,16 +1181,16 @@ object SimilarityQueries {
           .orderBy("vec_id")
       },
       Some(s"""WITH
-        cand AS (SELECT id1, id2
+        cand AS MATERIALIZED (SELECT id1, id2
           FROM read_parquet('$SemDedupSidecarDir/$SidecarNsToken/q143_candidates.parquet/*.parquet')),
-        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        edges0 AS (
+        e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        edges0 AS MATERIALIZED (
           SELECT c.id1, c.id2
           FROM cand c JOIN e a ON a.vec_id = c.id1
                       JOIN e b ON b.vec_id = c.id2
           WHERE ROUND(LIST_DOT_PRODUCT(a.v, b.v) /
             (SQRT(LIST_DOT_PRODUCT(a.v, a.v)) * SQRT(LIST_DOT_PRODUCT(b.v, b.v))), 6) >= 0.3),
-        adj AS (SELECT id1 AS a, id2 AS b FROM edges0
+        adj AS MATERIALIZED (SELECT id1 AS a, id2 AS b FROM edges0
           UNION ALL SELECT id2, id1 FROM edges0),
         ${ccLabelPropCtes(CcLabelPropRounds)},
         drops AS (SELECT node FROM l$CcLabelPropRounds WHERE node <> label)
@@ -1304,19 +1304,23 @@ object SimilarityQueries {
     * exactly the engine's pointer-jumping contract (Dedup.clusterPairs)
     * translated to SQL. Labels always name nodes present in l0 (mins
     * over member ids), so the self-join `j.node = t.label` never drops
-    * rows. DuckDB materializes each CTE once (each is referenced 3×),
-    * so peak memory is O(V + E) per round, never O(Σ component²). */
+    * rows. Every multiply-referenced CTE (each round is read 3× by the
+    * next) is declared AS MATERIALIZED: DuckDB's default is to INLINE
+    * repeated CTE references (verified on 1.0.0), which triples the
+    * plan per round — 24 rounds exhaust the fd limit before a single
+    * row is produced. Materialized, peak memory is O(V + E) per round,
+    * never O(Σ component²), and each round is one hash-join pass. */
   private[graft] def ccLabelPropCtes(rounds: Int): String = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     def round(from: String, to: String): String =
-      s"""$to AS (
+      s"""$to AS MATERIALIZED (
          SELECT t.node, LEAST(t.label, j.label, MIN(n.label)) AS label
          FROM $from t
          JOIN $from j ON j.node = t.label
          JOIN adj g ON g.a = t.node
          JOIN $from n ON n.node = g.b
          GROUP BY t.node, t.label, j.label)"""
-    val l0 = "l0 AS (SELECT a AS node, LEAST(a, MIN(b)) AS label FROM adj GROUP BY a)"
+    val l0 = "l0 AS MATERIALIZED (SELECT a AS node, LEAST(a, MIN(b)) AS label FROM adj GROUP BY a)"
     val chain = (1 to rounds).map(r => round(s"l${r - 1}", s"l$r"))
     // convergence gate: one more round, then count label changes
     val nextAndConv = Seq(
@@ -1372,8 +1376,16 @@ object SimilarityQueries {
       .agg(count(lit(1)).as("edges"),
         coalesce(expr("bit_xor(xxhash64(id1, id2))"), lit(0L)).as("h"))
       .collect().head
+    // JSON-escape the interpolated path: a dir containing a quote or
+    // backslash must not produce an invalid manifest (ADVICE r10)
+    val dirJson = dir.flatMap {
+      case '"'           => "\\\""
+      case '\\'          => "\\\\"
+      case c if c < ' '  => f"\\u${c.toInt}%04x"
+      case c             => c.toString
+    }
     val manifest =
-      s"""{"data_dir": "$dir", "n_vectors": $n, "k_cells": $k,
+      s"""{"data_dir": "$dirJson", "n_vectors": $n, "k_cells": $k,
          | "n_candidate_edges": ${m.getLong(0)},
          | "content_hash_xx64xor": ${m.getLong(1)}}""".stripMargin
     java.nio.file.Files.writeString(

@@ -9,7 +9,8 @@ import org.apache.spark.SparkContext
   * solely to reach the package-private member; test classpath only. */
 object ListenerBridge {
   /** Block until every queued listener event has been delivered (or the
-    * timeout elapses — then an assertion error surfaces the backlog). */
+    * timeout elapses — then a java.util.concurrent.TimeoutException
+    * surfaces the backlog). */
   def waitUntilListenersDrained(sc: SparkContext, timeoutMillis: Long = 10000L): Unit =
     sc.listenerBus.waitUntilEmpty(timeoutMillis)
 }
