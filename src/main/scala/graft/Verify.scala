@@ -25,6 +25,19 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Run registry (VERDICT r11 #8): long verifies (sf100 ≈ hours) have
+    // been orphaned past session end with nothing on disk naming them.
+    // Record pid + args at start, delete on clean exit — a later session
+    // lists tmp/verify_runs/ and adopts or kills deliberately. Stale
+    // entries (pid no longer alive) just mean an unclean death.
+    val runReg = Paths.get("/root/repo/tmp/verify_runs")
+    Files.createDirectories(runReg)
+    val pid = ProcessHandle.current.pid
+    val regEntry = runReg.resolve(s"$pid.json")
+    Files.writeString(regEntry,
+      s"""{"pid": $pid, "sf_dir": "$sfDir", "out_dir": "$outDir",
+         | "started_epoch_s": ${System.currentTimeMillis() / 1000}}""".stripMargin)
+    sys.addShutdownHook(Files.deleteIfExists(regEntry))
     // a flaky operator must not hide behind the retry: every first-attempt
     // failure is recorded in a sidecar (retries.json), empty on a clean run
     val retried = scala.collection.mutable.LinkedHashMap[String, String]()

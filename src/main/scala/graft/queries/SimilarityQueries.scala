@@ -1330,24 +1330,93 @@ object SimilarityQueries {
     (Seq(l0) ++ chain ++ nextAndConv).mkString(",\n        ")
   }
 
+  /** Every knob that determines the sidecar bytes, in one string. A
+    * change to ANY of them (threshold, rounding, bucket cap, training
+    * seed/iters/cap, or the fixture's n/k) must invalidate the cached
+    * artifacts — the manifest records this fingerprint and
+    * [[semDedupSidecars]] skips the rebuild only on an exact match.
+    * Bump the leading version on any change to the artifact LAYOUT
+    * (file names, schema) that the fingerprint fields can't see. */
+  private[graft] def sidecarConfigFingerprint(n: Long, k: Long): String =
+    s"v1;n=$n;k=$k;tau=0.3;dp=6;maxBucket=${1 << 20};seed=7;iters=5;mtp=0"
+
+  /** JVM-wide guard for the sidecar build: java file locks are
+    * per-process (a second lock() in the same JVM throws
+    * OverlappingFileLockException rather than blocking), so in-process
+    * callers serialize here and cross-process callers on the .lock file. */
+  private val sidecarBuildMutex = new Object
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+
   /** Materialize the q143/q144 sidecars for `dir`: train centroids with
     * the production cell-count discipline (k = autoCellCount(n), seeded
     * — deterministic per fixture), persist them, then persist the
     * engine's candidate edge set (exact-regime cosineNearDups over the
     * trained cells). Called by BOTH q143 and q144 — SparkEntry.queries
-    * is an unordered Map, so each consumer must (re)materialize; the
-    * computation is deterministic, so whichever runs last wins with
-    * identical bytes.
+    * is an unordered Map, so each consumer must ENSURE the artifacts
+    * exist; since round 12 that is a manifest check, not an
+    * unconditional rebuild (VERDICT r11 #1): when the existing
+    * manifest's config fingerprint matches [[sidecarConfigFingerprint]]
+    * for the current fixture, the build is skipped — at sf100 this
+    * saves q144 a ~50 min redundant 52M-edge materialization.
     *
-    * Alongside the parquet a `manifest.json` records (n, k, edge count,
-    * order-independent content hash) — round docs cite the manifest
-    * rather than hand-copied numbers, so scale tables regenerate from
-    * the code that ships (VERDICT r9 #4). */
+    * Concurrency (VERDICT r11 "what's wrong" #2 — two same-fixture
+    * verifies raced live in r11): the whole check-build-publish runs
+    * under an exclusive cross-process file lock on `<ns>.lock`, the
+    * artifacts are written to a private temp dir, and publication is a
+    * delete + atomic rename — a concurrent reader never observes a
+    * half-written sidecar, and the second writer sees the first's
+    * manifest and skips.
+    *
+    * Alongside the parquet a `manifest.json` records (n, k, config
+    * fingerprint, edge count, order-independent content hash) — round
+    * docs cite the manifest rather than hand-copied numbers, so scale
+    * tables regenerate from the code that ships (VERDICT r9 #4). */
   private[graft] def semDedupSidecars(
-      s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
-    val emb = tbl(s, dir, "embeddings")
-    val n = emb.count()
-    val k = graft.ops.Similarity.autoCellCount(n)
+      s: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    sidecarBuildMutex.synchronized {
+      import java.nio.file.{Files, Paths}
+      val ns = sidecarNs(dir)
+      Files.createDirectories(Paths.get(SemDedupSidecarDir))
+      val lockPath = Paths.get(s"$SemDedupSidecarDir/$ns.lock")
+      val ch = java.nio.channels.FileChannel.open(lockPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      val lock = ch.lock() // blocks until any other process's build finishes
+      try {
+        val emb = tbl(s, dir, "embeddings")
+        val n = emb.count()
+        val k = graft.ops.Similarity.autoCellCount(n)
+        val cfg = sidecarConfigFingerprint(n, k)
+        val base = Paths.get(sidecarBase(dir))
+        val manifestPath = base.resolve("manifest.json")
+        val upToDate = Files.exists(manifestPath) && {
+          val m = Files.readString(manifestPath)
+          """"config":\s*"([^"]*)"""".r.findFirstMatchIn(m)
+            .exists(_.group(1) == cfg)
+        }
+        if (!upToDate) buildSidecars(s, dir, emb, n, k, cfg, base)
+      } finally { lock.release(); ch.close() }
+    }
+
+  /** The build body of [[semDedupSidecars]] — always called under the
+    * namespace lock. Writes everything into a sibling temp dir, then
+    * publishes with delete + ATOMIC_MOVE so readers see old-or-new,
+    * never a torn mix. */
+  private def buildSidecars(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      emb: org.apache.spark.sql.DataFrame, n: Long, k: Int, cfg: String,
+      base: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tmpBase = Paths.get(
+      s"$SemDedupSidecarDir/.build_${sidecarNs(dir)}_" +
+        s"${ProcessHandle.current.pid}_${System.nanoTime}")
+    Files.createDirectories(tmpBase)
     // maxTrainPoints=0 (the 64·k auto cap): at the 256-points-per-cell
     // discipline, full-corpus Lloyd is O(n²·d/256) — the cap keeps the
     // index build linear and the oracle doesn't care WHICH centroids
@@ -1356,10 +1425,10 @@ object SimilarityQueries {
       emb, "embedding", kCells = k, iters = 5, seed = 7L,
       maxTrainPoints = 0L)
     graft.ops.Similarity.saveCentroids(
-      s, cents, s"${sidecarBase(dir)}/q143_centroids.parquet")
+      s, cents, s"$tmpBase/q143_centroids.parquet")
     val cell = graft.ops.Similarity.ivfCell(
       col("embedding").cast("array<double>"), cents, roundDp = 6)
-    val candPath = s"${sidecarBase(dir)}/q143_candidates.parquet"
+    val candPath = s"$tmpBase/q143_candidates.parquet"
     graft.ops.Dedup.cosineNearDups(emb, "vec_id", "embedding",
         threshold = 0.3, bucketCol = cell, roundDp = 6, maxBucket = 1 << 20)
       .select(col("id1"), col("id2"))
@@ -1376,19 +1445,26 @@ object SimilarityQueries {
       .agg(count(lit(1)).as("edges"),
         coalesce(expr("bit_xor(xxhash64(id1, id2))"), lit(0L)).as("h"))
       .collect().head
-    // JSON-escape the interpolated path: a dir containing a quote or
+    // JSON-escape interpolated strings: a dir containing a quote or
     // backslash must not produce an invalid manifest (ADVICE r10)
-    val dirJson = dir.flatMap {
+    def js(raw: String): String = raw.flatMap {
       case '"'           => "\\\""
       case '\\'          => "\\\\"
       case c if c < ' '  => f"\\u${c.toInt}%04x"
       case c             => c.toString
     }
     val manifest =
-      s"""{"data_dir": "$dirJson", "n_vectors": $n, "k_cells": $k,
+      s"""{"data_dir": "${js(dir)}", "n_vectors": $n, "k_cells": $k,
+         | "config": "${js(cfg)}",
          | "n_candidate_edges": ${m.getLong(0)},
          | "content_hash_xx64xor": ${m.getLong(1)}}""".stripMargin
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"${sidecarBase(dir)}/manifest.json"), manifest)
+    Files.writeString(tmpBase.resolve("manifest.json"), manifest)
+    // publish: readers see the old artifacts or the new, never a mix.
+    // The delete→move window can expose a briefly-missing dir, but only
+    // to a reader outside the lock mid-replay — and the r11 failure mode
+    // (two writers interleaving parquet parts) is gone: writes are
+    // private until this rename, and writers serialize on the lock.
+    deleteRecursively(base)
+    Files.move(tmpBase, base, StandardCopyOption.ATOMIC_MOVE)
   }
 }

@@ -47,6 +47,30 @@ class SemDedupOracleSpec extends AnyFunSuite {
         s"only-direct=${(direct -- viaSidecar).take(5)}")
   }
 
+  test("sidecar build: manifest-matched skip, config-change rebuild (r11 #1)") {
+    import java.nio.file.{Files, Paths}
+    val base = Paths.get(SimilarityQueries.sidecarBase(TestSpark.sf0001))
+    val manifest = base.resolve("manifest.json")
+    // first call ensures the artifacts exist for this fixture
+    SimilarityQueries.semDedupSidecars(spark, TestSpark.sf0001)
+    assert(Files.exists(manifest), "build produced no manifest")
+    val t1 = Files.getLastModifiedTime(manifest)
+    val body1 = Files.readString(manifest)
+    // matched manifest -> the second call must NOT rebuild (at sf100 a
+    // redundant rebuild is ~50 min of wasted candidate materialization)
+    SimilarityQueries.semDedupSidecars(spark, TestSpark.sf0001)
+    assert(Files.getLastModifiedTime(manifest) == t1 && Files.readString(manifest) == body1,
+      "second same-config call rewrote the sidecars — the manifest skip is dead")
+    // a config drift (any knob change) must force a rebuild: simulate by
+    // corrupting the recorded fingerprint
+    Files.writeString(manifest,
+      body1.replaceFirst(""""config":\s*"[^"]*"""", "\"config\": \"STALE\""))
+    SimilarityQueries.semDedupSidecars(spark, TestSpark.sf0001)
+    val body2 = Files.readString(manifest)
+    assert(body2 == body1,
+      "rebuild after config drift did not restore the deterministic manifest")
+  }
+
   test("autoCellCount: density within 2x of target once n >= 2*target") {
     for (t <- Seq(8, 64, 256, 1024); n <- Seq(2L * t, 10L * t, 1000L * t, 12345L)) {
       if (n >= 2L * t) {
