@@ -20,7 +20,33 @@ object Bench {
       else name == pat
     })
 
+  /** Every bench row that is NOT a registry query — the single source
+    * for (a) the empty-filter guard, (b) its "valid rows" error listing,
+    * and (c) the headline-total exclusion set [[extraRows]]. One list so
+    * adding a row can't desynchronize the three (ADVICE r11); must match
+    * the onlyMatches if-blocks in main. BenchOnlySpec pins the set. */
+  val nonRegistryRows: Seq[String] = Seq("semdedup_k64", "charlm_score",
+    "bpe_encode", "gopher_gate", "glm_fit", "glm_fit_sparse")
+
+  /** Rows excluded from the headline total: everything added AFTER the
+    * r5/r6 baseline totals, so the total stays comparable round-over-
+    * round. glm_fit is NOT a registry query but is grandfathered in —
+    * part of every recorded total since r1. */
+  val extraRows: Set[String] = nonRegistryRows.toSet - "glm_fit"
+
+  /** 1-minute system load average (or -1 when the JVM can't read it).
+    * Recorded at bench start/end (VERDICT r11 #6): the r10→r11 total
+    * drifted +11.7% with zero timed-path changes — a loaded co-tenant
+    * box. With load in the JSON, a drifted run identifies itself. */
+  def loadAvg(): Double =
+    java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+
   def main(args: Array[String]): Unit = {
+    val loadStart = loadAvg()
+    if (loadStart > 4.0)
+      System.err.println(f"[bench] WARNING: 1-min load average $loadStart%.1f " +
+        "at start — timings will be contaminated; prefer a quiet box")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -86,8 +112,6 @@ object Bench {
     // and non-registry bench rows alike): a typo'd row name must not
     // produce a silently empty BENCH json that reads as a clean run
     // (ADVICE r10). Env unset still means "run everything".
-    val nonRegistryRows = Seq("semdedup_k64", "charlm_score", "bpe_encode",
-      "gopher_gate", "glm_fit", "glm_fit_sparse")
     if (only.isDefined && headline.isEmpty &&
         !nonRegistryRows.exists(onlyMatches(_, only))) {
       System.err.println(
@@ -305,17 +329,11 @@ object Bench {
       m.map { case (k, vs) =>
         "\"" + k + "\":" + vs.map(num).mkString("[", ",", "]")
       }.mkString("{", ",", "}")
-    // rows added AFTER the r5/r6 baseline totals are excluded from the
-    // headline total so it stays comparable round-over-round — adding a
-    // new row must not read as a regression on unchanged queries.
-    // glm_fit is NOT a registry query but is grandfathered in: it has
-    // been part of every recorded total since r1.
-    val extras = Set("semdedup_k64", "charlm_score", "bpe_encode",
-      "gopher_gate", "glm_fit_sparse")
     val total = results.collect {
-      case (k, v) if !extras(k) => v
+      case (k, v) if !extraRows(k) => v
     }.sum
-    val json = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${jmap(results)},"queries_min":${jmap(mins)},"samples":${jsamples(raw)},"reruns":${reruns.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDir"}"""
+    val loadEnd = loadAvg()
+    val json = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${jmap(results)},"queries_min":${jmap(mins)},"samples":${jsamples(raw)},"reruns":${reruns.map("\"" + _ + "\"").mkString("[", ",", "]")},"load_avg_start":${num(loadStart)},"load_avg_end":${num(loadEnd)},"sf":"$sfDir"}"""
     println(json)
     // Machine-readable artifact: the driver's BENCH_r*.json wrapper clips
     // long stdout, so the medians dict was unreadable as data. Persist

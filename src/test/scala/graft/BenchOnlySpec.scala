@@ -41,4 +41,19 @@ class BenchOnlySpec extends AnyFunSuite {
     assert(onlyMatches("any", Some(Seq("*"))))
     assert(!onlyMatches("any", Some(Seq.empty)))
   }
+
+  test("nonRegistryRows == the onlyMatches if-block literals (ADVICE r11)") {
+    // the empty-filter guard, its error listing, and the headline-total
+    // exclusion all derive from Bench.nonRegistryRows; the if-blocks in
+    // main are the ground truth — scan the source so a new row added to
+    // one side without the other fails here instead of drifting
+    val src = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("src/main/scala/graft/Bench.scala"))
+    val literals = """onlyMatches\("([a-z0-9_]+)"""".r
+      .findAllMatchIn(src).map(_.group(1)).toSet
+    assert(literals == Bench.nonRegistryRows.toSet,
+      s"drift: if-blocks=$literals vs nonRegistryRows=${Bench.nonRegistryRows}")
+    assert(Bench.extraRows == Bench.nonRegistryRows.toSet - "glm_fit",
+      "extraRows must be nonRegistryRows minus the grandfathered glm_fit")
+  }
 }
