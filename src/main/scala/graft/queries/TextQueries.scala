@@ -47,6 +47,52 @@ object TextQueries {
       .map { case ((a, b), r) => s"($r, '$a', '$b')" }
       .mkString(", ")
 
+  /** Merge-prefix length replayed by the q145 trainer oracle. Declared
+    * before `qs` — the oracle string reads it at object init. 32 steps
+    * over the fixture's 31-word vocabulary exercise count-ranked
+    * selection, lexicographic tie-breaks, and multi-generation merges
+    * (merged symbols re-entering later pair counts). */
+  private[graft] val BpeTrainPrefixK = 32
+
+  /** Unrolled greedy-merge replay for the q145 BPE-trainer prefix
+    * oracle (VERDICT r9 #3 / r11 #4): DuckDB re-derives the first k
+    * merge selections from raw pair counts, one CTE block per step —
+    * the same unroll-the-iteration pattern as ccLabelPropCtes. Step i:
+    *   p_i  pair counts over the current symbol table, weighted by word
+    *        frequency, HAVING >= 2 (the trainer's compression stop);
+    *   b_i  the argmax under the trainer's total order (count DESC,
+    *        then pair lexicographic ASC) — MATERIALIZED, read twice;
+    *   m_i  that step's (rank, a, b) output row (empty after early stop,
+    *        so a short training run agrees on the shorter prefix);
+    *   w_i+1 one left-to-right non-overlapping application of the step's
+    *        pair via REPLACE over the CHR(1)-wrapped symbol string (the
+    *        boundary-safe encoding proven by the q140 encode oracle) —
+    *        exactly Bpe.trainLocal's single in-word merge pass.
+    * Words carry their counts unchanged throughout, so pair counts at
+    * step i+1 see every symbol the step-i merge created. */
+  private[graft] def bpeTrainPrefixCtes(k: Int): String = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    def step(i: Int): String =
+      s"""p$i AS (
+         SELECT tk[CAST(j + 1 AS INTEGER)] AS a,
+                tk[CAST(j + 2 AS INTEGER)] AS b, SUM(c) AS n
+         FROM (SELECT c, LIST_FILTER(STRING_SPLIT(s, CHR(1)), t -> t <> '') AS tk
+               FROM w$i) ws,
+              UNNEST(RANGE(0, LEN(tk) - 1)) u(j)
+         GROUP BY 1, 2 HAVING SUM(c) >= 2),
+       b$i AS MATERIALIZED (
+         SELECT a, b FROM p$i ORDER BY n DESC, a ASC, b ASC LIMIT 1),
+       m$i AS (SELECT $i AS rank, a, b FROM b$i),
+       w${i + 1} AS MATERIALIZED (
+         SELECT w.word, w.c,
+           CASE WHEN b.a IS NULL THEN w.s
+                ELSE REPLACE(w.s,
+                  CHR(1) || b.a || CHR(1) || CHR(1) || b.b || CHR(1),
+                  CHR(1) || b.a || b.b || CHR(1)) END AS s
+         FROM w$i w LEFT JOIN b$i b ON TRUE)"""
+    (0 until k).map(step).mkString(",\n        ")
+  }
+
   val qs: Seq[Q] = Seq(
     // ---- token counting (whitespace); char counts
     Q("q30_token_stats",
@@ -977,6 +1023,51 @@ object TextQueries {
             PARTITION BY doc_id ORDER BY widx, j) - 1 AS INTEGER) AS pos,
           tok
         FROM flat ORDER BY doc_id, pos""")),
+
+    // ---- BPE TRAINER prefix (ops.Bpe.trainMerges) — closes the
+    // registry's last no-oracle gap (q123): the full 200-merge trainer
+    // is iterative driver state, but greedy training has the prefix
+    // property (step i depends only on steps < i), so the FIRST k merge
+    // selections are a deterministic function of the raw word counts —
+    // and those k steps ARE SQL-replayable by unrolling (the
+    // ccLabelPropCtes pattern). DuckDB independently recomputes the
+    // word-frequency table (with q123's top-K cap), symbolizes words
+    // with the q140 CHR(1) wrapping, and replays k rounds of
+    // count-pair/argmax/merge; the hash compares the (rank, left,
+    // right) prefix exactly. q123's tail beyond k stays covered by
+    // BpeSpec's reference-parity property suite.
+    Q("q145_bpe_train_prefix",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+        val model = graft.ops.Bpe.trainMerges(
+          graft.ops.Bpe.wordCounts(docs), numMerges = BpeTrainPrefixK)
+        import s.implicits._
+        model.merges.zipWithIndex
+          .map { case ((a, b), r) => (r, a, b) }.toSeq
+          .toDF("rank", "left", "right")
+          .orderBy("rank")
+      },
+      Some(s"""WITH
+        wc AS (
+          SELECT w AS word, COUNT(*) AS c FROM (
+            SELECT UNNEST(REGEXP_SPLIT_TO_ARRAY(text, ' +')) AS w FROM documents)
+          WHERE w <> ''
+          GROUP BY w ORDER BY c DESC, w ASC
+          LIMIT ${graft.ops.Bpe.DefaultMaxWords}),
+        w0 AS MATERIALIZED (
+          SELECT word, c,
+            ARRAY_TO_STRING(LIST_TRANSFORM(
+              LIST_APPEND(
+                LIST_TRANSFORM(RANGE(0, LENGTH(word)),
+                  i -> SUBSTRING(word, CAST(i + 1 AS INTEGER), 1)),
+                '</w>'),
+              t -> CHR(1) || t || CHR(1)), '') AS s
+          FROM wc),
+        ${bpeTrainPrefixCtes(BpeTrainPrefixK)}
+        SELECT rank, a AS "left", b AS "right"
+        FROM (${(0 until BpeTrainPrefixK)
+          .map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ")})
+        ORDER BY rank""")),
 
     // ---- LM-based language ID (CharLm.langId — the CLD-class upgrade
     // of q32's stopword heuristic): one char-trigram model per labeled
