@@ -152,6 +152,30 @@ object SimilarityQueries {
     * oracle_sql.json, so each fixture's replay reads its own artifacts. */
   private[graft] val SidecarNsToken = "__GRAFT_SIDECAR_NS__"
 
+  /** Cosine threshold for the q143/q144 SCALE oracle family, env-
+    * overridable via SPARK_GRAFT_SEMDEDUP_TAU (VERDICT r11 #3): the
+    * default 0.3 keeps the dense stress fixtures and all recorded scale
+    * tables comparable, while the realistic SemDeDup operating point
+    * (τ≈0.95, arXiv:2303.09540) runs the planted-duplicate fixtures
+    * (`examples.SemDedupFixture`). The knob is read ONCE at object init
+    * and interpolated into BOTH the engine code and the oracle SQL —
+    * Verify dumps the SQL from the same JVM, so the two sides can never
+    * disagree; the sidecar config fingerprint includes it, so cached
+    * artifacts from a different τ are never reused. The driver's gate
+    * runs with the env unset → 0.3, bit-for-bit the historical oracle.
+    * Declared BEFORE `qs` (the oracle strings read it at object init). */
+  private[graft] val SemDedupTau: Double = {
+    val raw = sys.env.getOrElse("SPARK_GRAFT_SEMDEDUP_TAU", "0.3")
+    val t = raw.toDouble
+    require(t > 0.0 && t < 1.0,
+      s"SPARK_GRAFT_SEMDEDUP_TAU must be in (0,1), got $raw")
+    t
+  }
+
+  /** One canonical SQL rendering of [[SemDedupTau]] — Scala's Double
+    * round-trip printing, parsed identically by DuckDB. */
+  private[graft] val SemDedupTauSql: String = SemDedupTau.toString
+
   /** Rounds of min-label propagation unrolled into the q143 oracle SQL.
     * Each round covers pointer-chain distance 2^r (the jump term
     * doubles it), so 24 rounds converge for any component shape up to
@@ -1189,7 +1213,7 @@ object SimilarityQueries {
           FROM cand c JOIN e a ON a.vec_id = c.id1
                       JOIN e b ON b.vec_id = c.id2
           WHERE ROUND(LIST_DOT_PRODUCT(a.v, b.v) /
-            (SQRT(LIST_DOT_PRODUCT(a.v, a.v)) * SQRT(LIST_DOT_PRODUCT(b.v, b.v))), 6) >= 0.3),
+            (SQRT(LIST_DOT_PRODUCT(a.v, a.v)) * SQRT(LIST_DOT_PRODUCT(b.v, b.v))), 6) >= $SemDedupTauSql),
         adj AS MATERIALIZED (SELECT id1 AS a, id2 AS b FROM edges0
           UNION ALL SELECT id2, id1 FROM edges0),
         ${ccLabelPropCtes(CcLabelPropRounds)},
@@ -1249,7 +1273,8 @@ object SimilarityQueries {
           // coalesce: sum over zero rows is NULL in Spark but the oracle's
           // COUNT(*) is 0 — pin 0 when every probed pair is a candidate
           coalesce(
-            sum(when(col("c1") === col("c2") && cos >= 0.3, 1L).otherwise(0L)),
+            sum(when(col("c1") === col("c2") && cos >= SemDedupTau, 1L)
+              .otherwise(0L)),
             lit(0L)).as("n_violations"))
       },
       Some(s"""WITH cand AS (SELECT id1, id2
@@ -1288,7 +1313,7 @@ object SimilarityQueries {
           SELECT * FROM noncand
           WHERE c1 = c2 AND
             ROUND(LIST_DOT_PRODUCT(v1, v2) /
-              (SQRT(LIST_DOT_PRODUCT(v1, v1)) * SQRT(LIST_DOT_PRODUCT(v2, v2))), 6) >= 0.3)
+              (SQRT(LIST_DOT_PRODUCT(v1, v1)) * SQRT(LIST_DOT_PRODUCT(v2, v2))), 6) >= $SemDedupTauSql)
         SELECT (SELECT COUNT(*) FROM noncand) AS n_probed,
                (SELECT COUNT(*) FROM viol) AS n_violations"""))
   )
@@ -1338,7 +1363,7 @@ object SimilarityQueries {
     * Bump the leading version on any change to the artifact LAYOUT
     * (file names, schema) that the fingerprint fields can't see. */
   private[graft] def sidecarConfigFingerprint(n: Long, k: Long): String =
-    s"v1;n=$n;k=$k;tau=0.3;dp=6;maxBucket=${1 << 20};seed=7;iters=5;mtp=0"
+    s"v1;n=$n;k=$k;tau=$SemDedupTauSql;dp=6;maxBucket=${1 << 20};seed=7;iters=5;mtp=0"
 
   /** JVM-wide guard for the sidecar build: java file locks are
     * per-process (a second lock() in the same JVM throws
@@ -1430,7 +1455,8 @@ object SimilarityQueries {
       col("embedding").cast("array<double>"), cents, roundDp = 6)
     val candPath = s"$tmpBase/q143_candidates.parquet"
     graft.ops.Dedup.cosineNearDups(emb, "vec_id", "embedding",
-        threshold = 0.3, bucketCol = cell, roundDp = 6, maxBucket = 1 << 20)
+        threshold = SemDedupTau, bucketCol = cell, roundDp = 6,
+        maxBucket = 1 << 20)
       .select(col("id1"), col("id2"))
       // cap the file count without funneling the whole edge set through
       // one task (the old coalesce(1) single-threaded a 53.9M-edge write

@@ -39,7 +39,8 @@ class SemDedupOracleSpec extends AnyFunSuite {
     val cents = Similarity.loadCentroids(
       spark, s"${SimilarityQueries.sidecarBase(TestSpark.sf001)}/q143_centroids.parquet")
     val direct = Dedup.semDedup(emb, "vec_id", "embedding", cents,
-        threshold = 0.3, roundDp = 6, maxBucket = 1 << 20)
+        threshold = SimilarityQueries.SemDedupTau, roundDp = 6,
+        maxBucket = 1 << 20)
       .select(col("vec_id")).collect().map(_.getLong(0)).toSet
     assert(viaSidecar == direct,
       s"sidecar-path survivors diverge from Dedup.semDedup: " +
