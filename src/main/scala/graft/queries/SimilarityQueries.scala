@@ -1438,8 +1438,14 @@ object SimilarityQueries {
       emb: org.apache.spark.sql.DataFrame, n: Long, k: Int, cfg: String,
       base: java.nio.file.Path): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
+    // we hold the namespace lock: any .build_<ns>_* leftover is an
+    // earlier build of THIS fixture that died mid-write — reclaim it
+    val nsPrefix = s".build_${sidecarNs(dir)}_"
+    Option(new java.io.File(SemDedupSidecarDir)
+        .listFiles((_, name) => name.startsWith(nsPrefix)))
+      .foreach(_.foreach(f => deleteRecursively(f.toPath)))
     val tmpBase = Paths.get(
-      s"$SemDedupSidecarDir/.build_${sidecarNs(dir)}_" +
+      s"$SemDedupSidecarDir/$nsPrefix" +
         s"${ProcessHandle.current.pid}_${System.nanoTime}")
     Files.createDirectories(tmpBase)
     // maxTrainPoints=0 (the 64·k auto cap): at the 256-points-per-cell
@@ -1479,9 +1485,19 @@ object SimilarityQueries {
       case c if c < ' '  => f"\\u${c.toInt}%04x"
       case c             => c.toString
     }
+    // default_parallelism is PROVENANCE, not config: RDD sampling is
+    // per-partition and parquet split counts follow defaultParallelism,
+    // so a 4-cpu and a 32-cpu build realize different (equally valid)
+    // seeded training samples → centroids → candidate sets. The oracle
+    // verifies the realized configuration either way (it reads the
+    // persisted centroids/candidates), so the fingerprint deliberately
+    // EXCLUDES it — cross-cpu reuse is correct; the field just explains
+    // why two builds of one fixture can differ (observed at sf100:
+    // 52,085,070 edges @4cpu vs 52,032,924 @32cpu).
     val manifest =
       s"""{"data_dir": "${js(dir)}", "n_vectors": $n, "k_cells": $k,
          | "config": "${js(cfg)}",
+         | "default_parallelism": ${s.sparkContext.defaultParallelism},
          | "n_candidate_edges": ${m.getLong(0)},
          | "content_hash_xx64xor": ${m.getLong(1)}}""".stripMargin
     Files.writeString(tmpBase.resolve("manifest.json"), manifest)
