@@ -72,7 +72,7 @@ class OracleSmokeSpec extends AnyFunSuite {
     SimilarityQueries.semDedupSidecars(spark, sf)
     val names = Seq(
       "q143_semdedup_scaled", "q144_semdedup_probe", "q87_dedup_clusters",
-      "q145_bpe_train_prefix")
+      "q140_bpe_encode", "q145_bpe_train_prefix")
     val entries = names.map(n => n -> nsSql(n)).toMap
     assert(smoke(entries, perQueryTimeoutS = 60) == 0,
       "a generated oracle failed to EXECUTE on DuckDB — the gate's replay " +
