@@ -113,9 +113,32 @@ object ScaleReplicate {
     }
   }
 
+  /** Relational replica family: key-offset copies. Replica r offsets
+    * every PRIMARY and FOREIGN key by r·(max(key)+1) consistently
+    * across tables (o_orderkey/l_orderkey share the orders-derived
+    * offset; o_custkey/c_custkey the customer-derived one), so join
+    * multiplicity is preserved exactly: a factor× corpus yields
+    * factor× join rows, never factor²× (plain copies would match every
+    * orders copy to every lineitem copy of the same key — the
+    * relational analog of the cross-replica near-dup artifact the
+    * document family avoids). Dimension tables (nation/region/part/
+    * supplier) stay fixed, as in TPC-H scaling; non-key attributes are
+    * untouched, so key-free aggregates (q01, q10) grow counts exactly
+    * factor× and keyed plans (q03, q05) grow rows factor×.
+    * ScaleReplicateSpec pins both invariants. */
+  def keyOffsetReplicas(df: DataFrame, factor: Int,
+      offsets: Map[String, Long]): Seq[DataFrame] =
+    (0 until factor).map { r =>
+      if (r == 0) df
+      else offsets.foldLeft(df) { case (d, (c, base)) =>
+        d.withColumn(c, col(c) + lit(r * base))
+      }
+    }
+
   /** args: srcDir dstDir factor [tables]
     *
-    * `tables` (comma list ⊆ documents,embeddings,lineitem; default all)
+    * `tables` (comma list ⊆ documents,embeddings,lineitem,orders,
+    * customer,events; default documents,embeddings,lineitem)
     * selects what to replicate — the sf100 third-decade fixture needs
     * only the q87/glm_fit inputs, and SKIPPING embeddings there is
     * load-bearing, not just thrift: DOCUMENT replicas compose (re-
@@ -135,7 +158,9 @@ object ScaleReplicate {
     val tables: Set[String] =
       if (args.length > 3) args(3).split(",").map(_.trim).filter(_.nonEmpty).toSet
       else Set("documents", "embeddings", "lineitem")
-    val unknown = tables -- Set("documents", "embeddings", "lineitem")
+    val known = Set("documents", "embeddings", "lineitem",
+      "orders", "customer", "events")
+    val unknown = tables -- known
     require(unknown.isEmpty, s"unknown table(s): ${unknown.mkString(", ")}")
     require(factor >= 1, s"factor must be >= 1, got $factor")
     val spark = SparkSession.builder()
@@ -162,13 +187,65 @@ object ScaleReplicate {
       println(s"[scale-replicate] embeddings x$factor: ${nVec * factor}")
     }
 
+    // Relational key offsets are shared across tables: the orderkey
+    // stride comes from ORDERS (lineitem's orderkeys are a subset) and
+    // the custkey stride from CUSTOMER, so foreign keys stay aligned
+    // replica-by-replica. Read lazily — only when a relational table
+    // is requested.
+    lazy val orderStride = spark.read.parquet(s"$src/orders.parquet")
+      .agg(max("o_orderkey")).head().getLong(0) + 1L
+    lazy val custStride = spark.read.parquet(s"$src/customer.parquet")
+      .agg(max("c_custkey")).head().getLong(0) + 1L
+
     if (tables("lineitem")) {
-      // glm_fit input: plain copies (no dedup semantics; row count is
-      // the only thing that matters)
       val li = spark.read.parquet(s"$src/lineitem.parquet")
-      Seq.fill(factor)(li).reduce(_ unionAll _).repartition(64)
+      val reps =
+        if (tables("orders")) {
+          // relational mode: preserve join structure against the
+          // replicated orders table (factor× join rows, not factor²×)
+          keyOffsetReplicas(li, factor, Map("l_orderkey" -> orderStride))
+        } else {
+          // glm-only mode (the historical sf30/sf100 fixtures): plain
+          // copies — the fit reads no key column, row count is the
+          // only thing that matters
+          Seq.fill(factor)(li)
+        }
+      reps.reduce(_ unionAll _).repartition(64)
         .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
-      println(s"[scale-replicate] lineitem x$factor")
+      println(s"[scale-replicate] lineitem x$factor" +
+        (if (tables("orders")) " (orderkey-offset)" else " (plain)"))
+    }
+
+    if (tables("orders")) {
+      val o = spark.read.parquet(s"$src/orders.parquet")
+      keyOffsetReplicas(o, factor,
+          Map("o_orderkey" -> orderStride, "o_custkey" -> custStride))
+        .reduce(_ unionAll _).repartition(32)
+        .write.mode("overwrite").parquet(s"$out/orders.parquet")
+      println(s"[scale-replicate] orders x$factor (key-offset)")
+    }
+
+    if (tables("customer")) {
+      val c = spark.read.parquet(s"$src/customer.parquet")
+      keyOffsetReplicas(c, factor, Map("c_custkey" -> custStride))
+        .reduce(_ unionAll _).repartition(32)
+        .write.mode("overwrite").parquet(s"$out/customer.parquet")
+      println(s"[scale-replicate] customer x$factor (key-offset)")
+    }
+
+    if (tables("events")) {
+      // event_id/user_id offsets keep per-user order streams disjoint
+      // (factor× sessions of the original shape); timestamps are
+      // untouched, so windowed aggregates grow counts ×factor over the
+      // same bucket grid — the high-cardinality-keys stress shape
+      val ev = spark.read.parquet(s"$src/events.parquet")
+      val evIdStride = ev.agg(max("event_id")).head().getLong(0) + 1L
+      val userStride = ev.agg(max("user_id")).head().getLong(0) + 1L
+      keyOffsetReplicas(ev, factor,
+          Map("event_id" -> evIdStride, "user_id" -> userStride))
+        .reduce(_ unionAll _).repartition(32)
+        .write.mode("overwrite").parquet(s"$out/events.parquet")
+      println(s"[scale-replicate] events x$factor (key-offset)")
     }
 
     println(s"[scale-replicate] wrote $out at ${factor}x " +

@@ -164,4 +164,56 @@ class ScaleReplicateSpec extends AnyFunSuite {
         f"own rate $baseRate%.5f — sign-permutations are not decorrelating")
     spark.sharedState.cacheManager.clearCache()
   }
+
+  test("relational key-offset replicas preserve join multiplicity exactly") {
+    // the relational analog of the isomorphism claim: a factor× corpus
+    // must produce factor× join rows (plain copies would produce
+    // factor²× — every orders copy matching every lineitem copy of the
+    // same key). Built exactly as main() builds them: shared strides
+    // from the parent tables.
+    val factor = 3
+    val li = spark.read.parquet(s"${TestSpark.sf0001}/lineitem.parquet")
+    val o = spark.read.parquet(s"${TestSpark.sf0001}/orders.parquet")
+    val c = spark.read.parquet(s"${TestSpark.sf0001}/customer.parquet")
+    val oStride = o.agg(max("o_orderkey")).head().getLong(0) + 1L
+    val cStride = c.agg(max("c_custkey")).head().getLong(0) + 1L
+    val liR = ScaleReplicate.keyOffsetReplicas(li, factor,
+      Map("l_orderkey" -> oStride)).reduce(_ unionAll _)
+    val oR = ScaleReplicate.keyOffsetReplicas(o, factor,
+      Map("o_orderkey" -> oStride, "o_custkey" -> cStride)).reduce(_ unionAll _)
+    val cR = ScaleReplicate.keyOffsetReplicas(c, factor,
+      Map("c_custkey" -> cStride)).reduce(_ unionAll _)
+    val base = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey")).count()
+    val scaled = liR.join(oR, liR("l_orderkey") === oR("o_orderkey"))
+      .join(cR, oR("o_custkey") === cR("c_custkey")).count()
+    assert(scaled === factor * base,
+      s"3-way join rows $scaled != $factor x $base — key offsets are " +
+        "not replica-disjoint or foreign keys drifted out of alignment")
+    // replica disjointness of the primary keys themselves
+    assert(oR.select("o_orderkey").distinct().count() ===
+      factor * o.select("o_orderkey").distinct().count())
+  }
+
+  test("event replicas: per-user streams disjoint, window grid unchanged") {
+    val ev = spark.read.parquet(s"${TestSpark.sf0001}/events.parquet")
+    val factor = 3
+    val eStride = ev.agg(max("event_id")).head().getLong(0) + 1L
+    val uStride = ev.agg(max("user_id")).head().getLong(0) + 1L
+    val evR = ScaleReplicate.keyOffsetReplicas(ev, factor,
+        Map("event_id" -> eStride, "user_id" -> uStride))
+      .reduce(_ unionAll _)
+    // factor× users, each stream an exact copy of its base shape
+    assert(evR.select("user_id").distinct().count() ===
+      factor * ev.select("user_id").distinct().count())
+    // the tumbling grid (bucket, type) is time-keyed, so the grid rows
+    // are UNCHANGED while each count grows exactly ×factor
+    val grid = ev.groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val gridR = evR.groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    assert(gridR.count() === grid.count())
+    assert(gridR.agg(max("n")).head().getLong(0) ===
+      factor * grid.agg(max("n")).head().getLong(0))
+  }
 }
