@@ -708,7 +708,15 @@ object SimilarityQueries {
 
     // ---- embedding-cosine near-dup pairs (Dedup.cosineNearDups): LSH
     // buckets bound the pairwise work; cosine rounded BEFORE the
-    // threshold test so the boundary cannot flip on a fold ulp
+    // threshold test so the boundary cannot flip on a fold ulp.
+    // The oracle replays BOTH regimes of the kernel at the 4096
+    // default cap — small (bk, sb=-1) groups as all-pairs, hot buckets
+    // split by the 8-bit offset-32 sub-key (the q109 sub-key SQL) with
+    // still-hot sub-groups degraded to the min-id star — so the same
+    // SQL stays exact from the sf0.01 gate (every bucket small) through
+    // the sf1 sweep (16 buckets x ~3.7k vectors, several past the cap).
+    // Every multiply-referenced CTE is MATERIALIZED (DuckDB 1.0.0
+    // inlines plain CTEs — the r10 q143 regression class).
     Q("q65_cosine_neardup",
       (s, dir) => {
         val bucket = graft.ops.Similarity.lshBucket(col("embedding"), dim = 64, nBits = 4)
@@ -718,12 +726,48 @@ object SimilarityQueries {
           .orderBy("id1", "id2")
       },
       Some(s"""WITH $bucketed4Sql,
+        evm AS MATERIALIZED (SELECT * FROM ev),
+        cnt AS (SELECT bk, COUNT(*) AS cnt FROM evm GROUP BY bk),
+        hot AS (SELECT evm.vec_id, v FROM evm JOIN cnt USING (bk)
+          WHERE cnt.cnt > ${graft.ops.Dedup.DefaultMaxBucket}),
+        sbp AS (
+          SELECT vec_id, j,
+            ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(0, 64),
+              i -> v[i+1] * SIN(i * 131.0 + (j + 32) * 523.0))), 6) AS p
+          FROM hot, UNNEST(RANGE(0, 8)) AS tj(j)),
+        sb8 AS (
+          SELECT vec_id,
+            SUM(CASE WHEN p > 0 THEN CAST(POWER(2, j) AS BIGINT) ELSE 0 END) AS sb
+          FROM sbp GROUP BY vec_id),
+        evs AS MATERIALIZED (
+          SELECT evm.vec_id, v, bk, COALESCE(sb8.sb, -1) AS sb
+          FROM evm LEFT JOIN sb8 ON evm.vec_id = sb8.vec_id),
+        sg AS MATERIALIZED (
+          SELECT bk, sb, COUNT(*) AS scnt, MIN(vec_id) AS repid
+          FROM evs GROUP BY bk, sb),
+        small AS MATERIALIZED (
+          SELECT evs.* FROM evs JOIN sg USING (bk, sb)
+          WHERE sg.scnt <= ${graft.ops.Dedup.DefaultMaxBucket}),
         pairs AS (
           SELECT a.vec_id AS id1, b.vec_id AS id2,
             ROUND(LIST_DOT_PRODUCT(a.v, b.v) /
               (SQRT(LIST_DOT_PRODUCT(a.v, a.v)) * SQRT(LIST_DOT_PRODUCT(b.v, b.v))), 6) AS cos
-          FROM ev a JOIN ev b ON a.bk = b.bk AND a.vec_id < b.vec_id)
-        SELECT id1, id2, cos FROM pairs WHERE cos >= 0.3 ORDER BY id1, id2""")),
+          FROM small a JOIN small b
+            ON a.bk = b.bk AND a.sb = b.sb AND a.vec_id < b.vec_id),
+        reps AS (
+          SELECT sg.bk, sg.sb, sg.repid, evs.v AS rv
+          FROM sg JOIN evs ON evs.vec_id = sg.repid
+            AND evs.bk = sg.bk AND evs.sb = sg.sb
+          WHERE sg.scnt > ${graft.ops.Dedup.DefaultMaxBucket}),
+        star AS (
+          SELECT reps.repid AS id1, evs.vec_id AS id2,
+            ROUND(LIST_DOT_PRODUCT(reps.rv, evs.v) /
+              (SQRT(LIST_DOT_PRODUCT(reps.rv, reps.rv)) * SQRT(LIST_DOT_PRODUCT(evs.v, evs.v))), 6) AS cos
+          FROM evs JOIN reps ON evs.bk = reps.bk AND evs.sb = reps.sb
+          WHERE evs.vec_id <> reps.repid)
+        SELECT id1, id2, cos
+        FROM (SELECT * FROM pairs UNION ALL SELECT * FROM star)
+        WHERE cos >= 0.3 ORDER BY id1, id2""")),
 
     // ---- IVF ANN end-to-end (Similarity.ivfTopK) at FIXED centroids so
     // cell assignment is deterministic: nearest-cell probe + exact rerank.

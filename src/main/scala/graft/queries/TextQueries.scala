@@ -17,6 +17,23 @@ object TextQueries {
   // whitespace tokenization shared by all queries
   private def toksCol = split(col("text"), " +")
 
+  /** q134's Misra–Gries sketch width, overridable via
+    * SPARK_GRAFT_TOPK_SKETCH (the SPARK_GRAFT_SEMDEDUP_TAU pattern:
+    * read once at object init, default keeps the driver's gate
+    * bit-identical). The 832 default certifies the top-20 at the
+    * sf0.01/sf0.1 gates; at a 10× corpus with disjoint replica
+    * vocabularies the heavy-hitter mass does NOT scale with n, so the
+    * certification guard correctly refuses at 832 and the sweep sets
+    * the width the refusal message itself prescribes (topK's bound:
+    * sketchSize ≥ n / rank-k count). Declared before `qs` — a later
+    * val reads as 0 at object init. */
+  private val topkSketchSize: Int = {
+    val raw = sys.env.getOrElse("SPARK_GRAFT_TOPK_SKETCH", "832")
+    val v = raw.toInt
+    require(v >= 20, s"SPARK_GRAFT_TOPK_SKETCH must be >= k=20, got $raw")
+    v
+  }
+
   /** Frozen merge table for the q140 BPE-encode oracle — the pinned
     * persisted-model pattern (q66 centroids / q99 codebooks / q138
     * rotation): encoding against a frozen rank table is the production
@@ -1461,7 +1478,7 @@ object TextQueries {
         graft.ops.Frequent.topK(
             docs.select(explode(
               graft.ops.TokenLm.tokenNgrams(col("text"), 2)).as("bg")),
-            col("bg"), k = 20, sketchSize = 832)
+            col("bg"), k = 20, sketchSize = topkSketchSize)
           .orderBy(col("cnt").desc, col("item").asc)
       },
       Some("""WITH t AS (
