@@ -620,7 +620,18 @@ object SimilarityQueries {
             roundDp = 6, maxBucket = 1 << 20)
           .select(col("vec_id"))
           .orderBy("vec_id"),
-      Some(s"""WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      // Component formation replays as MATERIALIZED pointer-jumping
+      // (ccLabelPropCtes — the q143/q87 machinery) instead of a
+      // recursive reachability closure. Two r10/r11-class defects hid
+      // behind the sf0.01 gate and surfaced in the sf1 sweep: DuckDB
+      // 1.0.0 inlines multiply-referenced plain CTEs (the within-cell
+      // all-pairs cosine join re-ran per closure iteration), and the
+      // closure's working set is O(Σ component²) — at sf1 the τ=0.3
+      // cross-replica cosine tail merges replicas into giant
+      // components and the replay never finished in 900 s. The
+      // label-prop replay is O(V+E) per round and converged-gated
+      // (conv = 0 or the oracle returns empty ⇒ hash mismatch).
+      Some(s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         cents AS (SELECT * FROM (VALUES $centroidSqlValues) t(cell, cv)),
         dist AS (
           SELECT vec_id, cell,
@@ -632,21 +643,19 @@ object SimilarityQueries {
             SELECT vec_id, cell,
               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn
             FROM dist) WHERE rn = 1),
-        ev AS (SELECT e.vec_id, v, cell FROM e JOIN cellass ON e.vec_id = cellass.vec_id),
-        pairs AS (
+        ev AS MATERIALIZED (SELECT e.vec_id, v, cell FROM e JOIN cellass ON e.vec_id = cellass.vec_id),
+        pairs AS MATERIALIZED (
           SELECT a.vec_id AS id1, b.vec_id AS id2
           FROM ev a JOIN ev b ON a.cell = b.cell AND a.vec_id < b.vec_id
           WHERE ROUND(LIST_DOT_PRODUCT(a.v, b.v) /
             (SQRT(LIST_DOT_PRODUCT(a.v, a.v)) * SQRT(LIST_DOT_PRODUCT(b.v, b.v))), 6) >= 0.3),
-        edges AS (SELECT id1 AS a, id2 AS b FROM pairs
-          UNION SELECT id2, id1 FROM pairs),
-        reach(node, label) AS (
-          SELECT a, a FROM edges
-          UNION
-          SELECT g.b, r.label FROM reach r JOIN edges g ON r.node = g.a),
-        clusters AS (SELECT node, MIN(label) AS cluster FROM reach GROUP BY node),
-        drops AS (SELECT node FROM clusters WHERE node <> cluster)
-        SELECT vec_id FROM e WHERE vec_id NOT IN (SELECT node FROM drops)
+        adj AS MATERIALIZED (SELECT id1 AS a, id2 AS b FROM pairs
+          UNION ALL SELECT id2, id1 FROM pairs),
+        ${ccLabelPropCtes(CcLabelPropRounds)},
+        drops AS (SELECT node FROM l$CcLabelPropRounds WHERE node <> label)
+        SELECT vec_id FROM e
+        WHERE (SELECT c FROM conv) = 0
+          AND vec_id NOT IN (SELECT node FROM drops)
         ORDER BY vec_id""")),
 
     // ---- incremental semantic dedup (Dedup.semDedupAgainst): NEW batch
