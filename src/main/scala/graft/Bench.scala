@@ -44,9 +44,15 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val loadStart = loadAvg()
-    if (loadStart > 4.0)
+    // threshold 1.0, not 4.0: BENCH_r12 started at load 2.2 — under the
+    // old gate — and drifted +20-35% on a third of its rows vs the
+    // same-tree quiet-box run (VERDICT r12 #1). On a 32-core box ANY
+    // standing load means a co-tenant; flag it and force per-row re-runs.
+    val loaded = loadStart > 1.0
+    if (loaded)
       System.err.println(f"[bench] WARNING: 1-min load average $loadStart%.1f " +
-        "at start — timings will be contaminated; prefer a quiet box")
+        "at start — timings will be contaminated; prefer a quiet box " +
+        "(every row will be re-sampled once and ship both rep arrays)")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -158,7 +164,11 @@ object Bench {
     val reruns = scala.collection.mutable.ArrayBuffer[String]()
     def recordAdaptive(name: String, reps: Int)(f: => Unit): Unit = {
       val first = timeStats(reps)(f)
-      if (first._3.max <= 3.0 * first._3.min) record(name, first)
+      // On a loaded box every row re-runs unconditionally (the spread
+      // guard alone missed BENCH_r12's +20-35% drift — contamination can
+      // inflate ALL reps uniformly, which spread can't see); the reported
+      // median is the re-run's, both arrays ship, and `reruns` names it.
+      if (!loaded && first._3.max <= 3.0 * first._3.min) record(name, first)
       else {
         reruns += name
         val second = timeStats(reps)(f)

@@ -25,6 +25,20 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
+    // — a tab or CR in builder-authored SQL (or a quote/backslash in a
+    // caller-supplied path) would otherwise make the driver's json.load
+    // fail and silently zero the round's correctness (ADVICE r12: the
+    // run-registry entry below interpolated paths raw).
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     // Run registry (VERDICT r11 #8): long verifies (sf100 ≈ hours) have
     // been orphaned past session end with nothing on disk naming them.
     // Record pid + args at start, delete on clean exit — a later session
@@ -35,7 +49,7 @@ object Verify {
     val pid = ProcessHandle.current.pid
     val regEntry = runReg.resolve(s"$pid.json")
     Files.writeString(regEntry,
-      s"""{"pid": $pid, "sf_dir": "$sfDir", "out_dir": "$outDir",
+      s"""{"pid": $pid, "sf_dir": ${q(sfDir)}, "out_dir": ${q(outDir)},
          | "started_epoch_s": ${System.currentTimeMillis() / 1000}}""".stripMargin)
     sys.addShutdownHook(Files.deleteIfExists(regEntry))
     // a flaky operator must not hide behind the retry: every first-attempt
@@ -59,18 +73,6 @@ object Verify {
         }
       }
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
     // sidecar-backed oracles (q143/q144) embed a namespace token in their
     // static SQL; rewrite it to THIS run's per-fixture namespace so the
     // replay reads the artifacts this pass wrote (never another run's)

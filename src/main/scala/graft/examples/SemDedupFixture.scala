@@ -40,7 +40,9 @@ import org.apache.spark.sql.functions._
   * invariant on the ground truth), and reports recall = recovered/m
   * (the shortfall is exactly the cell-straddle count — a geometry
   * property of coarse quantization, not a candidate-generation bug;
-  * SemDedupFixtureSpec pins it ≥ 0.95 at spec scale). */
+  * SemDedupFixtureSpec pins it ≥ 0.9 at spec scale — the enforced
+  * gate; measured single-probe recall at 2M vectors is 0.99536,
+  * ROUND12.md §3). */
 object SemDedupFixture {
 
   val Dim = 64

@@ -74,6 +74,31 @@ object Bpe {
     trainLocal(rows.map(r => (r.getString(0), r.getLong(1))).toSeq, numMerges)
   }
 
+  /** Code-point-order string comparison for the trainer tie-break.
+    * Java's natural String order compares UTF-16 code UNITS, which
+    * diverges from Unicode code-point order exactly where supplementary-
+    * plane symbols (surrogate pairs, sorted low by their 0xD800-range
+    * lead unit) meet chars in U+E000–U+FFFF. Spark's UTF8String binary
+    * order and DuckDB's default collation are both UTF-8 byte order ==
+    * code-point order, so the q145 trainer-prefix oracle (ORDER BY a, b)
+    * only agrees with the engine on tied pair counts if the trainer
+    * breaks ties the same way (ADVICE r12). BpeSpec pins the divergent
+    * case. */
+  private[graft] def cpCompare(x: String, y: String): Int = {
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val cx = x.codePointAt(i)
+      val cy = y.codePointAt(i)
+      if (cx != cy) return Integer.compare(cx, cy)
+      i += Character.charCount(cx)
+    }
+    Integer.compare(x.length, y.length)
+  }
+  private val cpOrd: Ordering[String] = (x, y) => cpCompare(x, y)
+  private val tieOrd: Ordering[(Long, String, String)] =
+    Ordering.Tuple3(Ordering.Long, cpOrd, cpOrd)
+
   /** The reference merge loop (public within the package for the spec's
     * brute-force parity check). */
   private[graft] def trainLocal(
@@ -101,8 +126,10 @@ object Bpe {
       val best = pc.filter(_._2 >= 2)
       if (best.isEmpty) done = true
       else {
-        // total order: max count, then pair lexicographic ascending
-        val (pair, _) = best.minBy { case ((a, b), c) => (-c, a, b) }
+        // total order: max count, then pair lexicographic ascending in
+        // CODE-POINT order (== Spark/DuckDB binary order, see cpCompare)
+        val (pair, _) =
+          best.minBy { case ((a, b), c) => (-c, a, b) }(tieOrd)
         merges += pair
         val joined = pair._1 + pair._2
         words.foreach { case (syms, _) =>

@@ -1115,6 +1115,91 @@ object Dedup {
       .filter(col("cos") >= threshold)
   }
 
+  /** Multi-probe companion of [[cosineNearDups]] for k-means-cell
+    * bucketing — closes the CELL-STRADDLE recall gap (VERDICT r12 #4):
+    * a near-dup pair split across a cell boundary is invisible to
+    * single-cell bucketing (measured 0.46% of planted pairs at 2M
+    * vectors), the one recall loss the planted fixtures attribute to
+    * geometry rather than candidate generation. Each row keeps ONE
+    * primary cell (nearest centroid) and additionally PROBES its
+    * `nprobe - 1` next-nearest cells: a pair is a candidate when either
+    * row's probe list contains the other's primary cell. This goes
+    * BEYOND SemDeDup (arXiv:2303.09540), which probes one cell only.
+    *
+    * Plan shape at 100 TB: the primary stage is [[cosineNearDups]]
+    * unchanged (hot-cell sub-bucket degrade included); the straddle
+    * stage joins the (nprobe−1)-fanned secondary side against the
+    * primary-keyed side, so pair cost grows ×(nprobe−1) relative to the
+    * primary stage, NOT ×nprobe² (the corpus is never fanned on both
+    * sides). The primary side of the straddle join is capped at
+    * `maxBucket` lowest-id rows per (cell, 8-bit LSH sign sub-bucket) —
+    * the [[semDedupAgainst]] flood guard, so a boilerplate flood cannot
+    * multiply every straddling row by its whole cell. Both directions
+    * of a straddle pair can fire; they collapse to one row (cosine is
+    * deterministic per pair, so max() is a no-op numerically). Straddle
+    * pairs have distinct primaries by construction (a row's probe list
+    * excludes its own primary), so the union with the primary stage is
+    * duplicate-free.
+    *
+    * `nprobe = 1` returns the primary stage alone — bit-identical to
+    * [[cosineNearDups]] under the same cell column, which keeps the
+    * mtp=0 oracle rows and every recorded scale table unchanged. */
+  def cosineNearDupsMultiProbe(
+      emb: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      centroids: Array[Array[Double]], nprobe: Int, roundDp: Int = 6,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    import graft.functions.ArrayMath
+    require(nprobe >= 1 && nprobe <= centroids.length,
+      s"nprobe must be in [1, ${centroids.length}], got $nprobe")
+    val vec = col(vecCol).cast("array<double>")
+    val primaryCell = graft.ops.Similarity.ivfCell(vec, centroids, roundDp)
+    val primary =
+      cosineNearDups(emb, idCol, vecCol, threshold, primaryCell, roundDp,
+        maxBucket)
+    if (nprobe == 1) primary
+    else {
+      // fan side: secondary probes only (ivfCells is nearest-first, so
+      // slice from position 2 — position 1 IS the primary and its pairs
+      // already came from the primary stage)
+      val fan = emb.select(col(idCol).as("__fid"), vec.as("__fv"),
+          explode(slice(
+            graft.ops.Similarity.ivfCells(vec, centroids, nprobe, roundDp),
+            2, nprobe - 1)).as("__cell"))
+        .withColumn("__fn", sqrt(ArrayMath.dot(col("__fv"), col("__fv"))))
+      // primary side, flood-capped per (cell, sign sub-bucket) — the
+      // semDedupAgainst guard verbatim (same disjoint plane family:
+      // offset 32, so a caller's offset-0 bucket bits can't alias it)
+      val subKey = graft.ops.Similarity.lshBucket(
+        col("__pv"), dim = 4096, nBits = 8, planeOffset = 32)
+      val wc = Window.partitionBy("__cell")
+      val wr = Window.partitionBy("__cell", "__sb").orderBy("__pid")
+      val prim = emb.select(col(idCol).as("__pid"), vec.as("__pv"),
+          primaryCell.as("__cell"))
+        .withColumn("__ccnt", count(lit(1)).over(wc))
+        .withColumn("__sb",
+          when(col("__ccnt") > maxBucket, subKey).otherwise(lit(-1)))
+        .withColumn("__rn", row_number().over(wr))
+        .filter(col("__rn") <= maxBucket)
+        .drop("__rn", "__sb", "__ccnt")
+        .withColumn("__pn", sqrt(ArrayMath.dot(col("__pv"), col("__pv"))))
+      // zero-norm guard: null cosine drops at the threshold filter —
+      // the cosineNearDups contract ("a zero vector is similar to
+      // nothing"; DuckDB's 0/0 → NULL agrees)
+      val cos = round(
+        when(col("__fn") * col("__pn") =!= 0.0,
+          ArrayMath.dot(col("__fv"), col("__pv")) /
+            (col("__fn") * col("__pn"))), roundDp)
+      val straddle = fan.join(prim, Seq("__cell"))
+        .filter(col("__fid") =!= col("__pid"))
+        .select(least(col("__fid"), col("__pid")).as("id1"),
+          greatest(col("__fid"), col("__pid")).as("id2"), cos.as("cos"))
+        .filter(col("cos") >= threshold)
+        .groupBy(col("id1"), col("id2"))
+        .agg(max(col("cos")).as("cos"))
+      primary.union(straddle)
+    }
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the embedding space with k-means
     * centroids, compare ONLY within a cluster (cosine >= `threshold`
@@ -1150,12 +1235,13 @@ object Dedup {
   def semDedup(emb: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Double]], threshold: Double,
       roundDp: Int = 6, maxIter: Int = 25,
-      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+      maxBucket: Int = DefaultMaxBucket, nprobe: Int = 1): DataFrame = {
     require(centroids.nonEmpty, "centroids must be non-empty")
-    val cell = graft.ops.Similarity.ivfCell(
-      col(vecCol).cast("array<double>"), centroids, roundDp)
-    val pairs =
-      cosineNearDups(emb, idCol, vecCol, threshold, cell, roundDp, maxBucket)
+    // nprobe > 1 closes the cell-straddle recall gap via
+    // [[cosineNearDupsMultiProbe]]; the default 1 is the paper's
+    // one-cell regime and bit-identical to every recorded scale table
+    val pairs = cosineNearDupsMultiProbe(emb, idCol, vecCol, threshold,
+      centroids, nprobe, roundDp, maxBucket)
     keepOnePerCluster(emb, idCol, pairs, maxIter = maxIter)
   }
 

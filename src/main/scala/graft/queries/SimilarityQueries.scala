@@ -176,6 +176,31 @@ object SimilarityQueries {
     * round-trip printing, parsed identically by DuckDB. */
   private[graft] val SemDedupTauSql: String = SemDedupTau.toString
 
+  /** Probe count for the q143/q144 scale-oracle family (VERDICT r12
+    * #4): each row keeps one primary k-means cell and additionally
+    * probes its `nprobe − 1` next-nearest cells for candidate pairs
+    * ([[graft.ops.Dedup.cosineNearDupsMultiProbe]]), closing the
+    * cell-straddle recall gap (the measured 0.46% planted-pair
+    * shortfall at 2M vectors). Same contract as SemDedupTau: read ONCE
+    * at object init, interpolated into engine AND oracle SQL from the
+    * same JVM, part of the sidecar config fingerprint. The driver's
+    * gate runs with the env unset → 1 (single-probe), bit-for-bit the
+    * historical candidate set. */
+  private[graft] val SemDedupNprobe: Int = {
+    val raw = sys.env.getOrElse("SPARK_GRAFT_SEMDEDUP_NPROBE", "1")
+    val v = raw.toInt
+    require(v >= 1 && v <= 8,
+      s"SPARK_GRAFT_SEMDEDUP_NPROBE must be in [1,8], got $raw")
+    v
+  }
+
+  /** The engine clamps the probe count to the trained cell count
+    * (ivfCells requires nprobe ≤ k); the oracle's rank filter rn ≤
+    * SemDedupNprobe realizes the same clamp implicitly (only k cells
+    * exist to rank), so the two sides agree for ANY knob value. */
+  private[graft] def effectiveNprobe(k: Int): Int =
+    math.min(SemDedupNprobe, math.max(1, k))
+
   /** Rounds of min-label propagation unrolled into the q143 oracle SQL.
     * Each round covers pointer-chain distance 2^r (the jump term
     * doubles it), so 24 rounds converge for any component shape up to
@@ -1300,19 +1325,27 @@ object SimilarityQueries {
         semDedupSidecars(s, dir)
         val cents = graft.ops.Similarity.loadCentroids(
           s, s"${sidecarBase(dir)}/q143_centroids.parquet")
+        val np = effectiveNprobe(cents.length)
         val emb = tbl(s, dir, "embeddings")
         val b = math.max(1L, emb.count() / 8)
         val kb = math.min(b, 256L)
+        // probes = the row's np nearest cells, nearest first; primary =
+        // element 1. The multi-probe invariant generalizes the same-cell
+        // one: a non-candidate pair where EITHER side's probe list holds
+        // the OTHER side's primary cell and cosine >= τ is a violation
+        // (at np=1 this reduces exactly to c1 = c2).
         val e = emb.select(col("vec_id"),
             col("embedding").cast("array<double>").as("v"),
             (col("vec_id").cast("long") * lit(2654435761L) % lit(b)).as("pb"))
           .filter(col("pb") < lit(kb))
-          .withColumn("cell",
-            graft.ops.Similarity.ivfCell(col("v"), cents, roundDp = 6))
+          .withColumn("probes",
+            graft.ops.Similarity.ivfCells(col("v"), cents, np, roundDp = 6))
+          .withColumn("cell", element_at(col("probes"), 1))
         val probe = e.as("l").join(e.as("r"),
             col("l.pb") === col("r.pb") && col("l.vec_id") < col("r.vec_id"))
           .select(col("l.vec_id").as("id1"), col("r.vec_id").as("id2"),
             col("l.cell").as("c1"), col("r.cell").as("c2"),
+            col("l.probes").as("p1"), col("r.probes").as("p2"),
             col("l.v").as("v1"), col("r.v").as("v2"))
         val nonCand = probe.join(
           s.read.parquet(s"${sidecarBase(dir)}/q143_candidates.parquet"),
@@ -1326,8 +1359,9 @@ object SimilarityQueries {
           // coalesce: sum over zero rows is NULL in Spark but the oracle's
           // COUNT(*) is 0 — pin 0 when every probed pair is a candidate
           coalesce(
-            sum(when(col("c1") === col("c2") && cos >= SemDedupTau, 1L)
-              .otherwise(0L)),
+            sum(when((array_contains(col("p1"), col("c2")) ||
+                array_contains(col("p2"), col("c1"))) && cos >= SemDedupTau,
+              1L).otherwise(0L)),
             lit(0L)).as("n_violations"))
       },
       Some(s"""WITH cand AS (SELECT id1, id2
@@ -1347,11 +1381,12 @@ object SimilarityQueries {
             ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(0, 64),
               i -> (v[i+1] - cv[i+1]) * (v[i+1] - cv[i+1]))), 6) AS d
           FROM ep, cents),
-        cellass AS (
-          SELECT vec_id, cell FROM (
+        pcells AS (
+          SELECT vec_id, cell, rn FROM (
             SELECT vec_id, cell,
               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn
-            FROM dist) WHERE rn = 1),
+            FROM dist) WHERE rn <= $SemDedupNprobe),
+        cellass AS (SELECT vec_id, cell FROM pcells WHERE rn = 1),
         e AS (SELECT ep.vec_id, v, cell, pb
           FROM ep JOIN cellass ON ep.vec_id = cellass.vec_id),
         probe AS (
@@ -1363,9 +1398,12 @@ object SimilarityQueries {
           WHERE NOT EXISTS (SELECT 1 FROM cand c
             WHERE c.id1 = p.id1 AND c.id2 = p.id2)),
         viol AS (
-          SELECT * FROM noncand
-          WHERE c1 = c2 AND
-            ROUND(LIST_DOT_PRODUCT(v1, v2) /
+          SELECT * FROM noncand n
+          WHERE (EXISTS (SELECT 1 FROM pcells p
+                   WHERE p.vec_id = n.id1 AND p.cell = n.c2)
+              OR EXISTS (SELECT 1 FROM pcells p
+                   WHERE p.vec_id = n.id2 AND p.cell = n.c1))
+            AND ROUND(LIST_DOT_PRODUCT(v1, v2) /
               (SQRT(LIST_DOT_PRODUCT(v1, v1)) * SQRT(LIST_DOT_PRODUCT(v2, v2))), 6) >= $SemDedupTauSql)
         SELECT (SELECT COUNT(*) FROM noncand) AS n_probed,
                (SELECT COUNT(*) FROM viol) AS n_violations"""))
@@ -1408,15 +1446,45 @@ object SimilarityQueries {
     (Seq(l0) ++ chain ++ nextAndConv).mkString(",\n        ")
   }
 
+  /** Cheap content-identity fingerprint of the embeddings input: a
+    * 64-bit FNV-1a over the sorted (relative-path, size, mtime-millis)
+    * listing of `<dir>/embeddings.parquet` (file or Spark-written
+    * directory). The config fingerprint alone carries no signal about
+    * the DATA (ADVICE r12): regenerating a fixture in place with the
+    * same row count leaves n/k/knobs identical, so the manifest skip
+    * would happily replay STALE centroids/candidates against the new
+    * data — folding the listing in makes any regeneration (new files,
+    * new sizes, or just new mtimes) invalidate the match. */
+  private[graft] def inputListingHash(dir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val root = Paths.get(s"$dir/embeddings.parquet")
+    if (!Files.exists(root)) "absent"
+    else {
+      import scala.jdk.CollectionConverters._
+      val listing = Files.walk(root).iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .map(p => s"${root.relativize(p)}:${Files.size(p)}:" +
+          s"${Files.getLastModifiedTime(p).toMillis}")
+        .toSeq.sorted.mkString("\n")
+      var h = 0xcbf29ce484222325L // FNV-1a offset basis
+      listing.foreach { c => h ^= c.toLong; h *= 0x100000001b3L }
+      java.lang.Long.toHexString(h)
+    }
+  }
+
   /** Every knob that determines the sidecar bytes, in one string. A
     * change to ANY of them (threshold, rounding, bucket cap, training
-    * seed/iters/cap, or the fixture's n/k) must invalidate the cached
-    * artifacts — the manifest records this fingerprint and
-    * [[semDedupSidecars]] skips the rebuild only on an exact match.
-    * Bump the leading version on any change to the artifact LAYOUT
-    * (file names, schema) that the fingerprint fields can't see. */
-  private[graft] def sidecarConfigFingerprint(n: Long, k: Long): String =
-    s"v1;n=$n;k=$k;tau=$SemDedupTauSql;dp=6;maxBucket=${1 << 20};seed=7;iters=5;mtp=0"
+    * seed/iters/cap, probe count, the fixture's n/k, or the input
+    * data's file listing) must invalidate the cached artifacts — the
+    * manifest records this fingerprint and [[semDedupSidecars]] skips
+    * the rebuild only on an exact match. Bump the leading version on
+    * any change to the artifact LAYOUT (file names, schema) that the
+    * fingerprint fields can't see. mtp = extra probes beyond the
+    * primary cell (the raw knob; the k field pins the clamp input). */
+  private[graft] def sidecarConfigFingerprint(
+      n: Long, k: Long, dir: String): String =
+    s"v1;n=$n;k=$k;tau=$SemDedupTauSql;dp=6;maxBucket=${1 << 20};" +
+      s"seed=7;iters=5;mtp=${SemDedupNprobe - 1};in=${inputListingHash(dir)}"
 
   /** JVM-wide guard for the sidecar build: java file locks are
     * per-process (a second lock() in the same JVM throws
@@ -1470,7 +1538,7 @@ object SimilarityQueries {
         val emb = tbl(s, dir, "embeddings")
         val n = emb.count()
         val k = graft.ops.Similarity.autoCellCount(n)
-        val cfg = sidecarConfigFingerprint(n, k)
+        val cfg = sidecarConfigFingerprint(n, k, dir)
         val base = Paths.get(sidecarBase(dir))
         val manifestPath = base.resolve("manifest.json")
         val upToDate = Files.exists(manifestPath) && {
@@ -1510,12 +1578,12 @@ object SimilarityQueries {
       maxTrainPoints = 0L)
     graft.ops.Similarity.saveCentroids(
       s, cents, s"$tmpBase/q143_centroids.parquet")
-    val cell = graft.ops.Similarity.ivfCell(
-      col("embedding").cast("array<double>"), cents, roundDp = 6)
     val candPath = s"$tmpBase/q143_candidates.parquet"
-    graft.ops.Dedup.cosineNearDups(emb, "vec_id", "embedding",
-        threshold = SemDedupTau, bucketCol = cell, roundDp = 6,
-        maxBucket = 1 << 20)
+    // nprobe=1 (the gate default) routes through the identical
+    // single-cell cosineNearDups path — candidate bytes unchanged
+    graft.ops.Dedup.cosineNearDupsMultiProbe(emb, "vec_id", "embedding",
+        threshold = SemDedupTau, centroids = cents,
+        nprobe = effectiveNprobe(k), roundDp = 6, maxBucket = 1 << 20)
       .select(col("id1"), col("id2"))
       // cap the file count without funneling the whole edge set through
       // one task (the old coalesce(1) single-threaded a 53.9M-edge write

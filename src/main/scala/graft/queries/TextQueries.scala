@@ -78,7 +78,11 @@ object TextQueries {
     *   p_i  pair counts over the current symbol table, weighted by word
     *        frequency, HAVING >= 2 (the trainer's compression stop);
     *   b_i  the argmax under the trainer's total order (count DESC,
-    *        then pair lexicographic ASC) — MATERIALIZED, read twice;
+    *        then pair lexicographic ASC; DuckDB's default collation is
+    *        UTF-8 binary == code-point order, and Bpe.trainLocal breaks
+    *        ties via cpCompare in the SAME order — not Java's UTF-16
+    *        code-unit order, which diverges for supplementary-plane
+    *        symbols vs U+E000–U+FFFF) — MATERIALIZED, read twice;
     *   m_i  that step's (rank, a, b) output row (empty after early stop,
     *        so a short training run agrees on the shorter prefix);
     *   w_i+1 one left-to-right non-overlapping application of the step's

@@ -28,6 +28,23 @@ class BpeSpec extends AnyFunSuite {
     assert(toks == Seq("low", "est</w>", "low", "</w>"))
   }
 
+  test("tie-break uses code-point order, not UTF-16 code-unit order") {
+    // U+1F600 (supplementary, UTF-16 lead unit 0xD83D) vs U+F000 (BMP
+    // private use): Java String order sorts the emoji FIRST (0xD83D <
+    // 0xF000); code-point order — Spark UTF8String binary, DuckDB
+    // default collation, and the q145 oracle's ORDER BY — sorts it
+    // LAST (0x1F600 > 0xF000). A tied pair count must pick U+F000.
+    val emoji = new String(Character.toChars(0x1F600))
+    val bmp = "\uF000"
+    assert(Bpe.cpCompare(bmp, emoji) < 0 && bmp.compareTo(emoji) > 0,
+      "fixture must sit exactly where the two orders diverge")
+    // two words, equal count -> step 1 pairs (emoji,</w>) and (bmp,</w>)
+    // tie at 2; code-point order merges (bmp,</w>) first
+    val model = graft.ops.Bpe.trainLocal(
+      Seq(emoji -> 2L, bmp -> 2L), numMerges = 1)
+    assert(model.merges.toSeq == Seq((bmp, "</w>")))
+  }
+
   test("lossless: tokens reassemble the word stream under any merge table") {
     import spark.implicits._
     val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")

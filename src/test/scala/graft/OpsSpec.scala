@@ -582,6 +582,43 @@ class OpsSpec extends AnyFunSuite {
     assert(rows.forall(_.getDouble(2) >= 0.5))
   }
 
+  test("multi-probe near-dups recover a cell-straddle pair; nprobe=1 is identical") {
+    import spark.implicits._
+    // centroids on the axes; a and b sit just either side of the 45°
+    // boundary — primary cells DIFFER, cosine(a,b) ≈ 0.9998 ≥ 0.95. A
+    // single-probe pass is blind to the pair; each row's 2nd-nearest
+    // cell is the other's primary, so nprobe=2 recovers it.
+    val emb = Seq(
+      (1L, Seq(0.72, 0.70)),  // cell 0 (x-axis), probes [0, 1]
+      (2L, Seq(0.70, 0.72)),  // cell 1 (y-axis), probes [1, 0]
+      (3L, Seq(1.0, 0.0)),    // deep in cell 0: no pair ≥ 0.95 with 2
+      (4L, Seq(0.0, 1.0))     // deep in cell 1
+    ).toDF("id", "vec")
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val cell = Similarity.ivfCell(col("vec").cast("array<double>"), cents)
+    val single = Dedup.cosineNearDups(emb, "id", "vec", threshold = 0.95,
+      bucketCol = cell).select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(!single.contains((1L, 2L)),
+      "fixture broken: the straddle pair must be invisible to one probe")
+    // nprobe=1 via the multi-probe entry: bit-identical pair set
+    val mp1 = Dedup.cosineNearDupsMultiProbe(emb, "id", "vec",
+        threshold = 0.95, centroids = cents, nprobe = 1)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(mp1 == single)
+    val mp2 = Dedup.cosineNearDupsMultiProbe(emb, "id", "vec",
+        threshold = 0.95, centroids = cents, nprobe = 2)
+      .select("id1", "id2").as[(Long, Long)].collect()
+    // the straddle pair appears, exactly once (both directions fire —
+    // 1 probes cell 1 where 2 is primary AND vice versa — and collapse),
+    // and nothing below the threshold sneaks in (1-3 cos ≈ 0.717)
+    assert(mp2.count(_ == ((1L, 2L))) == 1, mp2.mkString(","))
+    assert(mp2.toSet == single + ((1L, 2L)), mp2.mkString(","))
+    // and the dedup endgame keeps one of {1,2}
+    val kept = Dedup.semDedup(emb, "id", "vec", cents, threshold = 0.95,
+      nprobe = 2).select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L), kept.toString)
+  }
+
   test("hot-bucket guard: embedding flood emits linear star pairs (cosine/semDedup)") {
     import spark.implicits._
     // one flooded cell (40 copies of the same vector — the boilerplate-

@@ -66,4 +66,43 @@ class SemDedupFixtureSpec extends AnyFunSuite {
     assert(recovered >= (0.9 * m).toLong,
       s"recall $recovered/$m below 0.9 — cell co-assignment collapsed")
   }
+
+  test("nprobe=2 multi-probe: superset of single-probe, zero FP, full recall") {
+    fixture
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cents = Similarity.trainIvfCentroids(
+      emb, "embedding", kCells = Similarity.autoCellCount(n),
+      iters = 5, seed = 7L, maxTrainPoints = 0L)
+    val cell = Similarity.ivfCell(
+      col("embedding").cast("array<double>"), cents, roundDp = 6)
+    val single = Dedup.cosineNearDups(emb, "vec_id", "embedding",
+        threshold = 0.95, bucketCol = cell, roundDp = 6, maxBucket = 1 << 20)
+      .select("id1", "id2")
+    val multi = Dedup.cosineNearDupsMultiProbe(emb, "vec_id", "embedding",
+        threshold = 0.95, centroids = cents, nprobe = 2, roundDp = 6,
+        maxBucket = 1 << 20)
+      .select("id1", "id2")
+    // monotone: every single-probe candidate survives multi-probe
+    assert(multi.join(single, Seq("id1", "id2"), "left_semi").count()
+      == single.count(),
+      "multi-probe dropped a single-probe candidate — the primary stage " +
+        "must be unchanged")
+    // no duplicate pair rows (both straddle directions must collapse)
+    assert(multi.count() == multi.distinct().count(),
+      "duplicate candidate rows — straddle-direction dedupe is broken")
+    val planted = spark.read.parquet(s"$dir/planted_pairs.parquet")
+    val fp = multi.join(planted, Seq("id1", "id2"), "left_anti").count()
+    assert(fp == 0L,
+      s"$fp non-planted pairs at τ=0.95 under nprobe=2 — straddle pairs " +
+        "must still clear the cosine threshold from raw vectors")
+    // the point of multi-probe: the cell-straddle shortfall closes. At
+    // spec scale the planted copies are one rank-2 probe apart by
+    // construction (cos 0.97 dominates both rows' centroid geometry), so
+    // recall is FULL here; the 2M-vector planted fixture gates ≥ 0.999
+    // (ROUND13.md) rather than exactness.
+    val recovered = multi.join(planted, Seq("id1", "id2"), "left_semi").count()
+    assert(recovered == m,
+      s"multi-probe recall $recovered/$m — expected every planted pair " +
+        "(straddles are rank-2 probes at this geometry)")
+  }
 }

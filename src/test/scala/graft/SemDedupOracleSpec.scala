@@ -40,7 +40,8 @@ class SemDedupOracleSpec extends AnyFunSuite {
       spark, s"${SimilarityQueries.sidecarBase(TestSpark.sf001)}/q143_centroids.parquet")
     val direct = Dedup.semDedup(emb, "vec_id", "embedding", cents,
         threshold = SimilarityQueries.SemDedupTau, roundDp = 6,
-        maxBucket = 1 << 20)
+        maxBucket = 1 << 20,
+        nprobe = SimilarityQueries.effectiveNprobe(cents.length))
       .select(col("vec_id")).collect().map(_.getLong(0)).toSet
     assert(viaSidecar == direct,
       s"sidecar-path survivors diverge from Dedup.semDedup: " +

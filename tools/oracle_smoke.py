@@ -24,6 +24,7 @@ be caught).
 import json
 import multiprocessing as mp
 import os
+import queue as queue_mod
 import sys
 
 TABLES = ("region nation customer supplier part orders lineitem "
@@ -58,11 +59,20 @@ def main():
             p.join()
             print(f"EXEC_TIMEOUT {name} (> {timeout}s)")
             failures += 1
-        elif p.exitcode != 0 or out.empty():
+        elif p.exitcode != 0:
             print(f"EXEC_FAIL {name} (exit={p.exitcode})")
             failures += 1
         else:
-            print(f"EXEC_OK {name} rows={out.get()}")
+            # Queue.empty() is documented-unreliable right after join():
+            # the child's feeder thread can still be flushing the pipe, so
+            # a passing query could flake as EXEC_FAIL (ADVICE r12). Block
+            # with a short timeout instead; only a true absence fails.
+            try:
+                rows = out.get(timeout=5)
+                print(f"EXEC_OK {name} rows={rows}")
+            except queue_mod.Empty:
+                print(f"EXEC_FAIL {name} (exit=0, no result on queue)")
+                failures += 1
     print("SMOKE_FAILURES:", failures)
     sys.exit(1 if failures else 0)
 
