@@ -182,6 +182,26 @@ object Similarity {
     * (trainIvfCentroids requires k ≤ corpus rows). For n ≥ 2 ·
     * targetPerCell the realized density n/k lands within a factor 2 of
     * `targetPerCell` (SemDedupOracleSpec pins the density/bounds). */
+  /** Scale-adaptive LSH signature width: the smallest `b ≥ 1` with
+    * `targetPerBucket · 2^b ≥ n`, i.e. expected bucket occupancy stays
+    * at or under `targetPerBucket` as the corpus grows — the log(n)
+    * discipline the IVF cell count (autoCellCount) already follows,
+    * applied to hyperplane signatures (VERDICT r12 #8: a FIXED width
+    * saturates at scale — q65's 4-bit/16-bucket config packs sf1's 20k
+    * vectors at ~1.2k per bucket and degrades hot buckets to recall-
+    * losing stars; at 100× every bucket is hot). Integer arithmetic on
+    * both engines (no log/ceil float boundary): DuckDB replays it as
+    * MIN(b) WHERE target·(1<<b) ≥ COUNT(*). Capped at 30 so the packed
+    * Int signature never reaches the sign bit. */
+  def autoLshBits(n: Long, targetPerBucket: Int = 512): Int = {
+    require(targetPerBucket >= 1,
+      s"targetPerBucket must be >= 1, got $targetPerBucket")
+    require(n >= 0, s"n must be >= 0, got $n")
+    var b = 1
+    while (b < 30 && (targetPerBucket.toLong << b) < n) b += 1
+    b
+  }
+
   def autoCellCount(n: Long, targetPerCell: Int = 256): Int = {
     require(targetPerCell >= 1, s"targetPerCell must be >= 1, got $targetPerCell")
     require(n >= 0, s"n must be >= 0, got $n")

@@ -803,6 +803,89 @@ object SimilarityQueries {
         FROM (SELECT * FROM pairs UNION ALL SELECT * FROM star)
         WHERE cos >= 0.3 ORDER BY id1, id2""")),
 
+    // ---- SCALE-ADAPTIVE LSH width near-dup (VERDICT r12 #8): q65's
+    // frozen 4-bit config is the gate regime; at 100× every 16th-of-
+    // the-corpus bucket is hot and the kernel degrades to recall-losing
+    // stars. Here the signature width follows Similarity.autoLshBits —
+    // the smallest b with 512·2^b ≥ n, the same log(n) discipline as
+    // the IVF cell count — so expected bucket occupancy stays ~512 and
+    // every bucket runs the exact all-pairs regime at ANY corpus size.
+    // The oracle computes the SAME width from COUNT(*) with integer
+    // arithmetic (MIN(b) WHERE 512·(1<<b) ≥ n — no float log/ceil
+    // boundary to disagree on) and still carries q65's full dual-regime
+    // replay (sub-split + star) so a data distribution that floods one
+    // signature anyway stays exactly modeled. Width is data-dependent:
+    // 1 bit at the sf0.01 gate (200 vectors), 2 at sf0.1, 6 at sf1 —
+    // hash-green at multiple scales with sub-cap buckets at each.
+    Q("q146_adaptive_neardup",
+      (s, dir) => {
+        val e = tbl(s, dir, "embeddings")
+        val nBits = graft.ops.Similarity.autoLshBits(e.count())
+        val bucket = graft.ops.Similarity.lshBucket(
+          col("embedding"), dim = 64, nBits = nBits)
+        graft.ops.Dedup.cosineNearDups(e, "vec_id", "embedding",
+            threshold = 0.3, bucketCol = bucket, roundDp = 6)
+          .orderBy("id1", "id2")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        nb AS (
+          SELECT CAST(COALESCE(MIN(b), 30) AS INTEGER) AS nbits
+          FROM (SELECT UNNEST(RANGE(1, 30)) AS b),
+               (SELECT COUNT(*) AS n FROM e)
+          WHERE 512 * (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) >= n),
+        proj AS (
+          SELECT vec_id, j,
+            ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(0, 64),
+              i -> v[i+1] * SIN(i * 131.0 + j * 523.0))), 6) AS p
+          FROM e, UNNEST(RANGE(0, (SELECT nbits FROM nb))) AS tj(j)),
+        bkt AS (
+          SELECT vec_id,
+            SUM(CASE WHEN p > 0 THEN CAST(POWER(2, j) AS BIGINT) ELSE 0 END) AS bk
+          FROM proj GROUP BY vec_id),
+        evm AS MATERIALIZED (
+          SELECT e.vec_id, v, bk FROM e JOIN bkt ON e.vec_id = bkt.vec_id),
+        cnt AS (SELECT bk, COUNT(*) AS cnt FROM evm GROUP BY bk),
+        hot AS (SELECT evm.vec_id, v FROM evm JOIN cnt USING (bk)
+          WHERE cnt.cnt > ${graft.ops.Dedup.DefaultMaxBucket}),
+        sbp AS (
+          SELECT vec_id, j,
+            ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(0, 64),
+              i -> v[i+1] * SIN(i * 131.0 + (j + 32) * 523.0))), 6) AS p
+          FROM hot, UNNEST(RANGE(0, 8)) AS tj(j)),
+        sb8 AS (
+          SELECT vec_id,
+            SUM(CASE WHEN p > 0 THEN CAST(POWER(2, j) AS BIGINT) ELSE 0 END) AS sb
+          FROM sbp GROUP BY vec_id),
+        evs AS MATERIALIZED (
+          SELECT evm.vec_id, v, bk, COALESCE(sb8.sb, -1) AS sb
+          FROM evm LEFT JOIN sb8 ON evm.vec_id = sb8.vec_id),
+        sg AS MATERIALIZED (
+          SELECT bk, sb, COUNT(*) AS scnt, MIN(vec_id) AS repid
+          FROM evs GROUP BY bk, sb),
+        small AS MATERIALIZED (
+          SELECT evs.* FROM evs JOIN sg USING (bk, sb)
+          WHERE sg.scnt <= ${graft.ops.Dedup.DefaultMaxBucket}),
+        pairs AS (
+          SELECT a.vec_id AS id1, b.vec_id AS id2,
+            ROUND(LIST_DOT_PRODUCT(a.v, b.v) /
+              (SQRT(LIST_DOT_PRODUCT(a.v, a.v)) * SQRT(LIST_DOT_PRODUCT(b.v, b.v))), 6) AS cos
+          FROM small a JOIN small b
+            ON a.bk = b.bk AND a.sb = b.sb AND a.vec_id < b.vec_id),
+        reps AS (
+          SELECT sg.bk, sg.sb, sg.repid, evs.v AS rv
+          FROM sg JOIN evs ON evs.vec_id = sg.repid
+            AND evs.bk = sg.bk AND evs.sb = sg.sb
+          WHERE sg.scnt > ${graft.ops.Dedup.DefaultMaxBucket}),
+        star AS (
+          SELECT reps.repid AS id1, evs.vec_id AS id2,
+            ROUND(LIST_DOT_PRODUCT(reps.rv, evs.v) /
+              (SQRT(LIST_DOT_PRODUCT(reps.rv, reps.rv)) * SQRT(LIST_DOT_PRODUCT(evs.v, evs.v))), 6) AS cos
+          FROM evs JOIN reps ON evs.bk = reps.bk AND evs.sb = reps.sb
+          WHERE evs.vec_id <> reps.repid)
+        SELECT id1, id2, cos
+        FROM (SELECT * FROM pairs UNION ALL SELECT * FROM star)
+        WHERE cos >= 0.3 ORDER BY id1, id2""")),
+
     // ---- IVF ANN end-to-end (Similarity.ivfTopK) at FIXED centroids so
     // cell assignment is deterministic: nearest-cell probe + exact rerank.
     // Squared distances and cosines rounded to 6 dp before argmin/rank

@@ -65,11 +65,15 @@ object TextQueries {
       .mkString(", ")
 
   /** Merge-prefix length replayed by the q145 trainer oracle. Declared
-    * before `qs` — the oracle string reads it at object init. 32 steps
-    * over the fixture's 31-word vocabulary exercise count-ranked
-    * selection, lexicographic tie-breaks, and multi-generation merges
-    * (merged symbols re-entering later pair counts). */
-  private[graft] val BpeTrainPrefixK = 32
+    * before `qs` — the oracle string reads it at object init. 64 steps
+    * (VERDICT r12 #5, raised from 32: the unroll is linear in k and the
+    * sf10 replay stayed <10 s, so the q123 rows-only tail shrinks by
+    * another 32 ranks for free) over the fixture's 31-word vocabulary
+    * exercise count-ranked selection, lexicographic tie-breaks, and
+    * multi-generation merges (merged symbols re-entering later pair
+    * counts); training typically EARLY-STOPS before rank 64 at the
+    * small fixtures, which the oracle's empty-m_i rows replay exactly. */
+  private[graft] val BpeTrainPrefixK = 64
 
   /** Unrolled greedy-merge replay for the q145 BPE-trainer prefix
     * oracle (VERDICT r9 #3 / r11 #4): DuckDB re-derives the first k

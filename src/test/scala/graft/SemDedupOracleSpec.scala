@@ -104,4 +104,27 @@ class SemDedupOracleSpec extends AnyFunSuite {
       .map(Similarity.autoCellCount(_))
     assert(ks == ks.sorted, s"autoCellCount not monotone: $ks")
   }
+
+  test("autoLshBits: smallest width with target·2^b >= n; bounds; monotone") {
+    // exact boundary semantics (integer arithmetic — no float ceil/log
+    // wobble): 512·2^b >= n, smallest b >= 1
+    assert(Similarity.autoLshBits(0) == 1)
+    assert(Similarity.autoLshBits(1024) == 1)   // 512·2 = 1024 >= n
+    assert(Similarity.autoLshBits(1025) == 2)   // first n past the b=1 cap
+    assert(Similarity.autoLshBits(2000) == 2)   // sf0.1 embeddings
+    assert(Similarity.autoLshBits(20000) == 6)  // sf1: 512·64 = 32768
+    assert(Similarity.autoLshBits(200000) == 9) // sf10: 512·512 = 262144
+    // cap: the packed Int signature must never reach the sign bit, and
+    // the width stays disjoint from the offset-32 sub-key planes
+    assert(Similarity.autoLshBits(Long.MaxValue) == 30)
+    // expected occupancy n/2^b stays within [target/2, target] once
+    // n > 2·target (below that b floors at 1)
+    for (n <- Seq(3000L, 50000L, 1234567L, 99999999L)) {
+      val b = Similarity.autoLshBits(n)
+      val occ = n.toDouble / (1L << b)
+      assert(occ <= 512.0 && occ > 256.0, s"n=$n b=$b occ=$occ")
+    }
+    val bs = Seq(100L, 5000L, 100000L, 10000000L).map(Similarity.autoLshBits(_))
+    assert(bs == bs.sorted, s"autoLshBits not monotone: $bs")
+  }
 }
