@@ -160,7 +160,16 @@ object GlmQueries {
         val ld = (col("l_returnflag") === "R").cast("int").cast("decimal(1,0)")
         val resid = (dec("0.8") * qd - pd * dec("0.000013") +
           dec("2.1") * dd + dec("0.25") - ld).cast("decimal(18,8)")
-        li.agg(round(sum(resid * resid), 6).cast("double").as("sse"))
+        // round to 3 dp (was 6): the final decimal->double cast must be
+        // exactly representable on BOTH engines — DuckDB converts the
+        // rounded mantissa as an int before dividing by 10^scale, which
+        // double-rounds once value·10^scale > 2^53 (hit at sf10, where
+        // sse ≈ 3.1e10 and ·10^6 ≈ 3.1e16; caught by the r13 sweep —
+        // Spark's BigDecimal.doubleValue is correctly rounded and got a
+        // different last ulp). At 3 dp the mantissa stays under 2^53
+        // through sf1000 and both engines round the identical exact
+        // decimal to the identical nearest double.
+        li.agg(round(sum(resid * resid), 3).cast("double").as("sse"))
       },
       Some("""WITH t AS (
           SELECT CAST(l_quantity AS DECIMAL(4,2)) AS qd,
@@ -174,7 +183,7 @@ object GlmQueries {
               + CAST(2.1 AS DECIMAL(2,1)) * dd + CAST(0.25 AS DECIMAL(3,2)) - ld
             AS DECIMAL(19,8)) AS resid
           FROM t)
-        SELECT CAST(ROUND(SUM(resid * resid), 6) AS DOUBLE) AS sse FROM r""")),
+        SELECT CAST(ROUND(SUM(resid * resid), 3) AS DOUBLE) AS sse FROM r""")),
 
     // ---- Gram matrix XᵀX upper triangle at fixed features (A3 kernel,
     // β-independent — the Normal-family Hessian / 2). Same exact-decimal

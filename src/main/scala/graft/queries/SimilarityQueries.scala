@@ -568,10 +568,16 @@ object SimilarityQueries {
               col("embedding"), fromDim = 64, toDim = 8)))
           .toDF("vec_id", "j", "proj")
           .orderBy("vec_id", "j"),
+      // `+ 0.0` after ROUND: DuckDB's C-double ROUND keeps the sign of a
+      // tiny negative (−1e−7 → −0.0) while Spark's BigDecimal round has
+      // no signed zero — at sf10 two projections land exactly there and
+      // the hash compare sees -0.0 vs 0.0 (caught by the r13 sweep).
+      // IEEE −0.0 + 0.0 = +0.0 and x + 0.0 = x for every other finite x,
+      // so the wrap normalizes ONLY the signed-zero representation.
       Some("""SELECT vec_id, CAST(j AS INTEGER) AS j,
           ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(0, 64),
             i -> (embedding::DOUBLE[])[i+1] *
-                 (SIN(i * 131.0 + j * 523.0) * (1.0 / SQRT(8.0))))), 6) AS proj
+                 (SIN(i * 131.0 + j * 523.0) * (1.0 / SQRT(8.0))))), 6) + 0.0 AS proj
         FROM embeddings, UNNEST(RANGE(0, 8)) AS tj(j)
         ORDER BY vec_id, j""")),
 

@@ -61,10 +61,22 @@ for name in names:
         results[name] = {"status": "timeout", "secs": cap, "rows": None}
         print(f"TIMEOUT {name} (> {cap}s oracle replay cap)", flush=True)
 
-with open(f"{out}/sweep_results.json", "w") as f:
+# A filtered re-run (after an oracle fix) MERGES into the existing
+# results instead of clobbering the full sweep with its subset — the
+# persisted artifact stays one complete registry pass with the fixed
+# rows updated in place. A full (unfiltered) run still replaces
+# everything it swept.
+path = f"{out}/sweep_results.json"
+if only is not None and os.path.exists(path):
+    merged = json.load(open(path))
+    merged.update(results)
+    results = merged
+with open(path, "w") as f:
     json.dump(results, f, indent=1, sort_keys=True)
 n_ok = sum(1 for r in results.values() if r["status"] == "ok")
 n_to = sum(1 for r in results.values() if r["status"] == "timeout")
-print(f"SWEEP: {n_ok} ok / {fails} fail / {n_to} timeout "
-      f"of {len(names)}", flush=True)
+n_f = sum(1 for r in results.values()
+          if r["status"] in ("fail", "error"))
+print(f"SWEEP: {n_ok} ok / {n_f} fail / {n_to} timeout "
+      f"of {len(results)} (this run: {len(names)})", flush=True)
 sys.exit(1 if fails else 0)
