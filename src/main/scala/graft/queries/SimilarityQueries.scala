@@ -814,15 +814,23 @@ object SimilarityQueries {
     // the-corpus bucket is hot and the kernel degrades to recall-losing
     // stars. Here the signature width follows Similarity.autoLshBits —
     // the smallest b with 512·2^b ≥ n, the same log(n) discipline as
-    // the IVF cell count — so expected bucket occupancy stays ~512 and
-    // every bucket runs the exact all-pairs regime at ANY corpus size.
-    // The oracle computes the SAME width from COUNT(*) with integer
-    // arithmetic (MIN(b) WHERE 512·(1<<b) ≥ n — no float log/ceil
-    // boundary to disagree on) and still carries q65's full dual-regime
-    // replay (sub-split + star) so a data distribution that floods one
-    // signature anyway stays exactly modeled. Width is data-dependent:
-    // 1 bit at the sf0.01 gate (200 vectors), 2 at sf0.1, 6 at sf1 —
-    // hash-green at multiple scales with sub-cap buckets at each.
+    // the IVF cell count — so EXPECTED occupancy stays ~512 at any
+    // corpus size. The oracle computes the SAME width from COUNT(*)
+    // with integer arithmetic (MIN(b) WHERE 512·(1<<b) ≥ n — no float
+    // log/ceil boundary to disagree on) and carries q65's full
+    // dual-regime replay (sub-split + star). Measured honestly on the
+    // CLUSTERED embedding fixtures the realized distribution stays
+    // skewed — sign-plane projections correlate within a cluster, so
+    // only 12/64 codes realize at sf1 (max bucket 4,272 vs avg 1,667)
+    // and 18/512 at sf10 (max 33,599) — which is exactly why the
+    // dual-regime hot branch exists AND why the production semantic
+    // path quantizes with data-adaptive k-means cells (q143) rather
+    // than global planes. What the adaptive width buys vs q65's frozen
+    // 4 bits is real but partial: at sf1 it recovers 250,504 pairs vs
+    // 162,599 (fewer rows under the star degrade), it never saturates
+    // the code space, and the discipline is corpus-size-free. Width
+    // realized: 1 bit at the sf0.01 gate, 2 at sf0.1, 6 at sf1, 9 at
+    // sf10 — hash-green at sf0.01/sf1/sf10.
     Q("q146_adaptive_neardup",
       (s, dir) => {
         val e = tbl(s, dir, "embeddings")
