@@ -6,7 +6,18 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line. A GLM fit benchmark is
   * included as `glm_fit` — the reference's headline number (BASELINE.md:
   * 57.7 s admm logistic fit at ~6×10⁵ rows) maps to the same row count
-  * at sf0.1. */
+  * at sf0.1.
+  *
+  * Sampling methodology (VERDICT r13 #3): reps are INTERLEAVED — the
+  * run executes rounds of one-sample-per-row in a fixed row order
+  * (A,B,C,A,B,C, not AAA,BBB), so drift that arrives mid-run (a
+  * co-tenant, thermal state, page-cache pressure) spreads across every
+  * row's sample set instead of contaminating whole rows; the r13
+  * quiet-vs-quiet +23–74% per-row swings on UNCHANGED code were the
+  * block design concentrating exactly that. Rows whose median lands
+  * under 1 s get boosted to ≥ SPARK_GRAFT_BENCH_SUBSEC_REPS samples
+  * (default 7) — single-digit-rep sub-second rows were below the noise
+  * floor the round-over-round gate tries to resolve. */
 object Bench {
 
   /** Selection predicate for SPARK_GRAFT_BENCH_ONLY. Exact-name match by
@@ -25,8 +36,9 @@ object Bench {
     * and (c) the headline-total exclusion set [[extraRows]]. One list so
     * adding a row can't desynchronize the three (ADVICE r11); must match
     * the onlyMatches if-blocks in main. BenchOnlySpec pins the set. */
-  val nonRegistryRows: Seq[String] = Seq("semdedup_k64", "charlm_score",
-    "bpe_encode", "gopher_gate", "glm_fit", "glm_fit_sparse")
+  val nonRegistryRows: Seq[String] = Seq("semdedup_k64", "semdedup_np2",
+    "charlm_score", "bpe_encode", "gopher_gate", "glm_fit",
+    "glm_fit_sparse")
 
   /** Rows excluded from the headline total: everything added AFTER the
     * r5/r6 baseline totals, so the total stays comparable round-over-
@@ -34,13 +46,63 @@ object Bench {
     * part of every recorded total since r1. */
   val extraRows: Set[String] = nonRegistryRows.toSet - "glm_fit"
 
+  /** Median matching the historical timeStats convention: element at
+    * index n/2 of the sorted samples (upper median for even n). */
+  def median(xs: Seq[Double]): Double = {
+    require(xs.nonEmpty, "median of empty sample set")
+    val s = xs.sorted
+    s(xs.size / 2)
+  }
+
   /** 1-minute system load average (or -1 when the JVM can't read it).
-    * Recorded at bench start/end (VERDICT r11 #6): the r10→r11 total
-    * drifted +11.7% with zero timed-path changes — a loaded co-tenant
-    * box. With load in the JSON, a drifted run identifies itself. */
+    * Recorded at bench start/end AND once per interleaved round
+    * (ADVICE r13: the start-only flag missed load arriving mid-run):
+    * the r10→r11 total drifted +11.7% with zero timed-path changes — a
+    * loaded co-tenant box. With load in the JSON, a drifted run
+    * identifies itself. */
   def loadAvg(): Double =
     java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+
+  /** Round-over-round comparability (VERDICT r13 #1): the previous
+    * committed bench artifact, located mechanically —
+    * SPARK_GRAFT_BENCH_PREV when set, else the highest-round
+    * `docs/artifacts/r<N>/bench*result*.json`. Returns (path,
+    * queries-median map, queries-min map) when one parses. Reading uses
+    * json4s (on the Spark classpath) — the artifact is our own format. */
+  def loadPrevArtifact(): Option[(String, Map[String, Double], Map[String, Double])] = {
+    import org.json4s._
+    def numMap(v: JValue): Map[String, Double] = v match {
+      case JObject(fields) => fields.collect {
+        case (k, JDouble(d)) => k -> d
+        case (k, JDecimal(d)) => k -> d.toDouble
+        case (k, JInt(i)) => k -> i.toDouble
+        case (k, JLong(l)) => k -> l.toDouble
+      }.toMap
+      case _ => Map.empty[String, Double]
+    }
+    val explicit = sys.env.get("SPARK_GRAFT_BENCH_PREV").map(new java.io.File(_))
+    val discovered: Seq[java.io.File] = {
+      val base = new java.io.File("docs/artifacts")
+      val rounds = Option(base.listFiles()).getOrElse(Array.empty).toSeq
+        .filter(d => d.isDirectory && d.getName.matches("r\\d+"))
+        .sortBy(-_.getName.drop(1).toInt)
+      rounds.flatMap { d =>
+        Option(d.listFiles()).getOrElse(Array.empty).toSeq
+          .filter(f => f.getName.startsWith("bench") &&
+            f.getName.endsWith(".json")).sortBy(_.getName)
+      }
+    }
+    (explicit.toSeq ++ discovered).view.flatMap { f =>
+      try {
+        val j = org.json4s.jackson.JsonMethods.parse(
+          java.nio.file.Files.readString(f.toPath))
+        val med = numMap(j \ "queries")
+        val mn = numMap(j \ "queries_min")
+        if (med.nonEmpty) Some((f.getPath, med, mn)) else None
+      } catch { case _: Throwable => None }
+    }.headOption
+  }
 
   def main(args: Array[String]): Unit = {
     val loadStart = loadAvg()
@@ -48,11 +110,11 @@ object Bench {
     // old gate — and drifted +20-35% on a third of its rows vs the
     // same-tree quiet-box run (VERDICT r12 #1). On a 32-core box ANY
     // standing load means a co-tenant; flag it and force per-row re-runs.
-    val loaded = loadStart > 1.0
-    if (loaded)
+    if (loadStart > 1.0)
       System.err.println(f"[bench] WARNING: 1-min load average $loadStart%.1f " +
         "at start — timings will be contaminated; prefer a quiet box " +
-        "(every row will be re-sampled once and ship both rep arrays)")
+        "(every row will be re-sampled and the artifact self-labels " +
+        "non-authoritative)")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -77,35 +139,6 @@ object Bench {
       // here reads as a speedup in the round-over-round comparison
       f
       (System.nanoTime() - t0) / 1e9
-    }
-
-    // Median-of-N plus min plus the RAW samples in run order: the median
-    // absorbs one bad sample; the min is the contamination-free floor
-    // (closest to what an isolated run measures); the run-order samples
-    // make contamination self-evident without a re-run — a [4.5, 14.9,
-    // 15.1] row says "the first rep was clean and the JVM then degraded",
-    // where a bare median 14.9 reads as a regression.
-    def timeStats(reps: Int)(f: => Unit): (Double, Double, Array[Double]) = {
-      require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
-      // Settle ONCE per query, before its rep sequence: collect the
-      // previous QUERY's garbage so a heavy neighbor (q87's propagation
-      // rounds, q80's band frames) doesn't bill its young-gen debt to
-      // this query's samples — r5 showed 3-5x phantom "regressions" on
-      // sub-second queries from exactly that cross-query contamination.
-      // Deliberately NOT per rep: a full GC also drops warm JVM state
-      // (JIT profiles / soft-referenced scan machinery), and per-rep GC
-      // made every rep pay a ~0.3s cold-start tax on q01 (measured r7:
-      // 1.33s median per-rep-GC vs 0.97s steady-state, both isolated).
-      // The post-GC re-warm decays over ~2-3 reps, so one DISCARDED warm
-      // rep runs first (same clearCache path as a timed rep) and the
-      // reported samples measure steady state only. Reps of the SAME
-      // query generate symmetric garbage, so timed samples stay
-      // comparable; GC sits OUTSIDE every timed region either way.
-      System.gc()
-      time(f) // discarded warm rep
-      val samples = Array.fill(reps)(time(f))
-      val sorted = samples.sorted
-      (sorted(reps / 2), sorted(0), samples)
     }
 
     // SPARK_GRAFT_BENCH_ONLY=q87,q80 restricts the run to the named
@@ -144,62 +177,30 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => () } // optional table absent at this SF
 
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
-    val mins = scala.collection.mutable.LinkedHashMap[String, Double]()
-    val raw = scala.collection.mutable.LinkedHashMap[String, Array[Double]]()
-    def record(name: String, stats: (Double, Double, Array[Double])): Unit = {
-      results(name) = stats._1; mins(name) = stats._2; raw(name) = stats._3
-    }
-    // Contamination guard: a sample spread beyond 3x the rep minimum
-    // means some reps were billed for a neighbor (GC debt, co-tenant
-    // CPU, cold page cache) — the median of such an array is noise, not
-    // a measurement. Re-run the whole rep sequence once and report the
-    // RE-RUN's median unconditionally (not the lower of the two — the
-    // min-selection biased recorded medians downward vs the fixed-reps
-    // methodology of earlier rounds). BOTH raw arrays ship in `samples`
-    // and `reruns` names the queries where the guard fired, so the
-    // re-run stays self-diagnosing rather than silently laundering the
-    // noisy first pass.
-    val reruns = scala.collection.mutable.ArrayBuffer[String]()
-    def recordAdaptive(name: String, reps: Int)(f: => Unit): Unit = {
-      val first = timeStats(reps)(f)
-      // On a loaded box every row re-runs unconditionally (the spread
-      // guard alone missed BENCH_r12's +20-35% drift — contamination can
-      // inflate ALL reps uniformly, which spread can't see); the reported
-      // median is the re-run's, both arrays ship, and `reruns` names it.
-      if (!loaded && first._3.max <= 3.0 * first._3.min) record(name, first)
-      else {
-        reruns += name
-        val second = timeStats(reps)(f)
-        record(name, (second._1, math.min(first._2, second._2),
-          first._3 ++ second._3))
-      }
-    }
-    // Heavy multi-job queries (iterative component formation, the dedup
-    // pipeline, the production semDedup shape) show occasional 3-6x
-    // outlier reps from in-JVM neighbors; a median-of-3 lets ONE such rep
-    // own the reported number, so they get the glm_fit treatment
-    // (median-of-at-least-5). Cheap sub-second queries stay at `reps`.
-    val heavy = Set("q87_dedup_clusters", "q80_curation_pipeline",
-      "semdedup_k64")
-    def repsFor(name: String): Int =
-      if (heavy(name)) math.max(reps, 5) else reps
+    // ---- row assembly: every timed row becomes (name, thunk) with its
+    // model/setup cost paid HERE, before any timed round (training is
+    // the amortized index/model-build step of each production shape) ----
+    val rows = scala.collection.mutable.ArrayBuffer[(String, () => Unit)]()
     headline.foreach { q =>
-      recordAdaptive(q.name, repsFor(q.name)) {
-        q.spark(spark, sfDir).write.format("noop").mode("overwrite").save()
-      }
+      rows += q.name -> (() =>
+        q.spark(spark, sfDir).write.format("noop").mode("overwrite").save())
     }
 
     // Production-shape semantic dedup: the oracle-checked q104 pins k=4
     // centroids (cell assignment must be SQL-replayable), which says
     // nothing about the path's real cost — at scale k grows with the
     // corpus like an IVF cell count. Bench the shape a pipeline runs:
-    // k=64 TRAINED centroids over the full sf embeddings, threshold 0.3.
+    // trained centroids over the full sf embeddings, threshold 0.3.
     // Training is the amortized index-build step (one-time per corpus) —
     // kept OUTSIDE the timed region, which measures cell assignment +
     // within-cell pairs + component formation + the keep-one anti-join.
-    if (onlyMatches("semdedup_k64", only)) {
+    // `semdedup_np2` is the same pipeline at nprobe=2 — the recommended
+    // production setting after the r13/r14 recall curve (multi-probe
+    // closes the cell-straddle gap at ×(nprobe−1) straddle-stage cost);
+    // its delta vs semdedup_k64 IS the measured cost of that recall.
+    val wantSemK64 = onlyMatches("semdedup_k64", only)
+    val wantSemNp2 = onlyMatches("semdedup_np2", only)
+    if (wantSemK64 || wantSemNp2) {
       // JIT warmup for the path's codegen (ivfCell argmin, cosine fold,
       // clusterPairs rounds) on the small dir — q104 is not in the
       // headline set, so the headline warmup never touches these classes
@@ -233,28 +234,29 @@ object Bench {
       val cents = graft.ops.Similarity.trainIvfCentroids(
         emb, "embedding", kCells = kCells, iters = 5, seed = 7L,
         maxTrainPoints = 0L)
-      recordAdaptive("semdedup_k64", repsFor("semdedup_k64")) {
+      if (wantSemK64) rows += "semdedup_k64" -> (() =>
         graft.ops.Dedup.semDedup(emb, "vec_id", "embedding", cents,
             threshold = 0.3)
-          .write.format("noop").mode("overwrite").save()
-      }
+          .write.format("noop").mode("overwrite").save())
+      if (wantSemNp2) rows += "semdedup_np2" -> (() =>
+        graft.ops.Dedup.semDedup(emb, "vec_id", "embedding", cents,
+            threshold = 0.3, nprobe = 2)
+          .write.format("noop").mode("overwrite").save())
     }
 
     // Production-shape perplexity scoring: q115's oracle config is
     // exercised at sf0.01 for correctness; this row times the scale
     // path at sf0.1 — model fit on the lang='en' slice (the amortized
-    // one-time build, OUTSIDE the timed region like semdedup_k64's
-    // centroid training), then the timed region is pure scoring: one
+    // one-time build), then the timed region is pure scoring: one
     // shuffle-free broadcast projection over every document.
     if (onlyMatches("charlm_score", only)) {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       val model = graft.ops.CharLm.fit(graft.ops.CharLm.trainCounts(
         docs.filter(org.apache.spark.sql.functions.col("lang") === "en")))
       val bc = spark.sparkContext.broadcast(model)
-      recordAdaptive("charlm_score", repsFor("charlm_score")) {
+      rows += "charlm_score" -> (() =>
         graft.ops.CharLm.score(docs, bc, "text")
-          .write.format("noop").mode("overwrite").save()
-      }
+          .write.format("noop").mode("overwrite").save())
     }
 
     // Production tokenizer throughput: encode the full corpus under a
@@ -266,10 +268,9 @@ object Bench {
       val model = graft.ops.Bpe.trainMerges(
         graft.ops.Bpe.wordCounts(docs), numMerges = 200)
       val bc = spark.sparkContext.broadcast(model)
-      recordAdaptive("bpe_encode", repsFor("bpe_encode")) {
+      rows += "bpe_encode" -> (() =>
         graft.ops.Bpe.encode(docs, bc, "text")
-          .write.format("noop").mode("overwrite").save()
-      }
+          .write.format("noop").mode("overwrite").save())
     }
 
     // Gopher gate throughput: the heuristic rule battery every crawl doc
@@ -281,20 +282,19 @@ object Bench {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
         .withColumn("text",
           regexp_replace(col("text"), "((?:\\S+ ){1}\\S+) ", "$1\n"))
-      recordAdaptive("gopher_gate", repsFor("gopher_gate")) {
+      rows += "gopher_gate" -> (() =>
         graft.ops.Quality.gopherQuality(docs, "text", minWords = 30,
             stopWords = graft.ops.Quality.GopherStopWords :+ "a")
-          .write.format("noop").mode("overwrite").save()
-      }
+          .write.format("noop").mode("overwrite").save())
     }
 
     // GLM fit benchmark: the baseline-comparable fit (admm logistic,
-    // ~6×10⁵ rows at sf0.1, 5 features + intercept). Median-of-5 (vs 3
+    // ~6×10⁵ rows at sf0.1, 5 features + intercept). Min 5 samples (vs 3
     // elsewhere): this is the headline number against BASELINE.md and
     // drifted ±7% round-over-round on unchanged code — two extra samples
     // tighten the median enough to tell real regressions from noise.
     if (onlyMatches("glm_fit", only))
-      recordAdaptive("glm_fit", math.max(reps, 5)) {
+      rows += "glm_fit" -> (() => {
         import graft.estimators.{GlmParams, LogisticRegression}
         import org.apache.spark.sql.functions._
         val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
@@ -304,19 +304,20 @@ object Bench {
           (col("l_returnflag") === "R").cast("double").as("label"))
         new LogisticRegression(GlmParams(solver = "admm", maxIter = 20,
           nPartitions = cpus.toInt, admmWarmStart = true)).fit(df)
-      }
+        ()
+      })
 
     // Wide-SPARSE GLM fit: hashed bag-of-words over the documents table
     // (p = 8192 murmur3 buckets, ~tokens-per-doc nonzeros per row — the
     // reference's sparse path, estimators.py:82-84, at production text
     // width) fit with L-BFGS + L2. Exercises the sparse kernels —
     // foreachActive gradient accumulation, no densify anywhere, O(p)
-    // driver state — at bench scale for the first time; the dense
-    // glm_fit row cannot see a sparse regression. Featurization is part
-    // of the timed region deliberately: a real text-classifier job pays
-    // tokenize+hash every fit.
-    if (onlyMatches("glm_fit_sparse", only)) {
-      recordAdaptive("glm_fit_sparse", reps) {
+    // driver state — at bench scale; the dense glm_fit row cannot see a
+    // sparse regression. Featurization is part of the timed region
+    // deliberately: a real text-classifier job pays tokenize+hash every
+    // fit.
+    if (onlyMatches("glm_fit_sparse", only))
+      rows += "glm_fit_sparse" -> (() => {
         import graft.estimators.{GlmParams, LogisticRegression}
         import org.apache.spark.sql.functions._
         val docs = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -326,7 +327,96 @@ object Bench {
         new LogisticRegression(GlmParams(solver = "lbfgs",
           regularizer = "l2", lamduh = 0.01, maxIter = 20,
           normalize = false, nPartitions = cpus.toInt)).fit(df)
+        ()
+      })
+
+    // ---- interleaved sampling ----
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
+    // Sub-second rows get boosted to this many samples (VERDICT r13 #3:
+    // 3 samples on a 0.3 s row cannot resolve the ±30% drift the gate
+    // exists to detect; more samples is the only lever left once load
+    // gating and interleaving are in place).
+    val subsecReps = math.max(reps,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_SUBSEC_REPS", "7").toInt)
+    // Heavy multi-job queries (iterative component formation, the dedup
+    // pipeline, the production semDedup shape, the baseline-facing fit)
+    // show occasional 3-6x outlier reps from in-JVM neighbors; a
+    // median-of-3 lets ONE such rep own the reported number, so they
+    // sample at least 5 rounds.
+    val heavy = Set("q87_dedup_clusters", "q80_curation_pipeline",
+      "semdedup_k64", "semdedup_np2", "glm_fit")
+    def baseTarget(name: String): Int =
+      if (heavy(name)) math.max(reps, 5) else reps
+
+    val samples = scala.collection.mutable.LinkedHashMap[String,
+      scala.collection.mutable.ArrayBuffer[Double]]()
+    rows.foreach { case (n, _) => samples(n) =
+      scala.collection.mutable.ArrayBuffer[Double]() }
+    val loadRounds = scala.collection.mutable.ArrayBuffer[Double]()
+    // One GC per ROUND, not per sample: a full GC before every sample
+    // drops warm JIT/soft-ref state and taxed q01 ~0.35 s per rep when
+    // measured in r7; per-round GC keeps garbage attribution bounded
+    // (each row always follows the same predecessor in the fixed round
+    // order, so whatever young-gen debt a neighbor leaves is CONSTANT
+    // across that row's samples — comparable samples, low spread —
+    // rather than absent-but-expensive).
+    def runRound(sel: Seq[(String, () => Unit)], timed: Boolean): Unit = {
+      loadRounds += loadAvg()
+      System.gc()
+      sel.foreach { case (name, f) =>
+        val t = time(f())
+        if (timed) samples(name) += t
       }
+    }
+    // one discarded warm round over every row (same clearCache path as a
+    // timed sample): the post-GC/post-setup first pass pays JIT re-warm
+    // and first-open costs that belong to no steady-state sample
+    runRound(rows.toSeq, timed = false)
+    // phase 1: base rounds until every row has baseTarget samples
+    while (rows.exists { case (n, _) => samples(n).size < baseTarget(n) })
+      runRound(rows.toSeq.filter { case (n, _) =>
+        samples(n).size < baseTarget(n) }, timed = true)
+    // phase 2: sub-second boost — rows whose base median is under 1 s
+    // get interleaved extra rounds up to subsecReps samples
+    val subsec = rows.toSeq.filter { case (n, _) =>
+      median(samples(n).toSeq) < 1.0 }
+    while (subsec.exists { case (n, _) => samples(n).size < subsecReps })
+      runRound(subsec.filter { case (n, _) =>
+        samples(n).size < subsecReps }, timed = true)
+    // phase 3: contamination guard. A row re-runs a full rep sequence
+    // when (a) the box showed standing load at start OR during any round
+    // (ADVICE r13: the start-only flag missed mid-run arrivals), or
+    // (b) its sample spread exceeds 3× its min — some samples were
+    // billed for a neighbor. The reported median for a flagged row comes
+    // from the GUARD-phase samples only (the re-run medians; not the
+    // lower of the two passes — min-selection biased the recorded
+    // medians downward vs the fixed-reps methodology), both sample sets
+    // ship in `samples`, and `reruns` names the flagged rows.
+    val loadedEver = loadStart > 1.0 || loadRounds.exists(_ > 1.0)
+    val flagged = rows.toSeq.filter { case (n, _) =>
+      val s = samples(n)
+      loadedEver || s.max > 3.0 * s.min
+    }
+    val guardStart: Map[String, Int] =
+      flagged.map { case (n, _) => n -> samples(n).size }.toMap
+    val guardTarget: Map[String, Int] =
+      flagged.map { case (n, _) => n -> (samples(n).size + baseTarget(n)) }.toMap
+    while (flagged.exists { case (n, _) => samples(n).size < guardTarget(n) })
+      runRound(flagged.filter { case (n, _) =>
+        samples(n).size < guardTarget(n) }, timed = true)
+    val reruns = flagged.map(_._1)
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val mins = scala.collection.mutable.LinkedHashMap[String, Double]()
+    rows.foreach { case (name, _) =>
+      val all = samples(name).toSeq
+      val forMedian = guardStart.get(name) match {
+        case Some(k) => all.drop(k) // guard-phase samples only
+        case None => all
+      }
+      results(name) = median(forMedian)
+      mins(name) = all.min
     }
 
     // Locale.ROOT: the f-interpolator is locale-sensitive — a
@@ -335,15 +425,47 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def jmap(m: scala.collection.Map[String, Double]): String =
       m.map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
-    def jsamples(m: scala.collection.Map[String, Array[Double]]): String =
+    def jsamples(m: scala.collection.Map[String, Seq[Double]]): String =
       m.map { case (k, vs) =>
         "\"" + k + "\":" + vs.map(num).mkString("[", ",", "]")
       }.mkString("{", ",", "}")
-    val total = results.collect {
-      case (k, v) if !extraRows(k) => v
-    }.sum
+    // Headline totals, BOTH metrics, computed here so round docs copy
+    // them instead of assembling min-vs-median comparisons by hand
+    // (VERDICT r13 #1 — ROUND13 §5 compared r13's min against r12's
+    // median and called it a record).
+    val headlineMedianTotal = results.collect {
+      case (k, v) if !extraRows(k) => v }.sum
+    val headlineMinTotal = mins.collect {
+      case (k, v) if !extraRows(k) => v }.sum
+    // Mechanical deltas vs the previous committed artifact, on the
+    // SHARED non-extra row set (a row added or removed this round must
+    // not masquerade as a speed change).
+    val prev = loadPrevArtifact()
+    val deltaJson = prev match {
+      case Some((path, pmed, pmin)) =>
+        val sharedMed = results.keys.filter(k => !extraRows(k) && pmed.contains(k)).toSeq
+        val sharedMin = mins.keys.filter(k => !extraRows(k) && pmin.contains(k)).toSeq
+        def pct(cur: Double, old: Double): String =
+          if (old <= 0) "null" else num((cur - old) / old * 100.0)
+        val cm = sharedMed.map(results).sum
+        val om = sharedMed.map(pmed).sum
+        val cn = sharedMin.map(mins).sum
+        val on = sharedMin.map(pmin).sum
+        s""","prev_artifact":${"\"" + path + "\""}""" +
+          s""","prev_headline_median_total":${num(om)}""" +
+          s""","prev_headline_min_total":${num(on)}""" +
+          s""","delta_median_total_pct":${pct(cm, om)}""" +
+          s""","delta_min_total_pct":${pct(cn, on)}""" +
+          s""","delta_shared_rows":${sharedMed.size}"""
+      case None => ""
+    }
     val loadEnd = loadAvg()
-    val json = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${jmap(results)},"queries_min":${jmap(mins)},"samples":${jsamples(raw)},"reruns":${reruns.map("\"" + _ + "\"").mkString("[", ",", "]")},"load_avg_start":${num(loadStart)},"load_avg_end":${num(loadEnd)},"sf":"$sfDir"}"""
+    // The artifact SELF-LABELS whether its numbers are authoritative
+    // (VERDICT r13 #2: r13 shipped a loaded official run and a quiet run
+    // with no marker, and the round doc cherry-picked per metric): load
+    // observed at start, at end, or during any round disqualifies it.
+    val authoritative = !loadedEver && loadEnd <= 1.0
+    val json = s"""{"metric":"total","value":${num(headlineMedianTotal)},"unit":"sec","headline_median_total":${num(headlineMedianTotal)},"headline_min_total":${num(headlineMinTotal)}$deltaJson,"authoritative":$authoritative,"interleaved":true,"queries":${jmap(results)},"queries_min":${jmap(mins)},"samples":${jsamples(samples.map { case (k, v) => k -> v.toSeq })},"reruns":${reruns.map("\"" + _ + "\"").mkString("[", ",", "]")},"load_avg_start":${num(loadStart)},"load_avg_end":${num(loadEnd)},"load_avg_rounds":${loadRounds.map(num).mkString("[", ",", "]")},"sf":"$sfDir"}"""
     println(json)
     // Machine-readable artifact: the driver's BENCH_r*.json wrapper clips
     // long stdout, so the medians dict was unreadable as data. Persist

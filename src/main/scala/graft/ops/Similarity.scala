@@ -182,6 +182,13 @@ object Similarity {
     * (trainIvfCentroids requires k ≤ corpus rows). For n ≥ 2 ·
     * targetPerCell the realized density n/k lands within a factor 2 of
     * `targetPerCell` (SemDedupOracleSpec pins the density/bounds). */
+  def autoCellCount(n: Long, targetPerCell: Int = 256): Int = {
+    require(targetPerCell >= 1, s"targetPerCell must be >= 1, got $targetPerCell")
+    require(n >= 0, s"n must be >= 0, got $n")
+    val k = math.round(n.toDouble / targetPerCell)
+    math.max(1L, math.min(n, k)).toInt
+  }
+
   /** Scale-adaptive LSH signature width: the smallest `b ≥ 1` with
     * `targetPerBucket · 2^b ≥ n`, i.e. expected bucket occupancy stays
     * at or under `targetPerBucket` as the corpus grows — the log(n)
@@ -200,13 +207,6 @@ object Similarity {
     var b = 1
     while (b < 30 && (targetPerBucket.toLong << b) < n) b += 1
     b
-  }
-
-  def autoCellCount(n: Long, targetPerCell: Int = 256): Int = {
-    require(targetPerCell >= 1, s"targetPerCell must be >= 1, got $targetPerCell")
-    require(n >= 0, s"n must be >= 0, got $n")
-    val k = math.round(n.toDouble / targetPerCell)
-    math.max(1L, math.min(n, k)).toInt
   }
 
   /** IVF: Lloyd k-means coarse quantizer trained distributed (seeded

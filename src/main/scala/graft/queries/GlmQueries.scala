@@ -30,16 +30,22 @@ object GlmQueries {
   private def labelSql = "CAST(l_returnflag = 'R' AS DOUBLE)"
 
   val qs: Seq[Q] = Seq(
-    // ---- A1: row-partitioned mat-vec (dot(X, beta)), per-row exact
+    // ---- A1: row-partitioned mat-vec (dot(X, beta)), per-row exact.
+    // Result size is the corpus itself (one row per lineitem row), so
+    // decade sweeps pin a deterministic l_orderkey sample on BOTH
+    // engines (sweepSampled — VERDICT r13 #1: the 60M-row sf10 replay
+    // took 592 s and grows linearly per decade); gate scale runs
+    // unsampled (knob default off).
     Q("q20_xbeta",
       (s, dir) =>
-        tbl(s, dir, "lineitem")
+        sweepSampled(tbl(s, dir, "lineitem"), "l_orderkey")
           .select(
             col("l_orderkey"), col("l_linenumber"),
             marginCol.as("xbeta"))
           .orderBy("l_orderkey", "l_linenumber"),
       Some(s"""SELECT l_orderkey, l_linenumber, $marginSql AS xbeta
-        FROM lineitem ORDER BY l_orderkey, l_linenumber"""),
+        FROM lineitem WHERE ${sweepSampleSql("l_orderkey")}
+        ORDER BY l_orderkey, l_linenumber"""),
       bench = true),
 
     // ---- predict threshold counts (sigmoid(xb) > 0.5 ⟺ margin sign)
@@ -223,16 +229,19 @@ object GlmQueries {
           CAST(ROUND(SUM(dd * dd), 6) AS DOUBLE) AS g_dd
         FROM t""")),
 
-    // ---- logistic probability per row, rounded to absorb libm exp ulps
+    // ---- logistic probability per row, rounded to absorb libm exp ulps.
+    // One output row per lineitem row — same decade-sweep sample pin as
+    // q20 (sweepSampled; off at gate scale).
     Q("q26_proba",
       (s, dir) =>
-        tbl(s, dir, "lineitem")
+        sweepSampled(tbl(s, dir, "lineitem"), "l_orderkey")
           .select(col("l_orderkey"), col("l_linenumber"),
             round(lit(1.0) / (lit(1.0) + exp(-marginCol)), 6).as("proba"))
           .orderBy("l_orderkey", "l_linenumber"),
       Some(s"""SELECT l_orderkey, l_linenumber,
           ROUND(1.0 / (1.0 + EXP(-($marginSql))), 6) AS proba
-        FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+        FROM lineitem WHERE ${sweepSampleSql("l_orderkey")}
+        ORDER BY l_orderkey, l_linenumber""")),
 
     // ---- accuracy score (estimators.py:152-153) at fixed β: integer
     // agreement counts → exact double division

@@ -75,6 +75,56 @@ object Queries {
   def dsumSql(expr: String, precision: Int = 30, scale: Int = 4): String =
     s"CAST(SUM(CAST($expr AS DECIMAL($precision,$scale))) AS DOUBLE)"
 
+  /** Decade-sweep input sampling pin (VERDICT r13 #1): the handful of
+    * rows whose verification cost IS the corpus — q20/q26 materialize
+    * one output row per lineitem row, q140 one per token, q05 one per
+    * order, q87 replays the full near-dup graph, and q104's
+    * oracle-frozen k=4 config is exact all-pairs O(n²/4) BY DESIGN —
+    * restrict their input on BOTH engines to a deterministic uniform
+    * key sample: keep keys with key·2654435761 ≡ 0 (mod
+    * SPARK_GRAFT_SWEEP_SAMPLE_MOD). Knuth's multiplicative hash, the
+    * same constant as q144's completeness probe, expressible
+    * identically in Spark and DuckDB BIGINT arithmetic (no overflow
+    * while key < 2⁶³/2654435761 ≈ 3.5e9 — sf1000's ~6e9 lineitem keys
+    * would need a wider scheme; every current fixture is far below).
+    *
+    * Default 1 = OFF: the sf0.01 CORRECTNESS gate, the sf1/sf10 sweeps,
+    * and every recorded artifact are byte-identical with the knob
+    * unset. A decade sweep sets e.g. 50 and BOTH engines see the same
+    * sub-corpus, so the verified computation stays end-to-end exact —
+    * cell assignment, pair formation, component closure, window frames
+    * (the sampled key is always the partition/grouping key, so no kept
+    * group is truncated) — on a subset whose size the sweep chooses.
+    * Read ONCE at object init and interpolated into the oracle SQL from
+    * the same JVM (the SemDedupTau contract), so oracle_sql.json and
+    * the engine dump can never disagree about the sample. */
+  val SweepSampleMod: Long = {
+    val v = sys.env.getOrElse("SPARK_GRAFT_SWEEP_SAMPLE_MOD", "1").toLong
+    require(v >= 1, s"SPARK_GRAFT_SWEEP_SAMPLE_MOD must be >= 1, got $v")
+    v
+  }
+
+  /** Engine side of the sweep-sample pin: identity when the knob is
+    * unset (no extra Filter node in the gate plans). */
+  def sweepSampled(df: DataFrame, key: String): DataFrame =
+    sweepSampledWith(df, key, SweepSampleMod)
+
+  /** DuckDB side of [[sweepSampled]] — a WHERE-clause fragment. */
+  def sweepSampleSql(key: String): String =
+    sweepSampleSqlWith(key, SweepSampleMod)
+
+  /** [[sweepSampled]] at an explicit modulus (SweepSampleSpec exercises
+    * mod > 1 in-JVM — the env-bound knob is fixed at object init). */
+  def sweepSampledWith(df: DataFrame, key: String, mod: Long): DataFrame =
+    if (mod <= 1L) df
+    else df.filter(
+      (col(key).cast("long") * lit(2654435761L)) % lit(mod) === 0L)
+
+  /** [[sweepSampleSql]] at an explicit modulus. */
+  def sweepSampleSqlWith(key: String, mod: Long): String =
+    if (mod <= 1L) "TRUE"
+    else s"(($key * 2654435761) % $mod = 0)"
+
   val all: Seq[Q] =
     Relational.qs ++ GlmQueries.qs ++ TextQueries.qs ++ SimilarityQueries.qs ++
       PipelineQueries.qs

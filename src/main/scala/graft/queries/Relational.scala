@@ -84,23 +84,27 @@ object Relational {
         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""")),
 
     // ---- window functions: rank within customer + gap to prior order
+    // Decade sweeps pin a deterministic o_custkey sample on BOTH engines
+    // (sweepSampled, off at gate scale): the sampled key IS the window
+    // partition key, so every kept customer's frame is complete and the
+    // window semantics under verification are unchanged.
     Q("q05_window",
       (s, dir) => {
         val w = Window.partitionBy(col("o_custkey"))
           .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
-        tbl(s, dir, "orders")
+        sweepSampled(tbl(s, dir, "orders"), "o_custkey")
           .withColumn("rn", row_number().over(w))
           .withColumn("prev_key", lag(col("o_orderkey"), 1).over(w))
           .filter(col("rn") <= 3)
           .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("prev_key"))
           .orderBy("o_custkey", "rn")
       },
-      Some("""SELECT o_custkey, rn, o_orderkey, prev_key FROM (
+      Some(s"""SELECT o_custkey, rn, o_orderkey, prev_key FROM (
           SELECT o_custkey,
             CAST(ROW_NUMBER() OVER w AS INTEGER) AS rn,
             o_orderkey,
             LAG(o_orderkey, 1) OVER w AS prev_key
-          FROM orders
+          FROM orders WHERE ${sweepSampleSql("o_custkey")}
           WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
         ) WHERE rn <= 3 ORDER BY o_custkey, rn"""),
       bench = true),

@@ -79,14 +79,17 @@ object SimilarityQueries {
   // the -2^63 literal (1<<63 overflows DuckDB's BIGINT shift); the sum of
   // distinct two's-complement weights lands exactly on the signed value
   // Spark produces.
-  private val sim64Sql =
-    """th AS (
+  /** The 64-bit SimHash CTE pair, over documents filtered by `where`
+    * (q87's decade-sweep sample pin injects here; every other consumer
+    * uses the unfiltered [[sim64Sql]]). */
+  private def sim64SqlWhere(where: String) =
+    s"""th AS (
           SELECT doc_id,
             LIST_TRANSFORM(REGEXP_SPLIT_TO_ARRAY(text, ' +'), t ->
               ('0x' || SUBSTRING(MD5(t), 1, 8))::BIGINT) AS h1,
             LIST_TRANSFORM(REGEXP_SPLIT_TO_ARRAY(text, ' +'), t ->
               ('0x' || SUBSTRING(MD5(t), 9, 8))::BIGINT) AS h2
-          FROM documents),
+          FROM documents WHERE $where),
         sim AS (
           SELECT doc_id,
             CAST(LIST_SUM(LIST_TRANSFORM(RANGE(0, 64), b ->
@@ -96,6 +99,8 @@ object SimilarityQueries {
               * CASE WHEN b = 63 THEN (-9223372036854775807 - 1)
                      ELSE CAST(POWER(2, b) AS BIGINT) END)) AS BIGINT) AS simhash
           FROM th)"""
+
+  private val sim64Sql = sim64SqlWhere("TRUE")
 
   // shared DuckDB CTE: 4-bit random-hyperplane bucket per vector (the
   // same sin-projection as Similarity.lshBucket, rounded before the sign
@@ -527,14 +532,21 @@ object SimilarityQueries {
     // min-label propagation to its unique fixpoint (deterministic); the
     // oracle computes the same closure with a recursive CTE. Iterates on
     // the PAIR graph only, never the corpus.
+    // Decade sweeps pin a deterministic doc_id sample on BOTH engines
+    // (sweepSampled, off at gate scale): the full-corpus CC replay is
+    // the 674 s row of the sf10 sweep and grows superlinearly with the
+    // recursive closure's working set; the sampled sub-corpus still
+    // exercises SimHash → banding → candidate pairs → component closure
+    // end-to-end.
     Q("q87_dedup_clusters",
       (s, dir) => {
-        val pairs = graft.ops.Dedup.simhashNearDups(tbl(s, dir, "documents"),
+        val pairs = graft.ops.Dedup.simhashNearDups(
+          sweepSampled(tbl(s, dir, "documents"), "doc_id"),
           "doc_id", "text", bits = 64, bands = 4, maxHamming = 3)
         graft.ops.Dedup.clusterPairs(pairs)
           .orderBy("node")
       },
-      Some(s"""WITH RECURSIVE $sim64Sql,
+      Some(s"""WITH RECURSIVE ${sim64SqlWhere(sweepSampleSql("doc_id"))},
         bands AS (
           SELECT doc_id, simhash, band, (simhash >> (16 * band)) & 65535 AS key
           FROM sim, UNNEST(RANGE(0, 4)) AS t(band)),
@@ -645,8 +657,19 @@ object SimilarityQueries {
         // fixtures (≤2000 embedding rows at sf0.1) never exceed the
         // 4096 default, but the pin makes that independent of fixture
         // regeneration; the hot-cell degrade is covered by its own
-        // flood specs and the bench row instead
-        graft.ops.Dedup.semDedup(tbl(s, dir, "embeddings"),
+        // flood specs and the bench row instead.
+        //
+        // Decade sweeps pin a deterministic vec_id sample on BOTH
+        // engines (sweepSampled, off at gate scale): the frozen k=4
+        // exact-regime config is O(n²/4) cosines BY CONSTRUCTION —
+        // ~5·10⁹ at sf10 (2705 s of DuckDB replay + ~35 min of engine
+        // inside the r13 sweep) and ~100× per decade. The sample keeps
+        // the full pipeline (argmin cell assignment → within-cell
+        // all-pairs → component closure → keep-one) oracle-exact at
+        // every scale; the PRODUCTION decade path (autoCellCount,
+        // linear) is verified unsampled by q143's sidecar replay.
+        graft.ops.Dedup.semDedup(
+            sweepSampled(tbl(s, dir, "embeddings"), "vec_id"),
             "vec_id", "embedding", ivfCentroids, threshold = 0.3,
             roundDp = 6, maxBucket = 1 << 20)
           .select(col("vec_id"))
@@ -662,7 +685,8 @@ object SimilarityQueries {
       // components and the replay never finished in 900 s. The
       // label-prop replay is O(V+E) per round and converged-gated
       // (conv = 0 or the oracle returns empty ⇒ hash mismatch).
-      Some(s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      Some(s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v
+          FROM embeddings WHERE ${sweepSampleSql("vec_id")}),
         cents AS (SELECT * FROM (VALUES $centroidSqlValues) t(cell, cv)),
         dist AS (
           SELECT vec_id, cell,
@@ -1558,11 +1582,17 @@ object SimilarityQueries {
     if (!Files.exists(root)) "absent"
     else {
       import scala.jdk.CollectionConverters._
-      val listing = Files.walk(root).iterator().asScala
-        .filter(Files.isRegularFile(_))
-        .map(p => s"${root.relativize(p)}:${Files.size(p)}:" +
-          s"${Files.getLastModifiedTime(p).toMillis}")
-        .toSeq.sorted.mkString("\n")
+      // Files.walk's javadoc requires closing the returned Stream
+      // (try-with-resources) — iterating it to exhaustion does NOT
+      // release the open directory handles (ADVICE r13)
+      val walk = Files.walk(root)
+      val listing =
+        try walk.iterator().asScala
+          .filter(Files.isRegularFile(_))
+          .map(p => s"${root.relativize(p)}:${Files.size(p)}:" +
+            s"${Files.getLastModifiedTime(p).toMillis}")
+          .toSeq.sorted.mkString("\n")
+        finally walk.close()
       var h = 0xcbf29ce484222325L // FNV-1a offset basis
       listing.foreach { c => h ^= c.toLong; h *= 0x100000001b3L }
       java.lang.Long.toHexString(h)
@@ -1592,8 +1622,10 @@ object SimilarityQueries {
   private def deleteRecursively(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+      val walk = java.nio.file.Files.walk(p)
+      try walk.iterator().asScala.toSeq.reverse
         .foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
     }
 
   /** Materialize the q143/q144 sidecars for `dir`: train centroids with

@@ -990,19 +990,27 @@ object TextQueries {
     // (wrapping makes the pattern boundary-safe AND keeps adjacent
     // occurrences matchable), terminal states are the rows with no
     // applicable merge. Every token of every doc is in the hash.
+    // Decade sweeps pin a deterministic doc_id sample on BOTH engines
+    // (sweepSampled, off at gate scale): the verified result is one row
+    // per TOKEN — 204,109,681 rows / 2546 s of replay at sf10, ~10× per
+    // decade — and the sampled sub-corpus still drives the identical
+    // frozen-merge encode loop on every kept document.
     Q("q140_bpe_encode",
       (s, dir) => {
         val model = new graft.functions.BpeModel(bpeFrozenMerges)
-        graft.ops.Bpe.encode(tbl(s, dir, "documents"), model)
+        graft.ops.Bpe.encode(
+            sweepSampled(tbl(s, dir, "documents"), "doc_id"), model)
           .select(col("doc_id"), posexplode(col("bpe_tokens")))
           .toDF("doc_id", "pos", "tok")
           .orderBy("doc_id", "pos")
       },
       Some(s"""WITH RECURSIVE merges AS (
           SELECT * FROM (VALUES $bpeFrozenMergesSqlValues) t(rank, a, b)),
+        sdocs AS (SELECT doc_id, text FROM documents
+          WHERE ${sweepSampleSql("doc_id")}),
         words AS (
           SELECT DISTINCT w FROM (
-            SELECT UNNEST(REGEXP_SPLIT_TO_ARRAY(text, ' +')) AS w FROM documents)
+            SELECT UNNEST(REGEXP_SPLIT_TO_ARRAY(text, ' +')) AS w FROM sdocs)
           WHERE w <> ''),
         base AS (
           SELECT w,
@@ -1036,7 +1044,7 @@ object TextQueries {
         docw AS (
           SELECT doc_id, i AS widx, a[CAST(i + 1 AS INTEGER)] AS w
           FROM (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(text, ' +') AS a
-                FROM documents),
+                FROM sdocs),
             UNNEST(RANGE(0, LEN(a))) u(i)
           WHERE a[CAST(i + 1 AS INTEGER)] <> ''),
         flat AS (

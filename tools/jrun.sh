@@ -6,6 +6,10 @@
 #
 # Usage: tools/jrun.sh <mainClass> [args...]
 # Env:   SPARK_DRIVER_MEM (default 24g) — same knob as build.sbt
+#        GRAFT_CLASSES (default target/scala-2.13/classes) — point a
+#        long-running job at a SNAPSHOT copy of the classes dir so a
+#        concurrent `sbt compile` can't swap class files under its
+#        lazy-loading JVM mid-run.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 ADD_OPENS=""
@@ -20,5 +24,5 @@ exec java $ADD_OPENS \
   -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \
   -Xmx"${SPARK_DRIVER_MEM:-24g}" \
-  -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
+  -cp "${GRAFT_CLASSES:-target/scala-2.13/classes}:/opt/spark/jars/*" \
   "$@"

@@ -70,7 +70,10 @@ path = f"{out}/sweep_results.json"
 if only is not None and os.path.exists(path):
     merged = json.load(open(path))
     merged.update(results)
-    results = merged
+    # prune keys no longer in the oracle registry: after a query
+    # rename/removal a filtered re-run must not carry a stale entry
+    # into the persisted artifact's "N ok of M" summary (ADVICE r13)
+    results = {k: v for k, v in merged.items() if k in oracle}
 with open(path, "w") as f:
     json.dump(results, f, indent=1, sort_keys=True)
 n_ok = sum(1 for r in results.values() if r["status"] == "ok")
