@@ -125,7 +125,14 @@ object Queries {
     if (mod <= 1L) "TRUE"
     else s"(($key * 2654435761) % $mod = 0)"
 
-  val all: Seq[Q] =
+  // LAZY is load-bearing: the per-domain objects call Queries helpers
+  // (dsumSql, sweepSampleSql) while BUILDING their qs vals, so a plain
+  // `all` would re-enter whichever domain object started the init chain
+  // and read its still-null qs field (scalac's uninitialized-reference
+  // warning class; surfaced as an NPE abort when a spec touched
+  // SimilarityQueries before SparkEntry). Deferring the aggregation
+  // breaks the cycle for every entry order.
+  lazy val all: Seq[Q] =
     Relational.qs ++ GlmQueries.qs ++ TextQueries.qs ++ SimilarityQueries.qs ++
       PipelineQueries.qs
 

@@ -65,15 +65,19 @@ object TextQueries {
       .mkString(", ")
 
   /** Merge-prefix length replayed by the q145 trainer oracle. Declared
-    * before `qs` — the oracle string reads it at object init. 64 steps
-    * (VERDICT r12 #5, raised from 32: the unroll is linear in k and the
-    * sf10 replay stayed <10 s, so the q123 rows-only tail shrinks by
-    * another 32 ranks for free) over the fixture's 31-word vocabulary
-    * exercise count-ranked selection, lexicographic tie-breaks, and
-    * multi-generation merges (merged symbols re-entering later pair
-    * counts); training typically EARLY-STOPS before rank 64 at the
-    * small fixtures, which the oracle's empty-m_i rows replay exactly. */
-  private[graft] val BpeTrainPrefixK = 64
+    * before `qs` — the oracle string reads it at object init. 200 steps
+    * (VERDICT r13 #6, raised from 64): 200 is q123's OWN numMerges cap,
+    * so the oracled prefix now covers every merge the q123 trainer can
+    * ever select and the rows-only tail is EMPTY by construction at
+    * every scale. Measured realized counts (BpeTrainProbe, r14): the
+    * sf0.01 gate early-stops at 106 merges (31-word vocab — the
+    * oracle's empty-m_i rows replay the stopped tail exactly), while
+    * sf1 (274-word vocab) and sf10 (2,704) both hit the 200 cap — no
+    * smaller k covers them. The unroll stays linear in k; replay walls
+    * are recorded per sweep. Steps exercise count-ranked selection,
+    * code-point-order tie-breaks, and multi-generation merges (merged
+    * symbols re-entering later pair counts). */
+  private[graft] val BpeTrainPrefixK = 200
 
   /** Unrolled greedy-merge replay for the q145 BPE-trainer prefix
     * oracle (VERDICT r9 #3 / r11 #4): DuckDB re-derives the first k

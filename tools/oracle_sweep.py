@@ -32,6 +32,25 @@ compare = os.path.join(os.path.dirname(__file__), "..",
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 names = sorted(n for n in oracle if (only is None or n in only))
 
+path = f"{out}/sweep_results.json"
+
+
+def persist(res):
+    """Write after every query: a sweep killed by the wall clock still
+    leaves a complete record of everything it finished."""
+    merged = dict(res)
+    if only is not None and os.path.exists(path):
+        prior = json.load(open(path))
+        prior.update(merged)
+        # prune keys no longer in the oracle registry: after a query
+        # rename/removal a filtered re-run must not carry a stale entry
+        # into the persisted artifact's "N ok of M" summary (ADVICE r13)
+        merged = {k: v for k, v in prior.items() if k in oracle}
+    with open(path, "w") as f:
+        json.dump(merged, f, indent=1, sort_keys=True)
+    return merged
+
+
 results = {}
 fails = 0
 for name in names:
@@ -60,22 +79,14 @@ for name in names:
     except subprocess.TimeoutExpired:
         results[name] = {"status": "timeout", "secs": cap, "rows": None}
         print(f"TIMEOUT {name} (> {cap}s oracle replay cap)", flush=True)
+    # A filtered re-run (after an oracle fix) MERGES into the existing
+    # results instead of clobbering the full sweep with its subset — the
+    # persisted artifact stays one complete registry pass with the fixed
+    # rows updated in place. A full (unfiltered) run still replaces
+    # everything it swept.
+    persist(results)
 
-# A filtered re-run (after an oracle fix) MERGES into the existing
-# results instead of clobbering the full sweep with its subset — the
-# persisted artifact stays one complete registry pass with the fixed
-# rows updated in place. A full (unfiltered) run still replaces
-# everything it swept.
-path = f"{out}/sweep_results.json"
-if only is not None and os.path.exists(path):
-    merged = json.load(open(path))
-    merged.update(results)
-    # prune keys no longer in the oracle registry: after a query
-    # rename/removal a filtered re-run must not carry a stale entry
-    # into the persisted artifact's "N ok of M" summary (ADVICE r13)
-    results = {k: v for k, v in merged.items() if k in oracle}
-with open(path, "w") as f:
-    json.dump(results, f, indent=1, sort_keys=True)
+results = persist(results)
 n_ok = sum(1 for r in results.values() if r["status"] == "ok")
 n_to = sum(1 for r in results.values() if r["status"] == "timeout")
 n_f = sum(1 for r in results.values()
