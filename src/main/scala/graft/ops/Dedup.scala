@@ -1231,7 +1231,18 @@ object Dedup {
     * own motivating case is a boilerplate-embedding flood, which lands
     * in ONE cell; sub-bucketing keeps EVERY flood's components intact
     * (not just the one containing the cell's min-id row) while bounding
-    * the within-cell join. */
+    * the within-cell join.
+    *
+    * `nprobe` (multi-probe straddle recovery, cost ×(nprobe−1) on the
+    * straddle stage only): measured on the 2M-vector planted fixture at
+    * τ=0.95 (50,000 ground-truth pairs, FIXTURES.md §4) — nprobe=1
+    * recall 0.99536, nprobe=2 **0.99996**, nprobe=3 **1.0** (the last
+    * two misses are rank-3 straddles), zero false positives at every
+    * setting. RECOMMENDED PRODUCTION SETTING: **2** — it closes 99.6%
+    * of the straddle gap for one extra probe per row, while 3 buys the
+    * final 2-in-50,000 at another straddle-stage pass; keep 1 only when
+    * bit-compatibility with pre-r13 recorded runs matters. The
+    * `semdedup_np2` bench row prices the nprobe=2 delta continuously. */
   def semDedup(emb: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Double]], threshold: Double,
       roundDp: Int = 6, maxIter: Int = 25,
