@@ -56,12 +56,21 @@ object Verify {
     // failure is recorded in a sidecar (retries.json), empty on a clean run
     val retried = scala.collection.mutable.LinkedHashMap[String, String]()
     val failed = scala.collection.mutable.LinkedHashMap[String, String]()
+    // Dump-file parallelism. Default 1 = the historical single-file dump
+    // (what the driver's gate has always read). Decade sweeps set 32:
+    // the compare replays `read_parquet('<dir>/*.parquet')` and sorts
+    // rows before hashing, so part count is invisible to the check —
+    // but a coalesce(1) write of a 20M-row sf100 result is one thread
+    // encoding parquet for ~40 minutes (measured r14) while 31 cores
+    // idle; at 32 parts the same dump is minutes.
+    val dumpParts = sys.env.getOrElse("SPARK_GRAFT_VERIFY_PARTS", "1").toInt
+    require(dumpParts >= 1, s"SPARK_GRAFT_VERIFY_PARTS must be >= 1, got $dumpParts")
     SparkEntry.queries.filter(kv => nameFilter(kv._1)).foreach { case (name, fn) =>
       // one retry: a transiently failed query (executor memory spike, temp
       // file race) would otherwise silently zero this round's correctness
       // row — the driver runs this dump exactly once per round
-      def attempt(): Unit = fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      def attempt(): Unit = fn(spark, sfDir).coalesce(dumpParts)
+        .write.mode("overwrite").parquet(s"$outDir/$name")
       try attempt()
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed (${e.getMessage}); retrying once")
