@@ -55,14 +55,56 @@ object Bench {
   }
 
   /** 1-minute system load average (or -1 when the JVM can't read it).
-    * Recorded at bench start/end AND once per interleaved round
-    * (ADVICE r13: the start-only flag missed load arriving mid-run):
-    * the r10→r11 total drifted +11.7% with zero timed-path changes — a
-    * loaded co-tenant box. With load in the JSON, a drifted run
-    * identifies itself. */
+    * Recorded at bench start/end for context only — the GATE uses
+    * [[foreignCores]]: loadavg cannot distinguish a co-tenant from the
+    * bench's own local[32] work (any mid-run sample reads ~30 and would
+    * self-flag every run), and it decays over minutes after our own
+    * fixture builds, stalling a genuinely quiet box at the gate. */
   def loadAvg(): Double =
     java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+
+  /** Busy jiffies summed across all CPUs from a `/proc/stat` "cpu " line:
+    * user+nice+system+irq+softirq+steal (idle and iowait are the idle
+    * states). Pure — BenchLoadSpec pins it. */
+  def parseProcStatBusy(cpuLine: String): Long = {
+    val f = cpuLine.trim.split("\\s+")
+    require(f(0) == "cpu", s"not an aggregate cpu line: $cpuLine")
+    // fields: cpu user nice system idle iowait irq softirq steal ...
+    Seq(1, 2, 3, 6, 7, 8).filter(_ < f.length).map(i => f(i).toLong).sum
+  }
+
+  /** utime+stime jiffies of this process from a `/proc/<pid>/stat` line.
+    * The comm field (2nd) may contain spaces/parens, so fields are
+    * counted from AFTER the last ')': utime/stime are stat fields 14/15,
+    * i.e. indices 11/12 of the post-comm split. Pure — BenchLoadSpec. */
+  def parseSelfStatJiffies(statLine: String): Long = {
+    val rest = statLine.substring(statLine.lastIndexOf(')') + 1).trim
+    val f = rest.split("\\s+")
+    f(11).toLong + f(12).toLong
+  }
+
+  /** (box busy jiffies, self jiffies, wall nanos) — None off-Linux. */
+  def cpuSnap(): Option[(Long, Long, Long)] = try {
+    val stat = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get("/proc/stat")).get(0)
+    val self = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("/proc/self/stat"))
+    Some((parseProcStatBusy(stat), parseSelfStatJiffies(self),
+      System.nanoTime()))
+  } catch { case _: Throwable => None }
+
+  /** Foreign CPU over the window [a, b], in cores: busy jiffies that did
+    * NOT belong to this JVM, divided by wall time. This is the co-tenant
+    * gauge the load gate needs — Bench runs as one dedicated JVM
+    * (tools/jrun.sh), so /proc/self covers every Spark thread it owns,
+    * and a measured 1.0 means a full foreign core ran for the whole
+    * window. USER_HZ is 100 on every Linux this runs on. */
+  def foreignCores(a: (Long, Long, Long), b: (Long, Long, Long)): Double = {
+    val wallSec = (b._3 - a._3) / 1e9
+    if (wallSec <= 0) 0.0
+    else math.max(0L, (b._1 - a._1) - (b._2 - a._2)) / (100.0 * wallSec)
+  }
 
   /** Round-over-round comparability (VERDICT r13 #1): the previous
     * committed bench artifact, located mechanically —
@@ -106,15 +148,28 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val loadStart = loadAvg()
-    // threshold 1.0, not 4.0: BENCH_r12 started at load 2.2 — under the
-    // old gate — and drifted +20-35% on a third of its rows vs the
-    // same-tree quiet-box run (VERDICT r12 #1). On a 32-core box ANY
-    // standing load means a co-tenant; flag it and force per-row re-runs.
-    if (loadStart > 1.0)
-      System.err.println(f"[bench] WARNING: 1-min load average $loadStart%.1f " +
-        "at start — timings will be contaminated; prefer a quiet box " +
-        "(every row will be re-sampled and the artifact self-labels " +
-        "non-authoritative)")
+    // threshold 1.0 FOREIGN cores, not loadavg (see foreignCores): a full
+    // standing core that isn't ours means a co-tenant; flag it and force
+    // per-row re-runs. BENCH_r12 started at load 2.2 — under the old 4.0
+    // loadavg gate — and drifted +20-35% on a third of its rows vs the
+    // same-tree quiet-box run (VERDICT r12 #1). Measured over a 1 s
+    // window at start; off-Linux falls back to the loadavg gate.
+    var lastSnap = cpuSnap()
+    val foreignStart = lastSnap match {
+      case Some(s0) =>
+        Thread.sleep(1000)
+        val s1 = cpuSnap()
+        lastSnap = s1
+        s1.map(foreignCores(s0, _)).getOrElse(-1.0)
+      case None => -1.0
+    }
+    def contaminated(foreign: Double): Boolean =
+      if (foreign >= 0) foreign > 1.0 else loadAvg() > 1.0
+    if (contaminated(foreignStart))
+      System.err.println(f"[bench] WARNING: $foreignStart%.1f foreign CPU " +
+        "cores busy at start — timings will be contaminated; prefer a " +
+        "quiet box (every row will be re-sampled and the artifact " +
+        "self-labels non-authoritative)")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -366,7 +421,16 @@ object Bench {
     // across that row's samples — comparable samples, low spread —
     // rather than absent-but-expensive).
     def runRound(sel: Seq[(String, () => Unit)], timed: Boolean): Unit = {
-      loadRounds += loadAvg()
+      // foreign cores over the window since the PREVIOUS sample — i.e.
+      // the whole previous round's wall time, self-CPU excluded (ADVICE
+      // r13: start-only sampling missed mid-run arrivals; raw loadavg
+      // here would read our own local[32] work and self-flag every run)
+      val now = cpuSnap()
+      (lastSnap, now) match {
+        case (Some(a), Some(b)) => loadRounds += foreignCores(a, b)
+        case _ => loadRounds += (if (loadAvg() > 1.0) 2.0 else 0.0)
+      }
+      lastSnap = now
       System.gc()
       sel.foreach { case (name, f) =>
         val t = time(f())
@@ -397,7 +461,7 @@ object Bench {
     // lower of the two passes — min-selection biased the recorded
     // medians downward vs the fixed-reps methodology), both sample sets
     // ship in `samples`, and `reruns` names the flagged rows.
-    val loadedEver = loadStart > 1.0 || loadRounds.exists(_ > 1.0)
+    val loadedEver = contaminated(foreignStart) || loadRounds.exists(_ > 1.0)
     val flagged = rows.toSeq.filter { case (n, _) =>
       val s = samples(n)
       loadedEver || s.max > 3.0 * s.min
@@ -464,12 +528,18 @@ object Bench {
       case None => ""
     }
     val loadEnd = loadAvg()
+    // final window: last round's work up to now, self-CPU excluded
+    val foreignEnd = (lastSnap, cpuSnap()) match {
+      case (Some(a), Some(b)) => foreignCores(a, b)
+      case _ => -1.0
+    }
     // The artifact SELF-LABELS whether its numbers are authoritative
     // (VERDICT r13 #2: r13 shipped a loaded official run and a quiet run
-    // with no marker, and the round doc cherry-picked per metric): load
-    // observed at start, at end, or during any round disqualifies it.
-    val authoritative = !loadedEver && loadEnd <= 1.0
-    val json = s"""{"metric":"total","value":${num(headlineMedianTotal)},"unit":"sec","headline_median_total":${num(headlineMedianTotal)},"headline_min_total":${num(headlineMinTotal)}$deltaJson,"authoritative":$authoritative,"interleaved":true,"queries":${jmap(results)},"queries_min":${jmap(mins)},"samples":${jsamples(samples.map { case (k, v) => k -> v.toSeq })},"reruns":${reruns.map("\"" + _ + "\"").mkString("[", ",", "]")},"load_avg_start":${num(loadStart)},"load_avg_end":${num(loadEnd)},"load_avg_rounds":${loadRounds.map(num).mkString("[", ",", "]")},"sf":"$sfDir"}"""
+    // with no marker, and the round doc cherry-picked per metric):
+    // foreign CPU observed at start, at end, or during any round
+    // disqualifies it.
+    val authoritative = !loadedEver && !contaminated(foreignEnd)
+    val json = s"""{"metric":"total","value":${num(headlineMedianTotal)},"unit":"sec","headline_median_total":${num(headlineMedianTotal)},"headline_min_total":${num(headlineMinTotal)}$deltaJson,"authoritative":$authoritative,"interleaved":true,"queries":${jmap(results)},"queries_min":${jmap(mins)},"samples":${jsamples(samples.map { case (k, v) => k -> v.toSeq })},"reruns":${reruns.map("\"" + _ + "\"").mkString("[", ",", "]")},"load_avg_start":${num(loadStart)},"load_avg_end":${num(loadEnd)},"foreign_cores_start":${num(foreignStart)},"foreign_cores_end":${num(foreignEnd)},"foreign_cores_rounds":${loadRounds.map(num).mkString("[", ",", "]")},"sf":"$sfDir"}"""
     println(json)
     // Machine-readable artifact: the driver's BENCH_r*.json wrapper clips
     // long stdout, so the medians dict was unreadable as data. Persist

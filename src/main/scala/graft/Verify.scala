@@ -69,6 +69,10 @@ object Verify {
       // one retry: a transiently failed query (executor memory spike, temp
       // file race) would otherwise silently zero this round's correctness
       // row — the driver runs this dump exactly once per round
+      // per-query engine wall (stderr, greppable): the decade-sweep
+      // tables report engine-side cost per row, which was previously
+      // only recoverable from Spark INFO logs
+      val t0 = System.nanoTime()
       def attempt(): Unit = fn(spark, sfDir).coalesce(dumpParts)
         .write.mode("overwrite").parquet(s"$outDir/$name")
       try attempt()
@@ -81,6 +85,7 @@ object Verify {
           failed(name) = String.valueOf(e2.getMessage)
         }
       }
+      System.err.println(f"[verify] $name done ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
     // sidecar-backed oracles (q143/q144) embed a namespace token in their
     // static SQL; rewrite it to THIS run's per-fixture namespace so the

@@ -56,4 +56,45 @@ class BenchOnlySpec extends AnyFunSuite {
     assert(Bench.extraRows == Bench.nonRegistryRows.toSet - "glm_fit",
       "extraRows must be nonRegistryRows minus the grandfathered glm_fit")
   }
+
+  // ---- foreign-CPU gauge (the co-tenant gate; raw loadavg reads the
+  // bench's own local[32] work and would self-flag every run) ----
+
+  test("parseProcStatBusy sums user+nice+system+irq+softirq+steal") {
+    // user nice system idle iowait irq softirq steal guest guest_nice
+    val line = "cpu  100 2 30 5000 40 5 6 7 0 0"
+    assert(Bench.parseProcStatBusy(line) == 100L + 2 + 30 + 5 + 6 + 7)
+    // short line (old kernels without steal) must not throw
+    assert(Bench.parseProcStatBusy("cpu 10 0 5 100") == 15L)
+  }
+
+  test("parseSelfStatJiffies reads utime+stime after the comm field") {
+    // comm may contain spaces AND parens — fields count from the LAST ')'
+    val line = "1234 (java) S " + (4 to 13).mkString(" ") +
+      " 700 42 0 0 20 0 33 0"
+    assert(Bench.parseSelfStatJiffies(line) == 742L)
+    val evil = "99 (a b) c) R " + (4 to 13).mkString(" ") + " 10 5 0 0"
+    assert(Bench.parseSelfStatJiffies(evil) == 15L)
+  }
+
+  test("foreignCores: self-CPU excluded, clamped at 0, per-core units") {
+    // 10 s window, 2000 busy jiffies box-wide, 1500 of them ours
+    // -> (2000-1500)/(100 Hz * 10 s) = 0.5 foreign cores
+    val a = (10000L, 8000L, 0L)
+    val b = (12000L, 9500L, 10L * 1000 * 1000 * 1000)
+    assert(math.abs(Bench.foreignCores(a, b) - 0.5) < 1e-9)
+    // self can exceed box delta transiently (tick granularity): clamp 0
+    val c = (12000L, 9700L, 20L * 1000 * 1000 * 1000)
+    assert(Bench.foreignCores(b, c) == 0.0)
+    // zero/negative wall -> 0, no division blowup
+    assert(Bench.foreignCores(a, (11000L, 8000L, 0L)) == 0.0)
+  }
+
+  test("live cpuSnap parses this box's /proc (Linux CI)") {
+    val s = Bench.cpuSnap()
+    assume(s.isDefined) // skip off-Linux
+    val Some((busy, self, _)) = s
+    assert(busy > 0L)
+    assert(self >= 0L && self <= busy)
+  }
 }
