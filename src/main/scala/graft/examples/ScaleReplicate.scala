@@ -135,6 +135,27 @@ object ScaleReplicate {
       }
     }
 
+  /** Write a replica family in BOUNDED-PLAN batches: union at most
+    * `batch` replicas per write (first overwrite, rest append — parquet
+    * appends are new part files, invisible to every reader here, which
+    * all glob the directory). A single 1000-way union was not a data
+    * problem but a PLANNING one: the r ≥ 128 embedding replicas carry a
+    * 64-expression projection each, and Catalyst spent >12 min
+    * single-threaded analyzing the ~56k-expression union plan (measured
+    * r14, sf100 build) before touching a row. At factor ≤ batch this
+    * degenerates to the historical single write. `parts` is the TOTAL
+    * target part count, apportioned per batch. */
+  def writeBatched(replicas: Seq[DataFrame], path: String, batch: Int,
+      parts: Int): Unit = {
+    val groups = replicas.grouped(batch).toSeq
+    groups.zipWithIndex.foreach { case (g, i) =>
+      val perBatch = math.max(1, math.round(
+        parts.toDouble * g.size / replicas.size).toInt)
+      g.reduce(_ unionAll _).repartition(perBatch)
+        .write.mode(if (i == 0) "overwrite" else "append").parquet(path)
+    }
+  }
+
   /** args: srcDir dstDir factor [tables]
     *
     * `tables` (comma list ⊆ documents,embeddings,lineitem,orders,
@@ -174,16 +195,16 @@ object ScaleReplicate {
     if (tables("documents")) {
       val docs = spark.read.parquet(s"$src/documents.parquet")
       val nDoc = docs.agg(max("doc_id")).head().getLong(0) + 1L
-      docReplicas(docs, factor, nDoc).reduce(_ unionAll _).repartition(32)
-        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      writeBatched(docReplicas(docs, factor, nDoc),
+        s"$out/documents.parquet", batch = 250, parts = 32)
       println(s"[scale-replicate] documents x$factor: ${nDoc * factor}")
     }
 
     if (tables("embeddings")) {
       val emb = spark.read.parquet(s"$src/embeddings.parquet")
       val nVec = emb.agg(max("vec_id")).head().getLong(0) + 1L
-      embReplicas(emb, factor, nVec).reduce(_ unionAll _).repartition(32)
-        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+      writeBatched(embReplicas(emb, factor, nVec),
+        s"$out/embeddings.parquet", batch = 25, parts = 32)
       println(s"[scale-replicate] embeddings x$factor: ${nVec * factor}")
     }
 
@@ -210,26 +231,24 @@ object ScaleReplicate {
           // only thing that matters
           Seq.fill(factor)(li)
         }
-      reps.reduce(_ unionAll _).repartition(64)
-        .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+      writeBatched(reps, s"$out/lineitem.parquet", batch = 200, parts = 64)
       println(s"[scale-replicate] lineitem x$factor" +
         (if (tables("orders")) " (orderkey-offset)" else " (plain)"))
     }
 
     if (tables("orders")) {
       val o = spark.read.parquet(s"$src/orders.parquet")
-      keyOffsetReplicas(o, factor,
-          Map("o_orderkey" -> orderStride, "o_custkey" -> custStride))
-        .reduce(_ unionAll _).repartition(32)
-        .write.mode("overwrite").parquet(s"$out/orders.parquet")
+      writeBatched(keyOffsetReplicas(o, factor,
+          Map("o_orderkey" -> orderStride, "o_custkey" -> custStride)),
+        s"$out/orders.parquet", batch = 200, parts = 32)
       println(s"[scale-replicate] orders x$factor (key-offset)")
     }
 
     if (tables("customer")) {
       val c = spark.read.parquet(s"$src/customer.parquet")
-      keyOffsetReplicas(c, factor, Map("c_custkey" -> custStride))
-        .reduce(_ unionAll _).repartition(32)
-        .write.mode("overwrite").parquet(s"$out/customer.parquet")
+      writeBatched(keyOffsetReplicas(c, factor,
+          Map("c_custkey" -> custStride)),
+        s"$out/customer.parquet", batch = 200, parts = 32)
       println(s"[scale-replicate] customer x$factor (key-offset)")
     }
 
@@ -241,10 +260,9 @@ object ScaleReplicate {
       val ev = spark.read.parquet(s"$src/events.parquet")
       val evIdStride = ev.agg(max("event_id")).head().getLong(0) + 1L
       val userStride = ev.agg(max("user_id")).head().getLong(0) + 1L
-      keyOffsetReplicas(ev, factor,
-          Map("event_id" -> evIdStride, "user_id" -> userStride))
-        .reduce(_ unionAll _).repartition(32)
-        .write.mode("overwrite").parquet(s"$out/events.parquet")
+      writeBatched(keyOffsetReplicas(ev, factor,
+          Map("event_id" -> evIdStride, "user_id" -> userStride)),
+        s"$out/events.parquet", batch = 200, parts = 32)
       println(s"[scale-replicate] events x$factor (key-offset)")
     }
 
