@@ -446,6 +446,17 @@ object SimilarityQueries {
     // old 16-bit/8-bit-key form had 256 buckets per band → quadratic).
     // Band extraction is arithmetic-shift + mask — sign-extension bits
     // die under the mask identically on both engines.
+    //
+    // The oracle replays BOTH regimes of the kernel at the 4096 default
+    // cap (the q65 treatment): (band, key) buckets at or under the cap
+    // as all-pairs, hot buckets as the min-id STAR — the engine's
+    // deliberate flood guard. The sf100 decade sweep caught this: at 5M
+    // docs a band key crossed 4096 members for the first time and the
+    // old exhaustive-join oracle reported 239 member-member pairs the
+    // star regime intentionally does not emit (engine 924,242 vs oracle
+    // 924,481; subset direction exactly as designed). Gate through sf10
+    // plans are value-identical: no bucket is hot there, so the star
+    // branch is empty and pairs reduce to the old CTE.
     Q("q69_simhash_neardup",
       (s, dir) =>
         graft.ops.Dedup.simhashNearDups(tbl(s, dir, "documents"),
@@ -453,15 +464,34 @@ object SimilarityQueries {
           .select(col("id1").as("d1"), col("id2").as("d2"), col("hamming"))
           .orderBy("d1", "d2"),
       Some(s"""WITH $sim64Sql,
-        bands AS (
+        bands AS MATERIALIZED (
           SELECT doc_id, simhash, band, (simhash >> (16 * band)) & 65535 AS key
           FROM sim, UNNEST(RANGE(0, 4)) AS t(band)),
-        cand AS (
-          SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+        bcnt AS MATERIALIZED (
+          SELECT band, key, COUNT(*) AS cnt, MIN(doc_id) AS repid
+          FROM bands GROUP BY band, key),
+        small AS MATERIALIZED (
+          SELECT bands.* FROM bands JOIN bcnt USING (band, key)
+          WHERE bcnt.cnt <= ${graft.ops.Dedup.DefaultMaxBucket}),
+        pairs AS (
+          SELECT a.doc_id AS d1, b.doc_id AS d2,
             CAST(BIT_COUNT(XOR(a.simhash, b.simhash)) AS INTEGER) AS hamming
-          FROM bands a JOIN bands b
-            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
-        SELECT d1, d2, hamming FROM cand WHERE hamming <= 3
+          FROM small a JOIN small b
+            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+        reps AS (
+          SELECT bcnt.band, bcnt.key, bcnt.repid, bands.simhash AS rsim
+          FROM bcnt JOIN bands ON bands.doc_id = bcnt.repid
+            AND bands.band = bcnt.band AND bands.key = bcnt.key
+          WHERE bcnt.cnt > ${graft.ops.Dedup.DefaultMaxBucket}),
+        star AS (
+          SELECT reps.repid AS d1, bands.doc_id AS d2,
+            CAST(BIT_COUNT(XOR(reps.rsim, bands.simhash)) AS INTEGER) AS hamming
+          FROM bands JOIN reps ON bands.band = reps.band
+            AND bands.key = reps.key
+          WHERE bands.doc_id <> reps.repid)
+        SELECT DISTINCT d1, d2, hamming
+        FROM (SELECT * FROM pairs UNION ALL SELECT * FROM star)
+        WHERE hamming <= 3
         ORDER BY d1, d2"""),
       bench = true),
 
