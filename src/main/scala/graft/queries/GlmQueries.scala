@@ -102,11 +102,18 @@ object GlmQueries {
     //  2. do ALL arithmetic in decimal — exact on both engines, with every
     //     intermediate precision ≤ 38 so neither engine rescales;
     //     β·(price/1e5) terms fold the 1e-5 into the decimal constant;
-    //  3. ROUND the exact sum to scale 6 — explicitly, NOT via a decimal
+    //  3. ROUND the exact sum to scale 3 — explicitly, NOT via a decimal
     //     cast: DuckDB's decimal→decimal downscale TRUNCATES while Spark's
     //     rounds HALF_UP; ROUND is half-away-from-zero on both engines —
     //     then cast to DOUBLE with unscaled < 2^53 (correctly rounded on
-    //     both engines — the dsum rule).
+    //     both engines — the dsum rule). Scale 3, not the historical 6:
+    //     the sf100 sweep caught g_disc at 1.24e10 — ·10⁶ ≈ 1.24e16 >
+    //     2^53, where the decimal→double conversion is no longer exact
+    //     and the engines double-round apart (the r13 q24 defect class;
+    //     q23 hit it one decade later because its sums are smaller).
+    //     At scale 3 every column stays < 2^53 through sf1000-shape
+    //     (largest sum g_intercept ≈ 8·10¹¹ at sf100 → 8·10¹⁵ unscaled
+    //     one decade further, still inside).
     Q("q23_normal_gradient",
       (s, dir) => {
         val li = tbl(s, dir, "lineitem")
@@ -119,7 +126,7 @@ object GlmQueries {
         val resid = dec("0.8") * qd - pd * dec("0.000013") +
           dec("2.1") * dd + dec("0.25") - ld
         def out(c: org.apache.spark.sql.Column) =
-          round(sum(c), 6).cast("double")
+          round(sum(c), 3).cast("double")
         li.agg(
           out((qd + qd) * resid).as("g_qty"),
           out(pd * resid * dec("0.00002")).as("g_price"),
@@ -138,10 +145,10 @@ object GlmQueries {
               + CAST(2.1 AS DECIMAL(2,1)) * dd + CAST(0.25 AS DECIMAL(3,2)) - ld AS resid
           FROM t)
         SELECT
-          CAST(ROUND(SUM((qd + qd) * resid), 6) AS DOUBLE) AS g_qty,
-          CAST(ROUND(SUM(pd * resid * CAST(0.00002 AS DECIMAL(6,5))), 6) AS DOUBLE) AS g_price,
-          CAST(ROUND(SUM((dd + dd) * resid), 6) AS DOUBLE) AS g_disc,
-          CAST(ROUND(SUM(resid + resid), 6) AS DOUBLE) AS g_intercept
+          CAST(ROUND(SUM((qd + qd) * resid), 3) AS DOUBLE) AS g_qty,
+          CAST(ROUND(SUM(pd * resid * CAST(0.00002 AS DECIMAL(6,5))), 3) AS DOUBLE) AS g_price,
+          CAST(ROUND(SUM((dd + dd) * resid), 3) AS DOUBLE) AS g_disc,
+          CAST(ROUND(SUM(resid + resid), 3) AS DOUBLE) AS g_intercept
         FROM r""")),
 
     // ---- Normal loss (SSE, the reference's unscaled form) at fixed β.
@@ -206,7 +213,7 @@ object GlmQueries {
         val pd = col("l_extendedprice").cast("decimal(9,2)")
         val dd = col("l_discount").cast("decimal(3,2)")
         def out(c: org.apache.spark.sql.Column) =
-          round(sum(c), 6).cast("double")
+          round(sum(c), 3).cast("double")
         li.agg(
           out(qd * qd).as("g_qq"),
           out(qd * pd * dec("0.00001")).as("g_qp"),
