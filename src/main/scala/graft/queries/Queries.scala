@@ -78,7 +78,8 @@ object Queries {
   /** Decade-sweep input sampling pin (VERDICT r13 #1): the handful of
     * rows whose verification cost IS the corpus — q20/q26 materialize
     * one output row per lineitem row, q140 one per token, q05 one per
-    * order, q87 replays the full near-dup graph, and q104's
+    * order, q107 eight per vector with a 64-term SIN recompute each,
+    * q87 replays the full near-dup graph, and q104's
     * oracle-frozen k=4 config is exact all-pairs O(n²/4) BY DESIGN —
     * restrict their input on BOTH engines to a deterministic uniform
     * key sample: keep keys with key·2654435761 ≡ 0 (mod

@@ -602,9 +602,14 @@ object SimilarityQueries {
     // that lets 100 TB ANN rank candidates on 1/8 the scan bytes. The
     // native ProjectVec is lshBucket's raw-valued generalization; the
     // oracle recomputes every component (rounded 6 dp, same fold).
+    // Decade-pinned (sweepSampled, off at gate scale): the oracle
+    // recomputes every projection component — 64 SIN terms × 8 dims per
+    // vector ≈ 1e9 scalar ops at sf100's 2M vectors, which is what timed
+    // out the r14 sf100 sweep at the 600 s cap. Row-linear per vec_id,
+    // so a uniform key sample keeps the verified computation exact.
     Q("q107_random_project",
       (s, dir) =>
-        tbl(s, dir, "embeddings")
+        sweepSampled(tbl(s, dir, "embeddings"), "vec_id")
           .select(col("vec_id"), posexplode(
             graft.ops.Similarity.randomProject(
               col("embedding"), fromDim = 64, toDim = 8)))
@@ -616,11 +621,12 @@ object SimilarityQueries {
       // the hash compare sees -0.0 vs 0.0 (caught by the r13 sweep).
       // IEEE −0.0 + 0.0 = +0.0 and x + 0.0 = x for every other finite x,
       // so the wrap normalizes ONLY the signed-zero representation.
-      Some("""SELECT vec_id, CAST(j AS INTEGER) AS j,
+      Some(s"""SELECT vec_id, CAST(j AS INTEGER) AS j,
           ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(0, 64),
             i -> (embedding::DOUBLE[])[i+1] *
                  (SIN(i * 131.0 + j * 523.0) * (1.0 / SQRT(8.0))))), 6) + 0.0 AS proj
         FROM embeddings, UNNEST(RANGE(0, 8)) AS tj(j)
+        WHERE ${sweepSampleSql("vec_id")}
         ORDER BY vec_id, j""")),
 
     // ---- semantic decontamination (Dedup.cosineContaminated): corpus
