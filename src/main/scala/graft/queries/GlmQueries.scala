@@ -202,9 +202,13 @@ object GlmQueries {
     // β-independent — the Normal-family Hessian / 2). Same exact-decimal
     // strategy as q23: clean base-column casts, exact decimal products
     // (price/1e5 factors folded into decimal constants, intermediates
-    // ≤ 38 digits on both engines), exact sum → explicit ROUND(.,6)
+    // ≤ 38 digits on both engines), exact sum → explicit ROUND(.,3)
     // (half-away-from-zero on both engines; a decimal CAST would truncate
-    // on DuckDB but round on Spark) → DOUBLE.
+    // on DuckDB but round on Spark) → DOUBLE. 3 dp, not 6: at sf100 the
+    // 6-dp-scaled g_qq sum is 5.15e17 > 2^53, where decimal→double takes
+    // engine-specific double-rounding paths (the q24 defect class the
+    // r13 sf10 sweep caught); 3 dp keeps every scaled sum < 2^53 through
+    // sf1000 (g_qq ≈ 5.15e12 there, ×10³ = 5.15e15 < 9.01e15).
     Q("q25_gram",
       (s, dir) => {
         val li = tbl(s, dir, "lineitem")
@@ -228,12 +232,12 @@ object GlmQueries {
             CAST(l_discount AS DECIMAL(3,2)) AS dd
           FROM lineitem)
         SELECT
-          CAST(ROUND(SUM(qd * qd), 6) AS DOUBLE) AS g_qq,
-          CAST(ROUND(SUM(qd * pd * CAST(0.00001 AS DECIMAL(5,5))), 6) AS DOUBLE) AS g_qp,
-          CAST(ROUND(SUM(qd * dd), 6) AS DOUBLE) AS g_qd,
-          CAST(ROUND(SUM(pd * pd * CAST(0.0000000001 AS DECIMAL(10,10))), 6) AS DOUBLE) AS g_pp,
-          CAST(ROUND(SUM(pd * dd * CAST(0.00001 AS DECIMAL(5,5))), 6) AS DOUBLE) AS g_pd,
-          CAST(ROUND(SUM(dd * dd), 6) AS DOUBLE) AS g_dd
+          CAST(ROUND(SUM(qd * qd), 3) AS DOUBLE) AS g_qq,
+          CAST(ROUND(SUM(qd * pd * CAST(0.00001 AS DECIMAL(5,5))), 3) AS DOUBLE) AS g_qp,
+          CAST(ROUND(SUM(qd * dd), 3) AS DOUBLE) AS g_qd,
+          CAST(ROUND(SUM(pd * pd * CAST(0.0000000001 AS DECIMAL(10,10))), 3) AS DOUBLE) AS g_pp,
+          CAST(ROUND(SUM(pd * dd * CAST(0.00001 AS DECIMAL(5,5))), 3) AS DOUBLE) AS g_pd,
+          CAST(ROUND(SUM(dd * dd), 3) AS DOUBLE) AS g_dd
         FROM t""")),
 
     // ---- logistic probability per row, rounded to absorb libm exp ulps.

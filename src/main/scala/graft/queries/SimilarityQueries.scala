@@ -1303,13 +1303,16 @@ object SimilarityQueries {
       Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         cb AS (SELECT * FROM (VALUES $pqCodebookSqlValues) t(s, code, cw)),
         rv AS (
-          SELECT vec_id, LIST(p ORDER BY j) AS rv FROM (
-            SELECT vec_id, j,
+          -- streaming per-row rotation (nested lambda, outer j captured):
+          -- the UNNEST(64)+LIST(p ORDER BY j) form materialized n×64 rows
+          -- into a non-spillable LIST aggregate — 128M rows at sf100's 2M
+          -- vectors OOM'd DuckDB's 100 GB limit (r14 sweep). Same
+          -- arithmetic and per-component ROUND, row-wise.
+          SELECT vec_id, LIST_TRANSFORM(RANGE(0, 64), j ->
               ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(0, 64),
                 i -> v[i+1] * (CASE WHEN BIT_COUNT(j & i) % 2 = 0
-                  THEN 0.125 ELSE -0.125 END))), 6) AS p
-            FROM e, UNNEST(RANGE(0, 64)) u(j))
-          GROUP BY vec_id),
+                  THEN 0.125 ELSE -0.125 END))), 6)) AS rv
+          FROM e),
         sub AS (
           SELECT vec_id, s, rv[CAST(s*16+1 AS INTEGER) : CAST(s*16+16 AS INTEGER)] AS sv
           FROM rv, UNNEST(RANGE(0, 4)) u(s)),
