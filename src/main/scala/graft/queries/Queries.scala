@@ -85,9 +85,10 @@ object Queries {
     * key sample: keep keys with key·2654435761 ≡ 0 (mod
     * SPARK_GRAFT_SWEEP_SAMPLE_MOD). Knuth's multiplicative hash, the
     * same constant as q144's completeness probe, expressible
-    * identically in Spark and DuckDB BIGINT arithmetic (no overflow
-    * while key < 2⁶³/2654435761 ≈ 3.5e9 — sf1000's ~6e9 lineitem keys
-    * would need a wider scheme; every current fixture is far below).
+    * identically in Spark and DuckDB BIGINT arithmetic — evaluated in
+    * the reduce-before-multiply form (see [[sweepSampledWith]]) so the
+    * predicate stays overflow-free for any 64-bit key (sf1000's ~6e9
+    * orderkeys included).
     *
     * Default 1 = OFF: the sf0.01 CORRECTNESS gate, the sf1/sf10 sweeps,
     * and every recorded artifact are byte-identical with the knob
@@ -115,16 +116,27 @@ object Queries {
     sweepSampleSqlWith(key, SweepSampleMod)
 
   /** [[sweepSampled]] at an explicit modulus (SweepSampleSpec exercises
-    * mod > 1 in-JVM — the env-bound knob is fixed at object init). */
+    * mod > 1 in-JVM — the env-bound knob is fixed at object init).
+    *
+    * Reduce-before-multiply: ((key % m)·(c % m)) % m ≡ (key·c) % m for
+    * every nonnegative key, but the left form never leaves
+    * [0, m²) — the raw product overflows signed 64-bit at key ≥
+    * 2⁶³/2654435761 ≈ 3.5e9, i.e. one decade up (sf1000's ~6e9
+    * orderkeys), where Java wraps silently while DuckDB raises an
+    * overflow error: the two engines would DISAGREE about the sample
+    * exactly when the sweep matters most. Safe while mod < 2⁶³/c —
+    * every plausible sweep modulus. Kept-key sets are bit-identical
+    * to the historical raw form at every current fixture scale. */
   def sweepSampledWith(df: DataFrame, key: String, mod: Long): DataFrame =
     if (mod <= 1L) df
     else df.filter(
-      (col(key).cast("long") * lit(2654435761L)) % lit(mod) === 0L)
+      ((col(key).cast("long") % lit(mod)) * lit(2654435761L % mod))
+        % lit(mod) === 0L)
 
   /** [[sweepSampleSql]] at an explicit modulus. */
   def sweepSampleSqlWith(key: String, mod: Long): String =
     if (mod <= 1L) "TRUE"
-    else s"(($key * 2654435761) % $mod = 0)"
+    else s"((($key % $mod) * ${2654435761L % mod}) % $mod = 0)"
 
   // LAZY is load-bearing: the per-domain objects call Queries helpers
   // (dsumSql, sweepSampleSql) while BUILDING their qs vals, so a plain

@@ -45,6 +45,41 @@ class SweepSampleSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("sf1000-regime keys (> 2^63/c): engines agree, no overflow") {
+    // raw key·2654435761 overflows signed 64-bit above ~3.5e9 — Java
+    // would wrap while DuckDB raises; the reduce-before-multiply form
+    // must keep both engines on the true modular value for keys an
+    // order of magnitude past the overflow line (sf1000's ~6e9 ids).
+    import spark.implicits._
+    val keys = Seq(3_470_000_000L, 3_500_000_001L, 5_999_999_990L,
+      5_999_999_999L, 6_000_000_000L, 9_223_372_036L * 1000L,
+      Long.MaxValue / 2)
+    val kept = Queries.sweepSampledWith(keys.toDF("k"), "k", 97L)
+      .collect().map(_.getLong(0)).toSet
+    val expected = keys.filter { k =>
+      (BigInt(k) * BigInt(2654435761L)) % 97 == 0
+    }.toSet
+    assert(expected.nonEmpty, "fixture must keep at least one key (5999999990 = 97*61855670)")
+    assert(kept == expected, "engine must realize the exact BigInt modular value")
+    val haveDuck =
+      try new ProcessBuilder("python3", "-c", "import duckdb")
+        .redirectErrorStream(true).start().waitFor() == 0
+      catch { case _: Exception => false }
+    assume(haveDuck, "python3+duckdb unavailable — cross-engine pin skipped")
+    val frag = Queries.sweepSampleSqlWith("k", 97L)
+    val vals = keys.mkString("(", "), (", ")")
+    val py =
+      s"""import duckdb
+         |r = duckdb.sql("SELECT k FROM (VALUES $vals) t(k) WHERE $frag ORDER BY k").fetchall()
+         |print(",".join(str(x[0]) for x in r))""".stripMargin
+    val p = new ProcessBuilder("python3", "-c", py)
+      .redirectErrorStream(true).start()
+    val out = new String(p.getInputStream.readAllBytes()).trim
+    assert(p.waitFor() == 0, s"duckdb probe failed (overflow?): $out")
+    val duck = out.split(",").filter(_.nonEmpty).map(_.toLong).toSet
+    assert(duck == expected)
+  }
+
   test("DuckDB evaluates the SQL fragment to the same kept-key set") {
     val haveDuck =
       try new ProcessBuilder("python3", "-c", "import duckdb")
