@@ -1437,7 +1437,7 @@ object SimilarityQueries {
       (s, dir) => {
         semDedupSidecars(s, dir)
         graft.ops.Dedup.keepOnePerCluster(
-            tbl(s, dir, "embeddings"), "vec_id",
+            sweepSampled(tbl(s, dir, "embeddings"), "vec_id"), "vec_id",
             s.read.parquet(s"${sidecarBase(dir)}/q143_candidates.parquet"))
           .select(col("vec_id"))
           .orderBy("vec_id")
@@ -1445,7 +1445,8 @@ object SimilarityQueries {
       Some(s"""WITH
         cand AS MATERIALIZED (SELECT id1, id2
           FROM read_parquet('$SemDedupSidecarDir/$SidecarNsToken/q143_candidates.parquet/*.parquet')),
-        e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+          WHERE ${sweepSampleSql("vec_id")}),
         edges0 AS MATERIALIZED (
           SELECT c.id1, c.id2
           FROM cand c JOIN e a ON a.vec_id = c.id1
@@ -1486,7 +1487,9 @@ object SimilarityQueries {
         val cents = graft.ops.Similarity.loadCentroids(
           s, s"${sidecarBase(dir)}/q143_centroids.parquet")
         val np = effectiveNprobe(cents.length)
-        val emb = tbl(s, dir, "embeddings")
+        // same decade pin as q143 — the probe must sample the SAME
+        // subcorpus whose candidate sidecar it is auditing
+        val emb = sweepSampled(tbl(s, dir, "embeddings"), "vec_id")
         val b = math.max(1L, emb.count() / 8)
         val kb = math.min(b, 256L)
         // probes = the row's np nearest cells, nearest first; primary =
@@ -1494,9 +1497,14 @@ object SimilarityQueries {
         // one: a non-candidate pair where EITHER side's probe list holds
         // the OTHER side's primary cell and cosine >= τ is a violation
         // (at np=1 this reduces exactly to c1 = c2).
+        // reduce-before-multiply (the sweepSampledWith form): the raw
+        // vec_id·2654435761 wraps in Java but RAISES in DuckDB once ids
+        // pass 2^63/c ≈ 3.5e9 (sf1000's ~2e10 vec_ids); the reduced form
+        // is the identical modular value, overflow-free while b < 2^63/c
         val e = emb.select(col("vec_id"),
             col("embedding").cast("array<double>").as("v"),
-            (col("vec_id").cast("long") * lit(2654435761L) % lit(b)).as("pb"))
+            ((col("vec_id").cast("long") % lit(b)) * lit(2654435761L % b)
+              % lit(b)).as("pb"))
           .filter(col("pb") < lit(kb))
           .withColumn("probes",
             graft.ops.Similarity.ivfCells(col("v"), cents, np, roundDp = 6))
@@ -1528,13 +1536,16 @@ object SimilarityQueries {
           FROM read_parquet('$SemDedupSidecarDir/$SidecarNsToken/q143_candidates.parquet/*.parquet')),
         cents AS (SELECT cell, centroid::DOUBLE[] AS cv
           FROM read_parquet('$SemDedupSidecarDir/$SidecarNsToken/q143_centroids.parquet/*.parquet')),
-        e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+          WHERE ${sweepSampleSql("vec_id")}),
         nb AS (SELECT GREATEST(1, (SELECT COUNT(*) FROM e0) // 8) AS b),
         ep AS (
           SELECT vec_id, v,
-            (vec_id * 2654435761) % (SELECT b FROM nb) AS pb
+            ((vec_id % (SELECT b FROM nb)) * (2654435761 % (SELECT b FROM nb)))
+              % (SELECT b FROM nb) AS pb
           FROM e0
-          WHERE (vec_id * 2654435761) % (SELECT b FROM nb)
+          WHERE ((vec_id % (SELECT b FROM nb)) * (2654435761 % (SELECT b FROM nb)))
+              % (SELECT b FROM nb)
             < LEAST((SELECT b FROM nb), 256)),
         dist AS (
           SELECT vec_id, cell,
@@ -1703,7 +1714,14 @@ object SimilarityQueries {
         java.nio.file.StandardOpenOption.WRITE)
       val lock = ch.lock() // blocks until any other process's build finishes
       try {
-        val emb = tbl(s, dir, "embeddings")
+        // Decade-pinned input (sweepSampled, identity at gate scale):
+        // the sidecar edge graph and its q143/q144 oracles are exact
+        // end-to-end on the kept subcorpus. Without the pin, q143's
+        // O(candidates) replay is 1348 s at sf100 (52.1M edges) and
+        // ~4 h at sf1000 — the one row left past a 600 s cap (r14).
+        // The sampled n flows into the config fingerprint, so pinned
+        // and unpinned sidecars never alias.
+        val emb = Queries.sweepSampled(tbl(s, dir, "embeddings"), "vec_id")
         val n = emb.count()
         val k = graft.ops.Similarity.autoCellCount(n)
         val cfg = sidecarConfigFingerprint(n, k, dir)
