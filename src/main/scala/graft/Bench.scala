@@ -84,6 +84,117 @@ object Bench {
     f(11).toLong + f(12).toLong
   }
 
+  // ---- host-speed calibration (VERDICT r14 #2) -------------------------
+  //
+  // The foreign-CPU gate catches CONTENTION (another process burning
+  // cores) but is blind to host STARVATION: r14's two degraded runs
+  // showed 9–75 s whole-round stalls with ZERO foreign cores and still
+  // self-labeled authoritative; the builder had to hand-assemble an
+  // engine-independent DuckDB-replay yardstick (+43% that boot) to prove
+  // the box was at fault. This fixed pure-JVM kernel is that yardstick,
+  // mechanized: single-threaded, deterministic, memory-latency + ALU
+  // bound (the two resources a starved/thermally-degraded host loses),
+  // zero Spark/graft code in the path. It runs before and after the
+  // timed rounds; `authoritative` additionally requires both samples
+  // within CalTolerance of the committed best-known-host value
+  // (docs/artifacts/calibration_best.json), so a slow boot can never
+  // self-label comparable again.
+
+  /** Size of the calibration working set in longs (2^24 = 128 MiB —
+    * far past every cache level, so the strided pass measures real
+    * memory latency, not L3). */
+  val CalSizeLongs: Int = 1 << 24
+
+  /** Strided passes over the working set per measurement. */
+  val CalPasses: Int = 3
+
+  /** One calibration measurement: xorshift-fill a 128 MiB long array,
+    * then [[CalPasses]] full traversals at a coprime stride of 65 longs
+    * (520 B — every load a fresh cache line, and gcd(65, 2^24) = 1 walks
+    * ALL 2^24 slots each pass rather than a cache-resident subset).
+    * Returns (seconds, checksum); the checksum defeats dead-code
+    * elimination and pins kernel determinism in BenchOnlySpec. */
+  def calibrationRun(): (Double, Long) = {
+    val n = CalSizeLongs
+    val a = new Array[Long](n)
+    val t0 = System.nanoTime()
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < n) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      a(i) = x
+      i += 1
+    }
+    var sum = 0L
+    var p = 0
+    while (p < CalPasses) {
+      var j = 0
+      var k = 0
+      while (j < n) {
+        sum += a(k) * 0x100000001b3L + j
+        k = (k + 65) & (n - 1)
+        j += 1
+      }
+      p += 1
+    }
+    ((System.nanoTime() - t0) / 1e9, sum)
+  }
+
+  /** Host-speed measurement: min of `reps` kernel runs (min is the
+    * capability statistic — any interference only ever ADDS time). */
+  def measureCalibration(reps: Int = 3): (Double, Long) = {
+    require(reps >= 1)
+    var best = Double.MaxValue
+    var sum = 0L
+    var r = 0
+    while (r < reps) {
+      val (s, c) = calibrationRun()
+      if (s < best) best = s
+      sum = c
+      r += 1
+    }
+    (best, sum)
+  }
+
+  /** Tolerance band: a calibration sample within tol× the committed
+    * best-known-host value counts as "this host is at recorded speed".
+    * 1.15 resolves the observed failure modes (the r14 starved boot
+    * measured +43% on the engine-independent yardstick; the residual
+    * drift boot +16.4% on timed rows) while sitting far above the
+    * kernel's own run-to-run jitter (single-threaded, min-of-3: <5%). */
+  val CalTolerance: Double =
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_CAL_TOL", "1.15").toDouble
+
+  /** The committed best-known-host calibration, if any: env override
+    * first (tests), else docs/artifacts/calibration_best.json's
+    * `calibration_best_s`. None = no reference yet (first round on a
+    * host) — the gate then passes vacuously and the run's own number
+    * becomes the candidate to commit. */
+  def loadCalibrationBest(): Option[Double] =
+    sys.env.get("SPARK_GRAFT_BENCH_CAL_BEST").map(_.toDouble).orElse {
+      try {
+        val p = java.nio.file.Paths.get("docs/artifacts/calibration_best.json")
+        if (!java.nio.file.Files.exists(p)) None
+        else {
+          val j = org.json4s.jackson.JsonMethods.parse(
+            java.nio.file.Files.readString(p))
+          (j \ "calibration_best_s") match {
+            case org.json4s.JDouble(d) => Some(d)
+            case org.json4s.JDecimal(d) => Some(d.toDouble)
+            case org.json4s.JInt(i) => Some(i.toDouble)
+            case _ => None
+          }
+        }
+      } catch { case _: Throwable => None }
+    }
+
+  /** The calibration gate predicate (pure — BenchOnlySpec pins it):
+    * ok iff no committed best exists yet, or `sample ≤ best·tol`.
+    * A sample FASTER than best always passes (it's a new record to
+    * commit, not a degradation). */
+  def calibrationOk(sample: Double, best: Option[Double], tol: Double): Boolean =
+    best.forall(b => sample <= b * tol)
+
   /** (box busy jiffies, self jiffies, wall nanos) — None off-Linux. */
   def cpuSnap(): Option[(Long, Long, Long)] = try {
     val stat = java.nio.file.Files.readAllLines(
@@ -170,6 +281,15 @@ object Bench {
         "cores busy at start — timings will be contaminated; prefer a " +
         "quiet box (every row will be re-sampled and the artifact " +
         "self-labels non-authoritative)")
+    // Host-speed calibration sample #1: BEFORE the Spark session exists,
+    // so the kernel shares the box with nothing of ours.
+    val calBest = loadCalibrationBest()
+    val (calStart, _) = measureCalibration()
+    if (!calibrationOk(calStart, calBest, CalTolerance))
+      System.err.println(f"[bench] WARNING: calibration $calStart%.3f s vs " +
+        f"best-known ${calBest.getOrElse(Double.NaN)}%.3f s exceeds " +
+        f"tolerance ×$CalTolerance%.2f — host is slower than the recorded " +
+        "state (starved/degraded); artifact self-labels non-authoritative")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -533,23 +653,46 @@ object Bench {
       case (Some(a), Some(b)) => foreignCores(a, b)
       case _ => -1.0
     }
+    // Calibration sample #2: AFTER the timed rounds (Spark still up but
+    // idle — matches the conditions a mid-run degradation would leave).
+    // Both samples must sit inside the band: a box that degrades DURING
+    // the run fails on the end sample even if it started healthy.
+    val (calEnd, _) = measureCalibration()
+    val calOk = calibrationOk(calStart, calBest, CalTolerance) &&
+      calibrationOk(calEnd, calBest, CalTolerance)
+    if (calBest.exists(b => math.min(calStart, calEnd) < b))
+      System.err.println(f"[bench] note: calibration " +
+        f"${math.min(calStart, calEnd)}%.3f s beats the committed best " +
+        f"${calBest.get}%.3f s — update docs/artifacts/calibration_best.json")
     // The artifact SELF-LABELS whether its numbers are authoritative
     // (VERDICT r13 #2: r13 shipped a loaded official run and a quiet run
     // with no marker, and the round doc cherry-picked per metric):
     // foreign CPU observed at start, at end, or during any round
-    // disqualifies it.
-    val authoritative = !loadedEver && !contaminated(foreignEnd)
-    val json = s"""{"metric":"total","value":${num(headlineMedianTotal)},"unit":"sec","headline_median_total":${num(headlineMedianTotal)},"headline_min_total":${num(headlineMinTotal)}$deltaJson,"authoritative":$authoritative,"interleaved":true,"queries":${jmap(results)},"queries_min":${jmap(mins)},"samples":${jsamples(samples.map { case (k, v) => k -> v.toSeq })},"reruns":${reruns.map("\"" + _ + "\"").mkString("[", ",", "]")},"load_avg_start":${num(loadStart)},"load_avg_end":${num(loadEnd)},"foreign_cores_start":${num(foreignStart)},"foreign_cores_end":${num(foreignEnd)},"foreign_cores_rounds":${loadRounds.map(num).mkString("[", ",", "]")},"sf":"$sfDir"}"""
-    println(json)
-    // Machine-readable artifact: the driver's BENCH_r*.json wrapper clips
-    // long stdout, so the medians dict was unreadable as data. Persist
-    // the full result object where the wrapper (and the judge) can load
-    // it verbatim instead of regex-mining a truncated tail.
+    // disqualifies it — and so does a calibration sample outside the
+    // best-known-host band (VERDICT r14 #2: starvation is invisible to
+    // the foreign-core gate; the r14 degraded runs self-labeled true).
+    val authoritative = !loadedEver && !contaminated(foreignEnd) && calOk
+    val calJson = s""","calibration_s_start":${num(calStart)}""" +
+      s""","calibration_s_end":${num(calEnd)}""" +
+      s""","calibration_best_s":${calBest.map(num).getOrElse("null")}""" +
+      s""","calibration_tol":${num(CalTolerance)}""" +
+      s""","calibration_ok":$calOk"""
+    // Two emissions, one truth: the STDOUT line is the driver's record
+    // and the driver clips long stdout (BENCH_r13/r14 carried
+    // parsed:null with the medians lost in a truncated tail — VERDICT
+    // r14 #4), so it carries every scalar plus the per-query medians but
+    // NOT the bulky sample arrays; the tmp/bench_result.json artifact is
+    // the superset with samples/mins/round-by-round foreign cores.
+    val scalars = s""""metric":"total","value":${num(headlineMedianTotal)},"unit":"sec","headline_median_total":${num(headlineMedianTotal)},"headline_min_total":${num(headlineMinTotal)}$deltaJson$calJson,"authoritative":$authoritative,"interleaved":true,"load_avg_start":${num(loadStart)},"load_avg_end":${num(loadEnd)},"foreign_cores_start":${num(foreignStart)},"foreign_cores_end":${num(foreignEnd)}"""
+    val compactJson =
+      s"""{$scalars,"queries":${jmap(results)},"sf":"$sfDir"}"""
+    val fullJson = s"""{$scalars,"queries":${jmap(results)},"queries_min":${jmap(mins)},"samples":${jsamples(samples.map { case (k, v) => k -> v.toSeq })},"reruns":${reruns.map("\"" + _ + "\"").mkString("[", ",", "]")},"foreign_cores_rounds":${loadRounds.map(num).mkString("[", ",", "]")},"sf":"$sfDir"}"""
+    println(compactJson)
     val outDir = new java.io.File("tmp")
     outDir.mkdirs()
     java.nio.file.Files.write(
       java.nio.file.Paths.get("tmp/bench_result.json"),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

@@ -209,6 +209,10 @@ object GlmQueries {
     // engine-specific double-rounding paths (the q24 defect class the
     // r13 sf10 sweep caught); 3 dp keeps every scaled sum < 2^53 through
     // sf1000 (g_qq ≈ 5.15e12 there, ×10³ = 5.15e15 < 9.01e15).
+    // History note (so 6→3 isn't mistaken for precision loss): before
+    // r14 the Spark builder ALREADY rounded to 3 dp while the oracle
+    // rounded to 6 — a latent cross-engine mismatch; r14 aligned the
+    // oracle to the builder's 3 dp, a fix, not a downgrade (ADVICE r14).
     Q("q25_gram",
       (s, dir) => {
         val li = tbl(s, dir, "lineitem")

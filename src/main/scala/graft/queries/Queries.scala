@@ -103,6 +103,15 @@ object Queries {
   val SweepSampleMod: Long = {
     val v = sys.env.getOrElse("SPARK_GRAFT_SWEEP_SAMPLE_MOD", "1").toLong
     require(v >= 1, s"SPARK_GRAFT_SWEEP_SAMPLE_MOD must be >= 1, got $v")
+    // The reduce-before-multiply predicate is overflow-free only while
+    // mod < 2⁶³/2654435761 ≈ 3.47e9 ([[sweepSampledWith]]); past it the
+    // (key%m)·(c%m) product wraps in Spark where DuckDB raises, which is
+    // the exact engine divergence the reduced form eliminates. Enforce
+    // the documented bound at the knob so an out-of-range modulus fails
+    // loudly instead of diverging (ADVICE r14).
+    require(v < Long.MaxValue / 2654435761L,
+      s"SPARK_GRAFT_SWEEP_SAMPLE_MOD=$v exceeds the overflow-free bound " +
+        s"2^63/2654435761 (~3.47e9) of the cross-engine sample predicate")
     v
   }
 

@@ -1491,6 +1491,14 @@ object SimilarityQueries {
         // subcorpus whose candidate sidecar it is auditing
         val emb = sweepSampled(tbl(s, dir, "embeddings"), "vec_id")
         val b = math.max(1L, emb.count() / 8)
+        // Same overflow contract as SweepSampleMod's knob guard: the
+        // reduce-before-multiply hash below stays in [0, b²) only while
+        // b < 2⁶³/c; past that Spark wraps where DuckDB raises. ~1.15e9
+        // vectors (b = n/8 ≈ 3.47e9) is ~50× sf1000 — fail loudly there
+        // rather than diverge silently (ADVICE r14).
+        require(b < Long.MaxValue / 2654435761L,
+          s"q144 bucket count b=$b exceeds the overflow-free bound " +
+            s"2^63/2654435761 of the cross-engine probe-bucket hash")
         val kb = math.min(b, 256L)
         // probes = the row's np nearest cells, nearest first; primary =
         // element 1. The multi-probe invariant generalizes the same-cell
@@ -1661,7 +1669,13 @@ object SimilarityQueries {
   private[graft] def sidecarConfigFingerprint(
       n: Long, k: Long, dir: String): String =
     s"v1;n=$n;k=$k;tau=$SemDedupTauSql;dp=6;maxBucket=${1 << 20};" +
-      s"seed=7;iters=5;mtp=${SemDedupNprobe - 1};in=${inputListingHash(dir)}"
+      s"seed=7;iters=5;mtp=${SemDedupNprobe - 1};" +
+      // The sample predicate is part of the sidecar's identity (ADVICE
+      // r14): without it, two different mods with the same kept-count
+      // (aliasing through n alone) would silently reuse a sidecar built
+      // from a DIFFERENT kept subcorpus, and q143/q144 would audit
+      // candidates against a mismatched sample.
+      s"mod=${Queries.SweepSampleMod};in=${inputListingHash(dir)}"
 
   /** JVM-wide guard for the sidecar build: java file locks are
     * per-process (a second lock() in the same JVM throws

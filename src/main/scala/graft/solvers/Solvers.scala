@@ -15,21 +15,47 @@ import graft.regularizers.Regularizer
   */
 object Solvers {
 
+  /** Control-flow signal for the maxFun evaluation cap: thrown by the
+    * counting wrapper in [[safeLbfgs]] once the objective has been
+    * evaluated maxFun times, caught there, never escapes. */
+  private[graft] final class MaxFunReached extends RuntimeException(
+    null, null, false, false)
+
   /** Breeze LBFGS that tolerates line-search failures by returning the last
     * completed iterate (scipy's fmin_l_bfgs_b similarly returns its best-
-    * so-far instead of raising). */
+    * so-far instead of raising).
+    *
+    * `maxFun` caps objective EVALUATIONS separately from iterations —
+    * the reference's ADMM local solver runs
+    * fmin_l_bfgs_b(maxiter=200, maxfun=250) (algorithms.py:345), where
+    * a single iteration's line search may evaluate several times; a
+    * pathological line search could otherwise spend far more than
+    * maxIter evaluations. The cap stops AT eval maxFun+1 (scipy stops
+    * when the count exceeds maxfun) and returns the last completed
+    * iterate, exactly the line-search-failure fallback path. */
   private[graft] def safeLbfgs(
       f: DiffFunction[DenseVector[Double]],
       init: DenseVector[Double],
       maxIter: Int,
       m: Int = 10,
-      tol: Double = 1e-5): DenseVector[Double] = {
+      tol: Double = 1e-5,
+      maxFun: Int = Int.MaxValue): DenseVector[Double] = {
     val opt = new LBFGS[DenseVector[Double]](maxIter = maxIter, m = m, tolerance = tol)
+    val counted =
+      if (maxFun == Int.MaxValue) f
+      else new DiffFunction[DenseVector[Double]] {
+        private var evals = 0
+        def calculate(x: DenseVector[Double]): (Double, DenseVector[Double]) = {
+          evals += 1
+          if (evals > maxFun) throw new MaxFunReached
+          f.calculate(x)
+        }
+      }
     var last = init
     try {
-      val it = opt.iterations(f, init)
+      val it = opt.iterations(counted, init)
       while (it.hasNext) last = it.next().x
-    } catch { case _: FirstOrderException => () }
+    } catch { case _: FirstOrderException | _: MaxFunReached => () }
     last
   }
 
@@ -465,7 +491,11 @@ object Solvers {
             (l, DenseVector(g) + diffV * rho)
           }
         }
-        Iterator.single((idx, safeLbfgs(diff, init, maxIter = 200).toArray))
+        // maxIter=200, maxFun=250: the reference's exact local-solver
+        // cost ceiling (fmin_l_bfgs_b(maxiter=200, maxfun=250),
+        // algorithms.py:345) — iterations AND evaluations both capped.
+        Iterator.single((idx,
+          safeLbfgs(diff, init, maxIter = 200, maxFun = 250).toArray))
       }
       .collect()
       .sortBy(_._1)

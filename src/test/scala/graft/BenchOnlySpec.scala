@@ -97,4 +97,39 @@ class BenchOnlySpec extends AnyFunSuite {
     assert(busy > 0L)
     assert(self >= 0L && self <= busy)
   }
+
+  // ---- host-speed calibration (VERDICT r14 #2) ----
+
+  test("calibration kernel is deterministic and visits the full set") {
+    // Identical checksum on every run (same fill, same stride walk) —
+    // the kernel's work cannot silently change between rounds, so its
+    // TIME is comparable across artifacts.
+    val (s1, c1) = Bench.calibrationRun()
+    val (_, c2) = Bench.calibrationRun()
+    assert(c1 == c2)
+    assert(s1 > 0.0)
+    // stride 65 is coprime to the power-of-two size: the walk returns
+    // to slot 0 only after exactly CalSizeLongs steps (full coverage,
+    // not a cache-resident subset)
+    val n = Bench.CalSizeLongs
+    var k = 0
+    var steps = 0
+    do { k = (k + 65) & (n - 1); steps += 1 } while (k != 0)
+    assert(steps == n)
+  }
+
+  test("calibrationOk: no best = vacuous pass; band edges; faster passes") {
+    assert(Bench.calibrationOk(99.0, None, 1.15)) // first round on a host
+    assert(Bench.calibrationOk(1.15, Some(1.0), 1.15)) // at the edge
+    assert(!Bench.calibrationOk(1.16, Some(1.0), 1.15)) // past it
+    assert(Bench.calibrationOk(0.5, Some(1.0), 1.15)) // new record passes
+  }
+
+  test("measureCalibration returns the min of its reps") {
+    val (best, _) = Bench.measureCalibration(reps = 2)
+    val (single, _) = Bench.calibrationRun()
+    // min-of-2 can't exceed a fresh single sample by more than jitter;
+    // the real assertion is it parses, runs, and is positive/finite
+    assert(best > 0.0 && java.lang.Double.isFinite(best) && single > 0.0)
+  }
 }
