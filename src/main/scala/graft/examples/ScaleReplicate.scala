@@ -37,7 +37,18 @@ object ScaleReplicate {
 
   /** The document replica family (exposed for ScaleReplicateSpec, which
     * proves the isomorphism claim the scale-up table rests on). */
-  def docReplicas(docs: DataFrame, factor: Int, nDoc: Long): Seq[DataFrame] = {
+  /** `suffix` tags the renaming family: replica r appends s"$suffix$r"
+    * to every non-preserved token. A COMPOSED build (replicating an
+    * already-replicated dir, the fourth-decade fixture path) must use a
+    * suffix distinct from the inner build's: with the same "x" on both
+    * levels, outer-r applied to the inner IDENTITY replica reproduces
+    * inner-r's vocabulary on the same base text — outer-r(inner-0) and
+    * inner-r become exact cross-replica duplicates for every r below
+    * the outer factor, the quadratic artifact this family exists to
+    * exclude. Distinct suffixes ("y" over "x") keep every level's
+    * renaming a mutually disjoint bijection. */
+  def docReplicas(docs: DataFrame, factor: Int, nDoc: Long,
+      suffix: String = "x"): Seq[DataFrame] = {
     val preservedArr = array(Preserved.map(lit): _*)
     (0 until factor).map { r =>
       if (r == 0) docs
@@ -45,7 +56,7 @@ object ScaleReplicate {
         val renamed = array_join(
           transform(split(col("text"), " +"),
             w => when(array_contains(preservedArr, w), w)
-              .otherwise(concat(w, lit(s"x$r")))), " ")
+              .otherwise(concat(w, lit(s"$suffix$r")))), " ")
         docs
           .withColumn("doc_id", col("doc_id") + lit(r * nDoc))
           .withColumn("text", renamed)
@@ -156,7 +167,7 @@ object ScaleReplicate {
     }
   }
 
-  /** args: srcDir dstDir factor [tables]
+  /** args: srcDir dstDir factor [tables] [docSuffix]
     *
     * `tables` (comma list ⊆ documents,embeddings,lineitem,orders,
     * customer,events; default documents,embeddings,lineitem)
@@ -179,6 +190,9 @@ object ScaleReplicate {
     val tables: Set[String] =
       if (args.length > 3) args(3).split(",").map(_.trim).filter(_.nonEmpty).toSet
       else Set("documents", "embeddings", "lineitem")
+    // composed builds pass a suffix distinct from the source dir's own
+    // renaming family (see docReplicas's compose caveat)
+    val docSuffix = if (args.length > 4) args(4) else "x"
     val known = Set("documents", "embeddings", "lineitem",
       "orders", "customer", "events")
     val unknown = tables -- known
@@ -195,7 +209,7 @@ object ScaleReplicate {
     if (tables("documents")) {
       val docs = spark.read.parquet(s"$src/documents.parquet")
       val nDoc = docs.agg(max("doc_id")).head().getLong(0) + 1L
-      writeBatched(docReplicas(docs, factor, nDoc),
+      writeBatched(docReplicas(docs, factor, nDoc, docSuffix),
         s"$out/documents.parquet", batch = 250, parts = 32)
       println(s"[scale-replicate] documents x$factor: ${nDoc * factor}")
     }

@@ -322,6 +322,189 @@ object Similarity {
     centroids
   }
 
+  // ---- two-level coarse quantizer (VERDICT r14 #6) ---------------------
+  //
+  // The flat trainer above holds the full k·d centroid matrix on the
+  // driver and assignment is one O(n·k·d) pass — fine to k ~ 10⁵, but at
+  // the autoCellCount discipline (k ≈ n/256) a 10¹⁰-vector corpus wants
+  // k ≈ 4·10⁷: ~20 GB of driver state and an impractical scan. The
+  // standard fix (FAISS IVF_HNSW/IMI lineage) is hierarchical routing:
+  // √k SUPER-cells trained flat (driver state √k·d — 3 MB at the 10¹⁰
+  // target), then ≈√k SUB-centroids per super-cell trained DISTRIBUTED —
+  // the leaf table lives as a DataFrame keyed by super-cell and is never
+  // collected. Routing a vector costs √k·d (broadcast super argmin) +
+  // (k/√k)·d (argmin within one super-cell's sub-list), i.e.
+  // O(√k·d) per vector instead of O(k·d); driver state is
+  // O(√k·d + (k/√k)·d) — the super table plus ONE cell's sub-list in
+  // flight — instead of O(k·d).
+
+  /** Handle for a trained two-level quantizer: `supers` is the flat
+    * √k-sized coarse table (driver/broadcast state), `leaves` the
+    * distributed sub-centroid table `(superId, subId, centroid)` —
+    * leafId (superId, subId) is the routed cell identity. */
+  final case class HierIndex(
+      supers: Array[Array[Double]], leaves: DataFrame) {
+    /** Leaf count (≈ the requested kCells; proportional occupancy
+      * allocation rounds per super-cell). Runs a small agg job. */
+    def leafCount(): Long = leaves.count()
+    /** The flattened leaf table, ordered by (superId, subId) — for
+      * small-k compatibility and the route-equivalence spec ONLY; at
+      * the 10¹⁰-scale k this is the exact O(k·d) driver materialization
+      * the two-level design exists to avoid. */
+    def collectLeaves(): Array[Array[Double]] =
+      leaves.orderBy(col("superId"), col("subId"))
+        .select(col("centroid")).collect()
+        .map(_.getSeq[Double](0).toArray)
+  }
+
+  /** Squared L2 distance between two array<double> columns via
+    * higher-order functions (codegen'd, no UDF). */
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Train a two-level quantizer with ≈`kCells` leaves. Super-cells:
+    * `ceil(√kCells)`, trained with the flat [[trainIvfCentroids]] (same
+    * seed/iters/maxTrainPoints semantics — driver state √k·d). Sub-
+    * centroids: allocated per super-cell PROPORTIONALLY to training
+    * occupancy (≥1 each; an empty super-cell keeps its super centroid
+    * as its single leaf so routing is total), initialized from a seeded
+    * hash order, refined with `iters` distributed Lloyd rounds — each
+    * round is one shuffle of the (capped) training set joined to the
+    * per-super sub-lists, one groupBy mean update. The driver never
+    * holds the leaf table.
+    *
+    * Training cost per round: O(t·(√k + k/√k)·d) for t training points
+    * — at k = n/256 that is O(n·√k·d/256) vs the flat trainer's
+    * O(n·k·d/256): a √k speedup with the same broadcast discipline. */
+  def trainIvfCentroidsTwoLevel(
+      corpus: DataFrame, vecCol: String, kCells: Int, iters: Int = 5,
+      seed: Long = 42L, maxTrainPoints: Long = -1L): HierIndex = {
+    require(kCells >= 1, s"kCells must be >= 1, got $kCells")
+    val kSuper = math.max(1, math.ceil(math.sqrt(kCells.toDouble)).toInt)
+    val supers = trainIvfCentroids(corpus, vecCol, kSuper, iters, seed,
+      maxTrainPoints)
+    val spark = corpus.sparkSession
+
+    // Training set for the sub level: same cap semantics as the flat
+    // trainer (0 = auto 64·kCells, <0 = full corpus, >0 = explicit).
+    val cap =
+      if (maxTrainPoints == 0L) 64L * kCells
+      else if (maxTrainPoints < 0L) Long.MaxValue
+      else maxTrainPoints
+    val base = corpus.select(col(vecCol).cast("array<double>").as("v"))
+    val nAll = base.count()
+    val train0 =
+      if (nAll > cap) base.sample(withReplacement = false,
+        fraction = cap.toDouble / nAll, seed = seed ^ 0x5eed5eedL)
+      else base
+    // Route every training point to its super-cell once (broadcast
+    // argmin, √k·d per row) and persist: every Lloyd round below and
+    // the occupancy counts scan this, not the corpus.
+    val routed = train0
+      .withColumn("superId", ivfCell(col("v"), supers))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = math.max(1L, routed.count())
+
+    // Proportional leaf allocation: super-cell s gets
+    // max(1, round(kCells·occupancy_s/total)) sub-centroids, clamped to
+    // its occupancy (Lloyd cannot place more centroids than points).
+    val alloc = routed.groupBy("superId")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("kSub", greatest(lit(1L), least(col("cnt"),
+        round(col("cnt") * lit(kCells.toDouble) / lit(total.toDouble)))))
+      .select(col("superId"), col("kSub"))
+
+    // Init: the kSub_s points with the smallest seeded hash per
+    // super-cell (deterministic, uniform over the training sample).
+    val w = Window.partitionBy(col("superId"))
+      .orderBy(xxhash64(col("v").cast("string"), lit(seed)), col("v").cast("string"))
+    var subs = routed
+      .withColumn("rn", row_number().over(w))
+      .join(alloc, "superId")
+      .filter(col("rn") <= col("kSub"))
+      .select(col("superId"), (col("rn") - 1).cast("int").as("subId"),
+        col("v").as("centroid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    subs.count()
+
+    // Distributed Lloyd on the sub level: join each training point with
+    // its super-cell's sub-list (one shuffle on superId), argmin inside
+    // the list (k/√k·d per row, higher-order fold — no UDF), mean
+    // update via groupBy. Empty sub-cells keep their previous centroid
+    // (left join below), matching the flat trainer's empty-cell rule.
+    val dim = supers(0).length
+    var it = 0
+    while (it < iters) {
+      val lists = subs.groupBy("superId")
+        .agg(collect_list(struct(col("subId"), col("centroid"))).as("subs"))
+      val assigned = routed.join(lists, "superId")
+        .withColumn("best", aggregate(col("subs"),
+          struct(lit(Double.MaxValue).as("d"), lit(-1).as("subId")),
+          (acc, s) => {
+            val d = sqDist(col("v"), s.getField("centroid"))
+            when(d < acc.getField("d"),
+              struct(d.as("d"), s.getField("subId").as("subId")))
+              .otherwise(acc)
+          }))
+        .select(col("superId"), col("best.subId").as("subId"), col("v"))
+      val means = assigned.groupBy("superId", "subId")
+        .agg(array((0 until dim).map(i =>
+          avg(element_at(col("v"), i + 1))): _*).as("newCentroid"))
+      val next = subs.join(means, Seq("superId", "subId"), "left")
+        .select(col("superId"), col("subId"),
+          coalesce(col("newCentroid"), col("centroid")).as("centroid"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      subs.unpersist(false)
+      subs = next
+      it += 1
+    }
+
+    // Zero-occupancy super-cells (possible when the flat super trainer
+    // kept an empty cell's init centroid): their super centroid becomes
+    // their single leaf so downstream routing is total over superIds.
+    val present = subs.select(col("superId")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val missing = supers.indices.filterNot(present)
+    val leaves =
+      if (missing.isEmpty) subs
+      else subs.unionByName(spark.createDataFrame(
+        spark.sparkContext.parallelize(missing.map(s =>
+          org.apache.spark.sql.Row(s, 0, supers(s).toSeq)), 1),
+        subs.schema))
+    routed.unpersist(false)
+    HierIndex(supers, leaves)
+  }
+
+  /** Routed cell assignment under a two-level quantizer: stage 1 is the
+    * broadcast super argmin (√k·d per row), stage 2 a join on superId
+    * against the per-super sub-lists and an in-row argmin (k/√k·d per
+    * row). Returns `df` plus `superId`/`subId` columns — (superId,
+    * subId) is the leaf cell identity. The join side carries kSuper
+    * rows of (k/√k)·d each; Spark broadcasts it while it stays under
+    * the broadcast threshold and shuffle-joins beyond — either way the
+    * DRIVER never materializes the leaf table. */
+  def assignCellsTwoLevel(df: DataFrame, vecCol: String,
+      hier: HierIndex): DataFrame = {
+    val lists = hier.leaves.groupBy("superId")
+      .agg(collect_list(struct(col("subId"), col("centroid"))).as("__subs"))
+    df.withColumn("superId",
+        ivfCell(col(vecCol).cast("array<double>"), hier.supers))
+      .join(lists, "superId")
+      .withColumn("__best", aggregate(col("__subs"),
+        struct(lit(Double.MaxValue).as("d"), lit(-1).as("subId")),
+        (acc, s) => {
+          val d = sqDist(col(vecCol).cast("array<double>"),
+            s.getField("centroid"))
+          when(d < acc.getField("d"),
+            struct(d.as("d"), s.getField("subId").as("subId")))
+            .otherwise(acc)
+        }))
+      .withColumn("subId", col("__best.subId"))
+      .drop("__subs", "__best")
+  }
+
   /** Nearest-centroid cell id for a vector column (broadcast centroid
     * table + native argmin, [[graft.functions.NearestCell]]). When
     * `roundDp >= 0` the squared distance is rounded before the argmin so

@@ -1,0 +1,97 @@
+package graft
+
+import graft.ops.Similarity
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Two-level coarse quantizer (VERDICT r14 #6): route-equivalence at
+  * small k, leaf accounting, determinism, and the degenerate shapes.
+  * The scale claim itself — driver state O(√k·d + (k/√k)·d), routing
+  * O(√k·d) per vector — is a design property documented at the
+  * definition; these tests pin the SEMANTICS the production path must
+  * keep while the fixture is small enough to compare against flat
+  * argmin. */
+class HierIvfSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  /** A well-separated synthetic corpus: `k` cluster centers on distinct
+    * coordinate axes (scale 10), `per` points each with ±0.1 jitter in
+    * dimension `d`. Cluster structure is unambiguous at any quantizer
+    * granularity, so flat and routed assignments must agree. */
+  private def clustered(k: Int, per: Int, d: Int, seed: Long = 11L) = {
+    val rng = new scala.util.Random(seed)
+    val rows = for {
+      c <- 0 until k
+      _ <- 0 until per
+    } yield {
+      val v = Array.fill(d)(rng.nextDouble() * 0.2 - 0.1)
+      v(c % d) += 10.0 * (1 + c / d)
+      (c.toLong * per + rng.nextInt(per), v.toSeq)
+    }
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("route-equivalence at small k: two-level argmin == flat argmin " +
+    "over the SAME leaf set on separated clusters") {
+    val df = clustered(k = 16, per = 40, d = 8)
+    val hier = Similarity.trainIvfCentroidsTwoLevel(
+      df, "embedding", kCells = 16, iters = 5, seed = 7L)
+    // routed assignment
+    val routed = Similarity.assignCellsTwoLevel(df, "embedding", hier)
+      .select(col("vec_id"), col("superId"), col("subId"))
+    // flat argmin over the flattened leaves, with leafId -> (super, sub)
+    // via the same (superId, subId) ordering collectLeaves uses
+    val leaves = hier.collectLeaves()
+    val ids = hier.leaves.orderBy(col("superId"), col("subId"))
+      .select(col("superId"), col("subId")).collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+    val flat = df.withColumn("leaf",
+        Similarity.ivfCell(col("embedding"), leaves))
+      .select(col("vec_id"), col("leaf")).collect()
+      .map(r => r.getLong(0) -> ids(r.getInt(1))).toMap
+    val routedMap = routed.collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(routedMap.keySet == flat.keySet, "routing must be total")
+    val disagree = routedMap.count { case (id, cell) => flat(id) != cell }
+    assert(disagree == 0,
+      s"$disagree/${routedMap.size} rows route to a different leaf than " +
+        "the flat argmin over the same leaf set")
+  }
+
+  test("leaf count ≈ kCells and every point gets exactly one leaf") {
+    val df = clustered(k = 12, per = 30, d = 8)
+    val hier = Similarity.trainIvfCentroidsTwoLevel(
+      df, "embedding", kCells = 24, iters = 3, seed = 3L)
+    val n = hier.leafCount()
+    // proportional rounding: within ±kSuper of the request
+    assert(math.abs(n - 24) <= math.ceil(math.sqrt(24)).toLong + 1,
+      s"leafCount $n far from requested 24")
+    val assigned = Similarity.assignCellsTwoLevel(df, "embedding", hier)
+    assert(assigned.count() == df.count(), "assignment must not drop rows")
+    assert(assigned.filter(col("subId") < 0).count() == 0,
+      "every row must land in a real sub-cell")
+  }
+
+  test("training is deterministic for a fixed seed") {
+    val df = clustered(k = 6, per = 25, d = 8)
+    val a = Similarity.trainIvfCentroidsTwoLevel(
+      df, "embedding", kCells = 9, iters = 3, seed = 5L)
+    val b = Similarity.trainIvfCentroidsTwoLevel(
+      df, "embedding", kCells = 9, iters = 3, seed = 5L)
+    assert(a.supers.map(_.toSeq).toSeq == b.supers.map(_.toSeq).toSeq)
+    assert(a.collectLeaves().map(_.toSeq).toSeq ==
+      b.collectLeaves().map(_.toSeq).toSeq)
+  }
+
+  test("kCells = 1 degenerates to a single leaf; routing still total") {
+    val df = clustered(k = 3, per = 10, d = 4)
+    val hier = Similarity.trainIvfCentroidsTwoLevel(
+      df, "embedding", kCells = 1, iters = 2, seed = 1L)
+    assert(hier.supers.length == 1)
+    assert(hier.leafCount() == 1L)
+    val assigned = Similarity.assignCellsTwoLevel(df, "embedding", hier)
+    assert(assigned.select("superId", "subId").distinct().count() == 1L)
+    assert(assigned.count() == df.count())
+  }
+}
