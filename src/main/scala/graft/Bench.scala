@@ -140,15 +140,106 @@ object Bench {
     ((System.nanoTime() - t0) / 1e9, sum)
   }
 
-  /** Host-speed measurement: min of `reps` kernel runs (min is the
-    * capability statistic — any interference only ever ADDS time). */
+  /** Host-speed measurement: one UNTIMED warmup run (the first
+    * invocation in a fresh JVM pays C2 compilation of the kernel loops
+    * — measured ~10% on the start sample of the first r15 run, half
+    * the tolerance band spent on JIT state), then min of `reps` timed
+    * runs (min is the capability statistic — any interference only
+    * ever ADDS time). */
   def measureCalibration(reps: Int = 3): (Double, Long) = {
     require(reps >= 1)
+    calibrationRun() // warmup, discarded
     var best = Double.MaxValue
     var sum = 0L
     var r = 0
     while (r < reps) {
       val (s, c) = calibrationRun()
+      if (s < best) best = s
+      sum = c
+      r += 1
+    }
+    (best, sum)
+  }
+
+  /** Parallel-calibration thread count. The single-threaded kernel
+    * catches a host whose CORES are slow (the r14 degraded boot); it is
+    * blind to a host whose SCHEDULING CAPACITY is cut — a cgroup
+    * cpu.max quota, or heavy oversubscription — because one thread on
+    * an otherwise-idle box still gets a full core (measured: a 2-core
+    * quota left the scalar samples at 0.32 s while the timed rounds ran
+    * 16× degraded). Eight concurrent kernels expose exactly that: wall
+    * time ≈ the scalar time on a healthy ≥8-core box, ~4× under a
+    * 2-core cap. */
+  val CalParThreads: Int = 8
+
+  /** Per-thread working-set size for the parallel kernel: 2^23 longs
+    * (64 MiB × 8 threads = 512 MiB total — past L3 even summed, so the
+    * measurement stays memory-bound like the scalar kernel). */
+  val CalParSizeLongs: Int = 1 << 23
+
+  /** One parallel calibration measurement: [[CalParThreads]] threads
+    * each run the strided kernel on a private array; the sample is the
+    * wall time from release to last-finish. Checksum XORs the
+    * per-thread sums (deterministic — BenchOnlySpec pins it). */
+  def calibrationRunParallel(): (Double, Long) = {
+    val t = CalParThreads
+    val n = CalParSizeLongs
+    val sums = new Array[Long](t)
+    val ready = new java.util.concurrent.CountDownLatch(t)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val done = new java.util.concurrent.CountDownLatch(t)
+    val threads = (0 until t).map { ti =>
+      val th = new Thread(() => {
+        val a = new Array[Long](n)
+        var x = 0x9E3779B97F4A7C15L + ti * 0xD1B54A32D192ED03L
+        var i = 0
+        while (i < n) {
+          x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+          a(i) = x
+          i += 1
+        }
+        ready.countDown()
+        start.await()
+        var sum = 0L
+        var p = 0
+        while (p < CalPasses) {
+          var j = 0
+          var k = 0
+          while (j < n) {
+            sum += a(k) * 0x100000001b3L + j
+            k = (k + 65) & (n - 1)
+            j += 1
+          }
+          p += 1
+        }
+        sums(ti) = sum
+        done.countDown()
+      })
+      th.setDaemon(true)
+      th.start()
+      th
+    }
+    // fills complete before the timed window opens: every thread counts
+    // `ready` down after its fill, so the measurement is pure strided
+    // traversal on all threads at once
+    ready.await()
+    val t0 = System.nanoTime()
+    start.countDown()
+    done.await()
+    val wall = (System.nanoTime() - t0) / 1e9
+    (wall, sums.reduce(_ ^ _))
+  }
+
+  /** Parallel-capability measurement: warmup + min-of-reps, same
+    * statistic discipline as [[measureCalibration]]. */
+  def measureCalibrationParallel(reps: Int = 3): (Double, Long) = {
+    require(reps >= 1)
+    calibrationRunParallel() // warmup, discarded
+    var best = Double.MaxValue
+    var sum = 0L
+    var r = 0
+    while (r < reps) {
+      val (s, c) = calibrationRunParallel()
       if (s < best) best = s
       sum = c
       r += 1
@@ -170,23 +261,33 @@ object Bench {
     * `calibration_best_s`. None = no reference yet (first round on a
     * host) — the gate then passes vacuously and the run's own number
     * becomes the candidate to commit. */
-  def loadCalibrationBest(): Option[Double] =
-    sys.env.get("SPARK_GRAFT_BENCH_CAL_BEST").map(_.toDouble).orElse {
+  private def jsonNum(j: org.json4s.JValue): Option[Double] = j match {
+    case org.json4s.JDouble(d) => Some(d)
+    case org.json4s.JDecimal(d) => Some(d.toDouble)
+    case org.json4s.JInt(i) => Some(i.toDouble)
+    case _ => None
+  }
+
+  /** (scalar best, parallel best), each env-overridable
+    * (SPARK_GRAFT_BENCH_CAL_BEST / _CAL_PAR_BEST) else read from
+    * docs/artifacts/calibration_best.json. None = no reference yet. */
+  def loadCalibrationBest(): (Option[Double], Option[Double]) = {
+    val fromFile: (Option[Double], Option[Double]) =
       try {
         val p = java.nio.file.Paths.get("docs/artifacts/calibration_best.json")
-        if (!java.nio.file.Files.exists(p)) None
+        if (!java.nio.file.Files.exists(p)) (None, None)
         else {
           val j = org.json4s.jackson.JsonMethods.parse(
             java.nio.file.Files.readString(p))
-          (j \ "calibration_best_s") match {
-            case org.json4s.JDouble(d) => Some(d)
-            case org.json4s.JDecimal(d) => Some(d.toDouble)
-            case org.json4s.JInt(i) => Some(i.toDouble)
-            case _ => None
-          }
+          (jsonNum(j \ "calibration_best_s"),
+            jsonNum(j \ "calibration_par_best_s"))
         }
-      } catch { case _: Throwable => None }
-    }
+      } catch { case _: Throwable => (None, None) }
+    (sys.env.get("SPARK_GRAFT_BENCH_CAL_BEST").map(_.toDouble)
+       .orElse(fromFile._1),
+     sys.env.get("SPARK_GRAFT_BENCH_CAL_PAR_BEST").map(_.toDouble)
+       .orElse(fromFile._2))
+  }
 
   /** The calibration gate predicate (pure — BenchOnlySpec pins it):
     * ok iff no committed best exists yet, or `sample ≤ best·tol`.
@@ -282,14 +383,21 @@ object Bench {
         "quiet box (every row will be re-sampled and the artifact " +
         "self-labels non-authoritative)")
     // Host-speed calibration sample #1: BEFORE the Spark session exists,
-    // so the kernel shares the box with nothing of ours.
-    val calBest = loadCalibrationBest()
+    // so the kernel shares the box with nothing of ours. Two components:
+    // scalar (is a single core at recorded speed — catches a slow boot)
+    // and parallel (can 8 threads run at once — catches a scheduling-
+    // capacity cut: cgroup quota, oversubscription).
+    val (calBest, calParBest) = loadCalibrationBest()
     val (calStart, _) = measureCalibration()
-    if (!calibrationOk(calStart, calBest, CalTolerance))
-      System.err.println(f"[bench] WARNING: calibration $calStart%.3f s vs " +
-        f"best-known ${calBest.getOrElse(Double.NaN)}%.3f s exceeds " +
-        f"tolerance ×$CalTolerance%.2f — host is slower than the recorded " +
-        "state (starved/degraded); artifact self-labels non-authoritative")
+    val (calParStart, _) = measureCalibrationParallel()
+    if (!calibrationOk(calStart, calBest, CalTolerance) ||
+        !calibrationOk(calParStart, calParBest, CalTolerance))
+      System.err.println(f"[bench] WARNING: calibration $calStart%.3f s " +
+        f"(par $calParStart%.3f s) vs best-known " +
+        f"${calBest.getOrElse(Double.NaN)}%.3f/" +
+        f"${calParBest.getOrElse(Double.NaN)}%.3f s exceeds tolerance " +
+        f"×$CalTolerance%.2f — host is slower than the recorded state " +
+        "(starved/degraded); artifact self-labels non-authoritative")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -654,16 +762,28 @@ object Bench {
       case _ => -1.0
     }
     // Calibration sample #2: AFTER the timed rounds (Spark still up but
-    // idle — matches the conditions a mid-run degradation would leave).
-    // Both samples must sit inside the band: a box that degrades DURING
-    // the run fails on the end sample even if it started healthy.
+    // idle). The gate compares min(start, end) against the committed
+    // best: the min is the capability statistic (matching the
+    // min-of-reps inside each measurement), and the failure mode this
+    // row exists for — a starved/degraded BOOT state — elevates both
+    // samples, so the min catches it; transient mid-run arrivals are
+    // the foreign-core gate's and spread-guard's job. Gating each
+    // sample separately would false-flag healthy runs: the start
+    // sample consistently reads ~10% above the end one (JIT/frequency
+    // settling right after JVM start — measured 0.31 vs 0.28 s on the
+    // first two r15 runs), half the ×1.15 band on state noise.
     val (calEnd, _) = measureCalibration()
-    val calOk = calibrationOk(calStart, calBest, CalTolerance) &&
-      calibrationOk(calEnd, calBest, CalTolerance)
-    if (calBest.exists(b => math.min(calStart, calEnd) < b))
+    val (calParEnd, _) = measureCalibrationParallel()
+    val calOk =
+      calibrationOk(math.min(calStart, calEnd), calBest, CalTolerance) &&
+        calibrationOk(math.min(calParStart, calParEnd), calParBest,
+          CalTolerance)
+    if (calBest.exists(b => math.min(calStart, calEnd) < b) ||
+        calParBest.exists(b => math.min(calParStart, calParEnd) < b))
       System.err.println(f"[bench] note: calibration " +
-        f"${math.min(calStart, calEnd)}%.3f s beats the committed best " +
-        f"${calBest.get}%.3f s — update docs/artifacts/calibration_best.json")
+        f"${math.min(calStart, calEnd)}%.3f s (par " +
+        f"${math.min(calParStart, calParEnd)}%.3f s) beats the committed " +
+        "best — update docs/artifacts/calibration_best.json")
     // The artifact SELF-LABELS whether its numbers are authoritative
     // (VERDICT r13 #2: r13 shipped a loaded official run and a quiet run
     // with no marker, and the round doc cherry-picked per metric):
@@ -674,7 +794,10 @@ object Bench {
     val authoritative = !loadedEver && !contaminated(foreignEnd) && calOk
     val calJson = s""","calibration_s_start":${num(calStart)}""" +
       s""","calibration_s_end":${num(calEnd)}""" +
+      s""","calibration_par_s_start":${num(calParStart)}""" +
+      s""","calibration_par_s_end":${num(calParEnd)}""" +
       s""","calibration_best_s":${calBest.map(num).getOrElse("null")}""" +
+      s""","calibration_par_best_s":${calParBest.map(num).getOrElse("null")}""" +
       s""","calibration_tol":${num(CalTolerance)}""" +
       s""","calibration_ok":$calOk"""
     // Two emissions, one truth: the STDOUT line is the driver's record

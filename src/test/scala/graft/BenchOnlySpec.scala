@@ -125,6 +125,17 @@ class BenchOnlySpec extends AnyFunSuite {
     assert(Bench.calibrationOk(0.5, Some(1.0), 1.15)) // new record passes
   }
 
+  test("parallel calibration kernel is deterministic and runs 8 threads") {
+    val (s1, c1) = Bench.calibrationRunParallel()
+    val (_, c2) = Bench.calibrationRunParallel()
+    assert(c1 == c2) // per-thread seeded fills + fixed walk: same XOR
+    assert(s1 > 0.0)
+    assert(Bench.CalParThreads == 8)
+    // per-thread working set stays a power of two so the &-mask walk
+    // visits the full array (same coprime-stride argument as scalar)
+    assert(Integer.bitCount(Bench.CalParSizeLongs) == 1)
+  }
+
   test("measureCalibration returns the min of its reps") {
     val (best, _) = Bench.measureCalibration(reps = 2)
     val (single, _) = Bench.calibrationRun()
