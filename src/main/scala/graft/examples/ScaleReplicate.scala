@@ -159,11 +159,19 @@ object ScaleReplicate {
   def writeBatched(replicas: Seq[DataFrame], path: String, batch: Int,
       parts: Int): Unit = {
     val groups = replicas.grouped(batch).toSeq
+    // parts <= 0: keep the union's natural partitioning (input parts ×
+    // replicas per batch) instead of repartitioning. The repartition is
+    // a full shuffle of the OUTPUT volume through local disk — on a
+    // space-bounded box it transiently doubles the build's footprint
+    // (the r15 sf1000 compose hit ENOSPC exactly there), and a composed
+    // replica family needs no rebalance: every replica inherits the
+    // source's healthy layout.
     groups.zipWithIndex.foreach { case (g, i) =>
+      val u = g.reduce(_ unionAll _)
       val perBatch = math.max(1, math.round(
         parts.toDouble * g.size / replicas.size).toInt)
-      g.reduce(_ unionAll _).repartition(perBatch)
-        .write.mode(if (i == 0) "overwrite" else "append").parquet(path)
+      val out = if (parts <= 0) u else u.repartition(perBatch)
+      out.write.mode(if (i == 0) "overwrite" else "append").parquet(path)
     }
   }
 
@@ -193,6 +201,11 @@ object ScaleReplicate {
     // composed builds pass a suffix distinct from the source dir's own
     // renaming family (see docReplicas's compose caveat)
     val docSuffix = if (args.length > 4) args(4) else "x"
+    // SPARK_GRAFT_REPLICATE_NO_SHUFFLE=1: pass parts=0 (no repartition)
+    // for the key-offset relational tables — see writeBatched's scaladoc
+    val relParts: Int => Int =
+      if (sys.env.get("SPARK_GRAFT_REPLICATE_NO_SHUFFLE").contains("1")) _ => 0
+      else identity
     val known = Set("documents", "embeddings", "lineitem",
       "orders", "customer", "events")
     val unknown = tables -- known
@@ -245,7 +258,7 @@ object ScaleReplicate {
           // only thing that matters
           Seq.fill(factor)(li)
         }
-      writeBatched(reps, s"$out/lineitem.parquet", batch = 200, parts = 64)
+      writeBatched(reps, s"$out/lineitem.parquet", batch = 200, parts = relParts(64))
       println(s"[scale-replicate] lineitem x$factor" +
         (if (tables("orders")) " (orderkey-offset)" else " (plain)"))
     }
@@ -254,7 +267,7 @@ object ScaleReplicate {
       val o = spark.read.parquet(s"$src/orders.parquet")
       writeBatched(keyOffsetReplicas(o, factor,
           Map("o_orderkey" -> orderStride, "o_custkey" -> custStride)),
-        s"$out/orders.parquet", batch = 200, parts = 32)
+        s"$out/orders.parquet", batch = 200, parts = relParts(32))
       println(s"[scale-replicate] orders x$factor (key-offset)")
     }
 
@@ -262,7 +275,7 @@ object ScaleReplicate {
       val c = spark.read.parquet(s"$src/customer.parquet")
       writeBatched(keyOffsetReplicas(c, factor,
           Map("c_custkey" -> custStride)),
-        s"$out/customer.parquet", batch = 200, parts = 32)
+        s"$out/customer.parquet", batch = 200, parts = relParts(32))
       println(s"[scale-replicate] customer x$factor (key-offset)")
     }
 
@@ -276,7 +289,7 @@ object ScaleReplicate {
       val userStride = ev.agg(max("user_id")).head().getLong(0) + 1L
       writeBatched(keyOffsetReplicas(ev, factor,
           Map("event_id" -> evIdStride, "user_id" -> userStride)),
-        s"$out/events.parquet", batch = 200, parts = 32)
+        s"$out/events.parquet", batch = 200, parts = relParts(32))
       println(s"[scale-replicate] events x$factor (key-offset)")
     }
 
