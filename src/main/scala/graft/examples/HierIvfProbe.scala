@@ -67,36 +67,49 @@ object HierIvfProbe {
         .withColumnRenamed("cell", "c2"), "id2")
       .filter(col("c1") === col("c2")).count()
 
-    // ---- two-level: same leaf budget, same train cap semantics
+    // ---- two-level: same leaf budget, same train cap semantics.
+    // superProbe curve: P=1 is the pure greedy route (route-equivalent
+    // to flat only on separated clusters — the realistic fixture puts a
+    // number on the boundary-straddle loss); P>1 multi-probes the super
+    // level, converging to the flat argmin over the SAME leaf set.
     val (hier, hierTrainS) = timed(Similarity.trainIvfCentroidsTwoLevel(
       emb, "embedding", kCells = k, iters = 5, seed = 7L,
       maxTrainPoints = 0L))
     val leafCount = hier.leafCount()
-    val hierAssigned = Similarity.assignCellsTwoLevel(emb, "embedding", hier)
-      .select(col("vec_id"), col("superId"), col("subId"))
-    val (_, hierAssignS) = timed(
-      hierAssigned.write.format("noop").mode("overwrite").save())
-    val ha = hierAssigned
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val hierCoCell = pairs
-      .join(ha.withColumnRenamed("vec_id", "id1")
-        .withColumnRenamed("superId", "s1").withColumnRenamed("subId", "b1"),
-        "id1")
-      .join(ha.withColumnRenamed("vec_id", "id2")
-        .withColumnRenamed("superId", "s2").withColumnRenamed("subId", "b2"),
-        "id2")
-      .filter(col("s1") === col("s2") && col("b1") === col("b2")).count()
-
+    val kSuper = hier.supers.length
     def num(v: Double) =
       String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    val probes = Seq(1, 2, 4, 8).filter(_ <= kSuper)
+    val curve = probes.map { p =>
+      val hierAssigned = Similarity
+        .assignCellsTwoLevel(emb, "embedding", hier, superProbe = p)
+        .select(col("vec_id"), col("superId"), col("subId"))
+      val (_, assignS) = timed(
+        hierAssigned.write.format("noop").mode("overwrite").save())
+      val ha = hierAssigned
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val coCell = pairs
+        .join(ha.withColumnRenamed("vec_id", "id1")
+          .withColumnRenamed("superId", "s1").withColumnRenamed("subId", "b1"),
+          "id1")
+        .join(ha.withColumnRenamed("vec_id", "id2")
+          .withColumnRenamed("superId", "s2").withColumnRenamed("subId", "b2"),
+          "id2")
+        .filter(col("s1") === col("s2") && col("b1") === col("b2")).count()
+      ha.unpersist(false)
+      System.err.println(s"[hier-probe] P=$p assign=${num(assignS)}s " +
+        s"co_cell=$coCell recall=${num(coCell.toDouble / nPairs)}")
+      s"""{"super_probe":$p,"assign_s":${num(assignS)},""" +
+        s""""co_cell_pairs":$coCell,"recall":${num(coCell.toDouble / nPairs)}}"""
+    }
+
     println(s"""{"n":$n,"planted_pairs":$nPairs,"k_requested":$k,""" +
       s""""flat":{"train_s":${num(flatTrainS)},"assign_s":${num(flatAssignS)},""" +
       s""""co_cell_pairs":$flatCoCell,"recall":${num(flatCoCell.toDouble / nPairs)},""" +
       s""""driver_state_doubles":${k * 64}},""" +
-      s""""two_level":{"train_s":${num(hierTrainS)},"assign_s":${num(hierAssignS)},""" +
-      s""""leaf_count":$leafCount,"co_cell_pairs":$hierCoCell,""" +
-      s""""recall":${num(hierCoCell.toDouble / nPairs)},""" +
-      s""""driver_state_doubles":${hier.supers.length * 64}}}""")
+      s""""two_level":{"train_s":${num(hierTrainS)},"leaf_count":$leafCount,""" +
+      s""""k_super":$kSuper,"driver_state_doubles":${kSuper * 64},""" +
+      s""""probe_curve":[${curve.mkString(",")}]}}""")
     spark.stop()
   }
 }

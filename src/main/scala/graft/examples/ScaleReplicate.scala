@@ -246,11 +246,36 @@ object ScaleReplicate {
       .agg(max("c_custkey")).head().getLong(0) + 1L
 
     if (tables("lineitem")) {
-      val li = spark.read.parquet(s"$src/lineitem.parquet")
+      // SPARK_GRAFT_REPLICATE_LINEITEM_COLS (comma list): build the
+      // replica set over a COLUMN SUBSET. The fourth-decade (sf1000)
+      // lineitem is ~108 GB full-width — past this box's 78 GB free —
+      // but the rows swept there (q20/q24/q25/q26, the GLM kernel
+      // family) read exactly 5 columns (~73 GB). A column-pruned
+      // fixture is byte-identical to the full one for every query that
+      // reads only those columns, on BOTH engines (parquet is columnar;
+      // the full-width scan would prune to the same bytes), and any
+      // query touching a missing column fails loudly at analysis
+      // rather than silently drifting. Unset = full width (every
+      // historical recipe unchanged).
+      val liRaw = spark.read.parquet(s"$src/lineitem.parquet")
+      val li = sys.env.get("SPARK_GRAFT_REPLICATE_LINEITEM_COLS") match {
+        case Some(cols) =>
+          val keep = cols.split(",").map(_.trim).filter(_.nonEmpty)
+          println(s"[scale-replicate] lineitem column subset: ${keep.mkString(", ")}")
+          liRaw.select(keep.map(col): _*)
+        case None => liRaw
+      }
       val reps =
-        if (tables("orders")) {
+        if (tables("orders") ||
+            sys.env.get("SPARK_GRAFT_REPLICATE_LINEITEM_KEYED").contains("1")) {
           // relational mode: preserve join structure against the
-          // replicated orders table (factor× join rows, not factor²×)
+          // replicated orders table (factor× join rows, not factor²×).
+          // SPARK_GRAFT_REPLICATE_LINEITEM_KEYED=1 forces this WITHOUT
+          // building orders: the sf1000 sweep needs l_orderkey to reach
+          // its true fourth-decade magnitude (600k·10⁴ = 6e9, past the
+          // 2⁶³/2654435761 ≈ 3.47e9 overflow line the q20/q26 pins were
+          // overflow-proofed for) while orders itself (27 GB) stays
+          // unbuilt on the space-bounded box.
           keyOffsetReplicas(li, factor, Map("l_orderkey" -> orderStride))
         } else {
           // glm-only mode (the historical sf30/sf100 fixtures): plain

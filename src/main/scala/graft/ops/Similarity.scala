@@ -261,21 +261,28 @@ object Similarity {
       val bc = rdd.sparkContext.broadcast(centroids)
       val d0 = centroids(0).length
       val k0 = centroids.length
-      // treeAggregate: k·d partials combine in-cluster at depth 2 — the
-      // driver sees O(√n) partials, not one per partition (at 10⁶
-      // partitions a flat reduce funnels GBs through the driver).
-      // The zero value is (null, null) with first-use allocation: a
-      // pre-filled k·d zero matrix would be SERIALIZED INTO EVERY TASK
-      // BINARY (measured: multi-MB task broadcasts per stage at k ≈ 8k),
-      // while null costs nothing and empty partitions just pass through
-      // combOp.
-      val updated = rdd.treeAggregate(
-        (null: Array[Array[Double]], null: Array[Long]))(
-        seqOp = { case ((sums0, counts0), v) =>
-          val sums =
-            if (sums0 != null) sums0 else Array.fill(k0)(new Array[Double](d0))
-          val counts = if (counts0 != null) counts0 else new Array[Long](k0)
-          val cs = bc.value
+      // Per-partition partials combined in PARTITION-INDEX ORDER — the
+      // Kernels.partitionAggregate discipline, not treeAggregate:
+      // treeAggregate's combOp merges in task-completion order, which
+      // varies run-to-run, and float addition is non-associative, so the
+      // trained centroids drifted in the last ulp across identical-seed
+      // runs (caught as a flake by HierIvfSpec's determinism pin, r15 —
+      // latent since r12). Empty partitions emit nothing (allocation is
+      // first-use inside the partition, so no k·d zero matrix rides the
+      // task binary); one ordered √n tree level keeps driver traffic at
+      // O(√n·k·d) partials, same as the depth-2 tree it replaces, but
+      // with a combine tree that is a pure function of the partition
+      // count — bit-identical run-to-run.
+      val partials = rdd.mapPartitionsWithIndex { (idx, it) =>
+        val cs = bc.value
+        var sums: Array[Array[Double]] = null
+        var counts: Array[Long] = null
+        while (it.hasNext) {
+          val v = it.next()
+          if (sums == null) {
+            sums = Array.fill(k0)(new Array[Double](d0))
+            counts = new Array[Long](k0)
+          }
           // a ragged corpus must fail loudly here, not AIOOBE on a
           // shorter row or silently truncate a longer one into skewed
           // centroids (loadCentroids enforces the same uniformity)
@@ -293,26 +300,42 @@ object Similarity {
           var i = 0
           while (i < d0) { sums(best)(i) += v(i); i += 1 }
           counts(best) += 1
-          (sums, counts)
-        },
-        combOp = {
-          case ((null, _), (s2, c2)) => (s2, c2)
-          case ((s1, c1), (null, _)) => (s1, c1)
-          case ((s1, c1), (s2, c2)) =>
-            var c = 0
-            while (c < c1.length) {
-              var i = 0
-              while (i < s1(c).length) { s1(c)(i) += s2(c)(i); i += 1 }
-              c1(c) += c2(c); c += 1
+        }
+        if (sums == null) Iterator.empty
+        else Iterator.single((idx, (sums, counts)))
+      }
+      def merge(a: (Array[Array[Double]], Array[Long]),
+          b: (Array[Array[Double]], Array[Long])) = {
+        var c = 0
+        while (c < a._2.length) {
+          var i = 0
+          while (i < a._1(c).length) { a._1(c)(i) += b._1(c)(i); i += 1 }
+          a._2(c) += b._2(c); c += 1
+        }
+        a
+      }
+      val nParts = rdd.getNumPartitions
+      val folded =
+        if (nParts <= 1024) {
+          val arr = partials.collect().sortBy(_._1)
+          if (arr.isEmpty) null else arr.map(_._2).reduceLeft(merge)
+        } else {
+          val groupSize = math.ceil(math.sqrt(nParts.toDouble)).toInt
+          val numGroups = (nParts + groupSize - 1) / groupSize
+          val grouped = partials
+            .map { case (idx, u) => (idx / groupSize, (idx, u)) }
+            .groupByKey(new org.apache.spark.HashPartitioner(numGroups))
+            .map { case (g, us) =>
+              (g, us.toArray.sortBy(_._1).map(_._2).reduceLeft(merge))
             }
-            (s1, c1)
-        },
-        depth = 2)
+            .collect().sortBy(_._1)
+          if (grouped.isEmpty) null else grouped.map(_._2).reduceLeft(merge)
+        }
       centroids =
-        if (updated._1 == null) centroids // empty training set: keep init
+        if (folded == null) centroids // empty training set: keep init
         else centroids.indices.map { c =>
-          if (updated._2(c) == 0) centroids(c)
-          else updated._1(c).map(_ / updated._2(c))
+          if (folded._2(c) == 0) centroids(c)
+          else folded._1(c).map(_ / folded._2(c))
         }.toArray
       bc.destroy()
       iter += 1
@@ -448,9 +471,22 @@ object Similarity {
               .otherwise(acc)
           }))
         .select(col("superId"), col("best.subId").as("subId"), col("v"))
+      // Mean update with a DETERMINISTIC summation order: a plain avg()
+      // folds partial aggregates in shuffle-fetch order, which varies
+      // run-to-run and drifts the centroid's last ulp — enough to flip
+      // boundary points and break the fixed-seed bit-determinism the
+      // rest of the dedup stack keeps (caught as a flake by
+      // HierIvfSpec's determinism pin, r15). Sorting each cell's
+      // (capped) training points first makes the fold order total;
+      // payload is bounded by the training cap, not the corpus.
       val means = assigned.groupBy("superId", "subId")
-        .agg(array((0 until dim).map(i =>
-          avg(element_at(col("v"), i + 1))): _*).as("newCentroid"))
+        .agg(sort_array(collect_list(col("v"))).as("vs"))
+        .select(col("superId"), col("subId"),
+          transform(
+            aggregate(col("vs"),
+              array_repeat(lit(0.0), dim),
+              (acc, x) => zip_with(acc, x, (a, b) => a + b)),
+            s => s / size(col("vs"))).as("newCentroid"))
       val next = subs.join(means, Seq("superId", "subId"), "left")
         .select(col("superId"), col("subId"),
           coalesce(col("newCentroid"), col("centroid")).as("centroid"))
@@ -484,25 +520,81 @@ object Similarity {
     * subId) is the leaf cell identity. The join side carries kSuper
     * rows of (k/√k)·d each; Spark broadcasts it while it stays under
     * the broadcast threshold and shuffle-joins beyond — either way the
-    * DRIVER never materializes the leaf table. */
+    * DRIVER never materializes the leaf table.
+    *
+    * `superProbe` (default 1): route via the TOP-P super-cells and take
+    * the global (distance, superId, subId) argmin over their sub-lists.
+    * P = 1 is the pure greedy route; it is route-equivalent to the flat
+    * argmin only for well-separated clusters — on the realistic σ=0.7
+    * clustered 2M fixture it loses ~35% of planted pairs to super-cell
+    * BOUNDARY STRADDLES (measured r15: pair recall 0.647 vs flat 0.995).
+    * Multi-probing the super level is the standard fix (FAISS IMI
+    * lineage): cost grows to O((√k + P·k/√k)·d) per row — still ~k/(P·√k)
+    * cheaper than flat — and P = kSuper degenerates to EXACTLY the flat
+    * argmin over the leaf set (HierIvfSpec pins this identity on
+    * arbitrary data, plus P=1 ≡ the greedy path). */
   def assignCellsTwoLevel(df: DataFrame, vecCol: String,
-      hier: HierIndex): DataFrame = {
+      hier: HierIndex, superProbe: Int = 1): DataFrame = {
+    val kSuper = hier.supers.length
+    require(superProbe >= 1 && superProbe <= kSuper,
+      s"superProbe must be in [1, $kSuper], got $superProbe")
+    val v = col(vecCol).cast("array<double>")
     val lists = hier.leaves.groupBy("superId")
       .agg(collect_list(struct(col("subId"), col("centroid"))).as("__subs"))
-    df.withColumn("superId",
-        ivfCell(col(vecCol).cast("array<double>"), hier.supers))
-      .join(lists, "superId")
-      .withColumn("__best", aggregate(col("__subs"),
-        struct(lit(Double.MaxValue).as("d"), lit(-1).as("subId")),
-        (acc, s) => {
-          val d = sqDist(col(vecCol).cast("array<double>"),
-            s.getField("centroid"))
-          when(d < acc.getField("d"),
-            struct(d.as("d"), s.getField("subId").as("subId")))
-            .otherwise(acc)
-        }))
-      .withColumn("subId", col("__best.subId"))
-      .drop("__subs", "__best")
+    if (superProbe == 1) {
+      df.withColumn("superId", ivfCell(v, hier.supers))
+        .join(lists, "superId")
+        .withColumn("__best", aggregate(col("__subs"),
+          struct(lit(Double.MaxValue).as("d"), lit(-1).as("subId")),
+          (acc, s) => {
+            val d = sqDist(v, s.getField("centroid"))
+            when(d < acc.getField("d"),
+              struct(d.as("d"), s.getField("subId").as("subId")))
+              .otherwise(acc)
+          }))
+        .withColumn("subId", col("__best.subId"))
+        .drop("__subs", "__best")
+    } else {
+      // P left broadcast-joins against the tiny kSuper-row lists table
+      // (never exploded: a row-id-free df has no key to regroup on), then
+      // one fold over the concatenated candidate structs. coalesce guards
+      // a probe hitting a superId absent from lists (cannot happen — the
+      // trainer makes leaves total over superIds — but a left join +
+      // empty array keeps the fold well-defined rather than dropping the
+      // row).
+      val probed = df.withColumn("__probe",
+        ivfCells(v, hier.supers, superProbe))
+      val joined = (0 until superProbe).foldLeft(probed) { (d, p) =>
+        d.join(
+          broadcast(lists
+            .withColumnRenamed("superId", s"__s$p")
+            .withColumnRenamed("__subs", s"__subs$p")),
+          element_at(col("__probe"), p + 1) === col(s"__s$p"), "left")
+      }
+      val cands = concat((0 until superProbe).map { p =>
+        transform(coalesce(col(s"__subs$p"),
+            array().cast("array<struct<subId:int,centroid:array<double>>>")),
+          s => struct(
+            element_at(col("__probe"), p + 1).as("superId"),
+            s.getField("subId").as("subId"),
+            s.getField("centroid").as("centroid")))
+      }: _*)
+      val folded = joined
+        .withColumn("__best", aggregate(cands,
+          struct(lit(Double.MaxValue).as("d"),
+            lit(-1).as("superId"), lit(-1).as("subId")),
+          (acc, s) => {
+            val d = sqDist(v, s.getField("centroid"))
+            when(d < acc.getField("d"),
+              struct(d.as("d"), s.getField("superId").as("superId"),
+                s.getField("subId").as("subId")))
+              .otherwise(acc)
+          }))
+        .withColumn("superId", col("__best.superId"))
+        .withColumn("subId", col("__best.subId"))
+      folded.drop((0 until superProbe)
+        .flatMap(p => Seq(s"__s$p", s"__subs$p")) :+ "__probe" :+ "__best": _*)
+    }
   }
 
   /** Nearest-centroid cell id for a vector column (broadcast centroid

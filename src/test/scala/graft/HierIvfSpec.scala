@@ -59,6 +59,54 @@ class HierIvfSpec extends AnyFunSuite {
         "the flat argmin over the same leaf set")
   }
 
+  test("superProbe = kSuper == flat argmin over the leaf set on " +
+    "UNSEPARATED data (and greedy P=1 genuinely differs there)") {
+    // A uniform blob with NO cluster separation: the greedy P=1 route
+    // loses points near super-cell boundaries (the r15 probe measured
+    // pair-recall 0.647 vs flat 0.995 on the realistic 2M fixture);
+    // exhaustive super-probing must erase the difference EXACTLY —
+    // P = kSuper is the flat argmin over the same leaf set, on any data.
+    val rng = new scala.util.Random(23L)
+    import spark.implicits._
+    val rows = (0 until 600).map(i =>
+      (i.toLong, Seq.fill(8)(rng.nextDouble())))
+    val df = rows.toDF("vec_id", "embedding")
+    val hier = Similarity.trainIvfCentroidsTwoLevel(
+      df, "embedding", kCells = 25, iters = 3, seed = 7L)
+    val kSuper = hier.supers.length
+    val leaves = hier.collectLeaves()
+    val ids = hier.leaves.orderBy(col("superId"), col("subId"))
+      .select(col("superId"), col("subId")).collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+    val flat = df.withColumn("leaf",
+        Similarity.ivfCell(col("embedding"), leaves))
+      .select(col("vec_id"), col("leaf")).collect()
+      .map(r => r.getLong(0) -> ids(r.getInt(1))).toMap
+    def routedMap(p: Int) = Similarity
+      .assignCellsTwoLevel(df, "embedding", hier, superProbe = p)
+      .select(col("vec_id"), col("superId"), col("subId")).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    val exhaustive = routedMap(kSuper)
+    assert(exhaustive.keySet == flat.keySet, "routing must be total")
+    val disagree = exhaustive.count { case (id, cell) => flat(id) != cell }
+    assert(disagree == 0,
+      s"$disagree/${exhaustive.size} rows: exhaustive super-probe must " +
+        "equal the flat argmin over the same leaf set")
+    // the identity must be non-trivial on this fixture: the greedy route
+    // disagrees somewhere (deterministic — fixed seed)
+    val greedyDisagree = routedMap(1).count { case (id, cell) =>
+      flat(id) != cell }
+    assert(greedyDisagree > 0,
+      "fixture too separated — greedy already equals flat, the " +
+        "exhaustive-probe identity would be vacuous here")
+    // intermediate P: disagreements shrink monotonically to zero
+    val midDisagree = routedMap(math.max(2, kSuper / 2))
+      .count { case (id, cell) => flat(id) != cell }
+    assert(midDisagree <= greedyDisagree,
+      s"multi-probe must not route WORSE than greedy " +
+        s"($midDisagree > $greedyDisagree)")
+  }
+
   test("leaf count ≈ kCells and every point gets exactly one leaf") {
     val df = clustered(k = 12, per = 30, d = 8)
     val hier = Similarity.trainIvfCentroidsTwoLevel(
