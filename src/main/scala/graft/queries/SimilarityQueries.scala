@@ -457,13 +457,26 @@ object SimilarityQueries {
     // 924,481; subset direction exactly as designed). Gate through sf10
     // plans are value-identical: no bucket is hot there, so the star
     // branch is empty and pairs reduce to the old CTE.
+    // Decade-pinned (sweepSampled, off at gate scale) since r15: the
+    // full-corpus pair-graph replay grew super-linearly in DuckDB
+    // (233.9 s at sf100 → past a 2400 s one-row cap at sf1000 — the
+    // CTE materializes 4n band rows and re-joins them twice), while the
+    // ENGINE's banded path ran sf1000 in 143 s. The pin keeps the
+    // verified computation end-to-end exact on a uniform doc_id
+    // subcorpus; pick the mod so pairs SURVIVE: a near-dup pair needs
+    // BOTH endpoints kept (survival ~1/mod², so mod=100 at sf1000-shape
+    // keeps O(10³) pairs, while mod=1000 vacates the graph — the q87
+    // empty-result lesson from the same sweep). The hot-bucket star
+    // regime is only reachable UNSAMPLED (bucket counts shrink /mod);
+    // its coverage is the r14 sf100 sweep's unsampled green.
     Q("q69_simhash_neardup",
       (s, dir) =>
-        graft.ops.Dedup.simhashNearDups(tbl(s, dir, "documents"),
+        graft.ops.Dedup.simhashNearDups(
+            sweepSampled(tbl(s, dir, "documents"), "doc_id"),
             "doc_id", "text", bits = 64, bands = 4, maxHamming = 3)
           .select(col("id1").as("d1"), col("id2").as("d2"), col("hamming"))
           .orderBy("d1", "d2"),
-      Some(s"""WITH $sim64Sql,
+      Some(s"""WITH ${sim64SqlWhere(sweepSampleSql("doc_id"))},
         bands AS MATERIALIZED (
           SELECT doc_id, simhash, band, (simhash >> (16 * band)) & 65535 AS key
           FROM sim, UNNEST(RANGE(0, 4)) AS t(band)),
