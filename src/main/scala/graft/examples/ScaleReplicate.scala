@@ -166,12 +166,18 @@ object ScaleReplicate {
     // (the r15 sf1000 compose hit ENOSPC exactly there), and a composed
     // replica family needs no rebalance: every replica inherits the
     // source's healthy layout.
+    // SPARK_GRAFT_REPLICATE_CODEC (e.g. zstd): parquet codec override for
+    // the replica writes. The sf1000 lineitem sits within ~2 GB of this
+    // box's free space under snappy; zstd buys the margin. Readers on
+    // both engines are codec-agnostic. Unset = session default (snappy).
+    val codec = sys.env.get("SPARK_GRAFT_REPLICATE_CODEC")
     groups.zipWithIndex.foreach { case (g, i) =>
       val u = g.reduce(_ unionAll _)
       val perBatch = math.max(1, math.round(
         parts.toDouble * g.size / replicas.size).toInt)
       val out = if (parts <= 0) u else u.repartition(perBatch)
-      out.write.mode(if (i == 0) "overwrite" else "append").parquet(path)
+      val w = out.write.mode(if (i == 0) "overwrite" else "append")
+      codec.fold(w)(c => w.option("compression", c)).parquet(path)
     }
   }
 
@@ -240,10 +246,22 @@ object ScaleReplicate {
     // the custkey stride from CUSTOMER, so foreign keys stay aligned
     // replica-by-replica. Read lazily — only when a relational table
     // is requested.
-    lazy val orderStride = spark.read.parquet(s"$src/orders.parquet")
-      .agg(max("o_orderkey")).head().getLong(0) + 1L
-    lazy val custStride = spark.read.parquet(s"$src/customer.parquet")
-      .agg(max("c_custkey")).head().getLong(0) + 1L
+    // SPARK_GRAFT_REPLICATE_STRIDE_MULT (default 1): multiply the key
+    // strides. The sf0.1 base's o_orderkey tops out at 150k, so ×10⁴
+    // replication reaches only ~1.5e9 — SHORT of the 2⁶³/2654435761 ≈
+    // 3.47e9 overflow line the decade pins were overflow-proofed for.
+    // A sparser key space (mult ≥ 4) pushes real keys past the line
+    // while keeping replicas disjoint; no query assumes key density.
+    // CAVEAT: tables replicated with different mults are NOT mutually
+    // join-consistent — use one mult per fixture build, or only on
+    // single-table query families (the sf1000 GLM stage).
+    val strideMult = sys.env.get("SPARK_GRAFT_REPLICATE_STRIDE_MULT")
+      .map(_.toLong).getOrElse(1L)
+    require(strideMult >= 1, s"stride mult must be >= 1, got $strideMult")
+    lazy val orderStride = (spark.read.parquet(s"$src/orders.parquet")
+      .agg(max("o_orderkey")).head().getLong(0) + 1L) * strideMult
+    lazy val custStride = (spark.read.parquet(s"$src/customer.parquet")
+      .agg(max("c_custkey")).head().getLong(0) + 1L) * strideMult
 
     if (tables("lineitem")) {
       // SPARK_GRAFT_REPLICATE_LINEITEM_COLS (comma list): build the
@@ -283,9 +301,11 @@ object ScaleReplicate {
           // only thing that matters
           Seq.fill(factor)(li)
         }
+      val keyed = tables("orders") ||
+        sys.env.get("SPARK_GRAFT_REPLICATE_LINEITEM_KEYED").contains("1")
       writeBatched(reps, s"$out/lineitem.parquet", batch = 200, parts = relParts(64))
       println(s"[scale-replicate] lineitem x$factor" +
-        (if (tables("orders")) " (orderkey-offset)" else " (plain)"))
+        (if (keyed) " (orderkey-offset)" else " (plain)"))
     }
 
     if (tables("orders")) {

@@ -110,13 +110,29 @@ fi
 
 if has merge; then
   python3 - <<'EOF'
-import json
+import json, os
+# Lane layout (the run that actually happened, recorded honestly):
+#   verify_sf1000       fast lanes, SWEEP_SAMPLE_MOD=1000 on pinned rows
+#   verify_sf1000_slow  q69(full)/q140 slow lane (2400 s cap)
+#   verify_sf1000_q34   q34 one-row raised cap (3000 s)
+#   verify_sf1000_q44   q44 one-row raised cap (3000 s)
+#   verify_sf1000_m100  q69/q87 at mod=100 — mod=1000's 1/mod² pair
+#                       survival vacated their graphs (q87: ok with 0
+#                       rows), so the meaningful run is mod=100, keyed
+#                       "<name>@mod100"; the mod=1000 rows stay under
+#                       their plain names.
 out = json.load(open("tmp/verify_sf1000/sweep_results.json"))
-try:
-    slow = json.load(open("tmp/verify_sf1000_slow/sweep_results.json"))
-    out.update(slow)
-except FileNotFoundError:
-    pass
+for path, suffix in [
+        ("tmp/verify_sf1000_slow/sweep_results.json", ""),
+        ("tmp/verify_sf1000_q34/sweep_results.json", ""),
+        ("tmp/verify_sf1000_q44/sweep_results.json", ""),
+        ("tmp/verify_sf1000_m100/sweep_results.json", "@mod100")]:
+    if os.path.exists(path):
+        for k, v in json.load(open(path)).items():
+            key = k + suffix
+            # a raised-cap retry supersedes the capped-lane timeout row
+            if suffix or out.get(key, {}).get("status") != "ok":
+                out[key] = v
 with open("docs/artifacts/r15/sweep_sf1000_results.json", "w") as f:
     json.dump(out, f, indent=1, sort_keys=True)
 ok = sum(1 for v in out.values() if v.get("status") == "ok")
