@@ -80,6 +80,13 @@ if has_step bench; then
   B=$?
   [ $B -ne 0 ] && RC=1
   if [ -f tmp/bench_result.json ]; then
+    # preserve a differing prior artifact instead of clobbering it: a
+    # non-authoritative run (e.g. the calibration gate firing on a hot
+    # box) is evidence, and the fixed name lost r15's first such catch
+    if [ -f "$ART/bench_result.json" ] && \
+       ! cmp -s tmp/bench_result.json "$ART/bench_result.json"; then
+      mv "$ART/bench_result.json" "$ART/bench_result_$(date +%s).json"
+    fi
     cp tmp/bench_result.json "$ART/bench_result.json"
     python3 - "$ART/bench_result.json" <<'EOF'
 import json, sys
