@@ -32,7 +32,12 @@ echo "[round_gate] round $ROUND steps=$STEPS -> $ART"
 
 if has_step test; then
   echo "[round_gate] sbt test ..."
-  sbt -batch test > "$ART/sbt_test.log" 2>&1
+  # OracleSmokeSpec's per-query DuckDB cap defaults to 30 s, sized for
+  # a quiet box; a concurrent decade sweep tripped it in r15 (load
+  # timeout, not a code failure — passed alone). Scale it here so the
+  # gate's verdict tracks the code, not the box's moment.
+  ORACLE_SMOKE_TIMEOUT_S="${ORACLE_SMOKE_TIMEOUT_S:-90}" \
+    sbt -batch test > "$ART/sbt_test.log" 2>&1
   T=$?
   tail -4 "$ART/sbt_test.log"
   echo "[round_gate] sbt test EXIT=$T (log: $ART/sbt_test.log)"
