@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout/stderr through RAW instead of routing
+// them through sbt's logger: the logger prefixes every stdout line with
+// "[info] ", which is exactly what kept BENCH_r13..r15's driver-side
+// `parsed` field null — the bench's single compact JSON stdout line
+// arrived as "[info] {...}" and no JSON parser matches that. With
+// StdoutOutput the line lands bare (and fork stderr stays out of
+// stdout entirely).
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

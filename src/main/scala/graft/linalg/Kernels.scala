@@ -74,6 +74,73 @@ object Kernels {
     }
   }
 
+  /** Ordered fold of indexed per-partition partials from an ARBITRARY
+    * RDD (the [[partitionAggregate]] discipline, generalized for the
+    * index trainers in [[graft.ops.Similarity]] whose partials are
+    * O(k·d) — far bigger than a GLM kernel's O(p²), so the driver-side
+    * flat-collect bound has to be much tighter than
+    * [[TreeCombineThreshold]]):
+    *
+    *  - partials arrive as `(partitionIndex, U)`; EMPTY partitions may
+    *    simply not emit (additive-identity partials are skippable);
+    *  - while more than `flatThreshold` partials remain, one tree level
+    *    folds contiguous runs of `flatThreshold` indices inside single
+    *    reducers, each run left-folded in index order — recursing, so
+    *    the DRIVER (and any one reducer) never holds more than
+    *    `flatThreshold` partials at once, even at the 10⁵–10⁶ partition
+    *    counts a 100 TB scan produces (the r15 single-level form
+    *    collected up to 1024 full k·d partials ≈ 4 GB on the driver —
+    *    ADVICE r15);
+    *  - the combine tree is a pure function of (partition count,
+    *    flatThreshold): bit-identical run-to-run, the determinism
+    *    contract that replaced treeAggregate's task-completion-order
+    *    merges across the trainer family.
+    *
+    * Returns None when NO partition emitted a partial. */
+  private[graft] def orderedPartialFold[U: scala.reflect.ClassTag](
+      partials: org.apache.spark.rdd.RDD[(Int, U)],
+      nParts: Int,
+      combOp: (U, U) => U,
+      flatThreshold: Int = 64): Option[U] = {
+    require(flatThreshold >= 2, s"flatThreshold must be >= 2, got $flatThreshold")
+    var cur = partials
+    var n = nParts
+    while (n > flatThreshold) {
+      val numGroups = (n + flatThreshold - 1) / flatThreshold
+      cur = cur
+        .map { case (idx, u) => (idx / flatThreshold, (idx, u)) }
+        .groupByKey(new org.apache.spark.HashPartitioner(numGroups))
+        .map { case (g, us) =>
+          (g, us.toArray.sortBy(_._1).map(_._2).reduceLeft(combOp))
+        }
+      n = numGroups
+    }
+    val arr = cur.collect()
+    if (arr.isEmpty) None
+    else Some(arr.sortBy(_._1).map(_._2).reduceLeft(combOp))
+  }
+
+  /** [[orderedPartialFold]] over a whole RDD: per-partition left fold
+    * into a lazily-allocated accumulator (empty partitions emit nothing,
+    * so no O(k·d) zero block rides the task results), then the ordered
+    * combine. The generic sibling of [[partitionAggregate]] for
+    * non-GlmData inputs. */
+  private[graft] def orderedRddAggregate[T, U: scala.reflect.ClassTag](
+      rdd: org.apache.spark.rdd.RDD[T])(zero: () => U)(
+      seqOp: (U, T) => U,
+      combOp: (U, U) => U,
+      flatThreshold: Int = 64): Option[U] = {
+    val partials = rdd.mapPartitionsWithIndex { (idx, it) =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        var acc = zero()
+        while (it.hasNext) acc = seqOp(acc, it.next())
+        Iterator.single((idx, acc))
+      }
+    }
+    orderedPartialFold(partials, rdd.getNumPartitions, combOp, flatThreshold)
+  }
+
   /** x·b for dense or sparse rows (no densify). */
   @inline private[graft] def dot(x: MlVector, b: Array[Double]): Double = x match {
     case d: MlDense =>

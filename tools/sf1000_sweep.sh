@@ -27,8 +27,11 @@ cd "$(dirname "$0")/.."
 SF=tmp/sf1000
 OUT=tmp/verify_sf1000
 SLOW=tmp/verify_sf1000_slow
-ART=docs/artifacts/r15
+# SF1000_ROUND: artifact round dir (r15 recorded the original sweep;
+# later rounds merge their drip rows into their own copy)
+ART="docs/artifacts/r${SF1000_ROUND:-15}"
 mkdir -p "$OUT" "$SLOW" "$ART"
+SLOW_PID_FILE=tmp/sf1000_slow_lane.pid
 
 export SPARK_GRAFT_CPUS=32
 export SPARK_GRAFT_VERIFY_PARTS=32
@@ -56,6 +59,7 @@ if has docs; then
   done
   nohup python3 tools/oracle_sweep.py "$SLOW" "$SF" 2400 "$DOC_SLOW" \
     > tmp/sf1000_sweep_docs_slow.log 2>&1 &
+  echo "$!" > "$SLOW_PID_FILE"
   echo "[sf1000] docs slow-lane sweep started (pid $!)"
   python3 tools/oracle_sweep.py "$OUT" "$SF" 900 "$DOC_FAST" \
     > tmp/sf1000_sweep_docs.log 2>&1
@@ -109,8 +113,22 @@ if has lineitem; then
 fi
 
 if has merge; then
-  python3 - <<'EOF'
+  # ADVICE r15: in `all` mode the docs stage nohup-backgrounds the slow
+  # lane and this merge used to read its sweep_results.json without
+  # waiting — silently recording a partial or missing slow lane. Block
+  # on the recorded pid (a stale pidfile from a dead process is a
+  # no-op: kill -0 fails and we proceed).
+  if [ -f "$SLOW_PID_FILE" ]; then
+    SLOW_PID="$(cat "$SLOW_PID_FILE")"
+    if kill -0 "$SLOW_PID" 2>/dev/null; then
+      echo "[sf1000] merge: waiting on slow-lane sweep (pid $SLOW_PID) ..."
+      while kill -0 "$SLOW_PID" 2>/dev/null; do sleep 10; done
+    fi
+    rm -f "$SLOW_PID_FILE"
+  fi
+  ART="$ART" python3 - <<'PYEOF'
 import json, os
+art = os.environ["ART"]
 # Lane layout (the run that actually happened, recorded honestly):
 #   verify_sf1000       fast lanes, SWEEP_SAMPLE_MOD=1000 on pinned rows
 #   verify_sf1000_slow  q69(full)/q140 slow lane (2400 s cap)
@@ -133,11 +151,11 @@ for path, suffix in [
             # a raised-cap retry supersedes the capped-lane timeout row
             if suffix or out.get(key, {}).get("status") != "ok":
                 out[key] = v
-with open("docs/artifacts/r15/sweep_sf1000_results.json", "w") as f:
+with open(f"{art}/sweep_sf1000_results.json", "w") as f:
     json.dump(out, f, indent=1, sort_keys=True)
 ok = sum(1 for v in out.values() if v.get("status") == "ok")
-print(f"[sf1000] merged: {ok} ok of {len(out)} -> docs/artifacts/r15/sweep_sf1000_results.json")
+print(f"[sf1000] merged: {ok} ok of {len(out)} -> {art}/sweep_sf1000_results.json")
 for k, v in sorted(out.items()):
     print(f"  {k:28s} {v.get('status'):8s} {v.get('secs')}s rows={v.get('rows')}")
-EOF
+PYEOF
 fi
