@@ -49,9 +49,10 @@ object SimilarityQueries {
 
   /** Fixed 8×64 projection for the q138 pcaTopK oracle — a PINNED
     * stand-in for a trained-and-persisted [[graft.ops.Similarity
-    * .trainPcaProjection]] rotation (training is a float treeAggregate +
-    * driver eigSym: deterministic per run and spec-pinned by PcaSpec,
-    * but not replayable as static SQL; the production contract is
+    * .trainPcaProjection]] rotation (training is an ordered-fold float
+    * pass + driver eigSym: bit-deterministic across runs since the r16
+    * fold port, pinned by PcaSpec + TrainerDeterminismSpec, but not
+    * replayable as static SQL; the production contract is
     * train-once-persist anyway, so the ORACLE-able surface is exactly
     * "score against a persisted matrix"). Exact-decimal components at
     * the embeddings' scale, rows pairwise distinct. */
