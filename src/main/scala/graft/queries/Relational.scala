@@ -36,18 +36,26 @@ object Relational {
       bench = true),
 
     // ---- projection + filter, pushed to the parquet scan
+    // Decade pin (sweepSampled, off at gate scale): q02 emits one row
+    // per matching lineitem — ~215.7M rows unsampled at sf1000, past
+    // what the hash-compare harness can materialize (its practical
+    // ceiling is the ~13M-row q140 row). Sampling on l_orderkey keeps
+    // whole orders, and the query is row-wise, so the verified
+    // filter+project+sort semantics are unchanged on the kept keys;
+    // both engines still scan the full table with the predicate pushed.
     Q("q02_filter_project",
       (s, dir) => {
-        tbl(s, dir, "lineitem")
+        sweepSampled(tbl(s, dir, "lineitem"), "l_orderkey")
           .filter(col("l_quantity") < 5 && col("l_discount") > 0.05)
           .select(
             col("l_orderkey"), col("l_linenumber"),
             (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
           .orderBy("l_orderkey", "l_linenumber")
       },
-      Some("""SELECT l_orderkey, l_linenumber,
+      Some(s"""SELECT l_orderkey, l_linenumber,
           l_extendedprice * (1.0 - l_discount) AS revenue
         FROM lineitem WHERE l_quantity < 5 AND l_discount > 0.05
+          AND ${sweepSampleSql("l_orderkey")}
         ORDER BY l_orderkey, l_linenumber""")),
 
     // ---- 3-way join: fact × broadcast(orders? no - orders is big) —
