@@ -65,6 +65,65 @@ object ScaleReplicate {
     }
   }
 
+  /** Single-plan replica families (r16). The batched-union path pays
+    * Catalyst per BATCH — planning/codegen of a 250-branch union plus
+    * one job's scheduling per write — which measured ~2.3 min/batch on
+    * the r16 sf1000 docs build (~40 batches ≈ 90 min of mostly driver
+    * overhead for a 5.5 GB fixture). These builders produce the SAME
+    * row multiset through ONE plan: the replica index r becomes a
+    * joined column (`range(0, factor)` cross-joined against the
+    * broadcast BASE table), so 10⁴ replicas plan once and the write
+    * parallelizes over the range side's `rParts` partitions. Row order
+    * and file layout differ from the union path — both invisible to
+    * every reader here (compares sort before hashing; scans glob the
+    * directory). ScaleReplicateSpec pins exact row-multiset equality
+    * against the Seq builders. Assumes the BASE table fits a broadcast
+    * (the sf0.1 bases top out at lineitem's ~11 MB parquet / ~60 MB
+    * rows — trivially true; a non-broadcastable base belongs on the
+    * batched path). */
+  def docReplicasExploded(docs: DataFrame, factor: Int, nDoc: Long,
+      suffix: String = "x", rParts: Int = 160): DataFrame = {
+    val preservedArr = array(Preserved.map(lit): _*)
+    val np = math.max(1, math.min(rParts, factor))
+    val rs = docs.sparkSession.range(0L, factor.toLong, 1L, np).toDF("__r")
+    val renamed = array_join(
+      transform(split(col("text"), " +"),
+        w => when(array_contains(preservedArr, w), w)
+          .otherwise(concat(w, lit(suffix), col("__r").cast("string")))), " ")
+    rs.crossJoin(broadcast(docs))
+      .withColumn("text",
+        when(col("__r") === 0L, col("text")).otherwise(renamed))
+      .withColumn("doc_id", col("doc_id") + col("__r") * lit(nDoc))
+      // r = 0 keeps the source row byte-identical (the Seq builder
+      // returns `docs` itself there), so n_chars is only recomputed on
+      // renamed replicas
+      .withColumn("n_chars",
+        when(col("__r") === 0L, col("n_chars"))
+          .otherwise(length(col("text")).cast("long")))
+      .drop("__r")
+  }
+
+  /** Exploded twin of [[keyOffsetReplicas]] — see
+    * [[docReplicasExploded]] for the single-plan rationale. */
+  def keyOffsetExploded(df: DataFrame, factor: Int,
+      offsets: Map[String, Long], rParts: Int = 160): DataFrame = {
+    val np = math.max(1, math.min(rParts, factor))
+    val rs = df.sparkSession.range(0L, factor.toLong, 1L, np).toDF("__r")
+    val joined = rs.crossJoin(broadcast(df))
+    offsets.foldLeft(joined) { case (d, (c, base)) =>
+      d.withColumn(c, col(c) + col("__r") * lit(base))
+    }.drop("__r")
+  }
+
+  /** One-plan write for the exploded builders (no batching needed —
+    * there is exactly one plan). Natural partitioning: `rParts` tasks,
+    * each encoding factor/rParts replicas. */
+  def writeExploded(df: DataFrame, path: String): Unit = {
+    val codec = sys.env.get("SPARK_GRAFT_REPLICATE_CODEC")
+    val w = df.write.mode("overwrite")
+    codec.fold(w)(c => w.option("compression", c)).parquet(path)
+  }
+
   /** The embedding replica family — all ISOMETRIES (within-replica
     * L2/cosine structure preserved):
     *
@@ -208,7 +267,14 @@ object ScaleReplicate {
     // renaming family (see docReplicas's compose caveat)
     val docSuffix = if (args.length > 4) args(4) else "x"
     // SPARK_GRAFT_REPLICATE_NO_SHUFFLE=1: pass parts=0 (no repartition)
-    // for the key-offset relational tables — see writeBatched's scaladoc
+    // for ALL replica writes — see writeBatched's scaladoc. Originally
+    // relational-only; r16 extended it to documents/embeddings, whose
+    // hardcoded parts=32 rounds to ONE partition per 250-replica batch
+    // (32·250/10⁴), i.e. a single-threaded parquet encode of each
+    // ~140 MB batch — measured ~2.6 min/batch on the r16 docs build vs
+    // seconds with the natural (per-replica) layout. File count grows
+    // to ~one per replica, the same shape the r15 lineitem fixture
+    // already swept green through DuckDB's glob reader.
     val relParts: Int => Int =
       if (sys.env.get("SPARK_GRAFT_REPLICATE_NO_SHUFFLE").contains("1")) _ => 0
       else identity
@@ -228,8 +294,8 @@ object ScaleReplicate {
     if (tables("documents")) {
       val docs = spark.read.parquet(s"$src/documents.parquet")
       val nDoc = docs.agg(max("doc_id")).head().getLong(0) + 1L
-      writeBatched(docReplicas(docs, factor, nDoc, docSuffix),
-        s"$out/documents.parquet", batch = 250, parts = 32)
+      writeExploded(docReplicasExploded(docs, factor, nDoc, docSuffix),
+        s"$out/documents.parquet")
       println(s"[scale-replicate] documents x$factor: ${nDoc * factor}")
     }
 
@@ -237,7 +303,7 @@ object ScaleReplicate {
       val emb = spark.read.parquet(s"$src/embeddings.parquet")
       val nVec = emb.agg(max("vec_id")).head().getLong(0) + 1L
       writeBatched(embReplicas(emb, factor, nVec),
-        s"$out/embeddings.parquet", batch = 25, parts = 32)
+        s"$out/embeddings.parquet", batch = 25, parts = relParts(32))
       println(s"[scale-replicate] embeddings x$factor: ${nVec * factor}")
     }
 
@@ -294,16 +360,20 @@ object ScaleReplicate {
           // 2⁶³/2654435761 ≈ 3.47e9 overflow line the q20/q26 pins were
           // overflow-proofed for) while orders itself (27 GB) stays
           // unbuilt on the space-bounded box.
-          keyOffsetReplicas(li, factor, Map("l_orderkey" -> orderStride))
+          Left(keyOffsetExploded(li, factor, Map("l_orderkey" -> orderStride)))
         } else {
           // glm-only mode (the historical sf30/sf100 fixtures): plain
           // copies — the fit reads no key column, row count is the
           // only thing that matters
-          Seq.fill(factor)(li)
+          Right(Seq.fill(factor)(li))
         }
       val keyed = tables("orders") ||
         sys.env.get("SPARK_GRAFT_REPLICATE_LINEITEM_KEYED").contains("1")
-      writeBatched(reps, s"$out/lineitem.parquet", batch = 200, parts = relParts(64))
+      reps match {
+        case Left(one) => writeExploded(one, s"$out/lineitem.parquet")
+        case Right(rs) =>
+          writeBatched(rs, s"$out/lineitem.parquet", batch = 200, parts = relParts(64))
+      }
       println(s"[scale-replicate] lineitem x$factor" +
         (if (keyed) " (orderkey-offset)" else " (plain)"))
     }

@@ -195,6 +195,33 @@ class ScaleReplicateSpec extends AnyFunSuite {
       factor * o.select("o_orderkey").distinct().count())
   }
 
+  test("exploded single-plan builders == the Seq/union builders, row for row (r16)") {
+    // docReplicasExploded / keyOffsetExploded rebuild the same replica
+    // families through ONE plan (replica index as a joined column) —
+    // the fourth-decade fixture path. Multiset equality against the
+    // historical builders is the whole contract: same rows, any order,
+    // any file layout. exceptAll both ways = exact multiset compare
+    // (duplicates counted).
+    val factor = 5
+    val seqDocs = ScaleReplicate.docReplicas(docs, factor, nDoc = 200L, suffix = "y")
+      .reduce(_ unionAll _)
+    val expDocs = ScaleReplicate.docReplicasExploded(docs, factor, nDoc = 200L,
+      suffix = "y", rParts = 3)
+    assert(expDocs.exceptAll(seqDocs).isEmpty && seqDocs.exceptAll(expDocs).isEmpty,
+      "exploded docs replica multiset drifted from the Seq builder's")
+    assert(expDocs.columns.toSeq === seqDocs.columns.toSeq)
+
+    val li = spark.read.parquet(s"${TestSpark.sf0001}/lineitem.parquet")
+      .filter(col("l_orderkey") < 400)
+    val seqLi = ScaleReplicate.keyOffsetReplicas(li, factor,
+      Map("l_orderkey" -> 6001L)).reduce(_ unionAll _)
+    val expLi = ScaleReplicate.keyOffsetExploded(li, factor,
+      Map("l_orderkey" -> 6001L), rParts = 3)
+    assert(expLi.exceptAll(seqLi).isEmpty && seqLi.exceptAll(expLi).isEmpty,
+      "exploded key-offset replica multiset drifted from the Seq builder's")
+    assert(expLi.columns.toSeq === seqLi.columns.toSeq)
+  }
+
   test("event replicas: per-user streams disjoint, window grid unchanged") {
     val ev = spark.read.parquet(s"${TestSpark.sf0001}/events.parquet")
     val factor = 3
