@@ -457,29 +457,51 @@ object Dedup {
   def jaccardVerify(
       df: DataFrame, candidates: DataFrame, idCol: String, textCol: String,
       threshold: Double): DataFrame = {
-    // The pair set feeds FIVE plan positions (the two id legs of the
-    // semi-join id set, the sh frame's two join probes, and the verify
-    // join itself); persisting it evaluates the caller's candidate-
-    // generation pipeline ONCE. The cache holds id pairs only — tiny
-    // next to any corpus.
+    // The pair set feeds THREE plan positions (the two id legs of the
+    // semi-join id set and the exploded verify join); persisting it
+    // evaluates the caller's candidate-generation pipeline ONCE. The
+    // cache holds id pairs only — tiny next to any corpus.
     val cand = candidates.persist(MEMORY_AND_DISK)
+    // no distinct() on the semi-join id set: a LEFT SEMI right side need
+    // not be unique (the join dedups internally) and the distinct cost a
+    // full exchange + two aggregates per run (r16 plan audit)
     val candIds = cand.select(col("id1").as(idCol))
       .union(cand.select(col("id2").as(idCol)))
-      .distinct()
     // shingles via the fused token_ngrams kernel (one split + one walk
     // in codegen; the composed transform form this replaced was the
     // interpreted-HOF shape the scaladoc above warns about)
     val sh = df.join(candIds, Seq(idCol), "left_semi")
       .select(col(idCol).as("__id"),
         array_distinct(TokenLm.tokenNgrams(col(textCol), 3)).as("__sh"))
-    candidates
-      .join(sh.withColumnRenamed("__id", "id1").withColumnRenamed("__sh", "__sh1"), "id1")
-      .join(sh.withColumnRenamed("__id", "id2").withColumnRenamed("__sh", "__sh2"), "id2")
+    // ONE join against sh, not one per pair leg: each pair explodes to
+    // its two (id1, id2, __id) legs, joins the shingle frame once, and
+    // regroups on the pair key. The old leg1-join-then-leg2-join shape
+    // planned sh TWICE — two concurrent shuffle-map stages each paying
+    // the full tokenNgrams pass over the candidate docs — and shuffled
+    // the shingle arrays three times (sh by id1, the joined arrays by
+    // id2, sh by id2); this shape computes sh once and shuffles the
+    // arrays twice (join + regroup). first(when, ignoreNulls) is
+    // deterministic: each surviving (id1, id2) group holds exactly one
+    // row per leg. Duplicate candidate pairs collapse to one output row
+    // (they ARE the same pair; every in-repo generator emits distinct
+    // pairs).
+    cand.select(col("id1"), col("id2"),
+        explode(array(col("id1"), col("id2"))).as("__id"))
+      .join(sh, "__id")
+      .groupBy(col("id1"), col("id2"))
+      .agg(
+        first(when(col("__id") === col("id1"), col("__sh")),
+          ignoreNulls = true).as("__sh1"),
+        first(when(col("__id") === col("id2"), col("__sh")),
+          ignoreNulls = true).as("__sh2"))
       // empty-set guard: a pair where BOTH docs are under 3 tokens has
       // two empty shingle sets, and 0.0/0 = NaN would pass >= threshold
       // (Spark compares NaN greater than any number) — two unrelated
-      // short docs are NOT near-dups. The union size is materialized as
-      // a real column so the when() doesn't re-evaluate it per row leg.
+      // short docs are NOT near-dups. A pair that lost a leg (its doc is
+      // absent from df) carries a null shingle set, so __u and jaccard
+      // are null and the threshold filter drops it — exactly as the old
+      // form's inner joins did. The union size is materialized as a
+      // real column so the when() doesn't re-evaluate it per row leg.
       .withColumn("__u", size(array_union(col("__sh1"), col("__sh2"))))
       .withColumn("jaccard",
         when(col("__u") > 0,

@@ -422,19 +422,29 @@ object PipelineQueries {
           array(Seq("the", "a", "and", "of", "fast", "slow").map(lit): _*))
         val kept = tbl(s, dir, "documents")
           .filter(nTok >= 5 && ttr >= 0.3 && enHit)
-        // deduped fans out to FOUR consumers (banding, both jaccard
-        // sides, the final anti-join): truncate its lineage once so each
-        // downstream stage serializes a one-node LogicalRDD instead of
-        // re-embedding the scan+filter+window subtree — without this the
-        // pipeline's stages broadcast 4-8 MiB task binaries apiece
-        // (lazy: no job; the RDD computes when the query runs)
+        // deduped fans out to THREE consumers (banding, the jaccard
+        // shingle side, the final anti-join): truncate its lineage once
+        // so each downstream stage serializes a one-node LogicalRDD
+        // instead of re-embedding the scan+filter+window subtree —
+        // without this the pipeline's stages broadcast 4-8 MiB task
+        // binaries apiece — AND persist it: the truncated RDD is lazy,
+        // so each consumer otherwise re-runs the full scan + quality
+        // filter + md5 dedup join (at 100 TB: three corpus scans and
+        // three full-text shuffles where one suffices; the r16 plan
+        // audit measured the recompute as two of the row's hottest
+        // single-stage jobs). Same session-cache contract as the
+        // banded frames (Dedup object doc).
         val deduped = org.apache.spark.sql.graftbridge.PlanBridge.truncateLineage(
           graft.ops.Dedup.exact(kept, "doc_id", Seq("text")).drop("n_copies"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val cands = graft.ops.Dedup.minhashCandidates(deduped, "doc_id", "text")
         val ver = graft.ops.Dedup.jaccardVerify(
           deduped, cands, "doc_id", "text", threshold = 0.5)
+        // no distinct() on the drop set: a LEFT ANTI right side need not
+        // be unique (the join's hash build dedups internally) and the
+        // distinct cost a full exchange + two aggregates per run
         val fin = deduped.join(
-          ver.select(col("id2").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+          ver.select(col("id2").as("doc_id")), Seq("doc_id"), "left_anti")
         fin.groupBy(col("source"))
           .agg(count(lit(1)).as("n_docs"),
             sum(size(split(col("text"), " +"))).as("total_tokens"))
