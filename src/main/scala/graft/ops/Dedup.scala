@@ -417,19 +417,31 @@ object Dedup {
       numHashes: Int = 8): DataFrame = {
     require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
     val cand = candidates.persist(MEMORY_AND_DISK)
+    // no distinct() on the semi-join id set, and ONE join against the
+    // signature frame via the explode-the-pair-legs shape — the
+    // [[jaccardVerify]] restructure applied here for the same reasons:
+    // the old two-leg join planned `sigs` twice (two concurrent
+    // shuffle-map stages each re-shingling the candidate docs) and
+    // shuffled the signatures three times; this computes them once and
+    // shuffles them twice. first(when, ignoreNulls) is deterministic
+    // (one row per leg per group); duplicate candidate pairs collapse
+    // to one output row.
     val candIds = cand.select(col("id1").as(idCol))
       .union(cand.select(col("id2").as(idCol)))
-      .distinct()
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val sigCol = ColumnBridge.column(graft.functions.MinHashSig(
       ColumnBridge.expression(col(textCol)), numHashes))
     val sigs = df.join(candIds, Seq(idCol), "left_semi")
       .select(col(idCol).as("__id"), sigCol.as("__sig"))
-    cand
-      .join(sigs.withColumnRenamed("__id", "id1")
-        .withColumnRenamed("__sig", "__s1"), "id1")
-      .join(sigs.withColumnRenamed("__id", "id2")
-        .withColumnRenamed("__sig", "__s2"), "id2")
+    cand.select(col("id1"), col("id2"),
+        explode(array(col("id1"), col("id2"))).as("__id"))
+      .join(sigs, "__id")
+      .groupBy(col("id1"), col("id2"))
+      .agg(
+        first(when(col("__id") === col("id1"), col("__sig")),
+          ignoreNulls = true).as("__s1"),
+        first(when(col("__id") === col("id2"), col("__sig")),
+          ignoreNulls = true).as("__s2"))
       .withColumn("est",
         when(element_at(col("__s1"), 1) === Long.MaxValue
             || element_at(col("__s2"), 1) === Long.MaxValue,
@@ -437,6 +449,11 @@ object Dedup {
         .otherwise(
           size(filter(zip_with(col("__s1"), col("__s2"), (a, b) => a === b),
             x => x)).cast("double") / numHashes))
+      // a pair that lost a leg (its doc absent from df) carries a null
+      // signature — drop it, exactly as the old form's inner joins did
+      // (short docs are NOT this case: they carry the non-null sentinel
+      // signature and estimate NULL above)
+      .filter(col("__s1").isNotNull && col("__s2").isNotNull)
       .select(col("id1"), col("id2"), col("est"))
   }
 
