@@ -209,7 +209,7 @@ object Dedup {
     requireBandWidths(bands, numHashes)
     // bands/num_hashes ride along as constant columns (RLE — free in
     // parquet) so the reader can FAIL FAST on a width mismatch instead
-    // of silently joining disjoint bucket strings to zero candidates
+    // of silently joining disjoint bucket keys to zero candidates
     banded(df, idCol, textCol, bands, numHashes)
       .select(col("__id").as(idCol), col("__band").as("band"),
         col("__bucket").as("bucket"),
@@ -245,16 +245,42 @@ object Dedup {
       s"bands must tile the $numHashes-hash signature exactly, got $bands")
   }
 
-  /** The band-b bucket key of a MinHash signature column: the
-    * ":"-joined decimal minima of the band's hash slice. ONE definition
-    * shared by the batch banding — and therefore by
+  /** The band-b bucket key of a MinHash signature column. Bands of one
+    * or two components (the common tilings — 8 hashes × 4 bands, 128 ×
+    * 64) PACK INTO ONE LONG: each signature component is `mod (2³¹−1)`
+    * (see [[graft.functions.MinHashSig]]), so `c0 << 31 | c1` is
+    * injective — bucket membership, and therefore every candidate pair,
+    * is identical to the former ":"-joined decimal string key — while
+    * each band shuffle carries 8 fixed bytes instead of a ~21-char
+    * string. Wider bands keep the string form (31·rowsPerBand bits no
+    * longer fit a long). The short-doc sentinel signature (all
+    * components Long.MaxValue; reaches this only on the STREAMING path
+    * — batch [[banded]] filters sentinel rows) packs to -1 (MaxValue <<
+    * 31 has its low 31 bits clear, so the OR is all-ones); real keys
+    * are non-negative, so a sentinel can never collide with a reference
+    * key and short stream docs still pass every anti-join as clean.
+    *
+    * ONE definition shared by the batch banding — and therefore by
     * [[writeBandedSignatures]]'s on-disk `bucket` column — and the
     * streaming per-band key derivation ([[minhashCleanStream]]), so the
     * persisted format and the stream side cannot drift: a format change
-    * here changes BOTH, never one. */
+    * here changes BOTH, never one ([[validateBandsTable]] additionally
+    * rejects a persisted table whose bucket type predates the caller's
+    * encoding). */
   private def bandBucketCol(sigCol: Column, b: Int, rowsPerBand: Int): Column =
-    concat_ws(":", (0 until rowsPerBand).map(r =>
+    if (rowsPerBand == 1) element_at(sigCol, b + 1)
+    else if (rowsPerBand == 2)
+      shiftleft(element_at(sigCol, 2 * b + 1), 31)
+        .bitwiseOR(element_at(sigCol, 2 * b + 2))
+    else concat_ws(":", (0 until rowsPerBand).map(r =>
       element_at(sigCol, b * rowsPerBand + r + 1).cast("string")): _*)
+
+  /** The SQL type [[bandBucketCol]] emits at these widths — packed long
+    * for 1- and 2-component bands, string beyond. */
+  private def bucketKeyType(bands: Int,
+      numHashes: Int): org.apache.spark.sql.types.DataType =
+    if (numHashes / bands <= 2) org.apache.spark.sql.types.LongType
+    else org.apache.spark.sql.types.StringType
 
   /** Eager validation that `bandsDf` is a homogeneous
     * [[writeBandedSignatures]] table at the caller's widths: a
@@ -295,6 +321,19 @@ object Dedup {
           s"$bands/$numHashes — mismatched widths never collide (zero " +
           "candidates); a min≠max range means the table mixes two writes")
     }
+    // encoding check (after the width probe, so width errors keep their
+    // diagnosis): a table persisted under the pre-packed string key
+    // format at these same widths would otherwise type-coerce through
+    // the join and silently never collide
+    if (bandsDf.columns.contains("bucket")) {
+      val bt = bandsDf.schema("bucket").dataType
+      val expect = bucketKeyType(bands, numHashes)
+      require(bt == expect,
+        s"bands table 'bucket' column is $bt but bands=$bands/" +
+          s"numHashes=$numHashes uses the $expect key encoding — the " +
+          "table was written under a different band-key format; rebuild " +
+          "it with writeBandedSignatures")
+    }
   }
 
   /** STREAMING decontamination filter against a persisted signature
@@ -309,7 +348,8 @@ object Dedup {
     * Why this is streaming-legal with no watermark: per-doc banding is
     * a stateless projection (the codegen'd [[graft.functions
     * .MinHashSig]] plus fixed-width bucket-key concats — no shuffle, no
-    * state), and the verdict is `bands` chained stream-static LEFT ANTI
+    * state — per-band keys are the packed-long [[bandBucketCol]]
+    * encoding), and the verdict is `bands` chained stream-static LEFT ANTI
     * equi-joins, one per band-key COLUMN: a doc survives iff its band-b
     * key misses the reference keyset for EVERY b. Band keys as columns
     * (not an explode) keep one row per doc, so no streaming
@@ -410,8 +450,16 @@ object Dedup {
     * most pairs never need the exact shingle join. Signatures are built
     * only for docs appearing in a pair (semi-join first, the
     * jaccardVerify discipline); pairs where either doc is too short to
-    * carry a signature (the empty-signature sentinel) estimate NULL,
-    * never a spurious 1.0. */
+    * carry a signature (the empty-signature sentinel) — including docs
+    * with NULL text, which sign as empty — estimate NULL, never a
+    * spurious 1.0.
+    *
+    * `candidates` contract (shared with [[jaccardVerify]]): DISTINCT
+    * (id1, id2) pairs over ids UNIQUE in `df`. Duplicate pairs collapse
+    * to ONE output row (they are the same pair; every in-repo generator
+    * emits distinct pairs), and a duplicated id in `df` would make the
+    * per-leg `first()` pick one of its rows — pass deduplicated inputs.
+    * A pair whose doc is ABSENT from `df` is dropped. */
   def minhashEstimate(
       df: DataFrame, candidates: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 8): DataFrame = {
@@ -429,8 +477,12 @@ object Dedup {
     val candIds = cand.select(col("id1").as(idCol))
       .union(cand.select(col("id2").as(idCol)))
     import org.apache.spark.sql.graftbridge.ColumnBridge
+    // NULL text coalesces to '' BEFORE signing (ADVICE r16): MinHashSig
+    // is nullIntolerant, so a null-text doc would carry a null signature
+    // and be dropped below as if absent from df — coalesced, it hits the
+    // short-doc sentinel and estimates NULL, the documented contract
     val sigCol = ColumnBridge.column(graft.functions.MinHashSig(
-      ColumnBridge.expression(col(textCol)), numHashes))
+      ColumnBridge.expression(coalesce(col(textCol), lit(""))), numHashes))
     val sigs = df.join(candIds, Seq(idCol), "left_semi")
       .select(col(idCol).as("__id"), sigCol.as("__sig"))
     cand.select(col("id1"), col("id2"),
@@ -458,6 +510,13 @@ object Dedup {
   }
 
   /** Exact Jaccard over token 3-shingles for candidate verification.
+    *
+    * `candidates` contract (shared with [[minhashEstimate]]): DISTINCT
+    * (id1, id2) pairs over ids UNIQUE in `df`. Duplicate pairs collapse
+    * to ONE output row (they are the same pair; every in-repo generator
+    * emits distinct pairs), and a duplicated id in `df` would make the
+    * per-leg `first()` pick one of its rows — pass deduplicated inputs.
+    * A pair whose doc is absent from `df` (or has NULL text) is dropped.
     *
     * Two scale-critical shapes:
     *  - shingles are built ONLY for docs that appear in a candidate pair
@@ -1165,12 +1224,16 @@ object Dedup {
     * row's probe list contains the other's primary cell. This goes
     * BEYOND SemDeDup (arXiv:2303.09540), which probes one cell only.
     *
-    * Plan shape at 100 TB: the primary stage is [[cosineNearDups]]
-    * unchanged (hot-cell sub-bucket degrade included); the straddle
-    * stage joins the (nprobe−1)-fanned secondary side against the
-    * primary-keyed side, so pair cost grows ×(nprobe−1) relative to the
-    * primary stage, NOT ×nprobe² (the corpus is never fanned on both
-    * sides). The primary side of the straddle join is capped at
+    * Plan shape at 100 TB: the nprobe nearest cells are ranked ONCE per
+    * row and persisted as a compact (id, vec, cells, norm) projection
+    * that feeds the primary stage, the fan side, and the straddle prim
+    * side (one k·d assignment pass where the pre-r17 shape paid three;
+    * same session-cache contract as the banded frames — object doc).
+    * The primary stage is [[cosineNearDups]] unchanged (hot-cell
+    * sub-bucket degrade included); the straddle stage joins the
+    * (nprobe−1)-fanned secondary side against the primary-keyed side,
+    * so pair cost grows ×(nprobe−1) relative to the primary stage, NOT
+    * ×nprobe² (the corpus is never fanned on both sides). The primary side of the straddle join is capped at
     * `maxBucket` lowest-id rows per (cell, 8-bit LSH sign sub-bucket) —
     * the [[semDedupAgainst]] flood guard, so a boilerplate flood cannot
     * multiply every straddling row by its whole cell. Both directions
@@ -1191,20 +1254,36 @@ object Dedup {
     require(nprobe >= 1 && nprobe <= centroids.length,
       s"nprobe must be in [1, ${centroids.length}], got $nprobe")
     val vec = col(vecCol).cast("array<double>")
-    val primaryCell = graft.ops.Similarity.ivfCell(vec, centroids, roundDp)
-    val primary =
-      cosineNearDups(emb, idCol, vecCol, threshold, primaryCell, roundDp,
+    if (nprobe == 1)
+      cosineNearDups(emb, idCol, vecCol, threshold,
+        graft.ops.Similarity.ivfCell(vec, centroids, roundDp), roundDp,
         maxBucket)
-    if (nprobe == 1) primary
     else {
+      // ONE cell-assignment pass for all three consumers (r16 "not yet
+      // optimized" #2): the primary stage's argmin, the fan side's
+      // ranked probe list, and the straddle prim side each re-derived
+      // cells from the raw vectors — two redundant k·d passes per row
+      // at scale (k grows with the corpus like an IVF cell count). Rank
+      // the nprobe nearest cells ONCE, persist the compact (id, vec,
+      // cells, norm) projection, and let every consumer read it:
+      // element_at(cells, 1) IS the primary cell (ivfCells shares
+      // ivfCell's round-before-argmin and lowest-cell-id tie rules —
+      // HierIvfSpec pins the identity), so the pair set is
+      // bit-identical to the re-derived form. The norm rides along so
+      // the fan side no longer recomputes it per exploded probe row.
+      val base = emb.select(col(idCol).as("__id"), vec.as("__v"),
+          graft.ops.Similarity.ivfCells(vec, centroids, nprobe, roundDp)
+            .as("__cells"))
+        .withColumn("__nrm", sqrt(ArrayMath.dot(col("__v"), col("__v"))))
+        .persist(MEMORY_AND_DISK)
+      val primary = cosineNearDups(base, "__id", "__v", threshold,
+        element_at(col("__cells"), 1), roundDp, maxBucket)
       // fan side: secondary probes only (ivfCells is nearest-first, so
       // slice from position 2 — position 1 IS the primary and its pairs
       // already came from the primary stage)
-      val fan = emb.select(col(idCol).as("__fid"), vec.as("__fv"),
-          explode(slice(
-            graft.ops.Similarity.ivfCells(vec, centroids, nprobe, roundDp),
-            2, nprobe - 1)).as("__cell"))
-        .withColumn("__fn", sqrt(ArrayMath.dot(col("__fv"), col("__fv"))))
+      val fan = base.select(col("__id").as("__fid"), col("__v").as("__fv"),
+        col("__nrm").as("__fn"),
+        explode(slice(col("__cells"), 2, nprobe - 1)).as("__cell"))
       // primary side, flood-capped per (cell, sign sub-bucket) — the
       // semDedupAgainst guard verbatim (same disjoint plane family:
       // offset 32, so a caller's offset-0 bucket bits can't alias it)
@@ -1212,15 +1291,14 @@ object Dedup {
         col("__pv"), dim = 4096, nBits = 8, planeOffset = 32)
       val wc = Window.partitionBy("__cell")
       val wr = Window.partitionBy("__cell", "__sb").orderBy("__pid")
-      val prim = emb.select(col(idCol).as("__pid"), vec.as("__pv"),
-          primaryCell.as("__cell"))
+      val prim = base.select(col("__id").as("__pid"), col("__v").as("__pv"),
+          col("__nrm").as("__pn"), element_at(col("__cells"), 1).as("__cell"))
         .withColumn("__ccnt", count(lit(1)).over(wc))
         .withColumn("__sb",
           when(col("__ccnt") > maxBucket, subKey).otherwise(lit(-1)))
         .withColumn("__rn", row_number().over(wr))
         .filter(col("__rn") <= maxBucket)
         .drop("__rn", "__sb", "__ccnt")
-        .withColumn("__pn", sqrt(ArrayMath.dot(col("__pv"), col("__pv"))))
       // zero-norm guard: null cosine drops at the threshold filter —
       // the cosineNearDups contract ("a zero vector is similar to
       // nothing"; DuckDB's 0/0 → NULL agrees)

@@ -676,15 +676,37 @@ class OpsSpec extends AnyFunSuite {
     // a HETEROGENEOUS table — two writes at different widths appended to
     // one path — is rejected by the whole-table min/max probe; a one-row
     // probe would accept whichever width it sampled and the other
-    // write's rows would silently never collide
+    // write's rows would silently never collide (bands=8/numHashes=16
+    // keeps the packed-long key encoding, so the union's bucket column
+    // types agree and the WIDTH probe is what fires)
     val dir16 = java.nio.file.Files.createTempDirectory("mh_bands16").toString
     Dedup.writeBandedSignatures(ref, "doc_id", "text", dir16,
-      bands = 4, numHashes = 16)
+      bands = 8, numHashes = 16)
     val mixed = bandsDf.unionByName(spark.read.parquet(dir16))
     val err3 = intercept[IllegalArgumentException] {
       Dedup.minhashCandidatesAgainstBands(nw, mixed, "doc_id", "text")
     }
     assert(err3.getMessage.contains("mixes two writes"), err3.getMessage)
+    // a table persisted under a DIFFERENT KEY ENCODING (wide bands keep
+    // the ":"-joined string form; 1-2-component bands pack into a long)
+    // is rejected by the bucket-type check rather than silently joining
+    // long keys against strings to zero candidates
+    val dirStr = java.nio.file.Files.createTempDirectory("mh_bands_str").toString
+    Dedup.writeBandedSignatures(ref, "doc_id", "text", dirStr,
+      bands = 4, numHashes = 16) // rowsPerBand=4 → string encoding
+    val strTable = spark.read.parquet(dirStr)
+    // read back at its OWN widths: works (string encoding expected there)
+    assert(Dedup.minhashCandidatesAgainstBands(nw, strTable, "doc_id",
+      "text", bands = 4, numHashes = 16, maxBucket = 2).columns
+      .sameElements(Array("new_id", "ref_id")))
+    // spoofed width columns at a packed-long width class: encoding check
+    // fires (the width probe passes — the spoofed constants match)
+    val spoofed = strTable
+      .withColumn("bands", lit(4)).withColumn("num_hashes", lit(8))
+    val err4 = intercept[IllegalArgumentException] {
+      Dedup.minhashCandidatesAgainstBands(nw, spoofed, "doc_id", "text")
+    }
+    assert(err4.getMessage.contains("band-key format"), err4.getMessage)
   }
 
   test("persisted simhash signatures reproduce simhashNearDupsAgainst (build-once path)") {
@@ -1384,6 +1406,30 @@ class OpsSpec extends AnyFunSuite {
     val handPair = Seq((10L, 11L)).toDF("id1", "id2")
     val row = Dedup.minhashEstimate(short, handPair, "id", "text").head()
     assert(row.isNullAt(2), "sentinel pair must estimate NULL")
+    // NULL-text docs sign as empty → sentinel → NULL estimate (the pair
+    // is KEPT, matching the short-doc contract — ADVICE r16)
+    val nulled = Seq((10L, Option("too short")), (11L, Option.empty[String]))
+      .toDF("id", "text")
+    val nrow = Dedup.minhashEstimate(nulled, handPair, "id", "text").head()
+    assert(nrow.isNullAt(2), "null-text pair must estimate NULL, not drop")
+    // a pair whose doc is ABSENT from df is dropped entirely
+    val absentPair = Seq((10L, 99L)).toDF("id1", "id2")
+    assert(Dedup.minhashEstimate(short, absentPair, "id", "text").count() == 0)
+  }
+
+  test("jaccardVerify/minhashEstimate collapse duplicate candidate pairs to one row") {
+    // the documented `candidates` contract: duplicate (id1, id2) pairs
+    // are the SAME pair and yield ONE output row — chosen, not
+    // accidental (VERDICT r16 #5); in-repo generators emit distinct
+    // pairs, so this only fires for hand-built pair sets
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val df = Seq((1L, base), (2L, base + " extra")).toDF("id", "text")
+    val dupPairs = Seq((1L, 2L), (1L, 2L), (1L, 2L)).toDF("id1", "id2")
+    val ver = Dedup.jaccardVerify(df, dupPairs, "id", "text", threshold = 0.1)
+    assert(ver.count() == 1, "duplicate pairs must collapse to one row")
+    val est = Dedup.minhashEstimate(df, dupPairs, "id", "text")
+    assert(est.count() == 1, "duplicate pairs must collapse to one row")
   }
 
   test("resize accepts a non-trivial payload expression (Column API)") {
